@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.functions.{Djb2, TextFns}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier A/B queries (SURVEY.md §2): the reference's flagship word count and
+  * the declared relational query inventory, each paired with an equivalent
+  * DuckDB oracle SQL for the driver's hash-compare gate.
+  *
+  * Conventions (SURVEY.md §2 determinism rules):
+  *   - every query ends in a total ORDER BY;
+  *   - counts are BIGINT; money aggregates are exact integer cents
+  *     (`round(x*100)::BIGINT` summed as int64 — no float-sum drift);
+  *   - derived doubles only via bit-deterministic ops on exact ints.
+  */
+object Core {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** Tokens of documents.text, one row per token, empties preserved
+    * (reference semantics, distwc.c:14-18).
+    */
+  def tokenStream(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextFns.explodedTokens(col("text")).as("token"))
+
+  // DuckDB fragment mirroring tokenStream
+  private val TokSql =
+    "SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r]')) AS token FROM documents"
+
+  /** The reference's flagship query (distwc.c): word count over documents. */
+  def wordcount(s: SparkSession, d: String): DataFrame =
+    tokenStream(s, d)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("token"))
+
+  /** Word count over the reference's own sample corpus, whole-file reads
+    * (A1/A2; golden invariant: 21 words x 5000, FIXTURES.md §1).
+    */
+  def wordcountFiles(s: SparkSession, d: String): DataFrame =
+    s.read.option("wholetext", "true")
+      .text("/root/reference/sample_inputs")
+      .select(TextFns.explodedTokens(col("value")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("token"))
+
+  /** (djb2(token) % 10, token, cnt) — partition-layout parity with the
+    * reference (A5, mapreduce.c:154-160). No SQL oracle (checked in the
+    * Djb2Spec golden test against FIXTURES.md §1 instead).
+    */
+  def partitionedWc(s: SparkSession, d: String): DataFrame =
+    wordcount(s, d)
+      .withColumn("partition_id", Djb2.djb2Pid(col("token"), 10))
+      .select(col("partition_id"), col("token"), col("cnt"))
+      .orderBy(col("partition_id"), col("token"))
+
+  /** DISTINCT on key — A7 unique-key iteration semantics. */
+  def distinctTokens(s: SparkSession, d: String): DataFrame =
+    tokenStream(s, d).select(col("token")).distinct().orderBy(col("token"))
+
+  /** Generalized count reducer (A9): count by group. */
+  def groupedCount(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** TPC-H Q1-shape aggregate (arbitrary-reducer capability, A7-A9).
+    * Money kept as exact integer cents; avg derived from exact ints.
+    */
+  def groupedAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("disc_cents"),
+        count(lit(1)).as("cnt"))
+      .withColumn("avg_qty", col("sum_qty").cast("double") / col("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + projection — pushed down to the parquet scan. */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** orders ⨝ customer — the MR tagged-union join pattern as a native join.
+    * customer is the dimension side → explicit broadcast (scale posture:
+    * at 100 TB the fact side never shuffles for this join).
+    */
+  def repartitionJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("c_mktsegment"))
+
+  /** token -> sorted distinct doc ids (classic MR inverted index; A8). */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    tokenStream(s, d)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+      .orderBy(col("token"))
+
+  /** Top 20 tokens by count (reducer + global sort/limit). */
+  def topK(s: SparkSession, d: String): DataFrame =
+    tokenStream(s, d)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** Set ops (implicit multi-file UNION ALL generalized): nations that have
+    * customers INTERSECT nations that have suppliers, minus heavy ones.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    cust.intersect(supp).union(cust.except(supp)).distinct().orderBy(col("nationkey"))
+  }
+
+  /** ROLLUP aggregate — grouping-set capability beyond the reference. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Window functions: per-supplier running quantity + row number. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li(s, d)
+      .withColumn("qty", col("l_quantity").cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        // epoch millis, not raw timestamp: avoids tz-awareness mismatches
+        // between Spark's TIMESTAMP_NTZ parquet read and DuckDB's TIMESTAMP.
+        // NTZ -> LTZ cast uses the UTC session tz, so epoch values agree.
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        col("qty"), col("rn"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordcount" -> wordcount,
+    "wordcount_files" -> wordcountFiles,
+    "partitioned_wc" -> partitionedWc,
+    "distinct_tokens" -> distinctTokens,
+    "grouped_count" -> groupedCount,
+    "grouped_agg" -> groupedAgg,
+    "filter_project" -> filterProject,
+    "repartition_join" -> repartitionJoin,
+    "inverted_index" -> invertedIndex,
+    "top_k" -> topK,
+    "set_ops" -> setOps,
+    "rollup_agg" -> rollupAgg,
+    "window_running" -> windowRunning,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "wordcount" ->
+      s"""SELECT token, count(*)::BIGINT AS cnt FROM ($TokSql) GROUP BY token ORDER BY token""",
+    "wordcount_files" ->
+      """SELECT token, count(*)::BIGINT AS cnt
+        | FROM (SELECT unnest(string_split_regex(content, '[ \t\n\r]')) AS token
+        |       FROM read_text('/root/reference/sample_inputs/*.txt'))
+        | GROUP BY token ORDER BY token""".stripMargin,
+    // partitioned_wc: omitted — djb2 not pure-SQL; golden-tested instead.
+    "distinct_tokens" ->
+      s"""SELECT DISTINCT token FROM ($TokSql) ORDER BY token""",
+    "grouped_count" ->
+      "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "grouped_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS disc_cents,
+        |  count(*)::BIGINT AS cnt,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+        | FROM lineitem
+        | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        | FROM lineitem WHERE l_quantity > 30
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "repartition_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "inverted_index" ->
+      s"""SELECT token, list(DISTINCT doc_id ORDER BY doc_id) AS doc_ids
+         | FROM ($TokSql) GROUP BY token ORDER BY token""".stripMargin,
+    "top_k" ->
+      s"""SELECT token, count(*)::BIGINT AS cnt FROM ($TokSql)
+         | GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "set_ops" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |  UNION
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT
+        |   SELECT s_nationkey AS nationkey FROM supplier)
+        | ) ORDER BY nationkey""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms, qty,
+        |  row_number() OVER w AS rn,
+        |  sum(qty) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        | FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |         CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        | ORDER BY l_suppkey, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge.
+  *
+  * Spark 4 made the `Column`/`Expression` conversion `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`, columnNodeSupport.scala)
+  * as part of the Connect refactor. Extension libraries that define native
+  * Catalyst expressions expose it via an `org.apache.spark.sql` subpackage —
+  * the same approach used by published Spark extension projects.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate (NOT shipped
+code): reads Verify.scala's output dir, runs each oracle_sql.json query in
+DuckDB against the same sf parquet tables, and compares values with columns
+sorted by name.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    import glob
+    have = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
+    for name in sorted(have):
+        got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'", connection=con).df()
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL-sql ] {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"[FAIL-cols] {name}: spark={list(g.columns)} duck={list(e.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(e):
+            print(f"[FAIL-rows] {name}: spark={len(g)} duck={len(e)}")
+            failures += 1
+            continue
+        # value compare, cell by cell with list support
+        bad = None
+        for c in g.columns:
+            gv, ev = g[c].tolist(), e[c].tolist()
+            for i, (a, b) in enumerate(zip(gv, ev)):
+                if hasattr(a, "__len__") and not isinstance(a, str):
+                    try:
+                        ok = list(a) == list(b)
+                    except Exception:
+                        ok = False
+                else:
+                    ok = (a == b) or (pd.isna(a) is True and pd.isna(b) is True)
+                if not ok:
+                    bad = (c, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, a, b = bad
+            print(f"[FAIL-val ] {name}: col={c} row={i} spark={a!r} duck={b!r}")
+            failures += 1
+        else:
+            print(f"[OK       ] {name}: {len(g)} rows")
+    missing = set(oracle) - have
+    for m in sorted(missing):
+        print(f"[FAIL-miss] {m}: oracle declared but no spark result")
+        failures += 1
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
