@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.functions.Djb2Partitioner
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.TaskContext
+
+/** The reference's user-programmable MapReduce surface
+  * (`/root/reference/mapreduce.h:44-46`: `MR_Run(files, Mapper, Reducer,
+  * num_workers, num_partitions)`) re-expressed as idiomatic Spark.
+  *
+  * Semantic mapping (SURVEY.md §2 tier A):
+  *   - `Mapper`  (`void (*)(char *file_name)` + `MR_Emit`) — a UDTF:
+  *     one input line -> many (key, value) emits. Here: `String =>
+  *     IterableOnce[(K, V)]` run through `Dataset.flatMap` (distributed,
+  *     no driver-side loops).
+  *   - `MR_Partitioner` (djb2 % P, `mapreduce.c:154-160`) — Spark's
+  *     HashPartitioning by default; [[runPartitioned]] uses the byte-exact
+  *     [[Djb2Partitioner]] when layout parity matters.
+  *   - sorted-partition grouping + `MR_GetNext` (`mapreduce.c:169-213`) —
+  *     `groupByKey(...).mapGroups`, whose `Iterator[V]` is exactly the
+  *     value cursor. Value order within a key is unspecified in the
+  *     reference too (SURVEY.md §1.3), so multiset semantics carry over.
+  *   - the map->reduce barrier (`mapreduce.c:76`) — the shuffle stage
+  *     boundary, which unlike the reference's `ThreadPool_check`
+  *     (`threadpool.c:178-186`) is actually race-free; we implement the
+  *     *intended* semantics per SURVEY.md §3.4.
+  *
+  * The engine's execution is left entirely to Catalyst/Tungsten: the shim
+  * only declares the dataflow. It exists so a reference user can bring
+  * arbitrary mapper/reducer pairs — relational queries should use the
+  * DataFrame API directly (graft.queries).
+  */
+object MRJob {
+
+  /** Read input files one line per record, like the reference's
+    * per-file `getline` loop (`distwc.c:13-20`).
+    *
+    * CAVEAT (byte parity): `read.text` strips the trailing `\n` that
+    * `getline` keeps, so a mapper splitting on `[ \t\n\r]` sees one fewer
+    * empty token per newline than the reference (SURVEY.md §1.3). Use
+    * [[getlines]] when exact empty-token parity matters.
+    */
+  def lines(spark: SparkSession, paths: Seq[String]): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(paths: _*)
+  }
+
+  /** Whole-file records (the reference schedules one map task per file,
+    * `mapreduce.c:56-75`; use when per-file lineage matters).
+    */
+  def wholeFiles(spark: SparkSession, dir: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").textFile(dir)
+  }
+
+  /** `getline`-exact records (`distwc.c:13-14`): one row per line WITH its
+    * trailing `\n` kept, and no `\n` invented for a final unterminated
+    * line. A strsep-style mapper over these rows reproduces the
+    * reference's token stream byte-for-byte, including the empty token
+    * after each newline (SURVEY.md §1.3).
+    */
+  def getlines(spark: SparkSession, dir: String): Dataset[String] = {
+    import spark.implicits._
+    wholeFiles(spark, dir).flatMap(_.split("(?<=\n)"))
+  }
+
+  /** MR_Run with the intended (race-free) semantics: map -> shuffle on key
+    * -> grouped reduce. Returns the reducer's output dataset.
+    */
+  def run[K: Encoder, V: Encoder, OUT: Encoder](
+      input: Dataset[String],
+      mapper: String => IterableOnce[(K, V)],
+      reducer: (K, Iterator[V]) => OUT)(
+      implicit kv: Encoder[(K, V)]): Dataset[OUT] =
+    input
+      .flatMap(mapper)
+      .groupByKey(_._1)
+      .mapGroups((k, it) => reducer(k, it.map(_._2)))
+
+  /** MR_Run with byte-exact partition layout parity: djb2(key) % P routing
+    * (`mapreduce.c:113`) and ascending byte-order keys within each
+    * partition (`mapreduce.c:123-141`). Output rows carry their partition
+    * id, mirroring the reference's `result-<p>.txt` fan-out.
+    *
+    * Uses the RDD layer deliberately: `repartitionAndSortWithinPartitions`
+    * is the one-shuffle primitive that reproduces "hash-partition + keep
+    * sorted + group adjacent equal keys" exactly — grouping is then a
+    * streaming pass over each sorted partition (no per-key state beyond
+    * one group; spill-safe at scale).
+    */
+  def runPartitioned[OUT: Encoder: scala.reflect.ClassTag](
+      spark: SparkSession,
+      input: Dataset[String],
+      mapper: String => IterableOnce[(String, String)],
+      reducer: (Int, String, Iterator[String]) => OUT,
+      numPartitions: Int): Dataset[OUT] = {
+    import org.apache.spark.rdd.RDD
+    val emitted: RDD[(String, String)] = input.rdd.flatMap(mapper)
+    val sorted = new org.apache.spark.rdd.OrderedRDDFunctions[String, String, (String, String)](emitted)
+      .repartitionAndSortWithinPartitions(new Djb2Partitioner(numPartitions))
+    val out = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      new GroupedKeyIterator(it).map { case (k, vs) => reducer(pid, k, vs) }
+    }
+    spark.createDataset(out)
+  }
+}
+
+/** Streaming adjacent-equal-key grouper over a sorted (K,V) iterator —
+  * the reference's reduce loop (`mapreduce.c:169-188`): one reducer call
+  * per unique key, values pulled lazily like `MR_GetNext`
+  * (`mapreduce.c:199-213`).
+  *
+  * Contract identical to the reference: the inner values iterator must be
+  * consumed before advancing to the next key (the reference's cursor is
+  * likewise shared single-pass state).
+  */
+final class GroupedKeyIterator(it: Iterator[(String, String)])
+    extends Iterator[(String, Iterator[String])] {
+  private val buf = it.buffered
+  private var curKey: String = _
+  private var inGroup = false
+
+  // Like the reference (mapreduce.c:181-184), advancing to the next key
+  // skips any values the reducer left unconsumed.
+  private def drain(): Unit = if (inGroup) {
+    while (buf.hasNext && buf.head._1 == curKey) buf.next()
+    inGroup = false
+  }
+
+  override def hasNext: Boolean = { drain(); buf.hasNext }
+
+  override def next(): (String, Iterator[String]) = {
+    drain()
+    curKey = buf.head._1
+    inGroup = true
+    val key = curKey
+    val values = new Iterator[String] {
+      override def hasNext: Boolean = buf.hasNext && buf.head._1 == key
+      override def next(): String = buf.next()._2
+    }
+    (key, values)
+  }
+}
