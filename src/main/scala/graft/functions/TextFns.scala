@@ -85,11 +85,13 @@ object TextFns {
   def tokenHash31(t: Column): Column =
     aggregate(split(t, ""), lit(5381L), (acc, ch) => (acc * 33 + ascii(ch)) % M)
 
-  /** Fingerprint = min over all consecutive token-3-gram combined hashes.
-    * Null for docs with < 3 tokens.
+  /** Fingerprint = min over all consecutive token-3-gram combined hashes,
+    * over NON-EMPTY tokens (empty tokens have no bytes to hash and DuckDB's
+    * `ord('')` errors — both sides filter identically). Null for docs with
+    * < 3 tokens.
     */
   def fingerprint(text: Column): Column = {
-    val hs = transform(tokens(text), t => tokenHash31(t))
+    val hs = transform(filter(tokens(text), t => t =!= ""), t => tokenHash31(t))
     val n = size(hs)
     val grams = transform(
       sequence(lit(1), n - lit(2)),

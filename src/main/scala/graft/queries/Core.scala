@@ -187,9 +187,9 @@ object Core {
       "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "grouped_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents,
-        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS disc_cents,
+        |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS base_cents,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::BIGINT AS disc_cents,
         |  count(*)::BIGINT AS cnt,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
         | FROM lineitem
@@ -202,7 +202,7 @@ object Core {
         | ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "repartition_join" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "inverted_index" ->
@@ -223,13 +223,13 @@ object Core {
         | ) ORDER BY nationkey""".stripMargin,
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms, qty,
         |  row_number() OVER w AS rn,
-        |  sum(qty) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |  (sum(qty) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS running_qty
         | FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
         |         CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
         | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)

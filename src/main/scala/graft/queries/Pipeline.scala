@@ -1,12 +1,280 @@
 package graft.queries
 
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal}
+import graft.sources.Tables
+import graft.streaming.Sessions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Tier C — LLM-data-pipeline operators (dedup, similarity, text analysis,
-  * multimodal, sessionization). Populated incrementally; see SURVEY.md §2
-  * tier C.
+/** Tier C — LLM-data-pipeline operators over the `documents`,
+  * `embeddings`, and `events` tables: dedup (exact + 3 near-dup
+  * families), similarity search, text analysis, multimodal metadata,
+  * sessionization (SURVEY.md §2 tier C).
+  *
+  * Oracle discipline: SQL-expressible ops carry a DuckDB oracle whose
+  * floating-point reductions use the *same sequential left fold* as the
+  * Spark side (list_reduce <-> aggregate), making doubles bit-identical.
+  * LSH-based ops (minhash/simhash/embedding near-dup) are not SQL-
+  * expressible and take the driver's rows-only check; their correctness
+  * is pinned by ScalaTest specs instead.
   */
 object Pipeline {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // DuckDB fragments shared by several oracles
+  private val ToksNE =
+    "list_filter(string_split_regex(text, '[ \t\n\r]'), t -> t <> '')"
+
+  /** Exact dedup by content hash. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = Dedup.exact(docs(s, d))
+
+  /** MinHash/LSH near-dup pairs, Jaccard-verified. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = Dedup.minhash(docs(s, d))
+
+  /** SimHash near-dup pairs (hamming <= 3). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = Dedup.simhash(docs(s, d))
+
+  /** Exact shingle-Jaccard near-dup pairs on a bounded id range (the
+    * SQL-oracle-able exact counterpart of dedup_minhash; the id bound
+    * keeps the pairwise stage O(1) in the scale factor).
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sets = Dedup.shingleSets(docs(s, d).filter(col("doc_id") < 500))
+    val a = sets.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = sets.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Brute-force cosine top-20 for query vector vec_id=0 (the exact
+    * baseline; the LSH-bucketed scale path is dedup_embedding).
+    */
+  def embeddingTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** LSH-bucketed embedding near-dup pairs (approximate recall, exact
+    * cosine verify).
+    */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), dim = 64)
+
+  /** Per-document token statistics (reference-semantics tokens + BPE-ish
+    * subword count).
+    */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    docs(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      size(TextFns.bpeTokens(col("text"))).as("n_bpe_tokens"),
+      length(col("text")).as("text_len"),
+      TextFns.sumTokenLen(toks).as("sum_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-word language ID. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic quality score in [0,1]. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing-style rolling-hash fingerprint (min 3-gram hash). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .orderBy(col("doc_id"))
+
+  /** Batch sessionization (gaps-and-islands). */
+  def sessionize(s: SparkSession, d: String): DataFrame = Sessions.sessionize(s, d)
+
+  /** Native session_window sessionization (streaming-compatible operator
+    * run in batch).
+    */
+  def sessionWindow(s: SparkSession, d: String): DataFrame = Sessions.sessionWindowAgg(s, d)
+
+  /** JSON scalar functions over events.props. */
+  def eventsJson(s: SparkSession, d: String): DataFrame =
+    Sessions.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** Multimodal metadata via the per-partition codec. */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMeta(s, docs(s, d)).toDF().orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "ngram_jaccard" -> ngramJaccard,
+    "embedding_topk" -> embeddingTopk,
+    "embedding_neardup" -> embeddingNearDup,
+    "text_stats" -> textStats,
+    "lang_id" -> langId,
+    "quality_score" -> qualityScore,
+    "doc_fingerprint" -> docFingerprint,
+    "sessionize" -> sessionize,
+    "session_window" -> sessionWindow,
+    "events_json" -> eventsJson,
+    "multimodal_meta" -> multimodalMeta,
+  )
+
+  // --- DuckDB oracles -------------------------------------------------------
+
+  private val M31 = "2147483648" // 2^31, fingerprint modulus
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
+        |  count(*)::BIGINT AS n_copies
+        | FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
+    // dedup_minhash / dedup_simhash / embedding_neardup: LSH — rows-only.
+    "ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+         |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents WHERE doc_id < 500)
+         |  WHERE len(ts) >= 3)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    "embedding_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, sim FROM (
+        |  SELECT e.vec_id,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (a,b) -> a+b))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b))), 6) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '[ \t\n\r]'))::INT AS n_tokens,
+        |  len(list_distinct(string_split_regex(text, '[ \t\n\r]')))::INT AS n_uniq_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]', 0))::INT AS n_bpe_tokens,
+        |  length(text)::INT AS text_len,
+        |  list_sum(list_transform(string_split_regex(text, '[ \t\n\r]'), t -> length(t)))::BIGINT AS sum_token_len
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" -> langIdOracle,
+    "quality_score" ->
+      s"""SELECT doc_id, round(
+         |  0.5 * least(1.0, len(string_split_regex(text, '[ \t\n\r]'))::DOUBLE / 100.0)
+         |  + 0.5 * (len(list_filter(string_split_regex(text, '[ \t\n\r]'),
+         |                 t -> t IN ('the','a','and','of','is','not')))::DOUBLE
+         |           / len(string_split_regex(text, '[ \t\n\r]'))::DOUBLE), 6) AS quality
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, fp FROM (
+         |  SELECT doc_id,
+         |    list_min(list_transform(range(1, len(hs)-1),
+         |      i -> (((hs[i] * 31 + hs[i+1]) % $M31) * 31 + hs[i+2]) % $M31)) AS fp,
+         |    len(hs) AS n
+         |  FROM (SELECT doc_id,
+         |          list_transform($ToksNE,
+         |            t -> list_reduce(
+         |                   list_prepend(5381::BIGINT,
+         |                     list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+         |                   (a, b) -> (a * 33 + b) % $M31)) AS hs
+         |        FROM documents))
+         | WHERE n >= 3 ORDER BY doc_id""".stripMargin,
+    "sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+         |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${Sessions.GapMs}
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+         |s AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts_ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM e)
+         |SELECT user_id, session_seq::BIGINT AS session_seq,
+         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+         |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+         | FROM s GROUP BY user_id, session_seq
+         | ORDER BY user_id, session_seq""".stripMargin,
+    "session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${Sessions.GapMs * 1000}
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |s AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM e)
+         |SELECT user_id, (min(ts_us) // 1000)::BIGINT AS start_ms,
+         |  ((max(ts_us) + ${Sessions.GapMs * 1000}) // 1000)::BIGINT AS end_ms,
+         |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+         | FROM s GROUP BY user_id, session_seq
+         | ORDER BY user_id, start_ms""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, n_bytes,
+        |  (64 + n_bytes % 577)::INT AS width,
+        |  (64 + (n_bytes * 31) % 509)::INT AS height,
+        |  (1 + n_bytes % 30)::INT AS n_frames,
+        |  [0, ((1 + n_bytes % 30) // 2)::INT, (n_bytes % 30)::INT] AS frame_samples
+        | FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents)
+        | ORDER BY doc_id""".stripMargin,
+  )
+
+  /** lang_id oracle: same marker lists, same alphabetical-first argmax. */
+  private def langIdOracle: String = {
+    val markers = TextFns.LangMarkers
+    val hitCols = markers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(ts, t -> t IN ($inList))) AS h_$lang"
+    }.mkString(",\n    ")
+    val hitNames = markers.map(m => s"h_${m._1}").mkString(", ")
+    val best = s"greatest($hitNames)"
+    val caseChain = markers.map { case (lang, _) =>
+      s"WHEN h_$lang = best THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE WHEN best = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id, $hitNames, $best AS best
+       |  FROM (SELECT doc_id,
+       |    $hitCols
+       |    FROM (SELECT doc_id, string_split_regex(text, '[ \t\n\r]') AS ts FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
 }

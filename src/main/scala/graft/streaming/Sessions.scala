@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization over the `events` table — batch (gaps-and-islands and
+  * native `session_window`) plus a streaming variant with watermarking.
+  *
+  * The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects by default; we read it as raw nanos
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and derive exact integer
+  * epoch columns with `div` (floor) — bit-identical to DuckDB's
+  * truncating ns->us/ms conversion (verified empirically).
+  */
+object Sessions {
+
+  val GapMs = 1800000L // 30 minutes
+
+  /** events with exact epoch-derived time columns (ns -> ms/us via
+    * integer division; never double math — 1.7e18 ns does not fit a
+    * double's 53-bit mantissa).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(spark, sfDir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Batch gaps-and-islands: a new session starts when the gap from the
+    * previous event of the same user exceeds 30 minutes. Output one row
+    * per session with exact integer aggregates.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events(spark, sfDir)
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > GapMs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Native Structured-Streaming-compatible sessionization run in batch:
+    * `session_window(ts, 30 min)` — window end = last event + gap.
+    * Cross-checks Spark's built-in session operator against the SQL
+    * gaps-and-islands oracle.
+    */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .groupBy(session_window(col("tstamp"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col("user_id"), col("start_ms"))
+
+  /** Streaming variant: same session_window aggregation with a watermark
+    * for state cleanup / late-data handling. `streamDir` is a monitored
+    * directory of events-schema parquet files (the file-stream deployment
+    * shape: new files land, the query incrementally sessionizes them);
+    * `sfDir` supplies the schema (streaming reads require one up front).
+    */
+  def streamingSessionCounts(spark: SparkSession, sfDir: String, streamDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(streamDir)
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(session_window(col("tstamp"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+  }
+}

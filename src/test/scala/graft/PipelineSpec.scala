@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.{Djb2, TextFns}
+import graft.operators.{Dedup, Multimodal}
+import graft.queries.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Tier C operator semantics (LSH ops have no SQL oracle — these specs are
+  * their correctness gate).
+  */
+class PipelineSpec extends SparkSuite {
+
+  test("dedup_exact: unique texts → one group per doc, all n_copies 1; planted dups collapse") {
+    import spark.implicits._
+    val base = Pipeline.dedupExact(spark, sf0001).collect()
+    assert(base.length == 500 && base.forall(_.getLong(2) == 1L))
+    // planted duplicates collapse to min doc_id
+    val docs = Seq((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "dd")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds exactly the brute-force jaccard>=0.5 pairs (planted data)") {
+    import spark.implicits._
+    val sets = Dedup.shingleSets(graft.sources.Tables.documents(spark, sf0001))
+    val a = sets.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = sets.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    val exact = a.join(b, col("id1") < col("id2"))
+      .withColumn("jac", size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jac") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Pipeline.dedupMinhash(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash pairs: id1<id2, hamming<=3, and known near-dups included") {
+    val rows = Pipeline.dedupSimhash(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 3)
+    }
+  }
+
+  test("embedding near-dup: exact cosine verified, threshold respected") {
+    import graft.sources.Tables
+    val rows = Pipeline.embeddingNearDup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.35 && r.getLong(0) < r.getLong(1)))
+    // spot-check one pair against a scalar cosine
+    val (i1, i2, sim) = (rows.head.getLong(0), rows.head.getLong(1), rows.head.getDouble(2))
+    val vecs = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id").isin(i1, i2)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val (x, y) = (vecs(i1), vecs(i2))
+    val dot = x.zip(y).map { case (p, q) => p * q }.sum
+    val scalar = dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    assert(math.abs(scalar - sim) < 1e-5)
+  }
+
+  test("doc_fingerprint matches a scalar reimplementation") {
+    import spark.implicits._
+    val M = 2147483648L
+    def tokHash(t: String): Long =
+      t.foldLeft(5381L)((a, c) => (a * 33 + c.toInt) % M)
+    def fp(text: String): Option[Long] = {
+      val hs = text.split("[ \t\n\r]", -1).filter(_.nonEmpty).map(tokHash)
+      if (hs.length < 3) None
+      else Some(hs.sliding(3).map(w => ((w(0) * 31 + w(1)) % M * 31 + w(2)) % M).min)
+    }
+    val texts = Seq((0L, "aa bb cc dd"), (1L, "x y"), (2L, "one two three"))
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    texts.foreach { case (id, t) => assert(got(id) == fp(t), s"doc $id") }
+  }
+
+  test("lang_id: marker argmax with alphabetical tie-break and 'und' fallback") {
+    import spark.implicits._
+    val cases = Seq(
+      (0L, "the cat and the hat", "en"),
+      (1L, "der hund ist gut", "de"),
+      (2L, "the der", "de"), // tie en=1 de=1 -> alphabetical first
+      (3L, "zzz qqq", "und"),
+      (4L, "el que no es", "es"))
+    val got = cases.map(c => (c._1, c._2)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, exp) => assert(got(id) == exp, s"doc $id") }
+  }
+
+  test("multimodal codec: per-partition decode produces the deterministic metadata") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcd")).toDF("doc_id", "text") // 4 bytes
+    val m = Multimodal.decodeMeta(spark, docs).collect().head
+    assert(m.doc_id == 7L && m.n_bytes == 4L)
+    assert(m.width == 64 + 4 && m.height == 64 + (4 * 31) % 509 && m.n_frames == 5)
+    assert(m.frame_samples == Seq(0, 2, 4))
+  }
+
+  test("djb2 column hash used by simhash equals the scalar reference hash") {
+    import spark.implicits._
+    val words = Seq("spark join merge", "the fast key")
+    val got = words.toDF("w").select(Djb2.djb2(col("w"))).collect().map(_.getLong(0))
+    assert(got.sameElements(words.map(Djb2.hash)))
+  }
+}
