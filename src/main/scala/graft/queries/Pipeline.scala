@@ -41,13 +41,20 @@ object Pipeline {
     * keeps the pairwise stage O(1) in the scale factor).
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // sorted distinct shingle-hash sets: set sizes are identical to the
+    // string sets (shingles are already distinct; 64-bit collisions are
+    // ~2^-64), and the pairwise stage becomes a native merge-loop
+    // intersect instead of interpreted string-set ops (~50x at sf0.1)
     val sets = Dedup.shingleSets(docs(s, d).filter(col("doc_id") < 500))
-    val a = sets.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-    val b = sets.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      .select(col("doc_id"),
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("hs"))
+    val a = sets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
+    val b = sets.select(col("doc_id").as("id2"), col("hs").as("hs2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 6))
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -98,11 +105,24 @@ object Pipeline {
     docs(s, d).select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
-  /** Winnowing-style rolling-hash fingerprint (min 3-gram hash). */
-  def docFingerprint(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
-      .filter(col("fp").isNotNull)
+  /** Winnowing-style rolling-hash fingerprint (min 3-gram hash).
+    * Staged projections (tokens -> hash array -> gram mins) so each array
+    * is computed once per row — see Dedup.shingleSets for why.
+    */
+  def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    val M = 2147483648L
+    docs(s, d)
+      .select(col("doc_id"),
+        filter(TextFns.tokens(col("text")), t => t =!= "").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        transform(col("ts"), t => TextFns.tokenHash31(t)).as("hs"))
+      .select(col("doc_id"),
+        array_min(transform(sequence(lit(1), size(col("hs")) - lit(2)), i =>
+          (((element_at(col("hs"), i) * 31 + element_at(col("hs"), i + 1)) % M) * 31
+            + element_at(col("hs"), i + 2)) % M)).as("fp"))
       .orderBy(col("doc_id"))
+  }
 
   /** Batch sessionization (gaps-and-islands). */
   def sessionize(s: SparkSession, d: String): DataFrame = Sessions.sessionize(s, d)

@@ -60,6 +60,33 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(scalar - sim) < 1e-5)
   }
 
+  test("LSH near-dup finds injected duplicate vectors at cos>=0.9") {
+    import spark.implicits._
+    val base = graft.sources.Tables.embeddings(spark, sf0001)
+    // clone vec 1 and 2 with tiny perturbations -> cos ~ 1.0
+    val clones = base.filter(col("vec_id").isin(1, 2))
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * 1.000001f).as("embedding"),
+        col("label"))
+    val withDups = base.unionByName(clones)
+    val got = Dedup.embeddingNearDupLsh(withDups, 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 10001L)), s"missing planted pair in $got")
+    assert(got.contains((2L, 10002L)), s"missing planted pair in $got")
+  }
+
+  test("native cosine expression is bit-identical to the HOF fold") {
+    import graft.functions.VectorFns
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val diffs = emb.crossJoin(broadcast(q))
+      .select(VectorFns.cosine(col("embedding"), col("q_emb")).as("native"),
+        VectorFns.cosineHof(col("embedding"), col("q_emb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0L)
+  }
+
   test("doc_fingerprint matches a scalar reimplementation") {
     import spark.implicits._
     val M = 2147483648L
