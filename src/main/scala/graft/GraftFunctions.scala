@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.{Djb2Hash, Djb2Pid, CosineSimExpr, SimHash64Expr, SortedIntersectCountExpr}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-level registration of the engine's native expressions, so users can
+  * reach them from `spark.sql(...)` as well as the Column API:
+  *
+  *   - `graft_djb2(str)`               — the reference's hash (mapreduce.c:154)
+  *   - `graft_djb2_pid(str, p)`        — reference partition id (hash % p, unsigned)
+  *   - `graft_simhash64(array<long>)`  — 64-bit SimHash of element hashes
+  *   - `graft_cosine(a, b)`            — cosine similarity of float arrays
+  *   - `graft_sorted_intersect(a, b)`  — merge-loop intersect count
+  *
+  * Two registration paths:
+  *   - [[GraftExtensions]] for `--conf spark.sql.extensions=graft.GraftExtensions`
+  *     (session build time — the standard extension mechanism);
+  *   - [[GraftFunctions.register]] for an already-running session.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_djb2" -> (es => Djb2Hash(es.head)),
+    "graft_djb2_pid" -> (es => Djb2Pid(es.head, es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Int]
+    })),
+    "graft_simhash64" -> (es => SimHash64Expr(es.head)),
+    "graft_cosine" -> (es => CosineSimExpr(es.head, es(1))),
+    "graft_sorted_intersect" -> (es => SortedIntersectCountExpr(es.head, es(1))),
+  )
+
+  /** Register all graft functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+
+  private[graft] def inject(e: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
+}

@@ -77,6 +77,44 @@ object MRJob {
       .groupByKey(_._1)
       .mapGroups((k, it) => reducer(k, it.map(_._2)))
 
+  /** MR_Run with a typed Aggregator reducer: same API shape as [[run]] but
+    * the reduction is an `Aggregator[V, B, OUT]`, which Catalyst executes
+    * with map-side partial aggregation — at scale, the shuffle carries one
+    * buffer per (task, key) instead of every emitted value. Prefer this
+    * over [[run]] whenever the reduction is associative (the reference's
+    * count reducer is; see [[MRAggregators.CountValues]]).
+    */
+  def runAgg[K: Encoder, V: Encoder, B, OUT](
+      input: Dataset[String],
+      mapper: String => IterableOnce[(K, V)],
+      reducer: org.apache.spark.sql.expressions.Aggregator[V, B, OUT])(
+      implicit kv: Encoder[(K, V)], kout: Encoder[(K, OUT)]): Dataset[(K, OUT)] =
+    input
+      .flatMap(mapper)
+      .groupByKey(_._1)
+      .mapValues((kvp: (K, V)) => kvp._2)(implicitly[Encoder[V]])
+      .agg(reducer.toColumn)
+
+  /** Streaming MR_Run: the same mapper/aggregator pair over an unbounded
+    * text stream (`readStream.text`), producing a continuously-updated
+    * grouped result — run with `outputMode("complete")` or "update".
+    * The reference has no streaming story; this is the Spark-native
+    * extension of its map -> shuffle -> reduce contract to streams.
+    */
+  def runStreaming[K: Encoder, V: Encoder, B, OUT](
+      spark: SparkSession,
+      inputDir: String,
+      mapper: String => IterableOnce[(K, V)],
+      reducer: org.apache.spark.sql.expressions.Aggregator[V, B, OUT])(
+      implicit kv: Encoder[(K, V)], kout: Encoder[(K, OUT)]): Dataset[(K, OUT)] = {
+    import spark.implicits._
+    spark.readStream.text(inputDir).as[String]
+      .flatMap(mapper)
+      .groupByKey(_._1)
+      .mapValues((kvp: (K, V)) => kvp._2)(implicitly[Encoder[V]])
+      .agg(reducer.toColumn)
+  }
+
   /** MR_Run with byte-exact partition layout parity: djb2(key) % P routing
     * (`mapreduce.c:113`) and ascending byte-order keys within each
     * partition (`mapreduce.c:123-141`). Output rows carry their partition
@@ -140,5 +178,40 @@ final class GroupedKeyIterator(it: Iterator[(String, String)])
       override def next(): String = buf.next()._2
     }
     (key, values)
+  }
+}
+
+/** Typed UDAF surface matching the reference's Reducer hook
+  * (`mapreduce.h:6`, `distwc.c:24-35`): the user's fold over the value
+  * cursor, expressed as an `org.apache.spark.sql.expressions.Aggregator`
+  * so Catalyst runs it with partial (map-side) aggregation — unlike
+  * `mapGroups`, which must see all values post-shuffle.
+  */
+object MRAggregators {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+
+  /** The reference's one reducer — count per key (`distwc.c:24-35`) — as a
+    * partial-aggregation-capable typed aggregator.
+    */
+  class CountValues[V] extends Aggregator[V, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: V): Long = b + 1
+    override def merge(b1: Long, b2: Long): Long = b1 + b2
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Sum of long values parsed from the reference's string value domain
+    * ("1" emits) — shows a reducer consuming the value, not just counting.
+    */
+  class SumLongStrings extends Aggregator[String, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, a: String): Long = b + java.lang.Long.parseLong(a)
+    override def merge(b1: Long, b2: Long): Long = b1 + b2
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 }

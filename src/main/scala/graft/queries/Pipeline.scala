@@ -148,6 +148,8 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    // SURVEY.md §2 tier C name for the MinHash/LSH near-dup operator
+    "dedup_near" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "embedding_topk" -> embeddingTopk,

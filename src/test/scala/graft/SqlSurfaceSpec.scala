@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{MRAggregators, MRJob}
+import org.apache.spark.sql.functions._
+
+/** SQL-registered native functions + the typed Aggregator / streaming MR
+  * surfaces.
+  */
+class SqlSurfaceSpec extends SparkSuite {
+
+  test("graft_* functions are callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_djb2('is') AS h, graft_djb2_pid('is', 10) AS p,
+        |  graft_cosine(array(cast(1.0 as float), cast(2.0 as float)),
+        |               array(cast(2.0 as float), cast(3.0 as float))) AS c,
+        |  graft_sorted_intersect(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS i,
+        |  graft_simhash64(array(5381L)) AS s
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == graft.functions.Djb2.hash("is"))
+    assert(r.getLong(1) == 9L) // FIXTURES: 'is' lands in partition 9
+    assert(math.abs(r.getDouble(2) - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+    assert(r.getInt(3) == 2)
+    assert(r.getLong(4) == 5381L) // single element: bits of the element itself
+  }
+
+  test("runAgg (typed Aggregator reducer) matches run (mapGroups reducer)") {
+    import spark.implicits._
+    val input = MRJob.lines(spark, Seq("/root/reference/sample_inputs"))
+    def mapper(line: String): IterableOnce[(String, String)] =
+      line.split("[ \t\n\r]", -1).iterator.map(t => (t, "1"))
+    val viaAgg = MRJob.runAgg[String, String, Long, Long](
+      input, mapper, new MRAggregators.CountValues[String]).collect().toMap
+    assert(viaAgg.size == 21 && viaAgg.values.forall(_ == 5000L))
+    val viaSum = MRJob.runAgg[String, String, Long, Long](
+      input, mapper, new MRAggregators.SumLongStrings).collect().toMap
+    assert(viaSum == viaAgg) // summing "1"s == counting
+  }
+
+  test("streaming MR wordcount over the reference corpus (complete mode)") {
+    import spark.implicits._
+    val counts = MRJob.runStreaming[String, String, Long, Long](
+      spark, "/root/reference/sample_inputs",
+      line => line.split("[ \t\n\r]", -1).iterator.map(t => (t, "1")),
+      new MRAggregators.CountValues[String])
+    val q = counts.toDF("key", "cnt").writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_wc")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_wc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 21 && got.values.forall(_ == 5000L), got.toString)
+    spark.sql("DROP TABLE IF EXISTS stream_wc")
+  }
+}
