@@ -137,6 +137,13 @@ object Core {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE aggregate — all grouping-set combinations. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Window functions: per-supplier running quantity + row number. */
   def windowRunning(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -169,6 +176,7 @@ object Core {
     "top_k" -> topK,
     "set_ops" -> setOps,
     "rollup_agg" -> rollupAgg,
+    "cube_agg" -> cubeAgg,
     "window_running" -> windowRunning,
   )
 
@@ -225,6 +233,11 @@ object Core {
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
         |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+        |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms, qty,

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format connectors. The reference reads local plain text only
+  * (`distwc.c:9`, `mapreduce.c:62`); the Spark engine exposes the full
+  * source matrix — schema'd columnar parquet for the testdata, plus
+  * csv/json/text for interchange. All return plain `spark.read` scans so
+  * Catalyst keeps pushdown/pruning; paths may be local, HDFS, or object
+  * storage URIs unchanged.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  def jsonLines(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  def textLines(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+  }
+
+  /** Round-trip helpers (sinks). Partitioned writes keep downstream scans
+    * prunable on the partition column.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

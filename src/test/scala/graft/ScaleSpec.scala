@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Skew
+import graft.sources.{Sources, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-posture checks: skew handling equivalence, source round-trips,
+  * and plan-shape regression guards (pushdown / broadcast must not rot).
+  */
+class ScaleSpec extends SparkSuite {
+
+  test("salted count/sum equal direct aggregation") {
+    val li = Tables.lineitem(spark, sf0001)
+    val direct = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedCount(li, col("l_returnflag"))
+      .join(Skew.saltedSum(li, col("l_returnflag"), col("l_quantity").cast("long")), "key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("salted broadcast join equals plain join") {
+    val orders = Tables.orders(spark, sf0001)
+    val customer = Tables.customer(spark, sf0001)
+    val direct = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedBroadcastJoin(orders, customer, "o_custkey", "c_custkey")
+      .groupBy(col("c_mktsegment")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == direct)
+  }
+
+  test("csv and json sources round-trip the wordcount result") {
+    val wc = graft.queries.Core.wordcount(spark, sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    Sources.writeCsv(wc, s"$tmp/wc_csv")
+    Sources.writeJsonLines(wc, s"$tmp/wc_json")
+    val fromCsv = Sources.csv(spark, s"$tmp/wc_csv")
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue)).toMap
+    val fromJson = Sources.jsonLines(spark, s"$tmp/wc_json")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toMap
+    val expected = wc.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // CSV cannot represent the empty-string token distinctly from null; the
+    // remaining tokens must round-trip exactly
+    assert(fromJson == expected)
+    assert(fromCsv.filter(_._1 != null) == expected.filter(_._1.nonEmpty))
+  }
+
+  test("plan guards: pushdown, pruning, broadcast survive") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    val fp = planOf("filter_project")
+    assert(fp.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), fp.take(800))
+    assert(!fp.contains("l_shipdate"), "column pruning lost: scan reads unused columns")
+    val rj = planOf("repartition_join")
+    assert(rj.contains("BroadcastHashJoin"), rj.take(800))
+    val wc = planOf("wordcount")
+    assert(wc.contains("ReadSchema: struct<text:string>"), wc.take(800))
+  }
+}
