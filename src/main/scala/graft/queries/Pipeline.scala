@@ -141,6 +141,32 @@ object Pipeline {
       .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
 
+  /** Range join (scale-correct binned implementation): every event joined
+    * to its enclosing session, counted per session. The count must equal
+    * the session's n_events — a self-checking invariant, and the DuckDB
+    * oracle performs the same range join directly.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val sessions = sessionize(s, d)
+      .select(col("user_id"), col("start_ms"), col("end_ms"))
+    val ev = Sessions.events(s, d).select(col("user_id"), col("ts_ms"))
+    graft.operators.RangeJoin.binned(ev, sessions,
+        keys = Seq("user_id"), pt = "ts_ms", lo = "start_ms", hi = "end_ms",
+        binWidth = Sessions.GapMs)
+      .groupBy(col("user_id"), col("start_ms"))
+      .agg(count(lit(1)).as("n_in_range"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  /** Distinct aggregates (count-distinct reducer shape). */
+  def countDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
   /** Multimodal metadata via the per-partition codec. */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeMeta(s, docs(s, d)).toDF().orderBy(col("doc_id"))
@@ -162,6 +188,8 @@ object Pipeline {
     "session_window" -> sessionWindow,
     "events_json" -> eventsJson,
     "multimodal_meta" -> multimodalMeta,
+    "range_join" -> rangeJoin,
+    "count_distinct" -> countDistinct,
   )
 
   // --- DuckDB oracles -------------------------------------------------------
@@ -264,6 +292,32 @@ object Pipeline {
          |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
          | FROM s GROUP BY user_id, session_seq
          | ORDER BY user_id, start_ms""".stripMargin,
+    "range_join" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+         |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${Sessions.GapMs}
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+         |s AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts_ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         |  FROM s GROUP BY user_id, session_seq)
+         |SELECT ev.user_id, sess.start_ms, count(*)::BIGINT AS n_in_range
+         | FROM (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events) ev
+         | JOIN sess ON ev.user_id = sess.user_id
+         |          AND ev.ts_ms BETWEEN sess.start_ms AND sess.end_ms
+         | GROUP BY ev.user_id, sess.start_ms
+         | ORDER BY ev.user_id, sess.start_ms""".stripMargin,
+    "count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts,
+        |  count(DISTINCT l_suppkey)::BIGINT AS n_supps, count(*)::BIGINT AS cnt
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*)::BIGINT AS cnt,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k

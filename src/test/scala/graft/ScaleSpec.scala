@@ -48,6 +48,22 @@ class ScaleSpec extends SparkSuite {
     assert(fromCsv.filter(_._1 != null) == expected.filter(_._1.nonEmpty))
   }
 
+  test("binned range join count equals sessionize n_events (self-check invariant)") {
+    val sess = graft.queries.Pipeline.sessionize(spark, sf0001)
+      .select(col("user_id"), col("start_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rj = graft.queries.Pipeline.rangeJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rj == sess)
+  }
+
+  test("range join plan is an equi hash join, not a nested loop") {
+    val plan = graft.queries.Pipeline.rangeJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
   test("plan guards: pushdown, pruning, broadcast survive") {
     def planOf(name: String): String =
       SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
