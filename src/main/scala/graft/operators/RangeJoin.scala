@@ -27,11 +27,22 @@ object RangeJoin {
   def binned(probe: DataFrame, build: DataFrame, keys: Seq[String],
       pt: String, lo: String, hi: String, binWidth: Long): DataFrame = {
     require(binWidth > 0)
+    require(!probe.columns.contains("__bin") && !build.columns.contains("__bin"),
+      "RangeJoin.binned reserves the column name __bin")
+    // A single pathological interval (open-ended sentinel hi, corrupt row)
+    // must not materialize a ~2^31-element sequence and kill the job:
+    // spans are hard-capped; an interval wider than maxSpanBins bins is a
+    // data error for this operator and fails fast with a clear message.
+    val maxSpanBins = 1000000L
     // integer `div`, not double division: epoch-scale longs must not pass
-    // through a 53-bit mantissa. Values are assumed non-negative.
+    // through a 53-bit mantissa.
     val probeB = probe.withColumn("__bin", expr(s"`$pt` div ${binWidth}L"))
     val buildB = build.withColumn("__bin",
-      explode(sequence(expr(s"`$lo` div ${binWidth}L"), expr(s"`$hi` div ${binWidth}L"))))
+      explode(sequence(expr(s"`$lo` div ${binWidth}L"),
+        expr(s"""CASE WHEN (`$hi` div ${binWidth}L) - (`$lo` div ${binWidth}L) > ${maxSpanBins}L
+                 THEN raise_error(concat('RangeJoin.binned: interval spans > ',
+                      '$maxSpanBins bins; widen binWidth or clean the data'))
+                 ELSE `$hi` div ${binWidth}L END""".stripMargin.replaceAll("\n\\s*", " ")))))
     probeB.join(buildB, keys :+ "__bin")
       .filter(col(pt) >= col(lo) && col(pt) <= col(hi))
       .drop("__bin")

@@ -196,6 +196,25 @@ object Pipeline {
 
   private val M31 = "2147483648" // 2^31, fingerprint modulus
 
+  /** Shared gaps-and-islands CTE (ms precision, > gap starts a session):
+    * the single definition both the `sessionize` and `range_join` oracles
+    * build on, so the session semantics cannot drift between them.
+    */
+  private val IslandsCte: String =
+    s"""e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${Sessions.GapMs}
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+       |s AS (
+       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+       |    ORDER BY ts_ms, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM e)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
@@ -255,19 +274,7 @@ object Pipeline {
          |        FROM documents))
          | WHERE n >= 3 ORDER BY doc_id""".stripMargin,
     "sessionize" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         |    CAST(round(value * 100) AS BIGINT) AS cents,
-         |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-         |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${Sessions.GapMs}
-         |         THEN 1 ELSE 0 END AS is_new
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
-         |s AS (
-         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
-         |    ORDER BY ts_ms, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-         |  FROM e)
+      s"""WITH $IslandsCte
          |SELECT user_id, session_seq::BIGINT AS session_seq,
          |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
          |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
@@ -293,18 +300,7 @@ object Pipeline {
          | FROM s GROUP BY user_id, session_seq
          | ORDER BY user_id, start_ms""".stripMargin,
     "range_join" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-         |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-         |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${Sessions.GapMs}
-         |         THEN 1 ELSE 0 END AS is_new
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
-         |s AS (
-         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
-         |    ORDER BY ts_ms, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-         |  FROM e),
+      s"""WITH $IslandsCte,
          |sess AS (
          |  SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
          |  FROM s GROUP BY user_id, session_seq)

@@ -57,6 +57,21 @@ class ScaleSpec extends SparkSuite {
     assert(rj == sess)
   }
 
+  test("range join fails fast on a pathological open-ended interval") {
+    import spark.implicits._
+    val probe = Seq((1L, 100L)).toDF("k", "pt")
+    val build = Seq((1L, 0L, Long.MaxValue / 2)).toDF("k", "lo", "hi")
+    val ex = intercept[Exception] {
+      graft.operators.RangeJoin.binned(probe, build, Seq("k"), "pt", "lo", "hi", 1000L).count()
+    }
+    assert(ex.getMessage != null)
+    // reserved-name guard
+    val withBin = probe.withColumn("__bin", lit(0))
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.binned(withBin, build, Seq("k"), "pt", "lo", "hi", 1000L)
+    }
+  }
+
   test("range join plan is an equi hash join, not a nested loop") {
     val plan = graft.queries.Pipeline.rangeJoin(spark, sf0001)
       .queryExecution.executedPlan.toString
