@@ -137,6 +137,20 @@ object Core {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Top 3 lineitems per return flag via the custom heap-based
+    * TopKPerGroup operator (graft.plans) — no per-group sort at any
+    * scale; ties broken totally by (orderkey, linenumber).
+    */
+  def topKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val picked = graft.plans.TopKPerGroup(
+      li(s, d), Seq("l_returnflag"),
+      Seq(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+      k = 3)
+    picked.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .orderBy(col("l_returnflag"), col("qty").desc, col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** CUBE aggregate — all grouping-set combinations. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =
     li(s, d)
@@ -178,6 +192,7 @@ object Core {
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
     "window_running" -> windowRunning,
+    "topk_per_group" -> topKPerGroup,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -234,6 +249,15 @@ object Core {
         |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, qty FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        | WHERE rn <= 3
+        | ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber""".stripMargin,
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
         |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty

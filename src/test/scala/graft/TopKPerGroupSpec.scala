@@ -1,0 +1,54 @@
+package graft
+
+import graft.plans.TopKPerGroup
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Custom heap-based top-k-per-group operator vs the window+filter
+  * built-in formulation, plus plan-shape guarantees.
+  */
+class TopKPerGroupSpec extends SparkSuite {
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("equals window+filter row_number formulation") {
+    val li = Tables.lineitem(spark, sf0001)
+    val viaOp = TopKPerGroup(li, Seq("l_returnflag"),
+      Seq(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc), 3)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val viaWindow = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    assert(asSet(viaOp) == asSet(viaWindow))
+  }
+
+  test("k larger than any group returns everything; k=1 returns group maxima") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1), ("a", 5L, 2), ("b", 3L, 3)).toDF("g", "v", "id")
+    val all = TopKPerGroup(df, Seq("g"), Seq(col("v").desc, col("id").asc), 100)
+    assert(all.count() == 3)
+    val top1 = TopKPerGroup(df, Seq("g"), Seq(col("v").desc, col("id").asc), 1)
+      .select("g", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top1 == Set(("a", 5L), ("b", 3L)))
+  }
+
+  test("physical plan contains the custom exec and no Sort operator") {
+    val li = Tables.lineitem(spark, sf0001)
+    val plan = TopKPerGroup(li, Seq("l_returnflag"),
+      Seq(col("l_quantity").desc, col("l_orderkey").asc), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(500))
+    assert(!plan.contains("Sort "), s"unexpected sort in:\n${plan.take(800)}")
+  }
+
+  test("rows within a group come out in sort order") {
+    import spark.implicits._
+    val df = Seq(("a", 9L, 1), ("a", 7L, 2), ("a", 8L, 3), ("a", 1L, 4)).toDF("g", "v", "id")
+    val got = TopKPerGroup(df, Seq("g"), Seq(col("v").desc, col("id").asc), 3)
+      .select("v").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(9L, 8L, 7L))
+  }
+}
