@@ -38,6 +38,17 @@ object VectorFns {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Cosine over two `array<double>` columns (sequential left folds —
+    * oracle-parity rules as above). Used for centroid-space math where
+    * inputs are already double.
+    */
+  def cosineDouble(a: Column, b: Column): Column = {
+    val dotD = foldSum(zip_with(a, b, (x, y) => x * y))
+    val na = foldSum(transform(a, x => x * x))
+    val nb = foldSum(transform(b, x => x * x))
+    dotD / (sqrt(na) * sqrt(nb))
+  }
+
   /** 64-bit-capped random-hyperplane LSH signature of an embedding:
     * bit i = sign(sum_j planes(i)(j) * v(j)). `planes` must be generated
     * deterministically (see Dedup.hyperplanes). Packed into a Long.

@@ -74,6 +74,48 @@ object Pipeline {
       .limit(20)
   }
 
+  /** IVF-style top-k: the scale path for similarity search. Rank coarse
+    * cells (label) by query-to-centroid cosine, brute-force only the top
+    * `nprobe` cells. At 100 TB this turns a full-corpus scan into a scan
+    * of nprobe/ncells of the data; cells here are the shipped cluster
+    * labels (a k-means coarse quantizer in production).
+    *
+    * Determinism: centroids are computed in exact integer space
+    * (`sum(round(x*1e7))` per dimension — double sums are NOT
+    * order-stable across partitions) and only divided at the end, so the
+    * result is bit-identical run-to-run and to the DuckDB oracle.
+    */
+  def embeddingTopkIvf(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 3
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    // per-cell centroid in exact integer space: explode dims, sum longs
+    val flat = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("x") * 1e7).cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), (col("s").cast("double") / col("n")).as("c"))
+    val centroids = flat.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("label"), transform(col("dc"), e => e.getField("c")).as("centroid"))
+    // rank cells by query-centroid cosine (centroid is double[], query float[])
+    val qd = q.select(transform(col("q_emb"), x => x.cast("double")).as("qd"))
+    val cellRank = centroids.crossJoin(broadcast(qd))
+      .select(col("label"),
+        round(VectorFns.cosineDouble(col("centroid"), col("qd")), 6).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("label"))
+      .limit(nprobe)
+      .select(col("label"))
+    // brute-force only the probed cells
+    emb.join(broadcast(cellRank), "label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** LSH-bucketed embedding near-dup pairs (approximate recall, exact
     * cosine verify).
     */
@@ -179,6 +221,7 @@ object Pipeline {
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "embedding_topk" -> embeddingTopk,
+    "embedding_topk_ivf" -> embeddingTopkIvf,
     "embedding_neardup" -> embeddingNearDup,
     "text_stats" -> textStats,
     "lang_id" -> langId,
@@ -242,6 +285,35 @@ object Pipeline {
         |      / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (a,b) -> a+b))
         |         * sqrt(list_reduce(list_transform(range(1,65), i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b))), 6) AS sim
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "embedding_topk_ivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |qd AS (SELECT list_transform(qe, x -> x::DOUBLE) AS v FROM q),
+        |flat AS (
+        |  SELECT label, i AS dim,
+        |    sum(CAST(round(embedding[i] * 1e7) AS BIGINT))::BIGINT AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(s::DOUBLE / n ORDER BY dim) AS centroid
+        |  FROM flat GROUP BY label),
+        |cellrank AS (
+        |  SELECT label FROM (
+        |    SELECT cent.label,
+        |      round(
+        |        list_reduce(list_transform(range(1,65), i -> centroid[i] * qd.v[i]), (a,b) -> a+b)
+        |        / (sqrt(list_reduce(list_transform(range(1,65), i -> centroid[i] * centroid[i]), (a,b) -> a+b))
+        |           * sqrt(list_reduce(list_transform(range(1,65), i -> qd.v[i] * qd.v[i]), (a,b) -> a+b))), 6) AS cell_sim
+        |    FROM cent, qd)
+        |  ORDER BY cell_sim DESC, label LIMIT 3)
+        |SELECT vec_id, sim FROM (
+        |  SELECT e.vec_id,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (a,b) -> a+b))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b))), 6) AS sim
+        |  FROM embeddings e JOIN cellrank USING (label), q
+        |  WHERE e.vec_id <> 0)
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
