@@ -25,8 +25,18 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_djb2" -> (es => Djb2Hash(es.head)),
     "graft_djb2_pid" -> (es => Djb2Pid(es.head, es(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => other.eval().asInstanceOf[Int]
+      // accept any integral literal width; reject non-foldable args with a
+      // clear message instead of an eval() crash on an unevaluable column
+      case e if e.foldable => e.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => math.toIntExact(l.longValue())
+        case s: java.lang.Short => s.intValue()
+        case b: java.lang.Byte => b.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_djb2_pid: numPartitions must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_djb2_pid: numPartitions must be a literal (foldable), not a column")
     })),
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_cosine" -> (es => CosineSimExpr(es.head, es(1))),

@@ -7,6 +7,31 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
+/** Input-type guard shared by the sketch expressions: these are also
+  * SQL-registered (`graft_*`), so a wrong-typed array must fail analysis
+  * with a clear message — never read through ArrayData with the wrong
+  * accessor (silent garbage from UnsafeArrayData, CCE from generic rows).
+  */
+trait RequiresArrayOf { self: Expression =>
+  protected def requiredElementType: DataType
+  protected def typedChildren: Seq[Expression]
+
+  // def, not lazy val: TypeCheckResult is not serializable and must not
+  // become a field of a task-shipped expression
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val bad = typedChildren.map(_.dataType).collectFirst {
+      case t if !t.isInstanceOf[ArrayType] ||
+        t.asInstanceOf[ArrayType].elementType != requiredElementType => t
+    }
+    bad match {
+      case Some(t) => TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires array<${requiredElementType.simpleString}> input, got ${t.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
+
 /** Native codegen'd sketch expressions for the dedup/similarity hot paths.
   *
   * Rationale (measured at sf0.1): Spark's higher-order functions are
@@ -47,8 +72,10 @@ object SketchExprs {
 }
 
 case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long], p: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresArrayOf {
   require(a.length == b.length)
+  override protected def requiredElementType: DataType = LongType
+  override protected def typedChildren: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
@@ -97,8 +124,10 @@ case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long], p: 
     copy(child = newChild)
 }
 
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression) extends UnaryExpression with RequiresArrayOf {
   override def dataType: DataType = LongType
+  override protected def requiredElementType: DataType = LongType
+  override protected def typedChildren: Seq[Expression] = Seq(child)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -147,14 +176,20 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 }
 
 case class FloatDotExpr(child: Expression, weights: Array[Double])
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresArrayOf {
   override def dataType: DataType = DoubleType
+  override protected def requiredElementType: DataType = FloatType
+  override protected def typedChildren: Seq[Expression] = Seq(child)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != weights.length) {
+      throw new IllegalArgumentException(
+        s"FloatDot: vector length ${arr.numElements()} != weights length ${weights.length}")
+    }
     var s = 0.0
     var i = 0
-    val n = math.min(arr.numElements(), weights.length)
+    val n = weights.length
     while (i < n) { s += weights(i) * arr.getFloat(i).toDouble; i += 1 }
     s
   }
@@ -164,11 +199,13 @@ case class FloatDotExpr(child: Expression, weights: Array[Double])
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       s"""
+         |if ($c.numElements() != $wRef.length) {
+         |  throw new IllegalArgumentException("FloatDot: vector length " +
+         |    $c.numElements() + " != weights length " + $wRef.length);
+         |}
          |double $s = 0.0;
-         |int $n = java.lang.Math.min($c.numElements(), $wRef.length);
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $wRef.length; $i++) {
          |  $s += $wRef[$i] * (double) $c.getFloat($i);
          |}
          |${ev.value} = $s;
@@ -187,13 +224,19 @@ case class FloatDotExpr(child: Expression, weights: Array[Double])
   * lambdas).
   */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with RequiresArrayOf {
   override def dataType: DataType = DoubleType
+  override protected def requiredElementType: DataType = FloatType
+  override protected def typedChildren: Seq[Expression] = Seq(left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"cosine: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+    }
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -212,7 +255,11 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("cosine: dimension mismatch " +
+         |    $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $a.getFloat($i);
@@ -233,8 +280,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * where the sets are represented by sorted distinct hashes.
   */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with RequiresArrayOf {
   override def dataType: DataType = IntegerType
+  override protected def requiredElementType: DataType = LongType
+  override protected def typedChildren: Seq[Expression] = Seq(left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

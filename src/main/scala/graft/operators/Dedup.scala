@@ -31,15 +31,6 @@ object Dedup {
   def tokensNE(text: Column): Column =
     filter(TextFns.tokens(text), t => t =!= "")
 
-  /** Distinct 3-word shingles; null when fewer than 3 tokens. */
-  def shingles(text: Column): Column = {
-    val ts = tokensNE(text)
-    val n = size(ts)
-    val sh = transform(sequence(lit(1), n - lit(2)), i =>
-      concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
-    when(n >= 3, array_distinct(sh)).otherwise(lit(null).cast("array<string>"))
-  }
-
   /** Exact dedup: sha256 of the raw text, keep the smallest doc_id per
     * hash group (single hash-groupBy; partial aggregation map-side).
     */
@@ -199,7 +190,7 @@ object Dedup {
     * probabilities are too low to retain recall; use
     * [[embeddingNearDupLsh]] for true near-duplicates (cos >= ~0.9).
     */
-  def embeddingNearDup(emb: DataFrame, dim: Int, minCos: Double = 0.35,
+  def embeddingNearDup(emb: DataFrame, minCos: Double = 0.35,
       cellCol: String = "label"): DataFrame = {
     val candidates = emb
       .select(col(cellCol).as("cell"), col("vec_id"))

@@ -61,7 +61,10 @@ object MRJob {
     */
   def getlines(spark: SparkSession, dir: String): Dataset[String] = {
     import spark.implicits._
-    wholeFiles(spark, dir).flatMap(_.split("(?<=\n)"))
+    // an empty file yields zero getline records, but "".split(...) yields
+    // Array("") — filter the empty-file case explicitly
+    wholeFiles(spark, dir).flatMap(s =>
+      if (s.isEmpty) Iterator.empty else s.split("(?<=\n)").iterator)
   }
 
   /** MR_Run with the intended (race-free) semantics: map -> shuffle on key

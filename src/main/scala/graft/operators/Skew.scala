@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: hash of ALL row columns mod `salts`.
+    * Determinism matters for correctness, not style: a salt derived from
+    * partition id / row position changes when a task is re-executed after
+    * a fetch failure, double-counting or losing rows between the two
+    * phases. The cost: byte-identical duplicate rows share a salt, so a
+    * hot key whose rows are all identical does not spread — real fact
+    * rows carry distinguishing columns.
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+
   /** Two-phase salted aggregation: count per key with the first phase
     * spread over `salts` sub-keys. Phase 1 shuffles on (key, salt) —
     * hot keys split across `salts` tasks; phase 2 combines the (at most
@@ -21,7 +32,7 @@ object Skew {
     * `groupBy(key).count()`.
     */
   def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("key"), col("__salt"))
       .agg(count(lit(1)).as("partial"))
       .groupBy(col("key"))
@@ -29,7 +40,7 @@ object Skew {
 
   /** Generic two-phase salted sum over a long column. */
   def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("partial"))
       .groupBy(col("key"))
@@ -43,8 +54,7 @@ object Skew {
     */
   def saltedBroadcastJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String, salts: Int = 8): DataFrame = {
-    val salted = probe.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = probe.withColumn("__salt", rowSalt(probe, salts).cast("int"))
     val replicated = build.crossJoin(
       broadcast(org.apache.spark.sql.SparkSession.active.range(salts).select(col("id").cast("int").as("__salt"))))
     salted.join(broadcast(replicated),

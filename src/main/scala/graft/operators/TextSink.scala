@@ -37,11 +37,14 @@ object TextSink {
     sorted.foreachPartition { rows =>
       if (rows.hasNext) {
         val pid = TaskContext.getPartitionId()
-        val sb = new StringBuilder
-        rows.foreach { case (k, v) => sb.append(k).append(": ").append(v).append('\n') }
-        Files.write(Paths.get(dir, s"result-$pid.txt"),
-          sb.toString.getBytes(StandardCharsets.UTF_8),
+        // stream row-by-row: a skewed multi-GB partition must not be
+        // buffered in one in-memory StringBuilder before writing
+        val w = Files.newBufferedWriter(Paths.get(dir, s"result-$pid.txt"),
+          StandardCharsets.UTF_8,
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        try rows.foreach { case (k, v) =>
+          w.write(k); w.write(": "); w.write(v); w.write("\n")
+        } finally w.close()
       }
     }
     (0 until numPartitions).map(p => new File(dir, s"result-$p.txt").getPath)

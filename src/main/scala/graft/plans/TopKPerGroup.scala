@@ -49,16 +49,22 @@ object TopKPerGroup {
     Bridge.ofRows(spark, TopKPerGroupPlan(groupExprs, orders, k, analyzedChild))
   }
 
-  private val installed = java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  // identity-keyed (sessions are long-lived objects; weak keys let closed
+  // sessions be collected) — toString/hashCode keys can collide
+  private val installed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotently add the planner strategy to the session (runtime path;
     * `GraftExtensions`-style injection works too for spark.sql.extensions).
     */
-  def ensureStrategy(spark: SparkSession): Unit =
-    if (installed.add(spark.sessionState.toString)) {
+  def ensureStrategy(spark: SparkSession): Unit = installed.synchronized {
+    if (installed.put(spark, java.lang.Boolean.TRUE) == null &&
+      !spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
     }
+  }
 }
 
 /** Logical node: constructed with already-resolved child expressions, so

@@ -120,7 +120,7 @@ object Pipeline {
     * cosine verify).
     */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDup(Tables.embeddings(s, d), dim = 64)
+    Dedup.embeddingNearDup(Tables.embeddings(s, d))
 
   /** Per-document token statistics (reference-semantics tokens + BPE-ish
     * subword count).
@@ -147,24 +147,9 @@ object Pipeline {
     docs(s, d).select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
-  /** Winnowing-style rolling-hash fingerprint (min 3-gram hash).
-    * Staged projections (tokens -> hash array -> gram mins) so each array
-    * is computed once per row — see Dedup.shingleSets for why.
-    */
-  def docFingerprint(s: SparkSession, d: String): DataFrame = {
-    val M = 2147483648L
-    docs(s, d)
-      .select(col("doc_id"),
-        filter(TextFns.tokens(col("text")), t => t =!= "").as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"),
-        transform(col("ts"), t => TextFns.tokenHash31(t)).as("hs"))
-      .select(col("doc_id"),
-        array_min(transform(sequence(lit(1), size(col("hs")) - lit(2)), i =>
-          (((element_at(col("hs"), i) * 31 + element_at(col("hs"), i + 1)) % M) * 31
-            + element_at(col("hs"), i + 2)) % M)).as("fp"))
-      .orderBy(col("doc_id"))
-  }
+  /** Winnowing-style rolling-hash fingerprint (min 3-gram hash). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    TextFns.fingerprintDf(docs(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
   /** Batch sessionization (gaps-and-islands). */
   def sessionize(s: SparkSession, d: String): DataFrame = Sessions.sessionize(s, d)

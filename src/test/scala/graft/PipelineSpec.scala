@@ -98,10 +98,12 @@ class PipelineSpec extends SparkSuite {
       else Some(hs.sliding(3).map(w => ((w(0) * 31 + w(1)) % M * 31 + w(2)) % M).min)
     }
     val texts = Seq((0L, "aa bb cc dd"), (1L, "x y"), (2L, "one two three"))
-    val got = texts.toDF("doc_id", "text")
-      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
-      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    texts.foreach { case (id, t) => assert(got(id) == fp(t), s"doc $id") }
+    // through the SAME definition the doc_fingerprint query ships
+    val got = TextFns.fingerprintDf(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Some(r.getLong(1))).toMap
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, None) == fp(t), s"doc $id") // <3 tokens -> absent
+    }
   }
 
   test("lang_id: marker argmax with alphabetical tie-break and 'und' fallback") {

@@ -24,6 +24,31 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r.getLong(4) == 5381L) // single element: bits of the element itself
   }
 
+  test("wrong-typed arrays fail analysis with a clear message, not silent garbage") {
+    GraftFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      // array<double> literals — must be rejected, not misread as floats
+      spark.sql("SELECT graft_cosine(array(1.0, 2.0), array(2.0, 3.0))").collect()
+    }
+    assert(e1.getMessage.contains("array<float>"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_intersect(array(1, 2), array(2, 3))").collect()
+    }
+    assert(e2.getMessage.contains("array<bigint>"), e2.getMessage)
+    // dimension mismatch is a runtime error, not a silent truncation
+    val e3 = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_cosine(array(cast(1.0 as float)),
+          |  array(cast(1.0 as float), cast(2.0 as float)))""".stripMargin).collect()
+    }
+    assert(e3.getMessage != null)
+    // non-literal partition count rejected with a clear message
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT graft_djb2_pid('x', event_id) FROM range(1) t(event_id)").collect()
+    }
+    assert(e4.getMessage != null)
+  }
+
   test("runAgg (typed Aggregator reducer) matches run (mapGroups reducer)") {
     import spark.implicits._
     val input = MRJob.lines(spark, Seq("/root/reference/sample_inputs"))
