@@ -185,6 +185,20 @@ object Pipeline {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** As-of join: each event picks up the most recent session start at or
+    * before its timestamp (= its own session) — point-in-time join over
+    * the events table, checked against DuckDB's native ASOF JOIN.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val sessions = sessionize(s, d)
+      .select(col("user_id"), col("start_ms"), col("session_seq"))
+      .withColumnRenamed("start_ms", "ts_ms") // as-of ts on the build side
+    val ev = Sessions.events(s, d).select(col("user_id"), col("event_id"), col("ts_ms"))
+    graft.operators.AsOfJoin.lastValue(ev, sessions,
+        keyCol = "user_id", tsCol = "ts_ms", payloadCol = "session_seq")
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   /** Distinct aggregates (count-distinct reducer shape). */
   def countDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -217,6 +231,7 @@ object Pipeline {
     "events_json" -> eventsJson,
     "multimodal_meta" -> multimodalMeta,
     "range_join" -> rangeJoin,
+    "asof_join" -> asofJoin,
     "count_distinct" -> countDistinct,
   )
 
@@ -367,6 +382,15 @@ object Pipeline {
          |          AND ev.ts_ms BETWEEN sess.start_ms AND sess.end_ms
          | GROUP BY ev.user_id, sess.start_ms
          | ORDER BY ev.user_id, sess.start_ms""".stripMargin,
+    "asof_join" ->
+      s"""WITH $IslandsCte,
+         |sess AS (
+         |  SELECT user_id, session_seq, min(ts_ms) AS start_ms
+         |  FROM s GROUP BY user_id, session_seq)
+         |SELECT ev.user_id, ev.event_id, ev.ts_ms, sess.session_seq::BIGINT AS session_seq
+         | FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) ev
+         | ASOF JOIN sess ON ev.user_id = sess.user_id AND ev.ts_ms >= sess.start_ms
+         | ORDER BY ev.user_id, ev.ts_ms, ev.event_id""".stripMargin,
     "count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts,
         |  count(DISTINCT l_suppkey)::BIGINT AS n_supps, count(*)::BIGINT AS cnt

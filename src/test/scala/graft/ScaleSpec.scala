@@ -79,6 +79,33 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(600))
   }
 
+  test("as-of join equals per-row latest-build lookup") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (1L, 4L, 103L))
+      .toDF("k", "ts", "pid")
+    val build = Seq((1L, 5L, 7L), (1L, 20L, 8L), (1L, 25L, 9L), (2L, 99L, 10L))
+      .toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.lastValue(probe, build, "k", "ts", "v")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // pid 100 (k1 ts10): latest build <= 10 is ts5 -> 7
+    // pid 101 (k1 ts25): ts25 itself (inclusive) -> 9
+    // pid 102 (k2 ts5): no build <= 5 -> null
+    // pid 103 (k1 ts4): none -> null
+    assert(got == Map(100L -> Some(7L), 101L -> Some(9L), 102L -> None, 103L -> None))
+  }
+
+  test("partitioned parquet writes prune partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Sources.writeParquet(ev, s"$tmp/events_by_type", partitionBy = Seq("event_type"))
+    val filtered = spark.read.parquet(s"$tmp/events_by_type")
+      .filter(col("event_type") === "purchase")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(600))
+    assert(filtered.count() > 0)
+  }
+
   test("plan guards: pushdown, pruning, broadcast survive") {
     def planOf(name: String): String =
       SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
