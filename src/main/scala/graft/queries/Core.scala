@@ -84,13 +84,19 @@ object Core {
       .withColumn("avg_qty", col("sum_qty").cast("double") / col("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** Filter + projection — pushed down to the parquet scan. */
+  /** Filter + projection — pushed down to the parquet scan.
+    * ORDER BY covers every output column: the synthetic lineitem has
+    * duplicate (l_orderkey, l_linenumber) pairs (118k at sf0.1), so a
+    * partial sort key leaves content-bearing ties in engine-dependent
+    * order and the hash-compare flakes.
+    */
   def filterProject(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .filter(col("l_quantity") > 30)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
 
   /** orders ⨝ customer — the MR tagged-union join pattern as a native join.
     * customer is the dimension side → explicit broadcast (scale posture:
@@ -137,6 +143,31 @@ object Core {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Semi/anti joins: customers with orders vs customers without. */
+  def semiAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val orders = Tables.orders(s, d).select(col("o_custkey"))
+    val withOrders = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("status"))
+    val withoutOrders = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("status"))
+    withOrders.unionByName(withoutOrders).orderBy(col("c_custkey"))
+  }
+
+  /** Pivot: events per user by type, explicit value list so the output
+    * column set is fixed at plan time (required for a stable schema at
+    * any scale — dynamic pivot values force an extra collect).
+    */
+  def pivotEvents(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    graft.streaming.Sessions.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+
   /** Top 3 lineitems per return flag via the custom heap-based
     * TopKPerGroup operator (graft.plans) — no per-group sort at any
     * scale; ties broken totally by (orderkey, linenumber).
@@ -161,8 +192,12 @@ object Core {
   /** Window functions: per-supplier running quantity + row number. */
   def windowRunning(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // qty tie-break: (shipdate, orderkey, linenumber) is NOT unique in the
+    // synthetic data; without it rn assignment among content-differing
+    // ties is engine-dependent
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     li(s, d)
       .withColumn("qty", col("l_quantity").cast("long"))
       .withColumn("rn", row_number().over(w))
@@ -193,6 +228,8 @@ object Core {
     "cube_agg" -> cubeAgg,
     "window_running" -> windowRunning,
     "topk_per_group" -> topKPerGroup,
+    "semi_anti_join" -> semiAntiJoin,
+    "pivot_events" -> pivotEvents,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -222,7 +259,7 @@ object Core {
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         | FROM lineitem WHERE l_quantity > 30
-        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        | ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag""".stripMargin,
     "repartition_join" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
@@ -249,6 +286,21 @@ object Core {
         |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "semi_anti_join" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "topk_per_group" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, qty FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -269,7 +321,7 @@ object Core {
         |  (sum(qty) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS running_qty
         | FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
         |         CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
-        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, qty)
         | ORDER BY l_suppkey, rn""".stripMargin,
   )
 }
