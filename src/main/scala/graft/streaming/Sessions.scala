@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Sessionization over the `events` table — batch (gaps-and-islands and
   * native `session_window`) plus a streaming variant with watermarking.
@@ -67,6 +68,50 @@ object Sessions {
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"), col("value_cents"))
       .orderBy(col("user_id"), col("start_ms"))
+
+  /** Per-user running totals carried in explicit state. */
+  case class UserTotals(user_id: Long, n_events: Long, value_cents: Long)
+
+  /** Custom stateful streaming (`flatMapGroupsWithState`): per-user
+    * running event count + exact cents total, emitted on every update.
+    * This is the arbitrary-state escape hatch the built-in aggregations
+    * don't cover (reference analogue: the user-defined reducer hook, but
+    * over an unbounded stream). ProcessingTimeTimeout lets idle users'
+    * state be dropped — the knob that keeps state bounded at 100 TB.
+    */
+  def streamingUserTotals(spark: SparkSession, sfDir: String, streamDir: String,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserTotals] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    val ev = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col("user_id").as[Long],
+        round(col("value") * 100).cast("long").as[Long])
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+
+    def update(userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[UserTotals]): Iterator[UserTotals] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0L))
+        var n = prev.n_events
+        var cents = prev.value_cents
+        rows.foreach { case (_, c) => n += 1; cents += c }
+        val next = UserTotals(userId, n, cents)
+        state.update(next)
+        // production: ProcessingTimeTimeout + this duration drops idle
+        // users' state (keeps state bounded); the engine then runs
+        // timeout-check batches continuously, so tests use NoTimeout
+        if (useTimeout) state.setTimeoutDuration("1 hour")
+        Iterator.single(next)
+      }
+    }
+
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
 
   /** Streaming variant: same session_window aggregation with a watermark
     * for state cleanup / late-data handling. `streamDir` is a monitored

@@ -39,4 +39,30 @@ class StreamingSpec extends SparkSuite {
       s"too few streamed sessions: ${streamed.size} of ${batch.size}")
     spark.sql("DROP TABLE IF EXISTS stream_sessions")
   }
+
+  test("flatMapGroupsWithState running totals converge to batch totals") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val q = Sessions.streamingUserTotals(spark, sf0001, streamDir.toString)
+      .toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_totals")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // last emitted state per user == batch aggregate
+    val streamed = spark.table("stream_totals")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("value_cents")).as("cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Sessions.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    spark.sql("DROP TABLE IF EXISTS stream_totals")
+  }
 }
