@@ -143,6 +143,35 @@ object Core {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Outer join: every customer with their order count (0 when none). */
+  def outerJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  /** Date/time scalar functions: monthly order rollup. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("y"), col("m"))
+
+  /** String scalar functions over customer names. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 5).as("name_pfx"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        reverse(col("c_name")).as("rname"),
+        levenshtein(col("c_name"), col("c_mktsegment")).as("lev"))
+      .orderBy(col("c_custkey"))
+
   /** Semi/anti joins: customers with orders vs customers without. */
   def semiAntiJoin(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
@@ -230,6 +259,9 @@ object Core {
     "topk_per_group" -> topKPerGroup,
     "semi_anti_join" -> semiAntiJoin,
     "pivot_events" -> pivotEvents,
+    "outer_join" -> outerJoin,
+    "date_funcs" -> dateFuncs,
+    "string_funcs" -> stringFuncs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -286,6 +318,22 @@ object Core {
         |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "outer_join" ->
+      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "date_funcs" ->
+      """SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+        | FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, length(c_name)::INT AS name_len,
+        |  substring(c_name, 1, 5) AS name_pfx,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  reverse(c_name) AS rname,
+        |  levenshtein(c_name, c_mktsegment)::INT AS lev
+        | FROM customer ORDER BY c_custkey""".stripMargin,
     "semi_anti_join" ->
       """SELECT c_custkey, 'has_orders' AS status FROM customer
         | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
