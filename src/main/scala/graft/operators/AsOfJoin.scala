@@ -23,29 +23,41 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** probe(keyCol, tsCol, ...) x build(keyCol, tsCol, payloadCol) ->
-    * probe columns + `payloadCol` (null when no build row precedes).
+    * probe columns + `payloadCol` (null only when NO build row precedes —
+    * a matched build row whose payload is null yields null, not an older
+    * value: the carry wraps the payload in a struct so `last(ignoreNulls)`
+    * distinguishes "no build row" from "null payload").
     * `tsCol` must be long-typed on both sides.
+    *
+    * Determinism: among build rows sharing (key, ts) the greatest payload
+    * wins (the window tie-breaks on the wrapped payload) — without this,
+    * duplicate build timestamps leave the result partition-order-dependent.
     */
   def lastValue(probe: DataFrame, build: DataFrame,
       keyCol: String, tsCol: String, payloadCol: String): DataFrame = {
-    require(!probe.columns.contains("__side") && !build.columns.contains("__side"),
-      "AsOfJoin reserves the column name __side")
+    val reserved = Seq("__side", "__pay")
+    require(reserved.forall(r => !probe.columns.contains(r) && !build.columns.contains(r)),
+      "AsOfJoin reserves the column names __side and __pay")
     require(!probe.columns.contains(payloadCol),
       s"probe already has a column named $payloadCol")
     val probeCols = probe.columns.toSeq
+    val payType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", build.schema(payloadCol).dataType)))
     val p = probe
       .withColumn("__side", lit(1))
-      .withColumn(payloadCol, lit(null).cast(build.schema(payloadCol).dataType))
-    val b = build.select(col(keyCol), col(tsCol), col(payloadCol))
+      .withColumn("__pay", lit(null).cast(payType))
+    val b = build.select(col(keyCol), col(tsCol),
+        struct(col(payloadCol).as("v")).as("__pay"))
       .withColumn("__side", lit(0))
-    val unioned = p.select((probeCols :+ "__side" :+ payloadCol).map(col): _*)
+    val unioned = p.select((probeCols :+ "__side" :+ "__pay").map(col): _*)
       .unionByName(b, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
-      .withColumn(payloadCol, last(col(payloadCol), ignoreNulls = true).over(w))
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn(payloadCol, col("__pay.v"))
       .select((probeCols :+ payloadCol).map(col): _*)
   }
 }

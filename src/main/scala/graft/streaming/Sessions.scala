@@ -81,6 +81,11 @@ object Sessions {
     */
   def streamingUserTotals(spark: SparkSession, sfDir: String, streamDir: String,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserTotals] = {
+    require(timeout == GroupStateTimeout.NoTimeout
+        || timeout == GroupStateTimeout.ProcessingTimeTimeout,
+      "streamingUserTotals supports NoTimeout or ProcessingTimeTimeout; " +
+        "EventTimeTimeout needs setTimeoutTimestamp + a watermark, which this " +
+        "update function does not implement")
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.events(spark, sfDir).schema

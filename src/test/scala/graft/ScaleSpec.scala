@@ -94,6 +94,17 @@ class ScaleSpec extends SparkSuite {
     assert(got == Map(100L -> Some(7L), 101L -> Some(9L), 102L -> None, 103L -> None))
   }
 
+  test("as-of join: null payloads are matched (not skipped) and dup build ts is deterministic") {
+    import spark.implicits._
+    val probe = Seq((1L, 25L, 200L), (2L, 10L, 201L)).toDF("k", "ts", "pid")
+    val build = Seq((1L, 5L, Some(7L)), (1L, 20L, None), // latest match has null payload
+      (2L, 10L, Some(1L)), (2L, 10L, Some(2L))) // duplicate ts -> greatest wins
+      .toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.lastValue(probe, build, "k", "ts", "v")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got == Map(200L -> None, 201L -> Some(2L)), got.toString)
+  }
+
   test("partitioned parquet writes prune partitions at the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = graft.streaming.Sessions.events(spark, sf0001)
