@@ -13,12 +13,8 @@ object WordCountExample {
   def main(args: Array[String]): Unit = {
     val inputDir = if (args.length > 0) args(0) else "/root/reference/sample_inputs"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-wc-out"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .appName("graft-wordcount-example")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.getOrCreate(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
