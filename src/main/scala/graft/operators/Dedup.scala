@@ -101,11 +101,25 @@ object Dedup {
       .distinct()
   }
 
-  /** All (id1 < id2) pairs from a sorted id array, as structs. */
+  /** Above this bucket size, emit star-pattern pairs (min-id hub) instead
+    * of all pairs: k-1 rows instead of k(k-1)/2, while any downstream
+    * connected-components clustering still sees the whole bucket as one
+    * component. Giant buckets are near-identical-document pileups; their
+    * pairwise expansion is the one O(k^2) stage LSH can otherwise hide.
+    */
+  val StarBucketThreshold = 256
+
+  /** Candidate pairs from a sorted id array: all (id1 < id2) pairs for
+    * normal buckets, hub-and-spoke pairs for oversized ones.
+    */
   private def pairsOf(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y =>
-        struct(x.as("id1"), y.as("id2")))))
+    when(size(ids) > StarBucketThreshold,
+      transform(slice(ids, lit(2), size(ids)), y =>
+        struct(element_at(ids, 1).as("id1"), y.as("id2"))))
+    .otherwise(
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)), y =>
+          struct(x.as("id1"), y.as("id2"))))))
 
   /** Near-dup pairs: LSH candidates verified with exact Jaccard >= minJac
     * over the shingle sets (two hash joins on doc_id — no n^2 stage).

@@ -117,6 +117,43 @@ class ScaleSpec extends SparkSuite {
     assert(filtered.count() > 0)
   }
 
+  test("bucketed tables join without an exchange on either side") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
+    li.write.mode("overwrite").option("path", s"$tmp/li_b")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    ord.write.mode("overwrite").option("path", s"$tmp/ord_b")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+    // force the shuffle-join path (tiny test tables auto-broadcast, which
+    // bypasses bucketing entirely)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should need no shuffle:\n${plan.take(900)}")
+      assert(plan.contains("Bucketed: true"), plan.take(900))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE ord_b")
+    }
+  }
+
+  test("giant LSH buckets produce star pairs, not O(k^2) expansion") {
+    import spark.implicits._
+    // 400 identical docs -> one bucket of 400 in every band
+    val docs = (0L until 400L).map(i => (i, "aa bb cc dd ee ff gg")).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashCandidates(docs).count()
+    // star pattern: 399 pairs (hub = min id), not 400*399/2 = 79800
+    assert(pairs == 399L, s"got $pairs")
+  }
+
   test("plan guards: pushdown, pruning, broadcast survive") {
     def planOf(name: String): String =
       SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
