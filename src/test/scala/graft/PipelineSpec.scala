@@ -35,6 +35,23 @@ class PipelineSpec extends SparkSuite {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("minhash signatures estimate jaccard (property: |est - true| small on planted pairs)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val sigs = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sets = Dedup.shingleSets(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val pairs = Pipeline.dedupMinhash(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+      val trueJac = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      assert(math.abs(est - trueJac) < 0.3, s"pair ($a,$b): est=$est true=$trueJac")
+    }
+  }
+
   test("simhash pairs: id1<id2, hamming<=3, and known near-dups included") {
     val rows = Pipeline.dedupSimhash(spark, sf0001).collect()
     assert(rows.nonEmpty)
