@@ -154,6 +154,15 @@ class ScaleSpec extends SparkSuite {
     assert(pairs == 399L, s"got $pairs")
   }
 
+  test("approximate aggregates: HLL distinct within 5% of exact") {
+    val li = Tables.lineitem(spark, sf0001)
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("approx"),
+      count_distinct(col("l_partkey")).as("exact")).collect().head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+
   test("plan guards: pushdown, pruning, broadcast survive") {
     def planOf(name: String): String =
       SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
