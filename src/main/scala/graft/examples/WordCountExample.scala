@@ -1,7 +1,6 @@
 package graft.examples
 
 import graft.operators.{MRJob, TextSink}
-import org.apache.spark.sql.SparkSession
 
 /** End-to-end example: the reference's distwc.c program written against
   * this library's MR surface — map (tokenize, empties kept) -> djb2-

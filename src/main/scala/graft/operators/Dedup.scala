@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   *              cosine verify.
   *
   * Known scale caveat (standard LSH behavior): a bucket holding k near-
-  * identical members yields O(k^2) candidate pairs. That is inherent to
-  * the semantics ("return the duplicate pairs"); pipelines that only need
-  * a representative per cluster should aggregate buckets instead
-  * (see [[Dedup.exact]]'s keep-min pattern).
+  * identical members yields O(k^2) candidate pairs — inherent to "return
+  * the duplicate pairs" semantics. Each operator takes an OPT-IN
+  * `starBucketThreshold`: above it, a bucket emits hub-and-spoke pairs
+  * (k-1 rows) instead of all pairs. That caps the blow-up but weakens
+  * exactness — a pair is lost when the hub fails the downstream verify
+  * even though the pair itself would pass — so the default keeps exact
+  * all-pairs semantics. Pipelines that only need a representative per
+  * cluster should aggregate buckets instead (see [[Dedup.exact]]'s
+  * keep-min pattern).
   */
 object Dedup {
 
@@ -84,8 +89,11 @@ object Dedup {
       .select(col("doc_id"), graft.functions.SketchExprs.minhashSig(
         col("hs"), perms.map(_._1), perms.map(_._2), P31).as("sig"))
 
-  /** Candidate pairs from 16-band LSH over the signatures. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+  /** Candidate pairs from 16-band LSH over the signatures.
+    * `starBucketThreshold`: opt-in giant-bucket cap (see class doc).
+    */
+  def minhashCandidates(docs: DataFrame,
+      starBucketThreshold: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs)
     val bands = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -96,24 +104,19 @@ object Dedup {
       .groupBy(col("bk.band"), col("bk.bh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(explode(pairsOf(col("ids"), starBucketThreshold)).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
   }
 
-  /** Above this bucket size, emit star-pattern pairs (min-id hub) instead
-    * of all pairs: k-1 rows instead of k(k-1)/2, while any downstream
-    * connected-components clustering still sees the whole bucket as one
-    * component. Giant buckets are near-identical-document pileups; their
-    * pairwise expansion is the one O(k^2) stage LSH can otherwise hide.
+  /** Candidate pairs from a sorted id array: all (id1 < id2) pairs up to
+    * `starThreshold` members, hub-and-spoke (min-id hub, k-1 rows) above
+    * it. The star form caps the O(k^2) blow-up of near-identical-document
+    * pileups but can lose pairs whose hub fails downstream verification —
+    * callers default it OFF (Int.MaxValue) and expose it as a scale knob.
     */
-  val StarBucketThreshold = 256
-
-  /** Candidate pairs from a sorted id array: all (id1 < id2) pairs for
-    * normal buckets, hub-and-spoke pairs for oversized ones.
-    */
-  private def pairsOf(ids: Column): Column =
-    when(size(ids) > StarBucketThreshold,
+  private def pairsOf(ids: Column, starThreshold: Int): Column =
+    when(size(ids) > starThreshold,
       transform(slice(ids, lit(2), size(ids)), y =>
         struct(element_at(ids, 1).as("id1"), y.as("id2"))))
     .otherwise(
@@ -124,9 +127,10 @@ object Dedup {
   /** Near-dup pairs: LSH candidates verified with exact Jaccard >= minJac
     * over the shingle sets (two hash joins on doc_id — no n^2 stage).
     */
-  def minhash(docs: DataFrame, minJac: Double = 0.5): DataFrame = {
+  def minhash(docs: DataFrame, minJac: Double = 0.5,
+      starBucketThreshold: Int = Int.MaxValue): DataFrame = {
     val sets = shingleSets(docs)
-    minhashCandidates(docs)
+    minhashCandidates(docs, starBucketThreshold)
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("jaccard", round(
@@ -149,10 +153,13 @@ object Dedup {
       .select(col("doc_id"), graft.functions.SketchExprs.simhash64(col("hs")).as("simhash"))
 
   /** Near-dup pairs with hamming distance <= maxHamming (default 3).
-    * Block-join is exact for <= 3: 4 disjoint 16-bit blocks, so any pair
-    * within hamming 3 shares at least one block (pigeonhole).
+    * Block-join is exact for <= 3 (4 disjoint 16-bit blocks: any pair
+    * within hamming 3 shares at least one block, pigeonhole) — exactness
+    * holds at the default starBucketThreshold; opting into the cap trades
+    * it away for bounded giant-bucket work (see class doc).
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhash(docs: DataFrame, maxHamming: Int = 3,
+      starBucketThreshold: Int = Int.MaxValue): DataFrame = {
     val sh = simhashes(docs)
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
@@ -163,7 +170,7 @@ object Dedup {
       .groupBy(col("bk.blk"), col("bk.v"))
       .agg(sort_array(collect_set(col("rec"))).as("recs"))
       .filter(size(col("recs")) > 1)
-      .select(explode(pairsOf(col("recs"))).as("p"))
+      .select(explode(pairsOf(col("recs"), starBucketThreshold)).as("p"))
       .select(col("p.id1.doc_id").as("id1"), col("p.id2.doc_id").as("id2"),
         bit_count(col("p.id1.simhash").bitwiseXOR(col("p.id2.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -205,13 +212,14 @@ object Dedup {
     * [[embeddingNearDupLsh]] for true near-duplicates (cos >= ~0.9).
     */
   def embeddingNearDup(emb: DataFrame, minCos: Double = 0.35,
-      cellCol: String = "label"): DataFrame = {
+      cellCol: String = "label",
+      starBucketThreshold: Int = Int.MaxValue): DataFrame = {
     val candidates = emb
       .select(col(cellCol).as("cell"), col("vec_id"))
       .groupBy(col("cell"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(explode(pairsOf(col("ids"), starBucketThreshold)).as("p"))
       .select(col("p.id1"), col("p.id2"))
     cosineVerify(emb, candidates, minCos)
   }
@@ -223,7 +231,8 @@ object Dedup {
     * the standard ANN trade; a brute-force cross-join is refused at this
     * scale).
     */
-  def embeddingNearDupLsh(emb: DataFrame, dim: Int, minCos: Double = 0.9): DataFrame = {
+  def embeddingNearDupLsh(emb: DataFrame, dim: Int, minCos: Double = 0.9,
+      starBucketThreshold: Int = Int.MaxValue): DataFrame = {
     val planes = hyperplanes(dim)
     val tableKeys = (0 until Tables).map { t =>
       struct(lit(t).as("tbl"),
@@ -234,7 +243,7 @@ object Dedup {
       .groupBy(col("tk.tbl"), col("tk.sig"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(explode(pairsOf(col("ids"), starBucketThreshold)).as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
     cosineVerify(emb, candidates, minCos)
