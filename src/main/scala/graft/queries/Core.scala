@@ -143,6 +143,28 @@ object Core {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Multi-way dimension join: suppliers per region (nation ⨝ region ⨝
+    * supplier), all broadcast-able dims, plus part-type counts — touches
+    * every remaining dimension table.
+    */
+  def dimJoin(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        count_distinct(col("n_name")).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  /** Parts rollup by brand — the last untouched table. */
+  def partStats(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_size").cast("long")).as("total_size"),
+        sum(round(col("p_retailprice") * 100).cast("long")).as("price_cents"))
+      .orderBy(col("p_brand"))
+
   /** Outer join: every customer with their order count (0 when none). */
   def outerJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -262,6 +284,8 @@ object Core {
     "outer_join" -> outerJoin,
     "date_funcs" -> dateFuncs,
     "string_funcs" -> stringFuncs,
+    "dim_join" -> dimJoin,
+    "part_stats" -> partStats,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -318,6 +342,18 @@ object Core {
         |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "dim_join" ->
+      """SELECT r_name, count(*)::BIGINT AS n_suppliers,
+        |  count(DISTINCT n_name)::BIGINT AS n_nations
+        | FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "part_stats" ->
+      """SELECT p_brand, count(*)::BIGINT AS n_parts,
+        |  sum(CAST(p_size AS BIGINT))::BIGINT AS total_size,
+        |  sum(CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT AS price_cents
+        | FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "outer_join" ->
       """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
         | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
