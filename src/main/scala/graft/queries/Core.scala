@@ -143,6 +143,30 @@ object Core {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Window-function battery: lag/lead/rank/dense_rank/ntile over the
+    * per-supplier shipment order (complements window_running's
+    * row_number + running sum).
+    */
+  def windowFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    li(s, d)
+      .withColumn("qty", col("l_quantity").cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_qty", lag(col("qty"), 1).over(w))
+      .withColumn("next_qty", lead(col("qty"), 1).over(w))
+      .withColumn("qty_rank", rank().over(
+        Window.partitionBy(col("l_suppkey")).orderBy(col("qty"))))
+      .withColumn("qty_dense", dense_rank().over(
+        Window.partitionBy(col("l_suppkey")).orderBy(col("qty"))))
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("l_suppkey"), col("rn"), col("qty"), col("prev_qty"),
+        col("next_qty"), col("qty_rank"), col("qty_dense"), col("quartile"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
   /** Multi-way dimension join: suppliers per region (nation ⨝ region ⨝
     * supplier), all broadcast-able dims, plus part-type counts — touches
     * every remaining dimension table.
@@ -286,6 +310,7 @@ object Core {
     "string_funcs" -> stringFuncs,
     "dim_join" -> dimJoin,
     "part_stats" -> partStats,
+    "window_funcs" -> windowFuncs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -342,6 +367,19 @@ object Core {
         |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "window_funcs" ->
+      """SELECT l_suppkey, rn, qty, prev_qty, next_qty, qty_rank, qty_dense, quartile FROM (
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    (row_number() OVER w)::INT AS rn,
+        |    lag(CAST(l_quantity AS BIGINT)) OVER w AS prev_qty,
+        |    lead(CAST(l_quantity AS BIGINT)) OVER w AS next_qty,
+        |    (rank() OVER (PARTITION BY l_suppkey ORDER BY CAST(l_quantity AS BIGINT)))::INT AS qty_rank,
+        |    (dense_rank() OVER (PARTITION BY l_suppkey ORDER BY CAST(l_quantity AS BIGINT)))::INT AS qty_dense,
+        |    (ntile(4) OVER w)::INT AS quartile
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity))
+        |ORDER BY l_suppkey, rn""".stripMargin,
     "dim_join" ->
       """SELECT r_name, count(*)::BIGINT AS n_suppliers,
         |  count(DISTINCT n_name)::BIGINT AS n_nations

@@ -27,6 +27,12 @@ object Sources {
     schema.fold(r)(r.schema).json(path)
   }
 
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def textLines(spark: SparkSession, path: String): Dataset[String] = {
     import spark.implicits._
     spark.read.textFile(path)

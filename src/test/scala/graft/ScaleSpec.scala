@@ -46,6 +46,11 @@ class ScaleSpec extends SparkSuite {
     // remaining tokens must round-trip exactly
     assert(fromJson == expected)
     assert(fromCsv.filter(_._1 != null) == expected.filter(_._1.nonEmpty))
+    // ORC round-trips exactly, empty token included (columnar like parquet)
+    Sources.writeOrc(wc, s"$tmp/wc_orc")
+    val fromOrc = Sources.orc(spark, s"$tmp/wc_orc")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fromOrc == expected)
   }
 
   test("binned range join count equals sessionize n_events (self-check invariant)") {
