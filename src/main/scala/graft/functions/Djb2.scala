@@ -108,6 +108,28 @@ case class Djb2Hash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unsigned UTF-8 lexicographic string ordering == C `strcmp` on the
+  * reference's NUL-terminated UTF-8 keys (`mapreduce.c:123-141`). The JVM
+  * default `Ordering[String]` compares UTF-16 code units, which diverges
+  * from byte order for supplementary code points (surrogate pairs sort
+  * before U+E000..U+FFFF in UTF-16 order but after in UTF-8 byte order);
+  * this ordering matches `strcmp` for every byte sequence.
+  */
+object Utf8ByteOrdering extends Ordering[String] {
+  override def compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+}
+
 /** RDD-level partitioner with the reference's exact partition layout
   * (`mapreduce.c:111-144`: partition = djb2(key) % P, unsigned).
   * Only needed when byte-exact partition-file parity matters

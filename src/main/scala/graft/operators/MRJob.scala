@@ -136,6 +136,9 @@ object MRJob {
       reducer: (Int, String, Iterator[String]) => OUT,
       numPartitions: Int): Dataset[OUT] = {
     import org.apache.spark.rdd.RDD
+    // strcmp parity: sort on unsigned UTF-8 bytes, not the JVM's UTF-16
+    // code-unit order — the two diverge for supplementary code points.
+    implicit val strcmpOrder: Ordering[String] = graft.functions.Utf8ByteOrdering
     val emitted: RDD[(String, String)] = input.rdd.flatMap(mapper)
     val sorted = new org.apache.spark.rdd.OrderedRDDFunctions[String, String, (String, String)](emitted)
       .repartitionAndSortWithinPartitions(new Djb2Partitioner(numPartitions))

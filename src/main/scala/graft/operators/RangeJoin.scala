@@ -33,16 +33,22 @@ object RangeJoin {
     // must not materialize a ~2^31-element sequence and kill the job:
     // spans are hard-capped; an interval wider than maxSpanBins bins is a
     // data error for this operator and fails fast with a clear message.
+    // An *inverted* interval (lo > hi) contains no points — it gets zero
+    // bins, never a sequence(start > stop) (which Spark generates
+    // DESCENDING, i.e. a giant array for a corrupt huge-lo row).
     val maxSpanBins = 1000000L
     // integer `div`, not double division: epoch-scale longs must not pass
     // through a 53-bit mantissa.
     val probeB = probe.withColumn("__bin", expr(s"`$pt` div ${binWidth}L"))
     val buildB = build.withColumn("__bin",
-      explode(sequence(expr(s"`$lo` div ${binWidth}L"),
-        expr(s"""CASE WHEN (`$hi` div ${binWidth}L) - (`$lo` div ${binWidth}L) > ${maxSpanBins}L
-                 THEN raise_error(concat('RangeJoin.binned: interval spans > ',
-                      '$maxSpanBins bins; widen binWidth or clean the data'))
-                 ELSE `$hi` div ${binWidth}L END""".stripMargin.replaceAll("\n\\s*", " ")))))
+      explode(expr(
+        s"""CASE WHEN (`$hi` div ${binWidth}L) < (`$lo` div ${binWidth}L)
+           THEN CAST(array() AS ARRAY<BIGINT>)
+           WHEN (`$hi` div ${binWidth}L) - (`$lo` div ${binWidth}L) > ${maxSpanBins}L
+           THEN raise_error(concat('RangeJoin.binned: interval spans > ',
+                '$maxSpanBins bins; widen binWidth or clean the data'))
+           ELSE sequence(`$lo` div ${binWidth}L, `$hi` div ${binWidth}L)
+           END""".stripMargin.replaceAll("\n\\s*", " "))))
     probeB.join(buildB, keys :+ "__bin")
       .filter(col(pt) >= col(lo) && col(pt) <= col(hi))
       .drop("__bin")

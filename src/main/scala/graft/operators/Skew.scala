@@ -25,26 +25,39 @@ object Skew {
   private def rowSalt(df: DataFrame, salts: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(salts))
 
+  /** All three helpers stage a reserved `__salt` column; an input that
+    * already has one would be silently overwritten (and, in
+    * [[saltedBroadcastJoin]], dropped from the output) — same guard as
+    * RangeJoin's `__bin` / AsOfJoin's `__side`.
+    */
+  private def requireNoSalt(df: DataFrame, who: String): Unit =
+    require(!df.columns.contains("__salt"),
+      s"Skew.$who reserves the column name __salt")
+
   /** Two-phase salted aggregation: count per key with the first phase
     * spread over `salts` sub-keys. Phase 1 shuffles on (key, salt) —
     * hot keys split across `salts` tasks; phase 2 combines the (at most
     * `salts`) partial rows per key. Exactly equal to a direct
     * `groupBy(key).count()`.
     */
-  def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
+  def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame = {
+    requireNoSalt(df, "saltedCount")
     df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("key"), col("__salt"))
       .agg(count(lit(1)).as("partial"))
       .groupBy(col("key"))
       .agg(sum(col("partial")).as("cnt"))
+  }
 
   /** Generic two-phase salted sum over a long column. */
-  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int = 16): DataFrame =
+  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int = 16): DataFrame = {
+    requireNoSalt(df, "saltedSum")
     df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("partial"))
       .groupBy(col("key"))
       .agg(sum(col("partial")).as("total"))
+  }
 
   /** Salted broadcast-skew join: replicate the (small) build side `salts`
     * times and salt the probe side, so a hot probe key's rows spread over
@@ -54,6 +67,8 @@ object Skew {
     */
   def saltedBroadcastJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String, salts: Int = 8): DataFrame = {
+    requireNoSalt(probe, "saltedBroadcastJoin")
+    requireNoSalt(build, "saltedBroadcastJoin")
     val salted = probe.withColumn("__salt", rowSalt(probe, salts).cast("int"))
     val replicated = build.crossJoin(
       broadcast(org.apache.spark.sql.SparkSession.active.range(salts).select(col("id").cast("int").as("__salt"))))

@@ -32,6 +32,9 @@ object TextSink {
     import spark.implicits._
     val kv = df.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
       .as[(String, String)].rdd
+    // strcmp parity: unsigned UTF-8 byte order, like the reference's
+    // sorted insert — not the JVM's UTF-16 code-unit order.
+    implicit val strcmpOrder: Ordering[String] = graft.functions.Utf8ByteOrdering
     val sorted = new org.apache.spark.rdd.OrderedRDDFunctions[String, String, (String, String)](kv)
       .repartitionAndSortWithinPartitions(new Djb2Partitioner(numPartitions))
     sorted.foreachPartition { rows =>

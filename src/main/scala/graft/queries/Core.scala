@@ -112,11 +112,18 @@ object Core {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy(col("c_mktsegment"))
 
-  /** token -> sorted distinct doc ids (classic MR inverted index; A8). */
+  /** token -> sorted distinct doc ids (classic MR inverted index; A8).
+    * The posting list is emitted as a comma-joined string, not an array:
+    * the driver's oracle compare hashes cell values and array cells are
+    * unhashable on the pandas side (round-1 FAIL), and a flat string is
+    * also what the reference's text sink would print.
+    */
   def invertedIndex(s: SparkSession, d: String): DataFrame =
     tokenStream(s, d)
       .groupBy(col("token"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
+      .agg(array_join(
+        transform(sort_array(collect_set(col("doc_id"))), _.cast("string")),
+        ",").as("doc_ids"))
       .orderBy(col("token"))
 
   /** Top 20 tokens by count (reducer + global sort/limit). */
@@ -347,8 +354,9 @@ object Core {
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "inverted_index" ->
-      s"""SELECT token, list(DISTINCT doc_id ORDER BY doc_id) AS doc_ids
-         | FROM ($TokSql) GROUP BY token ORDER BY token""".stripMargin,
+      s"""SELECT token, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+         | FROM (SELECT DISTINCT token, doc_id FROM ($TokSql))
+         | GROUP BY token ORDER BY token""".stripMargin,
     "top_k" ->
       s"""SELECT token, count(*)::BIGINT AS cnt FROM ($TokSql)
          | GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,

@@ -208,9 +208,15 @@ object Pipeline {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
-  /** Multimodal metadata via the per-partition codec. */
+  /** Multimodal metadata via the per-partition codec. frame_samples is
+    * flattened to a comma-joined string for the oracle compare (array
+    * cells are unhashable on the driver's pandas side).
+    */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
-    Multimodal.decodeMeta(s, docs(s, d)).toDF().orderBy(col("doc_id"))
+    Multimodal.decodeMeta(s, docs(s, d)).toDF()
+      .withColumn("frame_samples",
+        array_join(transform(col("frame_samples"), _.cast("string")), ","))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
@@ -404,7 +410,7 @@ object Pipeline {
         |  (64 + n_bytes % 577)::INT AS width,
         |  (64 + (n_bytes * 31) % 509)::INT AS height,
         |  (1 + n_bytes % 30)::INT AS n_frames,
-        |  [0, ((1 + n_bytes % 30) // 2)::INT, (n_bytes % 30)::INT] AS frame_samples
+        |  concat('0,', (1 + n_bytes % 30) // 2, ',', n_bytes % 30) AS frame_samples
         | FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents)
         | ORDER BY doc_id""".stripMargin,
   )

@@ -67,4 +67,33 @@ class Djb2Spec extends AnyFunSuite {
       assert(p == Djb2.partition(w, 10).toLong, s"pid('$w')")
     }
   }
+
+  test("Utf8ByteOrdering == strcmp (unsigned UTF-8 bytes), incl. supplementary chars") {
+    def strcmp(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff).compare(y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length.compare(y.length)
+    }
+    // the divergence case: U+1F600 (surrogate pair, UTF-8 F0 9F 98 80)
+    // vs U+E000 (UTF-8 EE 80 80) — UTF-16 order says emoji < U+E000,
+    // byte order says the opposite
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(Ordering.String.compare(emoji, pua) < 0) // JVM default disagrees...
+    assert(graft.functions.Utf8ByteOrdering.compare(emoji, pua) > 0) // ...we match strcmp
+    val rnd = new scala.util.Random(7)
+    val pool = Seq("", "a", "This", "ÿ", emoji, pua, "z", "zz")
+    for (_ <- 1 to 2000) {
+      val a = (0 until rnd.nextInt(4)).map(_ => pool(rnd.nextInt(pool.size))).mkString
+      val b = (0 until rnd.nextInt(4)).map(_ => pool(rnd.nextInt(pool.size))).mkString
+      assert(math.signum(graft.functions.Utf8ByteOrdering.compare(a, b)) ==
+        math.signum(strcmp(a, b)), s"'$a' vs '$b'")
+    }
+  }
 }

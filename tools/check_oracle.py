@@ -16,8 +16,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _cell_key(v):
+    # arrays/lists are unhashable and render differently (ndarray vs list);
+    # canonicalize through list() so both engines produce the same sort key
+    if hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
+        return str(list(v))
+    return str(v)
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name AND rows by all columns: the positional compare
+    below must not depend on either engine's output order (the Spark result
+    is read back via a parquet glob with no ORDER BY guarantee)."""
     df = df[sorted(df.columns)]
+    if len(df) and len(df.columns):
+        key = df.apply(lambda s: s.map(_cell_key))
+        df = df.loc[key.sort_values(by=list(df.columns), kind="mergesort").index]
     return df.reset_index(drop=True)
 
 
