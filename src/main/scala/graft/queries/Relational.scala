@@ -1,0 +1,362 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 relational/function coverage beyond Core: subqueries (scalar,
+  * IN, correlated — Catalyst decorrelates them into joins for free),
+  * FULL OUTER join, GROUPING SETS, UNPIVOT, RANGE-frame windows, exact
+  * discrete percentiles via windows (no collect — scales), moment
+  * statistics derived from exact integer sums, min_by/max_by, and the
+  * regexp / array / conditional scalar-function batteries.
+  *
+  * Oracle-parity conventions are Core's (exact cents, BIGINT counts,
+  * total ORDER BY). Doubles appear only as a *final* fixed expression
+  * tree over exact BIGINT inputs — identical IEEE op order on both
+  * engines, hence bit-identical (see stats_agg).
+  */
+object Relational {
+
+  /** Register the named testdata tables as temp views so the SQL-surface
+    * queries (subqueries, GROUPING SETS) can run through `spark.sql`.
+    */
+  private def sql(s: SparkSession, d: String, tables: Seq[String], q: String): DataFrame = {
+    tables.foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+    s.sql(q)
+  }
+
+  // non-empty reference-semantics tokens, staged as a materialized column
+  // (HOF-on-expression-built-array re-evaluation trap — see TextFns)
+  private def nonEmptyTokens(c: Column): Column =
+    filter(TextFns.tokens(c), t => length(t) > 0)
+
+  private val ToksNE =
+    "list_filter(string_split_regex(text, '[ \t\n\r]'), t -> t <> '')"
+
+  /** Scalar subquery: orders priced above the all-orders mean. The mean is
+    * exact-integer (cents, integer division) so the threshold is identical
+    * in both engines — no float-mean ulp hazard.
+    */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("orders"),
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+        |  (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) div count(*) FROM orders)
+        |ORDER BY o_orderkey, cents""".stripMargin)
+
+  /** IN-subquery (uncorrelated): customers whose nation has a
+    * positive-balance supplier.
+    */
+  def inSubquery(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("customer", "supplier"),
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 0)
+        |ORDER BY c_custkey, c_mktsegment""".stripMargin)
+
+  /** Correlated scalar subquery: each customer's maximum-priced order(s).
+    * Catalyst decorrelates this into an aggregate + join — no per-row
+    * re-execution at any scale.
+    */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("orders"),
+      """SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) =
+        |  (SELECT max(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey, cents""".stripMargin)
+
+  /** FULL OUTER join of two aggregates (nations seen from the customer vs
+    * the supplier side); missing sides surface as zero counts.
+    */
+  def fullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Explicit GROUPING SETS (disjoint from cube/rollup) with grouping()
+    * markers distinguishing the aggregation level of each output row.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS cnt, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+
+  /** UNPIVOT (wide -> long): part metrics melted to (key, metric, value). */
+  def unpivotPart(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("long").as("size_val"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size_val"), col("price_cents")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** RANGE-frame window: trailing-7-day quantity per supplier, frame
+    * bounded by the ORDER BY *value* (epoch ms), not row position — peers
+    * at equal timestamps are all included, in both engines.
+    */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekMs = 7L * 86400000L
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_ms"))
+      .rangeBetween(-weekMs, 0)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("trail_qty", sum(col("qty")).over(w))
+      .orderBy(col("l_suppkey"), col("ship_ms"), col("l_orderkey"),
+        col("l_linenumber"), col("qty"), col("trail_qty"))
+  }
+
+  /** Exact discrete percentiles (p25/p50/p75 of price cents per return
+    * flag) via row_number + count windows — value-deterministic under
+    * ties and fully distributed (sort-based window; no per-group
+    * collect_list, unlike a naive sorted-array formulation).
+    */
+  def percentileDisc(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("lineitem"),
+      """WITH x AS (SELECT l_returnflag AS rf,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |r AS (SELECT rf, cents,
+        |        row_number() OVER (PARTITION BY rf ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY rf) AS n FROM x)
+        |SELECT rf, max(CASE WHEN rn = (n + 3) div 4 THEN cents END) AS p25,
+        |       max(CASE WHEN rn = (n + 1) div 2 THEN cents END) AS p50,
+        |       max(CASE WHEN rn = (3 * n + 3) div 4 THEN cents END) AS p75
+        |FROM r GROUP BY rf ORDER BY rf""".stripMargin)
+
+  /** Moment statistics (sample variance, Pearson correlation) derived
+    * from exact integer sums; the only floating-point is the final fixed
+    * expression tree over those BIGINTs — identical IEEE op order both
+    * engines, hence bit-identical. (Spark's native var_samp/corr stream
+    * partial double moments whose merge order is partition-dependent —
+    * right at 100 TB, but not oracle-hashable; at that scale the exact
+    * sums below would be DECIMAL to avoid int64 overflow.)
+    */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("lineitem"),
+      """WITH x AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q,
+        |             CAST(round(l_extendedprice) AS BIGINT) AS p FROM lineitem),
+        |a AS (SELECT rf, count(*) AS n, sum(q) AS sq, sum(q*q) AS sqq,
+        |        sum(p) AS sp, sum(p*p) AS spp, sum(q*p) AS spq
+        |      FROM x GROUP BY rf)
+        |SELECT rf, n,
+        |  round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0), 6) AS var_qty,
+        |  round((CAST(spq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS corr_qp
+        |FROM a ORDER BY rf""".stripMargin)
+
+  /** min_by / max_by with a deterministic composite ordinal: ties on
+    * quantity are broken by orderkey inside the 64-bit ordinal itself, so
+    * the picked row is unique (bare min_by/max_by is tie-nondeterministic
+    * — never oracle-hashable).
+    */
+  def minMaxBy(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        (col("l_quantity").cast("long") * lit(4294967296L) + col("l_orderkey"))
+          .as("ord"))
+      .groupBy(col("l_returnflag"))
+      .agg(max_by(col("l_orderkey"), col("ord")).as("okey_max_qty"),
+        min_by(col("l_orderkey"), col("ord")).as("okey_min_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Regexp scalar battery: extract / replace-all / count / match. */
+  def regexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "[aeiou]", "_").as("devoweled"),
+        expr("CAST(regexp_count(c_name, '[aeiou]') AS INT)").as("n_vowels"),
+        col("c_name").rlike("[0-9]$").cast("int").as("ends_digit"))
+      .orderBy(col("c_custkey"))
+
+  /** Array scalar battery over the token arrays (element access, contains,
+    * position, slice, transform+max) — scalar outputs only, so every cell
+    * is oracle-hashable.
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), nonEmptyTokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        element_at(col("ts"), 1).as("first_tok"),
+        array_contains(col("ts"), "the").cast("int").as("has_the"),
+        array_position(col("ts"), "the").as("pos_the"),
+        size(slice(col("ts"), 1, 5)).as("n_first5"),
+        array_max(transform(col("ts"), t => length(t))).as("max_tok_len"))
+      .orderBy(col("doc_id"))
+
+  /** Conditional/null scalar battery: CASE, nullif/coalesce, greatest/
+    * least over customer balances.
+    */
+  def conditionalFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        col("c_mktsegment"))
+      .select(col("c_custkey"), col("bal_cents"),
+        when(col("bal_cents") < 0, "neg")
+          .when(col("bal_cents") === 0, "zero")
+          .otherwise("pos").as("bal_sign"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg_or_other"),
+        greatest(col("bal_cents"), lit(0L)).as("credit"),
+        least(col("bal_cents"), lit(0L)).as("debit"))
+      .orderBy(col("c_custkey"))
+
+  /** Lateral position-explode: tokens with 1-based ordinals (the UDTF /
+    * generator surface beyond plain explode).
+    */
+  def lateralExplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), nonEmptyTokens(col("text")).as("ts"))
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("tok"))
+      .orderBy(col("doc_id"), col("i"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_subquery" -> scalarSubquery,
+    "in_subquery" -> inSubquery,
+    "correlated_subquery" -> correlatedSubquery,
+    "full_outer_join" -> fullOuterJoin,
+    "grouping_sets" -> groupingSets,
+    "unpivot_part" -> unpivotPart,
+    "window_range" -> windowRange,
+    "percentile_disc" -> percentileDisc,
+    "stats_agg" -> statsAgg,
+    "minmax_by" -> minMaxBy,
+    "regex_funcs" -> regexFuncs,
+    "array_funcs" -> arrayFuncs,
+    "conditional_funcs" -> conditionalFuncs,
+    "lateral_explode" -> lateralExplode,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scalar_subquery" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+        |  (SELECT (sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT // count(*)) FROM orders)
+        |ORDER BY o_orderkey, cents""".stripMargin,
+    "in_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 0)
+        |ORDER BY c_custkey, c_mktsegment""".stripMargin,
+    "correlated_subquery" ->
+      """SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) =
+        |  (SELECT max(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey, cents""".stripMargin,
+    "full_outer_join" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*)::BIGINT AS n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk2, count(*)::BIGINT AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(nk, nk2) AS nationkey,
+        |  coalesce(n_cust, 0)::BIGINT AS n_cust, coalesce(n_supp, 0)::BIGINT AS n_supp
+        |FROM c FULL OUTER JOIN s ON nk = nk2
+        |ORDER BY nationkey""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  count(*)::BIGINT AS cnt, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "unpivot_part" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS size_val,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents FROM part)
+        |UNPIVOT (value FOR metric IN (size_val, price_cents))
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, ship_ms, qty,
+        |  (sum(qty) OVER (PARTITION BY l_suppkey ORDER BY ship_ms
+        |     RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW))::BIGINT AS trail_qty
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        epoch_ms(l_shipdate) AS ship_ms,
+        |        CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+        |ORDER BY l_suppkey, ship_ms, l_orderkey, l_linenumber, qty, trail_qty""".stripMargin,
+    "percentile_disc" ->
+      """WITH x AS (SELECT l_returnflag AS rf,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |r AS (SELECT rf, cents,
+        |        row_number() OVER (PARTITION BY rf ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY rf) AS n FROM x)
+        |SELECT rf, max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS p25,
+        |       max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50,
+        |       max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS p75
+        |FROM r GROUP BY rf ORDER BY rf""".stripMargin,
+    "stats_agg" ->
+      """WITH x AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q,
+        |             CAST(round(l_extendedprice) AS BIGINT) AS p FROM lineitem),
+        |a AS (SELECT rf, count(*)::BIGINT AS n, sum(q)::BIGINT AS sq, sum(q*q)::BIGINT AS sqq,
+        |        sum(p)::BIGINT AS sp, sum(p*p)::BIGINT AS spp, sum(q*p)::BIGINT AS spq
+        |      FROM x GROUP BY rf)
+        |SELECT rf, n,
+        |  round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0), 6) AS var_qty,
+        |  round((CAST(spq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS corr_qp
+        |FROM a ORDER BY rf""".stripMargin,
+    "minmax_by" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey, CAST(l_quantity AS BIGINT) * 4294967296 + l_orderkey) AS okey_max_qty,
+        |  arg_min(l_orderkey, CAST(l_quantity AS BIGINT) * 4294967296 + l_orderkey) AS okey_min_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "regex_funcs" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  len(regexp_extract_all(c_name, '[aeiou]'))::INT AS n_vowels,
+        |  (CASE WHEN regexp_matches(c_name, '[0-9]$') THEN 1 ELSE 0 END)::INT AS ends_digit
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "array_funcs" ->
+      s"""SELECT doc_id, ts[1] AS first_tok,
+         |  (CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END)::INT AS has_the,
+         |  coalesce(list_position(ts, 'the'), 0)::BIGINT AS pos_the,
+         |  len(ts[1:5])::INT AS n_first5,
+         |  list_max(list_transform(ts, t -> length(t)))::INT AS max_tok_len
+         |FROM (SELECT doc_id, $ToksNE AS ts FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "conditional_funcs" ->
+      """SELECT c_custkey, bal_cents,
+        |  CASE WHEN bal_cents < 0 THEN 'neg' WHEN bal_cents = 0 THEN 'zero'
+        |       ELSE 'pos' END AS bal_sign,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+        |  greatest(bal_cents, 0)::BIGINT AS credit,
+        |  least(bal_cents, 0)::BIGINT AS debit
+        |FROM (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |        c_mktsegment FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "lateral_explode" ->
+      s"""SELECT doc_id, i::BIGINT AS i, tok FROM (
+         |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS i, unnest(ts) AS tok
+         |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents WHERE doc_id < 50))
+         |ORDER BY doc_id, i""".stripMargin,
+  )
+}
