@@ -118,6 +118,51 @@ object Sessions {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
+  /** Stream-stream inner join with event-time range bounds: each `view`
+    * event joined to the same user's `purchase` events within the next 30
+    * minutes. Watermarks on BOTH sides bound the join state (without them
+    * a stream-stream join buffers forever — the canonical unbounded-state
+    * mistake at scale); the range condition lets the engine expire
+    * buffered rows as the watermark advances.
+    */
+  def streamingViewPurchaseJoin(spark: SparkSession, sfDir: String,
+      streamDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    def side(tpe: String, pfx: String) =
+      spark.readStream.schema(schema).parquet(streamDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "1 hour")
+    side("view", "v").join(side("purchase", "p"),
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+        col("p_id").as("purchase_id"),
+        unix_millis(col("v_ts")).as("view_ms"),
+        unix_millis(col("p_ts")).as("purchase_ms"))
+  }
+
+  /** Streaming exact dedup on event_id with watermark-bounded state:
+    * duplicates arriving within the watermark delay are dropped, state
+    * for expired event times is cleaned up (the streaming face of
+    * Dedup.exact; unbounded dropDuplicates would accumulate state
+    * forever).
+    */
+  def streamingDedupEvents(spark: SparkSession, sfDir: String,
+      streamDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tstamp", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Streaming variant: same session_window aggregation with a watermark
     * for state cleanup / late-data handling. `streamDir` is a monitored
     * directory of events-schema parquet files (the file-stream deployment

@@ -65,4 +65,56 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
     spark.sql("DROP TABLE IF EXISTS stream_totals")
   }
+
+  test("stream-stream range join equals the batch join on replay") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val q = Sessions.streamingViewPurchaseJoin(spark, sf0001, streamDir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_vp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_vp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val ev = Sessions.events(spark, sf0001)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("view_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ms"))
+    val batch = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ms") >= col("view_ms") &&
+          col("purchase_ms") <= col("view_ms") + lit(1800000L))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ms"), col("purchase_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(batch.nonEmpty, "batch comparator produced no view->purchase pairs")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    spark.sql("DROP TABLE IF EXISTS stream_vp")
+  }
+
+  test("dropDuplicatesWithinWatermark: replayed duplicate batch is fully deduped") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    // same events file staged twice -> every event_id arrives twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-001.parquet"))
+    val q = Sessions.streamingDedupEvents(spark, sf0001, streamDir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("stream_dedup").collect().map(_.getLong(0))
+    val expected = Sessions.events(spark, sf0001).select("event_id")
+      .distinct().count()
+    assert(ids.length == ids.distinct.length, "duplicate event_ids in deduped stream")
+    assert(ids.length == expected,
+      s"deduped stream has ${ids.length} ids, batch-distinct has $expected")
+    spark.sql("DROP TABLE IF EXISTS stream_dedup")
+  }
 }
