@@ -189,4 +189,30 @@ class ScaleSpec extends SparkSuite {
     val wc = planOf("wordcount")
     assert(wc.contains("ReadSchema: struct<text:string>"), wc.take(800))
   }
+
+  test("plan guards: subqueries decorrelate to joins, never nested loops") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    // correlated scalar subquery must become aggregate + equi-join
+    val corr = planOf("correlated_subquery")
+    assert(!corr.contains("BroadcastNestedLoopJoin") && !corr.contains("CartesianProduct"),
+      corr.take(800))
+    assert(corr.contains("HashJoin") || corr.contains("SortMergeJoin"), corr.take(800))
+    // IN-subquery must become a (semi) join
+    val insq = planOf("in_subquery")
+    assert(!insq.contains("BroadcastNestedLoopJoin") && !insq.contains("CartesianProduct"),
+      insq.take(800))
+    assert(insq.contains("LeftSemi"), insq.take(800))
+    // uncorrelated scalar subquery: one reusable subquery result, no
+    // per-row re-execution
+    val ssq = planOf("scalar_subquery")
+    assert(ssq.contains("Subquery") && !ssq.contains("CartesianProduct"), ssq.take(800))
+  }
+
+  test("plan guard: lateral_explode pushes the doc_id filter to the scan") {
+    val plan = SparkEntry.queries("lateral_explode")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
+      plan.take(800))
+  }
 }
