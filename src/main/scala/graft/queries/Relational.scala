@@ -235,7 +235,49 @@ object Relational {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("tok"))
       .orderBy(col("doc_id"), col("i"))
 
+  /** Multiset set ops (EXCEPT ALL / INTERSECT ALL — duplicate-preserving,
+    * unlike set_ops' distinct semantics), aggregated per key.
+    */
+  def exceptIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      .select(col("l_partkey").as("k"))
+    val b = Tables.part(s, d).select(col("p_partkey").as("k"))
+    val ex = a.exceptAll(b).groupBy(col("k"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy(col("k"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select(col("op"), col("k"), col("n"))
+      .orderBy(col("op"), col("k"))
+  }
+
+  /** Date arithmetic battery: truncation, offset, diff, day-of-week,
+    * quarter. Date-typed results are exported as integer epoch units —
+    * engine-native date objects are not reliably hash-comparable.
+    */
+  def dateArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        unix_millis(date_trunc("month", col("o_orderdate")).cast("timestamp"))
+          .as("month_ms"),
+        datediff(date_add(col("o_orderdate").cast("date"), 30), lit("1970-01-01").cast("date"))
+          .cast("long").as("d30_days"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow"),
+        quarter(col("o_orderdate")).cast("int").as("qtr"))
+      .orderBy(col("o_orderkey"), col("month_ms"), col("d30_days"))
+
+  /** Bitwise aggregates over the orderkey domain. */
+  def bitwiseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_and(l_orderkey)").as("band"),
+        expr("bit_or(l_orderkey)").as("bor"),
+        expr("bit_xor(l_orderkey)").as("bxor"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "except_intersect_all" -> exceptIntersectAll,
+    "date_arith" -> dateArith,
+    "bitwise_agg" -> bitwiseAgg,
     "scalar_subquery" -> scalarSubquery,
     "in_subquery" -> inSubquery,
     "correlated_subquery" -> correlatedSubquery,
@@ -253,6 +295,26 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "except_intersect_all" ->
+      """WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45),
+        |     b AS (SELECT p_partkey AS k FROM part)
+        |SELECT 'except_all' AS op, k, count(*)::BIGINT AS n
+        |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, k, count(*)::BIGINT AS n
+        |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+        |ORDER BY op, k""".stripMargin,
+    "date_arith" ->
+      """SELECT o_orderkey,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE + 30)::BIGINT AS d30_days,
+        |  (dayofweek(o_orderdate) + 1)::INT AS dow,
+        |  quarter(o_orderdate)::INT AS qtr
+        |FROM orders ORDER BY o_orderkey, month_ms, d30_days""".stripMargin,
+    "bitwise_agg" ->
+      """SELECT l_returnflag, bit_and(l_orderkey)::BIGINT AS band,
+        |  bit_or(l_orderkey)::BIGINT AS bor, bit_xor(l_orderkey)::BIGINT AS bxor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "scalar_subquery" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders
