@@ -11,10 +11,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer startup costs (~4 s)
-    // otherwise land entirely on whichever query happens to run first
+    // otherwise land entirely on whichever query happens to run first.
+    // The tiny dedup slice compiles the heavy generated-code families
+    // (shingling, MinHash/SimHash exprs, bucket aggregation) — measured
+    // ~1.5 s of pure JIT otherwise attributed to the first LSH query.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      graft.operators.Dedup.minhash(docs).count()
+      graft.operators.Dedup.simhash(docs).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -22,6 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // ObjectHashAggregate (collect_set/collect_list aggs, e.g. the LSH
+      // bucket collects) falls back to sort-based aggregation after 128
+      // distinct groups per task by default — measured 2x slower on
+      // high-cardinality bucket keys; fallback (and its spill safety)
+      // re-engages beyond this bound (Dedup sets the same at runtime)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config("spark.ui.enabled", "false")
 
   /** Build the session and register the graft SQL functions + the

@@ -36,6 +36,17 @@ object Dedup {
   def tokensNE(text: Column): Column =
     filter(TextFns.tokens(text), t => t =!= "")
 
+  /** LSH bucket collects are ObjectHashAggregates over high-cardinality
+    * keys; Spark's default sort-based fallback threshold (128 groups per
+    * task) turns every one of them into a sort — measured 2x slower at
+    * sf0.1. Raised (not unbounded: spill safety re-engages at 4M groups/
+    * task). Runtime-settable session conf; GraftSession.builder sets the
+    * same for sessions built through it.
+    */
+  private def tuneBucketAgg(df: DataFrame): Unit =
+    df.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+
   /** Exact dedup: sha256 of the raw text, keep the smallest doc_id per
     * hash group (single hash-groupBy; partial aggregation map-side).
     */
@@ -76,25 +87,44 @@ object Dedup {
           concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1),
             element_at(col("ts"), i + 2)))).as("sh"))
 
+  /** doc_id -> sorted 64-bit shingle-hash array: the shared verify-side
+    * set representation. Hash-set Jaccard equals string-set Jaccard up to
+    * ~2^-64 collisions and set sizes are identical — the same equivalence
+    * ngram_jaccard's DuckDB oracle pins — while the pairwise intersect
+    * becomes a native sorted-merge loop instead of interpreted string-set
+    * ops (~50x at sf0.1).
+    */
+  def shingleHashSets(docs: DataFrame): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"),
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("hs"))
+
   /** doc_id -> 64-long MinHash signature array.
     * Map-only: base hashes per shingle, then the whole 64-perm signature
     * in one native codegen'd loop ([[graft.functions.SketchExprs]]) — no
     * shuffle, no 64-column aggregate (measured ~10x over both).
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleSets(docs)
-      // 31-bit base hash: xxhash64 masked (keeps a*h within int64)
-      .select(col("doc_id"), transform(col("sh"), s =>
-        xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL))).as("hs"))
+    signaturesFrom(shingleHashSets(docs))
+
+  private def signaturesFrom(hsets: DataFrame): DataFrame =
+    hsets
+      // 31-bit base hash: the 64-bit hash masked (keeps a*h within int64);
+      // staged projection — do not inline into the signature expression
+      .select(col("doc_id"), transform(col("hs"), h =>
+        h.bitwiseAND(lit(0x7FFFFFFFL))).as("h31"))
       .select(col("doc_id"), graft.functions.SketchExprs.minhashSig(
-        col("hs"), perms.map(_._1), perms.map(_._2), P31).as("sig"))
+        col("h31"), perms.map(_._1), perms.map(_._2), P31).as("sig"))
 
   /** Candidate pairs from 16-band LSH over the signatures.
     * `starBucketThreshold`: opt-in giant-bucket cap (see class doc).
     */
   def minhashCandidates(docs: DataFrame,
-      starBucketThreshold: Int = Int.MaxValue): DataFrame = {
-    val sigs = minhashSignatures(docs)
+      starBucketThreshold: Int = Int.MaxValue): DataFrame =
+    candidatesFrom(minhashSignatures(docs), starBucketThreshold)
+
+  private def candidatesFrom(sigs: DataFrame, starBucketThreshold: Int): DataFrame = {
+    tuneBucketAgg(sigs)
     val bands = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * 4 + 1 to b * 4 + 4).map(i => element_at(col("sig"), i)): _*).as("bh"))
@@ -125,17 +155,19 @@ object Dedup {
           struct(x.as("id1"), y.as("id2"))))))
 
   /** Near-dup pairs: LSH candidates verified with exact Jaccard >= minJac
-    * over the shingle sets (two hash joins on doc_id — no n^2 stage).
+    * over the shingle-hash sets (two hash joins on doc_id — no n^2 stage;
+    * intersect is the native sorted-merge expression).
     */
   def minhash(docs: DataFrame, minJac: Double = 0.5,
       starBucketThreshold: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleSets(docs)
-    minhashCandidates(docs, starBucketThreshold)
-      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 6))
+    val hsets = shingleHashSets(docs)
+    candidatesFrom(signaturesFrom(hsets), starBucketThreshold)
+      .join(hsets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(hsets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
       .filter(col("jaccard") >= minJac)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -160,6 +192,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, maxHamming: Int = 3,
       starBucketThreshold: Int = Int.MaxValue): DataFrame = {
+    tuneBucketAgg(docs)
     val sh = simhashes(docs)
     val blocks = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
@@ -214,6 +247,7 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, minCos: Double = 0.35,
       cellCol: String = "label",
       starBucketThreshold: Int = Int.MaxValue): DataFrame = {
+    tuneBucketAgg(emb)
     val candidates = emb
       .select(col(cellCol).as("cell"), col("vec_id"))
       .groupBy(col("cell"))
@@ -233,6 +267,7 @@ object Dedup {
     */
   def embeddingNearDupLsh(emb: DataFrame, dim: Int, minCos: Double = 0.9,
       starBucketThreshold: Int = Int.MaxValue): DataFrame = {
+    tuneBucketAgg(emb)
     val planes = hyperplanes(dim)
     val tableKeys = (0 until Tables).map { t =>
       struct(lit(t).as("tbl"),
