@@ -173,6 +173,55 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Connected components over an undirected pair list (min-label
+    * propagation): every vertex converges to the smallest id reachable
+    * from it — the cluster representative. This is the collapse step a
+    * real dedup pipeline needs after pair generation: near-dup PAIRS are
+    * not deduplicatable per se; transitive groups are (keep the rep, drop
+    * the rest).
+    *
+    * Each round is two shuffle-bounded ops (join + min-aggregate); rounds
+    * needed = graph diameter (near-dup clusters are near-cliques, so 2-3
+    * in practice, never more than O(log n) with the pair lists LSH
+    * produces). The driver only coordinates round boundaries — all data
+    * work is distributed; intermediates are persisted and released per
+    * round so lineage stays O(1). (GraphX/Pregel is the same loop; plain
+    * DataFrames keep it Catalyst-optimized and dependency-free.)
+    */
+  def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
+      idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
+    val e = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    try {
+      // each round MUST truncate lineage (eager localCheckpoint), not just
+      // cache: the logical plan otherwise doubles per round (labels is
+      // referenced twice) and the 2^rounds plan tree OOMs the driver long
+      // before the data does. On a cluster with an unreliable driver disk,
+      // reliable checkpoint() to the shared FS is the drop-in equivalent.
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+          .filter(col("label") =!= col("prev")).count()
+        labels.unpersist() // release the previous round's checkpoint blocks
+        labels = next
+        iter += 1
+      }
+      require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+      labels
+    } finally edges.unpersist()
+  }
+
   // --- SimHash --------------------------------------------------------------
 
   /** doc_id -> 64-bit SimHash over djb2 shingle hashes (the reference's

@@ -218,7 +218,53 @@ object Pipeline {
         array_join(transform(col("frame_samples"), _.cast("string")), ","))
       .orderBy(col("doc_id"))
 
+  /** Near-dup clusters: exact-Jaccard pairs (the oracle-able twin of the
+    * LSH pairs) collapsed into connected components — one row per
+    * cluster with its representative (min id) and member list. This is
+    * the step that turns "pairs" into "what to keep / what to drop" in a
+    * real curation pipeline.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(ngramJaccard(s, d))
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_set(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .orderBy(col("cluster_rep"))
+
+  /** Deterministic hash-based train/valid/test split (80/10/10): the
+    * assignment depends only on doc_id (stable across runs, machines,
+    * partitionings — resharding the corpus must never move a document
+    * between splits). Knuth multiplicative hash; exact integer arithmetic
+    * on both engines.
+    */
+  def trainTestSplit(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(100L)).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Text normalization for training corpora: lowercase, numerals
+    * replaced with a placeholder, whitespace collapsed, trimmed. Exported
+    * as (length, sha256) so the oracle hashes scalar cells.
+    */
+  def normalizeText(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[0-9]+", "<num>"), "[ \t\n\r]+", " ")).as("norm"))
+      .select(col("doc_id"), length(col("norm")).as("norm_len"),
+        sha2(col("norm"), 256).as("norm_sha"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters,
+    "train_test_split" -> trainTestSplit,
+    "normalize_text" -> normalizeText,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     // SURVEY.md §2 tier C name for the MinHash/LSH near-dup operator
@@ -264,7 +310,51 @@ object Pipeline {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
        |  FROM e)""".stripMargin
 
+  /** Shared DuckDB fragment: the exact-Jaccard >= 0.5 pair list on the
+    * bounded id range (the ngram_jaccard oracle's core, reused by the
+    * dedup_clusters oracle so pair semantics cannot drift).
+    */
+  private val JaccardPairsCte: String =
+    s"""sh_sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+       |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+       |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents WHERE doc_id < 500)
+       |  WHERE len(ts) >= 3),
+       |jpairs AS (
+       |  SELECT id1, id2 FROM (
+       |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |      round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |            / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+       |    FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |$JaccardPairsCte,
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM jpairs
+         |          UNION SELECT id2, id1 FROM jpairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+         |SELECT root AS cluster_rep, count(*)::BIGINT AS n_members,
+         |  string_agg(id, ',' ORDER BY id) AS members
+         |FROM comp GROUP BY root ORDER BY cluster_rep""".stripMargin,
+    "train_test_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, (doc_id * 2654435761) % 100 AS b FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "normalize_text" ->
+      """SELECT doc_id, length(norm)::INT AS norm_len, sha256(norm) AS norm_sha
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[0-9]+', '<num>', 'g'), '[ \t\n\r]+', ' ', 'g')) AS norm
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
         |  count(*)::BIGINT AS n_copies

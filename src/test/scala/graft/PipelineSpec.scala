@@ -137,6 +137,42 @@ class PipelineSpec extends SparkSuite {
     cases.foreach { case (id, _, exp) => assert(got(id) == exp, s"doc $id") }
   }
 
+  test("connected components: planted chains collapse to min-id reps") {
+    import spark.implicits._
+    // chain 1-2-3 (no direct 1-3 edge), pair 5-6, isolated-in-pairs 8-9
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 8L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("connected components match a scalar union-find on random graphs (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // scalar union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // normalize union-find roots to the min id of each component
+      val byRoot = vertices.groupBy(find)
+      val expected = byRoot.values.flatMap(vs => vs.map(_ -> vs.min)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("multimodal codec: per-partition decode produces the deterministic metadata") {
     import spark.implicits._
     val docs = Seq((7L, "abcd")).toDF("doc_id", "text") // 4 bytes
