@@ -248,6 +248,21 @@ object Pipeline {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** Quota sampling for corpus balancing: the top 5 documents per
+    * predicted language by quality score — the custom heap-based
+    * TopKPerGroup operator composed over the text-analysis functions
+    * (no per-group sort at any scale; ties broken by doc_id).
+    */
+  def curatedSample(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d).select(col("doc_id"),
+      TextFns.langId(col("text")).as("lang_pred"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    graft.plans.TopKPerGroup(scored, Seq("lang_pred"),
+        Seq(col("quality").desc, col("doc_id").asc), k = 5)
+      .select(col("lang_pred"), col("doc_id"), col("quality"))
+      .orderBy(col("lang_pred"), col("quality").desc, col("doc_id"))
+  }
+
   /** Text normalization for training corpora: lowercase, numerals
     * replaced with a placeholder, whitespace collapsed, trimmed. Exported
     * as (length, sha256) so the oracle hashes scalar cells.
@@ -265,6 +280,7 @@ object Pipeline {
     "dedup_clusters" -> dedupClusters,
     "train_test_split" -> trainTestSplit,
     "normalize_text" -> normalizeText,
+    "curated_sample" -> curatedSample,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     // SURVEY.md §2 tier C name for the MinHash/LSH near-dup operator
@@ -420,13 +436,14 @@ object Pipeline {
         |  list_sum(list_transform(string_split_regex(text, '[ \t\n\r]'), t -> length(t)))::BIGINT AS sum_token_len
         | FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" -> langIdOracle,
-    "quality_score" ->
-      s"""SELECT doc_id, round(
-         |  0.5 * least(1.0, len(string_split_regex(text, '[ \t\n\r]'))::DOUBLE / 100.0)
-         |  + 0.5 * (len(list_filter(string_split_regex(text, '[ \t\n\r]'),
-         |                 t -> t IN ('the','a','and','of','is','not')))::DOUBLE
-         |           / len(string_split_regex(text, '[ \t\n\r]'))::DOUBLE), 6) AS quality
-         | FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" -> QualityOracle,
+    "curated_sample" ->
+      s"""SELECT lang_pred, doc_id, quality FROM (
+         |  SELECT l.lang_pred, l.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY l.lang_pred
+         |      ORDER BY q.quality DESC, l.doc_id) AS rn
+         |  FROM ($langIdOracle) l JOIN ($QualityOracle) q ON l.doc_id = q.doc_id)
+         |WHERE rn <= 5 ORDER BY lang_pred, quality DESC, doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, fp FROM (
          |  SELECT doc_id,
@@ -504,6 +521,18 @@ object Pipeline {
         | FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents)
         | ORDER BY doc_id""".stripMargin,
   )
+
+  /** quality_score oracle (also the scored input of curated_sample).
+    * A def, not a val: the oracleSql map above initializes first — a
+    * forward val reference would be null at object init.
+    */
+  private def QualityOracle: String =
+    s"""SELECT doc_id, round(
+       |  0.5 * least(1.0, len(string_split_regex(text, '[ \t\n\r]'))::DOUBLE / 100.0)
+       |  + 0.5 * (len(list_filter(string_split_regex(text, '[ \t\n\r]'),
+       |                 t -> t IN ('the','a','and','of','is','not')))::DOUBLE
+       |           / len(string_split_regex(text, '[ \t\n\r]'))::DOUBLE), 6) AS quality
+       | FROM documents ORDER BY doc_id""".stripMargin
 
   /** lang_id oracle: same marker lists, same alphabetical-first argmax. */
   private def langIdOracle: String = {
