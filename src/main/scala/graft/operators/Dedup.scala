@@ -199,22 +199,27 @@ object Dedup {
       // referenced twice) and the 2^rounds plan tree OOMs the driver long
       // before the data does. On a cluster with an unreliable driver disk,
       // reliable checkpoint() to the shared FS is the drop-in equivalent.
-      var labels = edges.select(col("src").as("id")).distinct()
+      var chk = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")).localCheckpoint()
+      var labels = chk
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
         val nbrMin = edges
           .join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
+        // carry the previous label through the checkpoint: the change
+        // count then reads the materialized round instead of paying a
+        // second labels join per round
         val next = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+            col("label").as("prev"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-          .filter(col("label") =!= col("prev")).count()
-        labels.unpersist() // release the previous round's checkpoint blocks
-        labels = next
+        changed = next.filter(col("label") =!= col("prev")).count()
+        chk.unpersist() // release the previous round's checkpoint blocks
+        chk = next
+        labels = next.select(col("id"), col("label"))
         iter += 1
       }
       require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
