@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * table — the composition these operators exist for:
   *
   *   1. exact dedup (sha256 keep-min)
-  *   2. near-dup removal (MinHash/LSH pairs -> drop the higher doc_id)
+  *   2. near-dup CLUSTER removal (MinHash/LSH pairs -> connected
+  *      components -> keep each cluster's min-id representative; pairwise
+  *      "drop id2" under-removes transitive groups)
   *   3. quality + language filters
-  *   4. per-doc stats + fingerprint columns
+  *   4. per-doc stats, normalized text, fingerprint, deterministic
+  *      train/valid/test split
   *   5. partitioned parquet out (pruned downstream scans)
   *
-  * Every stage is shuffle-bounded; nothing is collected to the driver.
+  * Every stage is shuffle-bounded; the only driver involvement is the
+  * per-round convergence count inside connectedComponents.
   * Usage: runMain graft.examples.CurationPipelineExample <sfDir> <outDir>
   */
 object CurationPipelineExample {
@@ -32,9 +36,11 @@ object CurationPipelineExample {
     val exactSurvivors = Dedup.exact(docs).select(col("keep_doc_id").as("doc_id"))
     val afterExact = docs.join(exactSurvivors, "doc_id")
 
-    // 2. near-dup removal: drop the higher id of every verified pair
-    val nearDupLosers = Dedup.minhash(afterExact, minJac = 0.5)
-      .select(col("id2").as("doc_id")).distinct()
+    // 2. near-dup cluster removal: pairs -> components -> keep the rep
+    val nearDupLosers = Dedup.connectedComponents(
+        Dedup.minhash(afterExact, minJac = 0.5))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
     val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
     // 3. quality + language gates
@@ -43,13 +49,19 @@ object CurationPipelineExample {
       .withColumn("lang_pred", TextFns.langId(col("text")))
       .filter(col("quality") >= 0.2)
 
-    // 4. per-doc features
+    // 4. per-doc features, normalized text, stable train/valid/test split
     val curated = gated
       .withColumn("n_tokens", size(TextFns.tokens(col("text"))))
+      .withColumn("norm_text", trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[0-9]+", "<num>"), "[ \t\n\r]+", " ")))
+      .withColumn("split",
+        when(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 80, "train")
+          .when(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 90, "valid")
+          .otherwise("test"))
       .join(TextFns.fingerprintDf(gated, "doc_id", "text"), Seq("doc_id"), "left_outer")
 
     // 5. partitioned write for pruned downstream reads
-    Sources.writeParquet(curated, outDir, partitionBy = Seq("lang"))
+    Sources.writeParquet(curated, outDir, partitionBy = Seq("lang", "split"))
 
     val n1 = spark.read.parquet(outDir).count()
     println(s"[pipeline] $n0 docs in -> $n1 curated out " +

@@ -117,4 +117,30 @@ class StreamingSpec extends SparkSuite {
       s"deduped stream has ${ids.length} ids, batch-distinct has $expected")
     spark.sql("DROP TABLE IF EXISTS stream_dedup")
   }
+
+  test("foreachBatch sink: streaming dedup lands in parquet once per event") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-fb-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-001.parquet"))
+    val q = Sessions.streamingDedupEvents(spark, sf0001, streamDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        // the standard custom-sink escape hatch: per-microbatch batch
+        // write (idempotent per batchId in a production upsert sink)
+        batch.write.mode("append").parquet(s"$outDir/b$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$outDir/b*").select("event_id")
+    val expected = Sessions.events(spark, sf0001).select("event_id").distinct().count()
+    assert(landed.count() == expected)
+    assert(landed.distinct().count() == expected)
+  }
 }
