@@ -59,7 +59,13 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native functions, the TopKPerGroup
+  * planner strategy, and the window-top-k rewrite rule.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(e)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+  }
 }

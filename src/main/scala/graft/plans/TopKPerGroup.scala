@@ -65,6 +65,18 @@ object TopKPerGroup {
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
     }
   }
+
+  /** Idempotently add the [[RewriteWindowTopK]] optimizer rule (plus the
+    * strategy it plans into) to a live session — the runtime counterpart
+    * of `spark.sql.extensions=graft.GraftExtensions`.
+    */
+  def ensureRule(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
+    if (!spark.experimental.extraOptimizations.contains(RewriteWindowTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteWindowTopK
+    }
+  }
 }
 
 /** Logical node: constructed with already-resolved child expressions, so

@@ -51,4 +51,47 @@ class TopKPerGroupSpec extends SparkSuite {
       .select("v").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(9L, 8L, 7L))
   }
+
+  test("optimizer rule rewrites row_number+filter+drop to TopKPerGroupExec") {
+    TopKPerGroup.ensureRule(spark)
+    val li = Tables.lineitem(spark, sf0001)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val windowed = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val q = windowed.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(800))
+    // neither the window operator, Spark's sort-based WindowGroupLimit
+    // mitigation, nor any sort may survive the rewrite
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["),
+      s"window machinery survived the rewrite:\n${plan.take(800)}")
+    assert(!plan.contains("Sort "), s"unexpected sort:\n${plan.take(800)}")
+    // identical multiset of rows as the (unrewritten) window formulation
+    val viaWindow = windowed.collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber"))).sorted.toSeq
+    val viaRule = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(viaRule == viaWindow)
+  }
+
+  test("optimizer rule does NOT fire when rn is kept, a bound is non-literal, or no PARTITION BY") {
+    TopKPerGroup.ensureRule(spark)
+    val li = Tables.lineitem(spark, sf0001)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc, col("l_orderkey").asc)
+    // rn in the output -> only the window operator can materialize it
+    val kept = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"))
+    // rn compared to a column, not a literal
+    val nonLit = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("l_linenumber"))
+      .select(col("l_returnflag"), col("l_orderkey"))
+    assert(nonLit.queryExecution.executedPlan.toString.contains("Window"))
+    // global (unpartitioned) row_number
+    val global = li.withColumn("rn",
+        row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))))
+      .filter(col("rn") <= 3).select(col("l_orderkey"))
+    assert(global.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
