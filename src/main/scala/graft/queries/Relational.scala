@@ -265,6 +265,25 @@ object Relational {
         quarter(col("o_orderdate")).cast("int").as("qtr"))
       .orderBy(col("o_orderkey"), col("month_ms"), col("d30_days"))
 
+  /** The row_number top-k idiom written as plain SQL, accelerated by the
+    * RewriteWindowTopK optimizer rule (registered at runtime here): the
+    * window formulation is what a user writes; the plan that runs is the
+    * heap-based TopKPerGroup operator with no sort. Same oracle shape as
+    * topk_per_group — the gate proves the rewrite preserves semantics.
+    */
+  def topkRewrite(s: SparkSession, d: String): DataFrame = {
+    graft.plans.TopKPerGroup.ensureRule(s)
+    sql(s, d, Seq("lineitem"),
+      """SELECT l_returnflag, l_orderkey, l_linenumber, qty FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber""".stripMargin)
+  }
+
   /** Bitwise aggregates over the orderkey domain. */
   def bitwiseAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -278,6 +297,7 @@ object Relational {
     "except_intersect_all" -> exceptIntersectAll,
     "date_arith" -> dateArith,
     "bitwise_agg" -> bitwiseAgg,
+    "topk_rewrite" -> topkRewrite,
     "scalar_subquery" -> scalarSubquery,
     "in_subquery" -> inSubquery,
     "correlated_subquery" -> correlatedSubquery,
@@ -315,6 +335,15 @@ object Relational {
       """SELECT l_returnflag, bit_and(l_orderkey)::BIGINT AS band,
         |  bit_or(l_orderkey)::BIGINT AS bor, bit_xor(l_orderkey)::BIGINT AS bxor
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "topk_rewrite" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, qty FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        | WHERE rn <= 3
+        | ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber""".stripMargin,
     "scalar_subquery" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders
