@@ -60,4 +60,40 @@ object AsOfJoin {
       .withColumn(payloadCol, col("__pay.v"))
       .select((probeCols :+ payloadCol).map(col): _*)
   }
+
+  /** Forward as-of: for every probe row, the NEAREST build row with
+    * `build.ts >= probe.ts` (inclusive) within the same key — the mirror
+    * of [[lastValue]], same single shuffle-sort + carry, with the frame
+    * running forward (`first` over [current, unbounded following]) and
+    * the side tie-break flipped so an equal-ts build row is visible to
+    * its probe. Among build rows sharing (key, ts) the SMALLEST payload
+    * wins (first in __pay order) — deterministic like lastValue.
+    */
+  def nextValue(probe: DataFrame, build: DataFrame,
+      keyCol: String, tsCol: String, payloadCol: String): DataFrame = {
+    val reserved = Seq("__side", "__pay")
+    require(reserved.forall(r => !probe.columns.contains(r) && !build.columns.contains(r)),
+      "AsOfJoin reserves the column names __side and __pay")
+    require(!probe.columns.contains(payloadCol),
+      s"probe already has a column named $payloadCol")
+    val probeCols = probe.columns.toSeq
+    val payType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", build.schema(payloadCol).dataType)))
+    val p = probe
+      .withColumn("__side", lit(0)) // probe first at equal ts: build stays in frame
+      .withColumn("__pay", lit(null).cast(payType))
+    val b = build.select(col(keyCol), col(tsCol),
+        struct(col(payloadCol).as("v")).as("__pay"))
+      .withColumn("__side", lit(1))
+    val unioned = p.select((probeCols :+ "__side" :+ "__pay").map(col): _*)
+      .unionByName(b, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__pay"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn("__pay", first(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .withColumn(payloadCol, col("__pay.v"))
+      .select((probeCols :+ payloadCol).map(col): _*)
+  }
 }

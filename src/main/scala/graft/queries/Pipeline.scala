@@ -199,6 +199,41 @@ object Pipeline {
       .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
   }
 
+  /** Forward as-of join: each event picks up the NEAREST session start
+    * at or after its timestamp (null for events after their user's last
+    * session start) — the mirror of asof_join, checked against DuckDB's
+    * ASOF LEFT JOIN with a <= condition.
+    */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val sessions = sessionize(s, d)
+      .select(col("user_id"), col("start_ms"), col("session_seq"))
+      .withColumnRenamed("start_ms", "ts_ms")
+    val ev = Sessions.events(s, d).select(col("user_id"), col("event_id"), col("ts_ms"))
+    graft.operators.AsOfJoin.nextValue(ev, sessions,
+        keyCol = "user_id", tsCol = "ts_ms", payloadCol = "session_seq")
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  /** Interval-overlap join: pairs of events of the same user within 5
+    * minutes of each other (each event widened to a 5-minute interval;
+    * overlap ⇔ |Δts| <= 5 min), counted per user. Runs on the binned
+    * overlap operator — equi-join on (user, bin) with first-shared-bin
+    * dedup, never a nested loop.
+    */
+  def overlapJoin(s: SparkSession, d: String): DataFrame = {
+    val winMs = 300000L
+    val ev = Sessions.events(s, d).select(col("user_id"), col("event_id"), col("ts_ms"))
+    val a = ev.select(col("user_id"), col("event_id").as("id1"), col("ts_ms").as("lo1"))
+      .withColumn("hi1", col("lo1") + lit(winMs))
+    val b = ev.select(col("user_id"), col("event_id").as("id2"), col("ts_ms").as("lo2"))
+      .withColumn("hi2", col("lo2") + lit(winMs))
+    graft.operators.RangeJoin.overlap(a, b, Seq("user_id"),
+        lo1 = "lo1", hi1 = "hi1", lo2 = "lo2", hi2 = "hi2", binWidth = winMs)
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   /** Distinct aggregates (count-distinct reducer shape). */
   def countDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -300,6 +335,8 @@ object Pipeline {
     "multimodal_meta" -> multimodalMeta,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
+    "asof_forward" -> asofForward,
+    "overlap_join" -> overlapJoin,
     "count_distinct" -> countDistinct,
   )
 
@@ -504,6 +541,21 @@ object Pipeline {
          | FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) ev
          | ASOF JOIN sess ON ev.user_id = sess.user_id AND ev.ts_ms >= sess.start_ms
          | ORDER BY ev.user_id, ev.ts_ms, ev.event_id""".stripMargin,
+    "asof_forward" ->
+      s"""WITH $IslandsCte,
+         |sess AS (
+         |  SELECT user_id, session_seq, min(ts_ms) AS start_ms
+         |  FROM s GROUP BY user_id, session_seq)
+         |SELECT ev.user_id, ev.event_id, ev.ts_ms, sess.session_seq::BIGINT AS session_seq
+         | FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) ev
+         | ASOF LEFT JOIN sess ON ev.user_id = sess.user_id AND ev.ts_ms <= sess.start_ms
+         | ORDER BY ev.user_id, ev.ts_ms, ev.event_id""".stripMargin,
+    "overlap_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT a.user_id, count(*)::BIGINT AS n_pairs
+        | FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |   AND a.ts_ms <= b.ts_ms + 300000 AND b.ts_ms <= a.ts_ms + 300000
+        | GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts,
         |  count(DISTINCT l_suppkey)::BIGINT AS n_supps, count(*)::BIGINT AS cnt

@@ -110,6 +110,46 @@ class ScaleSpec extends SparkSuite {
     assert(got == Map(200L -> None, 201L -> Some(2L)), got.toString)
   }
 
+  test("forward as-of join picks the nearest following build row (inclusive)") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, 100L), (1L, 25L, 101L), (1L, 40L, 102L), (2L, 5L, 103L))
+      .toDF("k", "ts", "pid")
+    val build = Seq((1L, 5L, 7L), (1L, 25L, 8L), (1L, 30L, 9L), (2L, 1L, 10L))
+      .toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin.nextValue(probe, build, "k", "ts", "v")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // pid 100 (k1 ts10): nearest build >= 10 is ts25 -> 8
+    // pid 101 (k1 ts25): ts25 itself (inclusive) -> 8
+    // pid 102 (k1 ts40): none after -> null
+    // pid 103 (k2 ts5): none after (build ts1 < 5) -> null
+    assert(got == Map(100L -> Some(8L), 101L -> Some(8L), 102L -> None, 103L -> None))
+  }
+
+  test("overlap join equals brute-force interval intersection (planted)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val ivs = (1 to 120).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (rnd.nextInt(3).toLong, i.toLong, lo, lo + rnd.nextInt(200).toLong)
+    }
+    val a = ivs.toDF("k", "id1", "lo1", "hi1")
+    val b = ivs.map { case (k, i, lo, hi) => (k, i, lo, hi) }.toDF("k", "id2", "lo2", "hi2")
+    val got = graft.operators.RangeJoin.overlap(a, b, Seq("k"),
+        "lo1", "hi1", "lo2", "hi2", binWidth = 100L)
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (k1, i1, lo1, hi1) <- ivs; (k2, i2, lo2, hi2) <- ivs
+      if k1 == k2 && i1 < i2 && lo1 <= hi2 && lo2 <= hi1
+    } yield (i1, i2)).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // each overlapping pair exactly once (first-shared-bin dedup, no distinct)
+    val withDups = graft.operators.RangeJoin.overlap(a, b, Seq("k"),
+        "lo1", "hi1", "lo2", "hi2", binWidth = 100L)
+      .filter(col("id1") < col("id2")).count()
+    assert(withDups == brute.size.toLong)
+  }
+
   test("partitioned parquet writes prune partitions at the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = graft.streaming.Sessions.events(spark, sf0001)
