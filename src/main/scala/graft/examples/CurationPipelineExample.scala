@@ -50,14 +50,12 @@ object CurationPipelineExample {
       .filter(col("quality") >= 0.2)
 
     // 4. per-doc features, normalized text, stable train/valid/test split
+    // (normalizeColumn/splitColumn are the SAME definitions the oracle-
+    // gated normalize_text / train_test_split queries run — no drift)
     val curated = gated
       .withColumn("n_tokens", size(TextFns.tokens(col("text"))))
-      .withColumn("norm_text", trim(regexp_replace(regexp_replace(
-        lower(col("text")), "[0-9]+", "<num>"), "[ \t\n\r]+", " ")))
-      .withColumn("split",
-        when(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 80, "train")
-          .when(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 90, "valid")
-          .otherwise("test"))
+      .withColumn("norm_text", graft.queries.Pipeline.normalizeColumn(col("text")))
+      .withColumn("split", graft.queries.Pipeline.splitColumn(col("doc_id")))
       .join(TextFns.fingerprintDf(gated, "doc_id", "text"), Seq("doc_id"), "left_outer")
 
     // 5. partitioned write for pruned downstream reads

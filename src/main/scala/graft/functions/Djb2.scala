@@ -112,21 +112,37 @@ case class Djb2Hash(child: Expression) extends UnaryExpression {
   * reference's NUL-terminated UTF-8 keys (`mapreduce.c:123-141`). The JVM
   * default `Ordering[String]` compares UTF-16 code units, which diverges
   * from byte order for supplementary code points (surrogate pairs sort
-  * before U+E000..U+FFFF in UTF-16 order but after in UTF-8 byte order);
-  * this ordering matches `strcmp` for every byte sequence.
+  * before U+E000..U+FFFF in UTF-16 order but after in UTF-8 byte order).
+  *
+  * Allocation-free: this sits in the comparator hot path of
+  * `repartitionAndSortWithinPartitions` (O(n log n) invocations), so it
+  * walks chars instead of re-encoding both strings per call; at the
+  * first differing char the standard surrogate remap recovers code-point
+  * (== UTF-8 byte) order. Exact for all well-formed strings (Java's
+  * UTF-8 encoder mangles unpaired surrogates to '?' anyway, so byte
+  * parity is undefined for malformed input in either formulation).
   */
 object Utf8ByteOrdering extends Ordering[String] {
   override def compare(a: String, b: String): Int = {
-    val x = a.getBytes("UTF-8")
-    val y = b.getBytes("UTF-8")
-    val n = math.min(x.length, y.length)
+    val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        // plain char order == code-point order unless both chars are
+        // >= U+D800: surrogates (U+D800-DFFF, representing >= U+10000)
+        // must sort AFTER U+E000-FFFF
+        if (ca >= 0xD800 && cb >= 0xD800) {
+          val fa = if (ca >= 0xE000) ca - 0x800 else ca + 0x2000
+          val fb = if (cb >= 0xE000) cb - 0x800 else cb + 0x2000
+          return fa - fb
+        }
+        return ca - cb
+      }
       i += 1
     }
-    x.length - y.length
+    a.length - b.length
   }
 }
 

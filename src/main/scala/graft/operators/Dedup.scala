@@ -40,12 +40,15 @@ object Dedup {
     * keys; Spark's default sort-based fallback threshold (128 groups per
     * task) turns every one of them into a sort — measured 2x slower at
     * sf0.1. Raised (not unbounded: spill safety re-engages at 4M groups/
-    * task). Runtime-settable session conf; GraftSession.builder sets the
-    * same for sessions built through it.
+    * task), but ONLY when the session still carries Spark's default —
+    * an explicit user setting is never overridden, and a session tuned
+    * through GraftSession.builder already carries this value.
     */
-  private def tuneBucketAgg(df: DataFrame): Unit =
-    df.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+  private def tuneBucketAgg(df: DataFrame): Unit = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val conf = df.sparkSession.conf
+    if (conf.get(key, "128") == "128") conf.set(key, "4000000")
+  }
 
   /** Exact dedup: sha256 of the raw text, keep the smallest doc_id per
     * hash group (single hash-groupBy; partial aggregation map-side).
@@ -217,7 +220,10 @@ object Dedup {
             col("label").as("prev"))
           .localCheckpoint()
         changed = next.filter(col("label") =!= col("prev")).count()
-        chk.unpersist() // release the previous round's checkpoint blocks
+        // release the previous round's checkpoint BLOCKS (Dataset
+        // .unpersist would be a no-op here — local checkpoints live as
+        // persisted RDD blocks, not SQL-cache entries)
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(chk)
         chk = next
         labels = next.select(col("id"), col("label"))
         iter += 1

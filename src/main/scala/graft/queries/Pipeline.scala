@@ -41,13 +41,12 @@ object Pipeline {
     * keeps the pairwise stage O(1) in the scale factor).
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // sorted distinct shingle-hash sets: set sizes are identical to the
-    // string sets (shingles are already distinct; 64-bit collisions are
-    // ~2^-64), and the pairwise stage becomes a native merge-loop
-    // intersect instead of interpreted string-set ops (~50x at sf0.1)
-    val sets = Dedup.shingleSets(docs(s, d).filter(col("doc_id") < 500))
-      .select(col("doc_id"),
-        array_sort(transform(col("sh"), x => xxhash64(x))).as("hs"))
+    // sorted distinct shingle-hash sets (Dedup.shingleHashSets — the one
+    // definition the minhash verify also uses): set sizes are identical
+    // to the string sets (shingles are already distinct; 64-bit
+    // collisions are ~2^-64), and the pairwise stage becomes a native
+    // merge-loop intersect instead of interpreted string-set ops (~50x)
+    val sets = Dedup.shingleHashSets(docs(s, d).filter(col("doc_id") < 500))
     val a = sets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
     val b = sets.select(col("doc_id").as("id2"), col("hs").as("hs2"))
     a.join(b, col("id1") < col("id2"))
@@ -267,20 +266,22 @@ object Pipeline {
           _.cast("string")), ",").as("members"))
       .orderBy(col("cluster_rep"))
 
-  /** Deterministic hash-based train/valid/test split (80/10/10): the
-    * assignment depends only on doc_id (stable across runs, machines,
-    * partitionings — resharding the corpus must never move a document
-    * between splits). Knuth multiplicative hash; exact integer arithmetic
-    * on both engines.
+  /** The canonical train/valid/test (80/10/10) assignment — ONE
+    * definition shared by the gated query and the curation example.
+    * Knuth multiplicative hash on doc_id reduced mod 2^31-1 first, so
+    * the multiply never exceeds int64 (Spark 4's default ANSI mode makes
+    * long overflow a hard error, and DuckDB always did). The assignment
+    * depends only on doc_id — stable across runs, machines and
+    * partitionings, so resharding never moves a document between splits.
     */
+  def splitColumn(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+  }
+
   def trainTestSplit(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"),
-        pmod(col("doc_id") * lit(2654435761L), lit(100L)).as("bucket"))
-      .select(col("doc_id"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "valid")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
       .orderBy(col("doc_id"))
 
   /** Quota sampling for corpus balancing: the top 5 documents per
@@ -298,15 +299,20 @@ object Pipeline {
       .orderBy(col("lang_pred"), col("quality").desc, col("doc_id"))
   }
 
-  /** Text normalization for training corpora: lowercase, numerals
-    * replaced with a placeholder, whitespace collapsed, trimmed. Exported
-    * as (length, sha256) so the oracle hashes scalar cells.
+  /** The canonical training-corpus normalization (lowercase, numerals to
+    * a placeholder, whitespace collapsed, trimmed) — ONE definition
+    * shared by the gated query and the curation example.
+    */
+  def normalizeColumn(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(text),
+      "[0-9]+", "<num>"), "[ \t\n\r]+", " "))
+
+  /** Normalization exported as (length, sha256) so the oracle hashes
+    * scalar cells.
     */
   def normalizeText(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"),
-        trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[0-9]+", "<num>"), "[ \t\n\r]+", " ")).as("norm"))
+      .select(col("doc_id"), normalizeColumn(col("text")).as("norm"))
       .select(col("doc_id"), length(col("norm")).as("norm_len"),
         sha2(col("norm"), 256).as("norm_sha"))
       .orderBy(col("doc_id"))
@@ -399,7 +405,7 @@ object Pipeline {
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
         |       ELSE 'test' END AS split
-        |FROM (SELECT doc_id, (doc_id * 2654435761) % 100 AS b FROM documents)
+        |FROM (SELECT doc_id, ((doc_id % 2147483647) * 2654435761) % 100 AS b FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id, length(norm)::INT AS norm_len, sha256(norm) AS norm_sha

@@ -167,14 +167,15 @@ object Relational {
         |FROM a ORDER BY rf""".stripMargin)
 
   /** min_by / max_by with a deterministic composite ordinal: ties on
-    * quantity are broken by orderkey inside the 64-bit ordinal itself, so
-    * the picked row is unique (bare min_by/max_by is tie-nondeterministic
-    * — never oracle-hashable).
+    * quantity are broken by orderkey via a STRUCT ordinal (lexicographic
+    * in both engines), so the picked row is unique at any key range —
+    * bare min_by/max_by is tie-nondeterministic, and a packed integer
+    * ordinal (qty * 2^32 + okey) silently mis-orders once okey >= 2^32.
     */
   def minMaxBy(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_orderkey"),
-        (col("l_quantity").cast("long") * lit(4294967296L) + col("l_orderkey"))
+        struct(col("l_quantity").cast("long").as("q"), col("l_orderkey").as("o"))
           .as("ord"))
       .groupBy(col("l_returnflag"))
       .agg(max_by(col("l_orderkey"), col("ord")).as("okey_max_qty"),
@@ -199,7 +200,10 @@ object Relational {
     Tables.documents(s, d)
       .select(col("doc_id"), nonEmptyTokens(col("text")).as("ts"))
       .select(col("doc_id"),
-        element_at(col("ts"), 1).as("first_tok"),
+        // try_element_at, not element_at: under Spark 4's default ANSI
+        // mode a whitespace-only document (empty ts) would throw
+        // INVALID_ARRAY_INDEX; DuckDB's ts[1] yields NULL — as does this
+        try_element_at(col("ts"), lit(1)).as("first_tok"),
         array_contains(col("ts"), "the").cast("int").as("has_the"),
         array_position(col("ts"), "the").as("pos_the"),
         size(slice(col("ts"), 1, 5)).as("n_first5"),
@@ -414,11 +418,18 @@ object Relational {
         |        / (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
         |           * sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS corr_qp
         |FROM a ORDER BY rf""".stripMargin,
+    // DuckDB's arg_max/arg_min take no struct ordinal: the lexicographic
+    // (qty, okey) pick is "max/min okey among the max-/min-qty rows",
+    // expressed with per-group extrema windows + conditional aggregates.
     "minmax_by" ->
       """SELECT l_returnflag,
-        |  arg_max(l_orderkey, CAST(l_quantity AS BIGINT) * 4294967296 + l_orderkey) AS okey_max_qty,
-        |  arg_min(l_orderkey, CAST(l_quantity AS BIGINT) * 4294967296 + l_orderkey) AS okey_min_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  max(CASE WHEN qty = max_q THEN l_orderkey END) AS okey_max_qty,
+        |  min(CASE WHEN qty = min_q THEN l_orderkey END) AS okey_min_qty
+        |FROM (SELECT l_returnflag, l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+        |        max(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS max_q,
+        |        min(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS min_q
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "regex_funcs" ->
       """SELECT c_custkey,
         |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,

@@ -21,4 +21,18 @@ object Bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Release the block-storage backing of a `localCheckpoint()`ed
+    * Dataset. `Dataset.unpersist` only clears SQL-cache entries; a local
+    * checkpoint lives as persisted RDD blocks inside the plan's
+    * `LogicalRDD`, which nothing but GC would otherwise free — iterative
+    * algorithms (connected components) must release each round
+    * explicitly or leak O(rounds x data) executor storage.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
