@@ -233,6 +233,31 @@ object Pipeline {
       .orderBy(col("user_id"))
   }
 
+  /** Tumbling-window aggregation: events per (1-hour window, type) via
+    * the native `window()` operator (streaming-compatible; run in batch).
+    */
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    Sessions.events(s, d)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
+  /** Sliding-window aggregation (1-hour window, 30-minute slide): every
+    * event lands in exactly two overlapping windows; the oracle models
+    * that as the union of the two slide-aligned assignments.
+    */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Sessions.events(s, d)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("tstamp"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
   /** Distinct aggregates (count-distinct reducer shape). */
   def countDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -343,6 +368,8 @@ object Pipeline {
     "asof_join" -> asofJoin,
     "asof_forward" -> asofForward,
     "overlap_join" -> overlapJoin,
+    "tumbling_window" -> tumblingWindow,
+    "sliding_window" -> slidingWindow,
     "count_distinct" -> countDistinct,
   )
 
@@ -562,6 +589,18 @@ object Pipeline {
         | FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_id < b.event_id
         |   AND a.ts_ms <= b.ts_ms + 300000 AND b.ts_ms <= a.ts_ms + 300000
         | GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "tumbling_window" ->
+      """SELECT ((epoch_us(ts) // 3600000000) * 3600000) AS win_start_ms,
+        |  event_type, count(*)::BIGINT AS n
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sliding_window" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 1000 AS ts_ms, event_type FROM events),
+        |w AS (
+        |  SELECT (ts_ms // 1800000) * 1800000 AS win_start_ms, event_type FROM ev
+        |  UNION ALL
+        |  SELECT ((ts_ms // 1800000) - 1) * 1800000, event_type FROM ev)
+        |SELECT win_start_ms, event_type, count(*)::BIGINT AS n
+        | FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts,
         |  count(DISTINCT l_suppkey)::BIGINT AS n_supps, count(*)::BIGINT AS cnt
