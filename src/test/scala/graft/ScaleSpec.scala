@@ -208,6 +208,17 @@ class ScaleSpec extends SparkSuite {
     assert(exact == 400L * 399L / 2L, s"got $exact")
   }
 
+  test("seeded sampling is reproducible and approximately sized (training-split tooling)") {
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_linenumber")
+    val a = li.sample(withReplacement = false, fraction = 0.1, seed = 42).collect().toSeq
+    val b = li.sample(withReplacement = false, fraction = 0.1, seed = 42).collect().toSeq
+    assert(a == b, "same seed + same partitioning must reproduce the sample")
+    val n = li.count().toDouble
+    assert(math.abs(a.size - 0.1 * n) / n < 0.02, s"sample size ${a.size} vs expected ${0.1 * n}")
+    // NOTE: unlike Pipeline.splitColumn (content-hash, reshard-stable),
+    // sample() depends on the partitioning — documented trade, both shipped
+  }
+
   test("approximate aggregates: HLL distinct within 5% of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val r = li.agg(

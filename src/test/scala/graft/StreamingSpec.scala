@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS stream_dedup")
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssd")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    // static side: per-user event quota computed in batch (any static dim works)
+    val dim = Sessions.events(spark, sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.sources.Tables.events(spark, sf0001).schema
+    val enriched = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("event_id"), col("user_id"))
+      .join(dim, "user_id") // stream-static: no watermark needed, dim re-read per batch
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("stream_enriched").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_enriched")
+    val n = Sessions.events(spark, sf0001).count()
+    assert(got.count() == n, "every event must join its user's static row")
+    // spot-check: the joined total matches the batch aggregate
+    val bad = got.join(dim.withColumnRenamed("user_total", "expect"), "user_id")
+      .filter(col("user_total") =!= col("expect")).count()
+    assert(bad == 0)
+    spark.sql("DROP TABLE IF EXISTS stream_enriched")
+  }
+
   test("foreachBatch sink: streaming dedup lands in parquet once per event") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-fb-in")
     val outDir = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
