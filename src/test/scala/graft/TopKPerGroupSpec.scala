@@ -93,5 +93,13 @@ class TopKPerGroupSpec extends SparkSuite {
         row_number().over(Window.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))))
       .filter(col("rn") <= 3).select(col("l_orderkey"))
     assert(global.queryExecution.executedPlan.toString.contains("Window"))
+    // rank(): ties all share a rank, so "rank <= k" can keep MORE than k
+    // rows per group — the heap operator would silently drop them
+    val ranked = li.withColumn("r", rank().over(w)).filter(col("r") <= 3)
+      .select(col("l_returnflag"), col("l_orderkey"))
+    val rankedPlan = ranked.queryExecution.executedPlan.toString
+    assert(!rankedPlan.contains("TopKPerGroup [") || rankedPlan.contains("WindowGroupLimit"),
+      s"rank() must not rewrite to the fixed-k heap:\n${rankedPlan.take(800)}")
+    assert(rankedPlan.contains("Window"), rankedPlan.take(800))
   }
 }
