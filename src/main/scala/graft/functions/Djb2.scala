@@ -116,33 +116,55 @@ case class Djb2Hash(child: Expression) extends UnaryExpression {
   *
   * Allocation-free: this sits in the comparator hot path of
   * `repartitionAndSortWithinPartitions` (O(n log n) invocations), so it
-  * walks chars instead of re-encoding both strings per call; at the
-  * first differing char the standard surrogate remap recovers code-point
-  * (== UTF-8 byte) order. Exact for all well-formed strings (Java's
-  * UTF-8 encoder mangles unpaired surrogates to '?' anyway, so byte
-  * parity is undefined for malformed input in either formulation).
+  * walks chars instead of re-encoding both strings per call. Ordering is
+  * by *effective code point* — the sequence the UTF-8 encoder actually
+  * writes, with unpaired surrogates mapped to '?' exactly as
+  * `String.getBytes("UTF-8")` mangles them — so the comparison agrees
+  * with the bytes in the sink files for malformed input too, matching
+  * the old getBytes-based formulation byte-for-byte. (Per-code-point
+  * UTF-8 is order-preserving and prefix-free, so code-point order ==
+  * encoded-byte order.)
   */
 object Utf8ByteOrdering extends Ordering[String] {
   override def compare(a: String, b: String): Int = {
-    val n = math.min(a.length, b.length)
+    val la = a.length
+    val lb = b.length
     var i = 0
-    while (i < n) {
+    var j = 0
+    while (i < la && j < lb) {
       val ca = a.charAt(i)
-      val cb = b.charAt(i)
-      if (ca != cb) {
-        // plain char order == code-point order unless both chars are
-        // >= U+D800: surrogates (U+D800-DFFF, representing >= U+10000)
-        // must sort AFTER U+E000-FFFF
-        if (ca >= 0xD800 && cb >= 0xD800) {
-          val fa = if (ca >= 0xE000) ca - 0x800 else ca + 0x2000
-          val fb = if (cb >= 0xE000) cb - 0x800 else cb + 0x2000
-          return fa - fb
-        }
-        return ca - cb
+      val cb = b.charAt(j)
+      if (ca == cb && (ca < 0xD800 || ca >= 0xE000)) {
+        // fast path: identical non-surrogate chars (≈ all real data)
+        i += 1; j += 1
+      } else {
+        // surrogate or differing char: compare effective code points
+        // (equal surrogate CHARS may still differ as code points — their
+        // pairing context can differ, e.g. "\uD800A" vs "𐀀")
+        val cpA = effectiveCodePoint(a, i, la)
+        val cpB = effectiveCodePoint(b, j, lb)
+        if (cpA != cpB) return Integer.compare(cpA, cpB)
+        i += charStep(a, i, la)
+        j += charStep(b, j, lb)
       }
-      i += 1
     }
-    a.length - b.length
+    (la - i) - (lb - j)
+  }
+
+  private def effectiveCodePoint(s: String, i: Int, len: Int): Int = {
+    val c = s.charAt(i)
+    if (Character.isHighSurrogate(c) && i + 1 < len
+        && Character.isLowSurrogate(s.charAt(i + 1)))
+      Character.toCodePoint(c, s.charAt(i + 1))
+    else if (Character.isSurrogate(c)) 0x3F // encoder writes '?' for unpaired
+    else c.toInt
+  }
+
+  private def charStep(s: String, i: Int, len: Int): Int = {
+    val c = s.charAt(i)
+    if (Character.isHighSurrogate(c) && i + 1 < len
+        && Character.isLowSurrogate(s.charAt(i + 1))) 2
+    else 1
   }
 }
 

@@ -40,14 +40,15 @@ object Dedup {
     * keys; Spark's default sort-based fallback threshold (128 groups per
     * task) turns every one of them into a sort — measured 2x slower at
     * sf0.1. Raised (not unbounded: spill safety re-engages at 4M groups/
-    * task), but ONLY when the session still carries Spark's default —
-    * an explicit user setting is never overridden, and a session tuned
-    * through GraftSession.builder already carries this value.
+    * task), but ONLY when the conf was never explicitly set on the
+    * session (checked against the explicit-settings map, not the value —
+    * a user deliberately pinning Spark's default must win, and the check
+    * survives Spark changing its default).
     */
   private def tuneBucketAgg(df: DataFrame): Unit = {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val conf = df.sparkSession.conf
-    if (conf.get(key, "128") == "128") conf.set(key, "4000000")
+    if (!org.apache.spark.sql.graft.Bridge.isConfExplicitlySet(df.sparkSession, key))
+      df.sparkSession.conf.set(key, "4000000")
   }
 
   /** Exact dedup: sha256 of the raw text, keep the smallest doc_id per

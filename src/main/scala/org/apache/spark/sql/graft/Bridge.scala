@@ -22,6 +22,15 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** True iff `key` was EXPLICITLY set on this session (as opposed to
+    * carrying its registered default — `RuntimeConfig.get` cannot tell
+    * the two apart; `SQLConf.contains` checks the explicit settings map,
+    * which is what "never override a user's choice" needs).
+    */
+  def isConfExplicitlySet(spark: org.apache.spark.sql.SparkSession, key: String): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.contains(key)
+
   /** Release the block-storage backing of a `localCheckpoint()`ed
     * Dataset. `Dataset.unpersist` only clears SQL-cache entries; a local
     * checkpoint lives as persisted RDD blocks inside the plan's
