@@ -219,6 +219,17 @@ class ScaleSpec extends SparkSuite {
     // sample() depends on the partitioning — documented trade, both shipped
   }
 
+  test("observe(): pipeline metrics ride the main pass, no second scan") {
+    val li = Tables.lineitem(spark, sf0001)
+    val observed = li.filter(col("l_quantity") > 30)
+      .observe("gate_metrics", count(lit(1)).as("rows_kept"),
+        sum(col("l_quantity").cast("long")).as("qty_kept"))
+    val kept = observed.count()
+    val metrics = observed.queryExecution.observedMetrics("gate_metrics")
+    assert(metrics.getAs[Long]("rows_kept") == kept)
+    assert(metrics.getAs[Long]("qty_kept") > 0)
+  }
+
   test("approximate aggregates: HLL distinct within 5% of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val r = li.agg(
