@@ -224,7 +224,9 @@ class ScaleSpec extends SparkSuite {
     val observed = li.filter(col("l_quantity") > 30)
       .observe("gate_metrics", count(lit(1)).as("rows_kept"),
         sum(col("l_quantity").cast("long")).as("qty_kept"))
-    val kept = observed.count()
+    // the action must run THIS Dataset's plan: count() builds a separate
+    // QueryExecution whose metrics never attach to `observed`
+    val kept = observed.collect().length.toLong
     val metrics = observed.queryExecution.observedMetrics("gate_metrics")
     assert(metrics.getAs[Long]("rows_kept") == kept)
     assert(metrics.getAs[Long]("qty_kept") > 0)
