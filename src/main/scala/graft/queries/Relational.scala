@@ -288,6 +288,12 @@ object Relational {
         |ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** LIMIT/OFFSET pagination over a total order. */
+  def limitOffset(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("customer"),
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin)
+
   /** Bitwise aggregates over the orderkey domain. */
   def bitwiseAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -302,6 +308,7 @@ object Relational {
     "date_arith" -> dateArith,
     "bitwise_agg" -> bitwiseAgg,
     "topk_rewrite" -> topkRewrite,
+    "limit_offset" -> limitOffset,
     "scalar_subquery" -> scalarSubquery,
     "in_subquery" -> inSubquery,
     "correlated_subquery" -> correlatedSubquery,
@@ -339,6 +346,9 @@ object Relational {
       """SELECT l_returnflag, bit_and(l_orderkey)::BIGINT AS band,
         |  bit_or(l_orderkey)::BIGINT AS bor, bit_xor(l_orderkey)::BIGINT AS bxor
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "limit_offset" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin,
     "topk_rewrite" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, qty FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
