@@ -273,6 +273,14 @@ class ScaleSpec extends SparkSuite {
     assert(ssq.contains("Subquery") && !ssq.contains("CartesianProduct"), ssq.take(800))
   }
 
+  test("plan guard: overlap join is an equi hash join, not a nested loop") {
+    val plan = SparkEntry.queries("overlap_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(600))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
   test("plan guard: lateral_explode pushes the doc_id filter to the scan") {
     val plan = SparkEntry.queries("lateral_explode")(spark, sf0001)
       .queryExecution.executedPlan.toString
