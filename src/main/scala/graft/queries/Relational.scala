@@ -288,6 +288,27 @@ object Relational {
         |ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** RIGHT OUTER join: every part with its lineitem count (0 when never
+    * ordered) — completes the outer-join flavor set (left in Core,
+    * full in fullOuterJoin).
+    */
+  def rightOuterJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_partkey"))
+      .join(Tables.part(s, d).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "right_outer")
+      .groupBy(col("p_partkey"))
+      .agg(count(col("l_partkey")).as("n_lineitems"))
+      .orderBy(col("p_partkey"))
+
+  /** Explicit CROSS join — dimension tables only (the operator is an
+    * antipattern on fact tables at scale; both sides here are tiny and
+    * the plan is a broadcast nested loop by construction).
+    */
+  def crossJoinDims(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(col("r_name"))
+      .crossJoin(Tables.nation(s, d).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
   /** LIMIT/OFFSET pagination over a total order. */
   def limitOffset(s: SparkSession, d: String): DataFrame =
     sql(s, d, Seq("customer"),
@@ -309,6 +330,8 @@ object Relational {
     "bitwise_agg" -> bitwiseAgg,
     "topk_rewrite" -> topkRewrite,
     "limit_offset" -> limitOffset,
+    "right_outer_join" -> rightOuterJoin,
+    "cross_join_dims" -> crossJoinDims,
     "scalar_subquery" -> scalarSubquery,
     "in_subquery" -> inSubquery,
     "correlated_subquery" -> correlatedSubquery,
@@ -349,6 +372,13 @@ object Relational {
     "limit_offset" ->
       """SELECT c_custkey, c_name FROM customer
         |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin,
+    "right_outer_join" ->
+      """SELECT p_partkey, count(l_partkey)::BIGINT AS n_lineitems
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "cross_join_dims" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
     "topk_rewrite" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, qty FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
