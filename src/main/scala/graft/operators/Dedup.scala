@@ -39,16 +39,24 @@ object Dedup {
   /** LSH bucket collects are ObjectHashAggregates over high-cardinality
     * keys; Spark's default sort-based fallback threshold (128 groups per
     * task) turns every one of them into a sort — measured 2x slower at
-    * sf0.1. Raised (not unbounded: spill safety re-engages at 4M groups/
-    * task), but ONLY when the conf was never explicitly set on the
-    * session (checked against the explicit-settings map, not the value —
-    * a user deliberately pinning Spark's default must win, and the check
-    * survives Spark changing its default).
+    * sf0.1. Raised to 1M groups/task — comfortably above any real
+    * bucket-key cardinality per task (bucket count scales with input
+    * rows, but so does task count, so groups/task stays bounded when
+    * shuffle partitions are sized to the data), yet small enough that
+    * sort-based spill safety re-engages well before 1M tiny collect_set
+    * buffers threaten executor memory on skewed keys. Applied ONLY when
+    * the conf was never explicitly set on the session (checked against
+    * the explicit-settings map, not the value — a user deliberately
+    * pinning Spark's default must win, and the check survives Spark
+    * changing its default). The override is necessarily session-visible:
+    * the conf is read at execution time, after this builder returned its
+    * lazy DataFrame, so a save/restore scope around plan construction
+    * would not cover the actual run.
     */
   private def tuneBucketAgg(df: DataFrame): Unit = {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     if (!org.apache.spark.sql.graft.Bridge.isConfExplicitlySet(df.sparkSession, key))
-      df.sparkSession.conf.set(key, "4000000")
+      df.sparkSession.conf.set(key, "1000000")
   }
 
   /** Exact dedup: sha256 of the raw text, keep the smallest doc_id per

@@ -99,12 +99,17 @@ object Core {
         col("l_extendedprice"), col("l_returnflag"))
 
   /** orders ⨝ customer — the MR tagged-union join pattern as a native join.
-    * customer is the dimension side → explicit broadcast (scale posture:
-    * at 100 TB the fact side never shuffles for this join).
+    * NO broadcast hint on purpose: customer grows linearly with scale
+    * factor (~15 B rows at the 100 TB north star), so a forced broadcast
+    * would OOM there. AQE picks broadcast-hash at small sf from runtime
+    * size stats and degrades to shuffled-hash/sort-merge as customer
+    * grows — the graceful path a pinned hint forecloses. (Explicit
+    * `broadcast()` stays reserved for true fixed-size dims: nation=25,
+    * region=5 in dimJoin.)
     */
   def repartitionJoin(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)),
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(

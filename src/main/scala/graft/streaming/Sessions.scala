@@ -52,6 +52,17 @@ object Sessions {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** The session table computed ONCE per (session, sfDir) and persisted:
+    * at scale the session table is a materialized input every downstream
+    * temporal join reads, not something recomputed inside each query —
+    * range_join / asof_join / asof_forward all build on this shared copy.
+    */
+  private val sessionCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def sessionTable(spark: SparkSession, sfDir: String): DataFrame =
+    sessionCache.getOrElseUpdate((spark, sfDir), sessionize(spark, sfDir).persist())
+
   /** Native Structured-Streaming-compatible sessionization run in batch:
     * `session_window(ts, 30 min)` — window end = last event + gap.
     * Cross-checks Spark's built-in session operator against the SQL

@@ -137,6 +137,25 @@ class PipelineSpec extends SparkSuite {
     cases.foreach { case (id, _, exp) => assert(got(id) == exp, s"doc $id") }
   }
 
+  test("dedup_clusters_lsh equals the exact-Jaccard clusters on the oracle-able slice") {
+    // dedup_clusters runs exact pairwise Jaccard on doc_id < 500 (the
+    // DuckDB-feasible slice); the full-corpus LSH pipeline restricted to
+    // the same slice must produce identical clusters. sf0.001 has exactly
+    // 500 docs, so "restricted to the slice" is the whole corpus — the
+    // declared query itself is what runs.
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getString(3))
+    val lsh = graft.queries.Pipeline.dedupClustersLsh(spark, sf0001)
+      .collect().map(key).toSet
+    val exact = graft.queries.Pipeline.dedupClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(lsh == exact, s"lsh-only=${lsh -- exact} exact-only=${exact -- lsh}")
+    // n_dropped bookkeeping: docs_kept = n_docs - sum(n_dropped)
+    val dropped = graft.queries.Pipeline.dedupClustersLsh(spark, sf0001)
+      .agg(sum(col("n_dropped"))).collect().head.getLong(0)
+    val members = exact.toSeq.map(_._2).sum - exact.size
+    assert(dropped == members)
+  }
+
   test("connected components: planted chains collapse to min-id reps") {
     import spark.implicits._
     // chain 1-2-3 (no direct 1-3 edge), pair 5-6, isolated-in-pairs 8-9

@@ -248,6 +248,13 @@ class ScaleSpec extends SparkSuite {
     val fp = planOf("filter_project")
     assert(fp.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), fp.take(800))
     assert(!fp.contains("l_shipdate"), "column pruning lost: scan reads unused columns")
+    // repartition_join: NO pinned broadcast hint (customer scales with
+    // sf — a hint would force an OOM at 100 TB); the engine must still
+    // CHOOSE broadcast-hash here from size stats at tiny sf, proving the
+    // join degrades gracefully instead of being hardcoded either way.
+    val rjDf = SparkEntry.queries("repartition_join")(spark, sf0001)
+    assert(!rjDf.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "repartition_join must not pin a join strategy via hint")
     val rj = planOf("repartition_join")
     assert(rj.contains("BroadcastHashJoin"), rj.take(800))
     val wc = planOf("wordcount")
