@@ -144,6 +144,64 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS stream_enriched")
   }
 
+  test("foreachBatch golden: streamed session counts land in parquet EQUAL to the batch query") {
+    // Full equality, not subset: append mode only emits a session once
+    // the watermark passes its end, so a far-future sentinel event staged
+    // as a second file pushes the watermark past every real session. The
+    // sentinel's own (still-open) session is the only row excluded.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-golden-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-golden-out").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val q = Sessions.streamingSessionCounts(spark, sf0001, streamDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/sessions")
+        ()
+      }
+      .start()
+    val sentinelUser = 999999999L
+    try {
+      q.processAllAvailable()
+      // sentinel: one event 10 days past the corpus max (ts is raw nanos
+      // under nanosAsLong; a plain-int64 parquet column reads identically)
+      val maxNs = Sessions.events(spark, sf0001).agg(max(col("ts"))).collect().head.getLong(0)
+      // the file source lists flat files only: write the one-row sentinel
+      // to a scratch dir and copy its part-file into the stream dir
+      val scratch = java.nio.file.Files.createTempDirectory("graft-golden-sentinel")
+      Sessions.events(spark, sf0001).limit(1)
+        .drop("ts_ms", "ts_us")
+        .withColumn("user_id", lit(sentinelUser))
+        .withColumn("ts", lit(maxNs + 10L * 24 * 3600 * 1000000000L))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(scratch.resolve("w").toString)
+      val part = java.nio.file.Files.list(scratch.resolve("w")).iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var copied = false
+      while (part.hasNext && !copied) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, streamDir.resolve("events-001.parquet"))
+          copied = true
+        }
+      }
+      assert(copied, "sentinel part-file not found")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outDir/sessions")
+      .filter(col("user_id") =!= sentinelUser)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Sessions.sessionWindowAgg(spark, sf0001)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("foreachBatch sink: streaming dedup lands in parquet once per event") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-fb-in")
     val outDir = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
