@@ -21,10 +21,17 @@ object Relational {
 
   /** Register the named testdata tables as temp views so the SQL-surface
     * queries (subqueries, GROUPING SETS) can run through `spark.sql`.
+    * Views are uniquely prefixed (`graft_orders`, not `orders`) and the
+    * prefix substituted into the query text — registering bare names
+    * would silently clobber a user temp view of the same name on the
+    * shared session every time one of these queries runs.
     */
   private def sql(s: SparkSession, d: String, tables: Seq[String], q: String): DataFrame = {
-    tables.foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
-    s.sql(q)
+    val rewritten = tables.foldLeft(q) { (acc, t) =>
+      Tables(s, d, t).createOrReplaceTempView(s"graft_$t")
+      acc.replaceAll(s"\\b$t\\b", s"graft_$t")
+    }
+    s.sql(rewritten)
   }
 
   // non-empty reference-semantics tokens, staged as a materialized column

@@ -7,6 +7,8 @@ sorted by name.
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
+import math
+import numbers
 import sys
 
 import duckdb
@@ -21,6 +23,22 @@ def _cell_key(v):
     # canonicalize through list() so both engines produce the same sort key
     if hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
         return str(list(v))
+    # dtype-normalize numerics: one engine returning int64 10 and the other
+    # float64 10.0 must produce the SAME key, or the two frames sort into
+    # different row orders and the positional compare reports spurious
+    # FAILs. Integral floats key as ints (only below 2^53, where the float
+    # is exact); bool stays distinct (it is an Integral subtype).
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, numbers.Integral):
+        return str(int(v))
+    if isinstance(v, numbers.Real):
+        f = float(v)
+        if math.isnan(f):
+            return "nan"
+        if f.is_integer() and abs(f) < 2.0**53:
+            return str(int(f))
+        return repr(f)
     return str(v)
 
 
