@@ -171,6 +171,16 @@ object Dedup {
     * intersect is the native sorted-merge expression).
     */
   def minhash(docs: DataFrame, minJac: Double = 0.5,
+      starBucketThreshold: Int = Int.MaxValue): DataFrame =
+    minhashPairs(docs, minJac, starBucketThreshold).orderBy(col("id1"), col("id2"))
+
+  /** [[minhash]] without the deterministic output sort — the input for
+    * consumers that immediately reshuffle (connected components,
+    * aggregation): Catalyst does NOT eliminate an explicit global sort
+    * below a distinct/aggregate, so feeding the sorted variant would pay
+    * a wasted range-partition + sort of the whole pair list.
+    */
+  def minhashPairs(docs: DataFrame, minJac: Double = 0.5,
       starBucketThreshold: Int = Int.MaxValue): DataFrame = {
     val hsets = shingleHashSets(docs)
     candidatesFrom(signaturesFrom(hsets), starBucketThreshold)
@@ -182,7 +192,6 @@ object Dedup {
         (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
       .filter(col("jaccard") >= minJac)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** Connected components over an undirected pair list (min-label
@@ -202,9 +211,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
-    val e = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
-    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // persist the pair input BEFORE the symmetric union: the union's two
+    // branches otherwise re-execute the (potentially very expensive) pair
+    // pipeline twice inside the first edges materialization
+    val p0 = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst")).persist()
+    val edges = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    edges.count() // materialize edges, then the pair cache can go
+    p0.unpersist()
     try {
       // each round MUST truncate lineage (eager localCheckpoint), not just
       // cache: the logical plan otherwise doubles per round (labels is

@@ -40,7 +40,13 @@ object Pipeline {
     * SQL-oracle-able exact counterpart of dedup_minhash; the id bound
     * keeps the pairwise stage O(1) in the scale factor).
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(s, d).orderBy(col("id1"), col("id2"))
+
+  /** [[ngramJaccard]] without the deterministic output sort (cluster
+    * collapse reshuffles immediately — see Dedup.minhashPairs).
+    */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     // sorted distinct shingle-hash sets (Dedup.shingleHashSets — the one
     // definition the minhash verify also uses): set sizes are identical
     // to the string sets (shingles are already distinct; 64-bit
@@ -56,7 +62,6 @@ object Pipeline {
         (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** Brute-force cosine top-20 for query vector vec_id=0 (the exact
@@ -318,7 +323,7 @@ object Pipeline {
     * full-corpus production path is [[dedupClustersLsh]].
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
-    clustersOf(ngramJaccard(s, d)).drop("n_dropped")
+    clustersOf(ngramJaccardPairs(s, d)).drop("n_dropped")
 
   /** The production dedup pipeline end-to-end over the WHOLE corpus — no
     * id bound: MinHash/LSH candidate pairs (Jaccard-verified >= 0.5)
@@ -331,7 +336,7 @@ object Pipeline {
     * equality with [[dedupClusters]] on the oracle-able slice.
     */
   def dedupClustersLsh(s: SparkSession, d: String): DataFrame =
-    clustersOf(Dedup.minhash(docs(s, d)))
+    clustersOf(Dedup.minhashPairs(docs(s, d)))
 
   /** The canonical train/valid/test (80/10/10) assignment — ONE
     * definition shared by the gated query and the curation example.
