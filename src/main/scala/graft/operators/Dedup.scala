@@ -237,11 +237,14 @@ object Dedup {
         // carry the previous label through the checkpoint: the change
         // count then reads the materialized round instead of paying a
         // second labels join per round
+        // lazy checkpoint: the convergence count below materializes it,
+        // so each round is ONE job (eager + count was two); the plan is
+        // truncated identically once materialized
         val next = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
             col("label").as("prev"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         changed = next.filter(col("label") =!= col("prev")).count()
         // release the previous round's checkpoint BLOCKS (Dataset
         // .unpersist would be a no-op here — local checkpoints live as
