@@ -306,7 +306,10 @@ object Pipeline {
     * 2-3 in practice).
     */
   private def clustersOf(pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    Dedup.connectedComponents(pairs, maxIter = maxIter)
+    collapseClusters(Dedup.connectedComponents(pairs, maxIter = maxIter))
+
+  private def collapseClusters(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"),
         (count(lit(1)) - 1).as("n_dropped"),
@@ -337,6 +340,16 @@ object Pipeline {
     */
   def dedupClustersLsh(s: SparkSession, d: String): DataFrame =
     clustersOf(Dedup.minhashPairs(docs(s, d)))
+
+  /** The same cluster collapse through the alternating large-star/
+    * small-star contraction — the O(log n)-round CC that survives
+    * long-chain graphs where label propagation's rounds = diameter
+    * (see Dedup.connectedComponentsStar). Shares dedup_clusters'
+    * DuckDB oracle: both must produce identical clusters.
+    */
+  def dedupClustersStar(s: SparkSession, d: String): DataFrame =
+    collapseClusters(Dedup.connectedComponentsStar(ngramJaccardPairs(s, d)))
+      .drop("n_dropped")
 
   /** The canonical train/valid/test (80/10/10) assignment — ONE
     * definition shared by the gated query and the curation example.
@@ -395,6 +408,7 @@ object Pipeline {
     "normalize_text" -> normalizeText,
     "curated_sample" -> curatedSample,
     "dedup_clusters_lsh" -> dedupClustersLsh,
+    "dedup_clusters_star" -> dedupClustersStar,
     "dedup_exact" -> dedupExact,
     // SURVEY.md §2 tier C name for the MinHash/LSH near-dup operator
     // (dedupMinhash; a second "dedup_minhash" alias ran the suite's most
@@ -463,20 +477,29 @@ object Pipeline {
        |    FROM sh_sets a JOIN sh_sets b ON a.doc_id < b.doc_id)
        |  WHERE jaccard >= 0.5)""".stripMargin
 
+  /** dedup_clusters oracle: recursive-CTE transitive closure over the
+    * exact-Jaccard pairs. A def (oracleSql initializes first); shared
+    * verbatim by dedup_clusters_star — the two CC algorithms must
+    * produce identical clusters.
+    */
+  private def DedupClustersOracle: String =
+    s"""WITH RECURSIVE
+       |$JaccardPairsCte,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM jpairs
+       |          UNION SELECT id2, id1 FROM jpairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+       |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+       |SELECT root AS cluster_rep, count(*)::BIGINT AS n_members,
+       |  string_agg(id, ',' ORDER BY id) AS members
+       |FROM comp GROUP BY root ORDER BY cluster_rep""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE
-         |$JaccardPairsCte,
-         |edges AS (SELECT id1 AS src, id2 AS dst FROM jpairs
-         |          UNION SELECT id2, id1 FROM jpairs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
-         |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
-         |SELECT root AS cluster_rep, count(*)::BIGINT AS n_members,
-         |  string_agg(id, ',' ORDER BY id) AS members
-         |FROM comp GROUP BY root ORDER BY cluster_rep""".stripMargin,
+    // identical oracle for both CC algorithms: same clusters required
+    "dedup_clusters_star" -> DedupClustersOracle,
+    "dedup_clusters" -> DedupClustersOracle,
     "train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'

@@ -192,6 +192,54 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("star-contraction CC matches union-find on random graphs and labelprop on real pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 2) {
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponentsStar(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = vertices.groupBy(find)
+      val expected = byRoot.values.flatMap(vs => vs.map(_ -> vs.min)).toMap
+      assert(got == expected)
+    }
+    // agreement with label propagation on the real near-dup pair list
+    val pairs = graft.queries.Pipeline.ngramJaccard(spark, sf0001)
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(star == prop)
+  }
+
+  test("star-contraction CC collapses a 300-hop chain (labelprop's documented failure mode)") {
+    import spark.implicits._
+    // path graph 0-1-2-...-300: diameter 300 > labelprop's default
+    // maxIter=50, the exact case ADVICE flagged; star contraction needs
+    // only O(log n) alternations
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 301 && got.values.forall(_ == 0L))
+    // and label propagation does abort loudly rather than mislabel
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 20).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("multimodal codec: per-partition decode produces the deterministic metadata") {
     import spark.implicits._
     val docs = Seq((7L, "abcd")).toDF("doc_id", "text") // 4 bytes
