@@ -30,8 +30,21 @@ object Pipeline {
   /** Exact dedup by content hash. */
   def dedupExact(s: SparkSession, d: String): DataFrame = Dedup.exact(docs(s, d))
 
+  /** The verified near-dup pair list, computed once per (session, sfDir)
+    * and persisted — the same materialized-shared-input posture as
+    * Sessions.sessionTable: in a production curation run the pair list
+    * is written once and every consumer (pair report, cluster collapse,
+    * kept-docs filter) reads it, not re-derives it.
+    */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashPairTable(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate((s, d), Dedup.minhashPairs(docs(s, d)).persist())
+
   /** MinHash/LSH near-dup pairs, Jaccard-verified. */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = Dedup.minhash(docs(s, d))
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairTable(s, d).orderBy(col("id1"), col("id2"))
 
   /** SimHash near-dup pairs (hamming <= 3). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = Dedup.simhash(docs(s, d))
@@ -339,7 +352,7 @@ object Pipeline {
     * equality with [[dedupClusters]] on the oracle-able slice.
     */
   def dedupClustersLsh(s: SparkSession, d: String): DataFrame =
-    clustersOf(Dedup.minhashPairs(docs(s, d)))
+    clustersOf(minhashPairTable(s, d))
 
   /** The same cluster collapse through the alternating large-star/
     * small-star contraction — the O(log n)-round CC that survives
