@@ -56,10 +56,19 @@ object Pipeline {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(s, d).orderBy(col("id1"), col("id2"))
 
+  /** Cached like [[minhashPairTable]]: three declared queries (pair
+    * report, both cluster collapses) and dedup_kept consume this list.
+    */
+  private val ngramPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    ngramPairCache.getOrElseUpdate((s, d), ngramJaccardPairsUncached(s, d).persist())
+
   /** [[ngramJaccard]] without the deterministic output sort (cluster
     * collapse reshuffles immediately — see Dedup.minhashPairs).
     */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def ngramJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     // sorted distinct shingle-hash sets (Dedup.shingleHashSets — the one
     // definition the minhash verify also uses): set sizes are identical
     // to the string sets (shingles are already distinct; 64-bit
@@ -364,6 +373,22 @@ object Pipeline {
     collapseClusters(Dedup.connectedComponentsStar(ngramJaccardPairs(s, d)))
       .drop("n_dropped")
 
+  /** The corpus that SURVIVES dedup — documents minus every non-
+    * representative cluster member (the "what to keep" end product a
+    * curation pipeline actually writes out; left-anti join, so the fact
+    * side streams and only the dropped-id set shuffles). Uses the exact-
+    * Jaccard clusters so the DuckDB oracle (same recursive CTE) can
+    * verify the filter end-to-end.
+    */
+  def dedupKept(s: SparkSession, d: String): DataFrame = {
+    val dropped = Dedup.connectedComponents(ngramJaccardPairs(s, d))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    docs(s, d).join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The canonical train/valid/test (80/10/10) assignment — ONE
     * definition shared by the gated query and the curation example.
     * Knuth multiplicative hash on doc_id reduced mod 2^31-1 first, so
@@ -422,6 +447,7 @@ object Pipeline {
     "curated_sample" -> curatedSample,
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_clusters_star" -> dedupClustersStar,
+    "dedup_kept" -> dedupKept,
     "dedup_exact" -> dedupExact,
     // SURVEY.md §2 tier C name for the MinHash/LSH near-dup operator
     // (dedupMinhash; a second "dedup_minhash" alias ran the suite's most
@@ -513,6 +539,19 @@ object Pipeline {
     // identical oracle for both CC algorithms: same clusters required
     "dedup_clusters_star" -> DedupClustersOracle,
     "dedup_clusters" -> DedupClustersOracle,
+    "dedup_kept" ->
+      s"""WITH RECURSIVE
+         |$JaccardPairsCte,
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM jpairs
+         |          UNION SELECT id2, id1 FROM jpairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> root)
+         |ORDER BY doc_id""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
