@@ -288,6 +288,20 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(600))
   }
 
+  test("plan guard: unsorted pair pipeline has no global sort (CC input path)") {
+    // Catalyst does not eliminate an explicit orderBy below distinct, so
+    // the CC input must come from the unsorted pair variant; a global
+    // range-partition sort reappearing here is a regression
+    val docs = Tables.documents(spark, sf0001)
+    val plan = graft.operators.Dedup.minhashPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan.take(600))
+    // while the declared pair REPORT stays deterministically sorted
+    val sorted = graft.operators.Dedup.minhash(docs)
+      .queryExecution.executedPlan.toString
+    assert(sorted.contains("rangepartitioning"), sorted.take(600))
+  }
+
   test("plan guard: lateral_explode pushes the doc_id filter to the scan") {
     val plan = SparkEntry.queries("lateral_explode")(spark, sf0001)
       .queryExecution.executedPlan.toString
