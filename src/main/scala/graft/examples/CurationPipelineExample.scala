@@ -37,8 +37,10 @@ object CurationPipelineExample {
     val afterExact = docs.join(exactSurvivors, "doc_id")
 
     // 2. near-dup cluster removal: pairs -> components -> keep the rep
+    // (unsorted pair variant: CC reshuffles immediately, a sorted pair
+    // report would pay a wasted global sort)
     val nearDupLosers = Dedup.connectedComponents(
-        Dedup.minhash(afterExact, minJac = 0.5))
+        Dedup.minhashPairs(afterExact, minJac = 0.5))
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     val afterNear = afterExact.join(nearDupLosers, Seq("doc_id"), "left_anti")
