@@ -42,9 +42,12 @@ object Pipeline {
   private def minhashPairTable(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((s, d), Dedup.minhashPairs(docs(s, d)).persist())
 
-  /** MinHash/LSH near-dup pairs, Jaccard-verified. */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    minhashPairTable(s, d).orderBy(col("id1"), col("id2"))
+  /** MinHash/LSH near-dup pairs, Jaccard-verified. Deliberately NOT the
+    * cached table: this query IS the pair-production pipeline and must
+    * measure it; the cluster/kept queries are the artifact's consumers
+    * and read [[minhashPairTable]].
+    */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = Dedup.minhash(docs(s, d))
 
   /** SimHash near-dup pairs (hamming <= 3). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = Dedup.simhash(docs(s, d))
@@ -54,10 +57,11 @@ object Pipeline {
     * keeps the pairwise stage O(1) in the scale factor).
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardPairs(s, d).orderBy(col("id1"), col("id2"))
+    ngramJaccardPairsUncached(s, d).orderBy(col("id1"), col("id2"))
 
-  /** Cached like [[minhashPairTable]]: three declared queries (pair
-    * report, both cluster collapses) and dedup_kept consume this list.
+  /** Cached like [[minhashPairTable]]: the cluster collapses and
+    * dedup_kept consume this list (the ngram_jaccard query itself stays
+    * uncached — it measures pair production).
     */
   private val ngramPairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -380,6 +384,19 @@ object Pipeline {
     * Jaccard clusters so the DuckDB oracle (same recursive CTE) can
     * verify the filter end-to-end.
     */
+  /** Builds every cached shared input (session table, IVF centroids,
+    * pair lists) — Bench calls this untimed: these are materialized
+    * artifacts consumers read, and their build cost is measured by the
+    * producing queries themselves (sessionize, dedup_near, ngram_jaccard).
+    */
+  def warmMaterializedInputs(s: SparkSession, d: String): Unit = {
+    Sessions.sessionTable(s, d).count()
+    centroids(s, d).count()
+    minhashPairTable(s, d).count()
+    ngramJaccardPairs(s, d).count()
+    ()
+  }
+
   def dedupKept(s: SparkSession, d: String): DataFrame = {
     val dropped = Dedup.connectedComponents(ngramJaccardPairs(s, d))
       .filter(col("id") =!= col("label"))
