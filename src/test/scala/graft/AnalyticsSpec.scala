@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.Analytics
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-3 Analytics batch that the DuckDB hash gate
+  * cannot express directly (the gate proves value parity; these pin the
+  * semantic claims the Scaladoc makes). Salted == unsalted equivalence
+  * lives in ScaleSpec; "every query runs" in CoreQueriesSpec.
+  */
+class AnalyticsSpec extends SparkSuite {
+
+  test("histogram: width_bucket equals pure integer binning (2^22 buckets)") {
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mismatch = cents.select(
+      expr("CAST(width_bucket(CAST(cents AS DOUBLE), CAST(0 AS DOUBLE), CAST(67108864 AS DOUBLE), 16) AS INT)").as("wb"),
+      (col("cents") / lit(4194304L)).cast("int").+(1).as("manual"))
+      .filter(col("wb") =!= col("manual")).count()
+    assert(mismatch == 0)
+  }
+
+  test("gap_fill: per-user hour axis is dense and counts re-total to events") {
+    val gf = Analytics.gapFill(spark, sf0001)
+    val perUser = gf.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        ((max(col("hour_ms")) - min(col("hour_ms"))) / 3600000L + 1).as("span"),
+        sum(col("n")).as("n_events"))
+    // dense axis: exactly one row per hour in [lo, hi]
+    assert(perUser.filter(col("n_rows") =!= col("span")).count() == 0)
+    // zero-fill preserved the observed totals
+    val evTotal = graft.streaming.Sessions.events(spark, sf0001)
+      .filter(col("user_id") < 50).count()
+    val gfTotal = perUser.agg(sum(col("n_events"))).head().getLong(0)
+    assert(gfTotal == evTotal)
+  }
+
+  test("vocab_idf: df bounded by corpus size, idf monotone decreasing in df") {
+    val rows = Analytics.vocabIdf(spark, sf0001).collect()
+    val nDocs = rows.head.getLong(2)
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= nDocs))
+    // smoothed idf: strictly decreasing in df, >= 0 even at df == n_docs
+    val byDf = rows.map(r => (r.getLong(1), r.getDouble(3))).distinct.sortBy(_._1)
+    assert(byDf.sliding(2).forall {
+      case Array((d1, i1), (d2, i2)) => d1 < d2 ==> (i1 > i2); case _ => true
+    })
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("approx_distinct: HLL(rsd=0.01) lands within the declared 5% band") {
+    val bad = Analytics.approxDistinct(spark, sf0001)
+      .filter(col("within_5pct") =!= 1).count()
+    assert(bad == 0)
+  }
+
+  private implicit class BoolOps(val a: Boolean) {
+    def ==>(b: Boolean): Boolean = !a || b
+  }
+}
