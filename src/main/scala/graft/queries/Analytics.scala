@@ -114,7 +114,11 @@ object Analytics {
       .select(col("user_id"), (expr("ts_ms div 3600000") * hourMs).as("hour_ms"))
     val counts = ev.groupBy(col("user_id"), col("hour_ms"))
       .agg(count(lit(1)).as("n_obs"))
-    val hours = ev.groupBy(col("user_id"))
+    // span bounds aggregate over counts; Catalyst's redundant-aggregate
+    // removal collapses this to a direct min/max over the (pruned,
+    // filter-pushed) scan — the cheap branch of the self-join shape. A
+    // production pipeline would persist `counts` as an artifact instead.
+    val hours = counts.groupBy(col("user_id"))
       .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
       .select(col("user_id"),
         explode(sequence(col("lo"), col("hi"), lit(hourMs))).as("hour_ms"))
@@ -176,15 +180,22 @@ object Analytics {
     * option (exact distinct is a full shuffle of the key domain); the
     * gate pins its accuracy, not just its existence.
     */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(count_distinct(col("l_orderkey")).as("n_exact"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("n_approx"))
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    // the exact and approximate counts run as SEPARATE aggregates joined
+    // on the 3-row output: mixing them in one agg makes Catalyst thread
+    // the ~1.6k-column HLL buffer through the distinct-expand path — one
+    // sketch per (flag, orderkey) group, catastrophic at scale
+    val li = Tables.lineitem(s, d)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey")).as("n_exact"))
+    val approx = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("n_approx"))
+    exact.join(broadcast(approx), col("l_returnflag") === col("rf"))
       .select(col("l_returnflag"), col("n_exact"),
         (abs(col("n_approx") - col("n_exact")).cast("double") <=
           col("n_exact").cast("double") * 0.05).cast("int").as("within_5pct"))
       .orderBy(col("l_returnflag"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filtered_agg" -> filteredAgg,
