@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Physical-layout helpers for the 100 TB posture. The reference has no
+  * storage layout at all (its sink is 10 append-mode text files,
+  * `distwc.c:31-34`); at cluster scale the two layout levers that matter
+  * are:
+  *
+  *   - **Bucketed tables**: pre-shuffle a fact table once at write time
+  *     into N hash buckets on its join/aggregation key. Every later join
+  *     or aggregation on that key reads the buckets co-located — zero
+  *     Exchange in the plan — and an equality filter on the key prunes
+  *     to 1/N of the files (`SelectedBucketsCount` in the scan). This is
+  *     the difference between re-shuffling 100 TB per query and never
+  *     shuffling it again.
+  *
+  *   - **Range-sorted parquet**: `repartitionByRange` + sort-within on a
+  *     predicate column gives every output file a disjoint min/max range
+  *     on that column, so parquet footer stats let point/range scans skip
+  *     whole files and row groups. This is the poor-man's (and
+  *     Spark-native) version of clustering/Z-ordering for single-column
+  *     predicates.
+  *
+  * Both are plan-guarded in LayoutSpec; SCALE.md carries the sizing
+  * guidance (bucket counts, target file sizes).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted parquet table in the session
+    * catalog. Bucket count should divide (or equal) the downstream
+    * shuffle partitioning and keep each bucket file in the 128 MB-1 GB
+    * band at target scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    // idempotent against a previous JVM's leftovers: with the in-memory
+    // catalog the table METADATA dies with the session but the warehouse
+    // FILES persist, and saveAsTable refuses an orphaned location
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket keys: with matching
+    * bucket counts Catalyst plans a sort-merge join with NO shuffle on
+    * either side (the bucketing IS the hash partitioning).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right), col(leftKey) === col(rightKey))
+
+  /** Write `df` range-partitioned and sorted on `key`: output files have
+    * pairwise-disjoint [min, max] ranges on `key`, enabling file- and
+    * row-group-level skipping for predicates on it.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, key: String, partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.{Layout, Tables}
+import org.apache.spark.sql.functions._
+
+/** Plan guards for the physical-layout helpers: bucketed tables must
+  * actually eliminate the join shuffle and prune buckets, and the
+  * range-sorted writer must actually produce disjoint per-file ranges —
+  * the properties that make them worth anything at 100 TB.
+  */
+class LayoutSpec extends SparkSuite {
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("bucketed-to-bucketed join plans with zero Exchange") {
+    Layout.writeBucketed(Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "graft_orders_bkt", 8, "o_custkey")
+    Layout.writeBucketed(Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_customer_bkt", 8, "c_custkey")
+    // force the shuffle-or-not decision to matter (no broadcast escape)
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val j = Layout.bucketedJoin(spark, "graft_orders_bkt", "graft_customer_bkt",
+        "o_custkey", "c_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      // and it still computes the right thing
+      val direct = Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(j.count() == direct)
+    }
+  }
+
+  test("equality filter on the bucket key prunes to 1 of 8 buckets") {
+    // self-sufficient: (re)create the table so the test does not depend
+    // on suite ordering or a previous JVM's catalog
+    Layout.writeBucketed(Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_customer_bkt", 8, "c_custkey")
+    // the DisableUnnecessaryBucketedScan rule only weighs shuffle
+    // avoidance, not pruning — without an interesting required
+    // distribution it silently falls back to a full scan, so pin the
+    // bucketed read on for this check
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false") {
+      val one = spark.table("graft_customer_bkt").filter(col("c_custkey") === 42)
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+    }
+  }
+
+  test("range-sorted write yields pairwise-disjoint per-file key ranges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Layout.writeRangeSorted(
+      Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate")),
+      s"$tmp/li_sorted", "l_orderkey", 8)
+    val ranges = spark.read.parquet(s"$tmp/li_sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+  }
+}
