@@ -148,6 +148,31 @@ object Analytics {
       .orderBy(col("tok"))
   }
 
+  /** TF-IDF capstone: top-3 terms per document by tf × smoothed idf,
+    * composing the vocab pipeline ([[vocabIdf]]) with the custom
+    * TopKPerGroup heap operator — per-doc term selection with no
+    * per-group sort at any scale. Term frequency and document frequency
+    * come from one occurrence explode + two hash aggregates; idf joins
+    * back on `tok` (a plain shuffled equi-join at scale) with the corpus
+    * size broadcast as a 1-row scalar.
+    */
+  def tfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val occ = docs.select(col("doc_id"),
+      explode(filter(TextFns.tokens(col("text")), t => length(t) > 0)).as("tok"))
+    val tf = occ.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"),
+        (col("tf").cast("double") *
+          round(log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")), 6)).as("score"))
+    graft.plans.TopKPerGroup(scored, Seq("doc_id"),
+      Seq(col("score").desc, col("tok").asc), 3)
+      .orderBy(col("doc_id"), col("score").desc, col("tok"))
+  }
+
   /** Declared two-phase salted aggregation (Skew.saltedCount): the
     * return-flag domain has 3 hot keys — exactly the aggregation-skew
     * shape AQE does not re-plan. The oracle proves the salted two-phase
@@ -204,6 +229,7 @@ object Analytics {
     "math_funcs" -> mathFuncs,
     "gap_fill" -> gapFill,
     "vocab_idf" -> vocabIdf,
+    "tf_idf" -> tfIdf,
     "skew_agg" -> skewAgg,
     "skew_join" -> skewJoin,
     "approx_distinct" -> approxDistinct,
@@ -269,6 +295,18 @@ object Analytics {
          |SELECT tok, df, n_docs,
          |  round(ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 6) AS idf
          |FROM d, n ORDER BY tok""".stripMargin,
+    "tf_idf" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM occ GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, tok, tf,
+         |         tf::DOUBLE * round(ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 6) AS score
+         |       FROM tf JOIN df USING (tok), n),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
+         |SELECT doc_id, tok, tf, score FROM r WHERE rn <= 3
+         |ORDER BY doc_id, score DESC, tok""".stripMargin,
     "skew_agg" ->
       """SELECT l_returnflag, count(*)::BIGINT AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -47,6 +47,16 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows.forall(_.getDouble(3) >= 0.0))
   }
 
+  test("tf_idf: at most 3 terms per doc, scores non-increasing within a doc") {
+    val rows = Analytics.tfIdf(spark, sf0001).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    assert(byDoc.values.forall { g =>
+      val scores = g.map(_.getDouble(3)).toSeq
+      scores == scores.sortBy(-_)
+    })
+  }
+
   test("approx_distinct: HLL(rsd=0.01) lands within the declared 5% band") {
     val bad = Analytics.approxDistinct(spark, sf0001)
       .filter(col("within_5pct") =!= 1).count()
