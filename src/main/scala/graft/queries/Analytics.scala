@@ -148,6 +148,26 @@ object Analytics {
       .orderBy(col("tok"))
   }
 
+  /** Incremental-ingest dedup: a replayed ingest window (doc_id >= 250)
+    * kept only where its content hash is unseen in the already-ingested
+    * corpus (doc_id < 300 — the ranges OVERLAP, modeling an ingest
+    * restart from an earlier checkpoint, so the 250-299 slice is
+    * guaranteed already-seen and must drop). A left-anti join on sha256
+    * is the cheapest ingest-time gate before any near-dup pass; at
+    * scale the corpus side is a bucketed table on the hash
+    * ([[graft.sources.Layout]]) so each batch anti-joins without
+    * re-shuffling the corpus.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") < 300)
+      .select(sha2(col("text"), 256).as("seen_sha"))
+    val batch = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+    batch.join(corpus, col("text_sha") === col("seen_sha"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF capstone: top-3 terms per document by tf × smoothed idf,
     * composing the vocab pipeline ([[vocabIdf]]) with the custom
     * TopKPerGroup heap operator — per-doc term selection with no
@@ -230,6 +250,7 @@ object Analytics {
     "gap_fill" -> gapFill,
     "vocab_idf" -> vocabIdf,
     "tf_idf" -> tfIdf,
+    "dedup_incremental" -> dedupIncremental,
     "skew_agg" -> skewAgg,
     "skew_join" -> skewJoin,
     "approx_distinct" -> approxDistinct,
@@ -295,6 +316,12 @@ object Analytics {
          |SELECT tok, df, n_docs,
          |  round(ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 6) AS idf
          |FROM d, n ORDER BY tok""".stripMargin,
+    "dedup_incremental" ->
+      """SELECT doc_id, sha256(text) AS text_sha FROM documents d
+        |WHERE doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id < 300 AND sha256(e.text) = sha256(d.text))
+        |ORDER BY doc_id""".stripMargin,
     "tf_idf" ->
       s"""WITH occ AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM occ GROUP BY 1, 2),

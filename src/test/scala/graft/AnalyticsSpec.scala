@@ -57,6 +57,16 @@ class AnalyticsSpec extends SparkSuite {
     })
   }
 
+  test("dedup_incremental: replayed overlap drops, unseen docs survive") {
+    val survivors = graft.queries.Analytics.dedupIncremental(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // the 250-299 overlap slice is already-seen by construction
+    assert(survivors.forall(_ >= 300))
+    // and nothing genuinely new was lost (testdata has no exact dupes)
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(survivors.size == (nDocs - 300).max(0))
+  }
+
   test("approx_distinct: HLL(rsd=0.01) lands within the declared 5% band") {
     val bad = Analytics.approxDistinct(spark, sf0001)
       .filter(col("within_5pct") =!= 1).count()
