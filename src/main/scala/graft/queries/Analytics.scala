@@ -193,6 +193,20 @@ object Analytics {
       .orderBy(col("doc_id"), col("score").desc, col("tok"))
   }
 
+  /** Z-order (Morton) code of the (partkey, suppkey) pair — the
+    * clustering key [[graft.sources.Layout.writeZOrdered]] sorts on.
+    * Declared as a query so the bit-interleave arithmetic itself is
+    * oracle-verified: DuckDB computes the identical spread-and-merge
+    * from [[graft.functions.ZOrder.morton2Sql]].
+    */
+  def zorderCode(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(1048576L)).as("px"),
+        pmod(col("l_suppkey"), lit(1048576L)).as("py"))
+      .withColumn("z", graft.functions.ZOrder.morton2(col("px"), col("py")))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+
   /** Declared two-phase salted aggregation (Skew.saltedCount): the
     * return-flag domain has 3 hot keys — exactly the aggregation-skew
     * shape AQE does not re-plan. The oracle proves the salted two-phase
@@ -251,6 +265,7 @@ object Analytics {
     "vocab_idf" -> vocabIdf,
     "tf_idf" -> tfIdf,
     "dedup_incremental" -> dedupIncremental,
+    "zorder_code" -> zorderCode,
     "skew_agg" -> skewAgg,
     "skew_join" -> skewJoin,
     "approx_distinct" -> approxDistinct,
@@ -334,6 +349,13 @@ object Analytics {
          |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
          |SELECT doc_id, tok, tf, score FROM r WHERE rn <= 3
          |ORDER BY doc_id, score DESC, tok""".stripMargin,
+    "zorder_code" ->
+      s"""SELECT l_orderkey, l_linenumber, px, py,
+         |  ${graft.functions.ZOrder.morton2Sql("px", "py")}::BIGINT AS z
+         |FROM (SELECT l_orderkey, l_linenumber,
+         |        (l_partkey % 1048576)::BIGINT AS px,
+         |        (l_suppkey % 1048576)::BIGINT AS py FROM lineitem)
+         |ORDER BY z, l_orderkey, l_linenumber""".stripMargin,
     "skew_agg" ->
       """SELECT l_returnflag, count(*)::BIGINT AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

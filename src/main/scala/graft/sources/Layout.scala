@@ -62,4 +62,18 @@ object Layout {
     df.repartitionByRange(partitions, col(key))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(path)
+
+  /** Write `df` clustered on the Z-order (Morton) code of two keys:
+    * every output file covers a bounded rectangle in (keyX, keyY), so
+    * footer-stat skipping works for predicates on EITHER column — the
+    * two-dimensional upgrade of [[writeRangeSorted]]. Keys must be
+    * non-negative and fit 31 bits (bucket/quantize wider domains first).
+    */
+  def writeZOrdered(df: DataFrame, path: String, keyX: String, keyY: String,
+      partitions: Int): Unit =
+    df.withColumn("__z", graft.functions.ZOrder.morton2(col(keyX), col(keyY)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -74,4 +74,41 @@ class LayoutSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("morton2 matches a bit-by-bit reference interleave") {
+    import graft.functions.ZOrder
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(500)((rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    def ref(x: Long, y: Long): Long =
+      (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | ((x >> i & 1L) << (2 * i)) | ((y >> i & 1L) << (2 * i + 1))
+      }
+    val got = spark.createDataFrame(pts).toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.morton2(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y), s"($x,$y)") }
+  }
+
+  test("z-ordered files bound BOTH dimensions; x-sorted files bound only x") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // a full 64x64 grid: the adversarial case for any single-column sort
+    val grid = spark.range(64L * 64)
+      .select((col("id") / 64).cast("long").as("gx"), (col("id") % 64).as("gy"))
+    Layout.writeZOrdered(grid, s"$tmp/z", "gx", "gy", 16)
+    Layout.writeRangeSorted(grid, s"$tmp/x", "gx", 16)
+    def maxSides(path: String): Array[Long] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(greatest(max(col("gx")) - min(col("gx")),
+          max(col("gy")) - min(col("gy"))).as("side"))
+        .collect().map(_.getLong(1))
+    val z = maxSides(s"$tmp/z")
+    val x = maxSides(s"$tmp/x")
+    // every x-sorted file spans the full y axis; every z-ordered file is
+    // a bounded rectangle (a ~256-code range covers at most a few
+    // aligned 16x16 quadrants even with approximate range boundaries)
+    assert(x.max == 63, x.mkString(","))
+    assert(z.max <= 48, z.mkString(","))
+    assert(z.sum.toDouble / z.length < x.sum.toDouble / x.length)
+  }
 }
