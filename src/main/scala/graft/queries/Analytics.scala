@@ -193,6 +193,25 @@ object Analytics {
       .orderBy(col("doc_id"), col("score").desc, col("tok"))
   }
 
+  /** Cohort retention: users grouped by first-seen day (the cohort),
+    * counted per day-offset of later activity — the standard
+    * product-analytics matrix. Two hash aggregates (user-day activity,
+    * then per-user min) and one shuffled self-join on user_id; day
+    * arithmetic is exact integer division of epoch ms.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 86400000L
+    val active = Sessions.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    active.join(cohort, "user_id")
+      .groupBy((col("cohort_day") * dayMs).as("cohort_ms"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_ms"), col("day_offset"))
+  }
+
   /** Z-order (Morton) code of the (partkey, suppkey) pair — the
     * clustering key [[graft.sources.Layout.writeZOrdered]] sorts on.
     * Declared as a query so the bit-interleave arithmetic itself is
@@ -266,6 +285,7 @@ object Analytics {
     "tf_idf" -> tfIdf,
     "dedup_incremental" -> dedupIncremental,
     "zorder_code" -> zorderCode,
+    "cohort_retention" -> cohortRetention,
     "skew_agg" -> skewAgg,
     "skew_join" -> skewJoin,
     "approx_distinct" -> approxDistinct,
@@ -349,6 +369,14 @@ object Analytics {
          |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
          |SELECT doc_id, tok, tf, score FROM r WHERE rn <= 3
          |ORDER BY doc_id, score DESC, tok""".stripMargin,
+    "cohort_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id,
+        |                  (epoch_us(ts) // 86400000000) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1)
+        |SELECT (cohort_day * 86400000)::BIGINT AS cohort_ms,
+        |  (day - cohort_day)::BIGINT AS day_offset, count(*)::BIGINT AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "zorder_code" ->
       s"""SELECT l_orderkey, l_linenumber, px, py,
          |  ${graft.functions.ZOrder.morton2Sql("px", "py")}::BIGINT AS z
