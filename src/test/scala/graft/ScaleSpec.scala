@@ -308,4 +308,37 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
       plan.take(800))
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // one hot key owning ~75% of the probe side — the join-skew shape
+    // that AQE (not salting) handles: thresholds lowered so the tiny
+    // test dataset trips the same re-plan a hot key would at 100 TB
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") < 150000, 0L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k2"))
+      val joined = left.join(right, col("k") === col("k2"))
+      // hot key 0: 150000 matches; keys 150000+ have no partner.
+      // collect(), not count(): count() builds a NEW QueryExecution and
+      // would leave joined.queryExecution un-executed (isFinalPlan=false)
+      assert(joined.collect().length == 150000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
