@@ -193,6 +193,36 @@ object Analytics {
       .orderBy(col("doc_id"), col("score").desc, col("tok"))
   }
 
+  /** String aggregation: per-flag sorted distinct statuses joined into
+    * one string. collect_set + array_sort + array_join is the
+    * deterministic formulation (bare collect_list order is
+    * partition-dependent and never hash-comparable).
+    */
+  def listAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+        .as("statuses"))
+      .orderBy(col("l_returnflag"))
+
+  /** Map-type battery over a real aggregate: per-document term-count map
+    * via map_from_entries(collect_list(struct)), probed with
+    * try_element_at (ANSI element_at hard-errors on a missing map key)
+    * and size(). The oracle states the same scalars without maps —
+    * conditional aggregate + distinct count.
+    */
+  def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d).select(col("doc_id"),
+      explode(filter(TextFns.tokens(col("text")), t => length(t) > 0)).as("tok"))
+    occ.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        try_element_at(col("m"), lit("the")).as("the_cnt"),
+        size(col("m")).as("n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cohort retention: users grouped by first-seen day (the cohort),
     * counted per day-offset of later activity — the standard
     * product-analytics matrix. Two hash aggregates (user-day activity,
@@ -286,6 +316,8 @@ object Analytics {
     "dedup_incremental" -> dedupIncremental,
     "zorder_code" -> zorderCode,
     "cohort_retention" -> cohortRetention,
+    "list_agg" -> listAgg,
+    "map_funcs" -> mapFuncs,
     "skew_agg" -> skewAgg,
     "skew_join" -> skewJoin,
     "approx_distinct" -> approxDistinct,
@@ -369,6 +401,16 @@ object Analytics {
          |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
          |SELECT doc_id, tok, tf, score FROM r WHERE rn <= 3
          |ORDER BY doc_id, score DESC, tok""".stripMargin,
+    "list_agg" ->
+      """SELECT l_returnflag, string_agg(s, ',' ORDER BY s) AS statuses
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus AS s FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "map_funcs" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM occ GROUP BY 1, 2)
+         |SELECT doc_id, max(CASE WHEN tok = 'the' THEN cnt END)::BIGINT AS the_cnt,
+         |  count(*)::INT AS n_toks
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "cohort_retention" ->
       """WITH active AS (SELECT DISTINCT user_id,
         |                  (epoch_us(ts) // 86400000000) AS day FROM events),
