@@ -193,6 +193,61 @@ object Analytics {
       .orderBy(col("doc_id"), col("score").desc, col("tok"))
   }
 
+  /** Funnel chains via Spark 4's recursive CTE: for every purchase,
+    * walk BACK through the same user's immediately-preceding events
+    * while gaps stay under 30 minutes, reporting the chain length — the
+    * "how many touches led to this purchase" funnel metric. The
+    * recursion follows a lag()-built linked list, so it is linear and
+    * time-monotone (terminates under UNION ALL — Spark's recursive CTEs
+    * reject UNION-distinct, which rules out cyclic closures; the depth
+    * cap is belt-and-braces, mirrored in the oracle).
+    */
+  private val evChainCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def eventChain(s: SparkSession, d: String): DataFrame = {
+    // the lag()-linked event list is persisted once per (session, sfDir):
+    // every recursion level joins it, and an inlined CTE would re-run
+    // the full window per level (~20x the work). Same materialized-input
+    // posture as Sessions.sessionTable / Pipeline's pair caches.
+    val ev = evChainCache.getOrElseUpdate((s, d), {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      Sessions.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lag(col("ts_ms"), 1).over(w).as("prev_ts"))
+        .persist()
+    })
+    ev.createOrReplaceTempView("graft_ev_chain")
+    s.sql(
+      """WITH RECURSIVE
+        |chain(purchase_id, cur_id, depth) AS (
+        |  SELECT event_id, event_id, CAST(0 AS BIGINT) FROM graft_ev_chain
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT c.purchase_id, e.prev_id, c.depth + 1
+        |  FROM chain c JOIN graft_ev_chain e ON e.event_id = c.cur_id
+        |  WHERE e.prev_id IS NOT NULL AND e.ts_ms - e.prev_ts <= 1800000
+        |    AND c.depth < 64)
+        |SELECT purchase_id, max(depth) AS chain_len
+        |FROM chain GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)
+  }
+
+  /** VARIANT-type battery (Spark 4 semi-structured path): the JSON props
+    * column parsed once into a variant, fields typed out via
+    * variant_get — same aggregate shape as the string-path events_json,
+    * so the oracle states it over plain JSON extraction.
+    */
+  def variantFuncs(s: SparkSession, d: String): DataFrame =
+    Sessions.events(s, d)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
   /** String aggregation: per-flag sorted distinct statuses joined into
     * one string. collect_set + array_sort + array_join is the
     * deterministic formulation (bare collect_list order is
@@ -318,6 +373,8 @@ object Analytics {
     "cohort_retention" -> cohortRetention,
     "list_agg" -> listAgg,
     "map_funcs" -> mapFuncs,
+    "event_chain" -> eventChain,
+    "variant_funcs" -> variantFuncs,
     "skew_agg" -> skewAgg,
     "skew_join" -> skewJoin,
     "approx_distinct" -> approxDistinct,
@@ -401,6 +458,26 @@ object Analytics {
          |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
          |SELECT doc_id, tok, tf, score FROM r WHERE rn <= 3
          |ORDER BY doc_id, score DESC, tok""".stripMargin,
+    "event_chain" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ts_ms, event_type,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000, event_id) AS prev_id,
+        |    lag(epoch_us(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000, event_id) AS prev_ts
+        |  FROM events),
+        |chain(purchase_id, cur_id, depth) AS (
+        |  SELECT event_id, event_id, 0::BIGINT FROM ev
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT c.purchase_id, e.prev_id, c.depth + 1
+        |  FROM chain c JOIN ev e ON e.event_id = c.cur_id
+        |  WHERE e.prev_id IS NOT NULL AND e.ts_ms - e.prev_ts <= 1800000
+        |    AND c.depth < 64)
+        |SELECT purchase_id, max(depth)::BIGINT AS chain_len
+        |FROM chain GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    "variant_funcs" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt,
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "list_agg" ->
       """SELECT l_returnflag, string_agg(s, ',' ORDER BY s) AS statuses
         |FROM (SELECT DISTINCT l_returnflag, l_linestatus AS s FROM lineitem)
