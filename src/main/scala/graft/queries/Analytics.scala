@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
 /** Round-3 analytics coverage beyond Relational: aggregate FILTER
   * clauses, navigation window functions (first/last/nth value,
   * percent_rank/cume_dist), histogram binning via width_bucket,
-  * math-function battery, time-series gap-fill (resampling), IDF
-  * vocabulary build (the classic LLM-corpus statistic), declared
-  * skew-salted aggregation/join queries, and an approximate-distinct
-  * query whose oracle checks the HLL error contract.
+  * math-function battery, time-series gap-fill (resampling), the
+  * TF-IDF family (IDF vocabulary build + per-doc top terms via
+  * TopKPerGroup), incremental-ingest dedup, declared skew-salted
+  * aggregation/join queries, an approximate-distinct query whose
+  * oracle checks the HLL error contract, Z-order codes, cohort
+  * retention, string/map-type aggregation batteries, and the Spark 4
+  * surfaces: recursive CTE funnel chains and VARIANT extraction.
   *
   * Oracle-parity conventions are Core's (exact cents, BIGINT counts,
   * total ORDER BY; doubles only as a final fixed expression tree over
