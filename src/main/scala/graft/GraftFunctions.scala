@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_simhash64(array<long>)`  — 64-bit SimHash of element hashes
   *   - `graft_cosine(a, b)`            — cosine similarity of float arrays
   *   - `graft_sorted_intersect(a, b)`  — merge-loop intersect count
+  *   - `graft_morton(x, y)`            — Z-order bit interleave (ZOrder.morton2)
   *
   * Two registration paths:
   *   - [[GraftExtensions]] for `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -41,6 +42,7 @@ object GraftFunctions {
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_cosine" -> (es => CosineSimExpr(es.head, es(1))),
     "graft_sorted_intersect" -> (es => SortedIntersectCountExpr(es.head, es(1))),
+    "graft_morton" -> (es => graft.functions.ZOrder.morton2Expr(es.head, es(1))),
   )
 
   /** Register all graft functions on a live session. */

@@ -41,6 +41,23 @@ object ZOrder {
   def morton2(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 
+  /** The same arithmetic as a raw Catalyst expression tree, for the
+    * `graft_morton(x, y)` SQL registration (GraftFunctions): the
+    * analyzer type-coerces the operands, so integral columns of any
+    * width work from `spark.sql`.
+    */
+  def morton2Expr(x: org.apache.spark.sql.catalyst.expressions.Expression,
+      y: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def spreadE(e: Expression): Expression =
+      SpreadSteps.foldLeft(BitwiseAnd(e, Literal(0x7FFFFFFFL)): Expression) {
+        case (acc, (s, m)) =>
+          BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(s))), Literal(m))
+      }
+    BitwiseOr(spreadE(x), ShiftLeft(spreadE(y), Literal(1)))
+  }
+
   /** The same spread as SQL text (for oracles / other engines): decimal
     * literals, standard `&`/`|`/`<<` only.
     */

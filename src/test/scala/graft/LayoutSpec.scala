@@ -89,6 +89,17 @@ class LayoutSpec extends SparkSuite {
     pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y), s"($x,$y)") }
   }
 
+  test("graft_morton SQL function equals the Column-API morton2") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT id % 1000 AS x, id % 777 AS y,
+        |  graft_morton(id % 1000, id % 777) AS z
+        |FROM range(2000)""".stripMargin)
+      .withColumn("z2", graft.functions.ZOrder.morton2(col("x"), col("y")))
+      .filter(col("z") =!= col("z2")).count()
+    assert(rows == 0)
+  }
+
   test("z-ordered files bound BOTH dimensions; x-sorted files bound only x") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     // a full 64x64 grid: the adversarial case for any single-column sort
