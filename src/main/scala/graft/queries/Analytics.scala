@@ -363,7 +363,51 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Approximate-percentile contract, the quantile twin of
+    * [[approxDistinct]]: the sketch median (accuracy 10000 → rank error
+    * ≤ 0.01%) must land inside the exact [p45, p55] rank band, so the
+    * exported flag is constant-true and the oracle states exactly that
+    * plus the exact median. At 100 TB the sketch is the only way to get
+    * quantiles without a per-group global sort.
+    */
+  def approxQuantile(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("lineitem"),
+      """WITH x AS (SELECT l_returnflag AS rf,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |r AS (SELECT rf, cents,
+        |        row_number() OVER (PARTITION BY rf ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY rf) AS n FROM x),
+        |exact AS (SELECT rf,
+        |    max(CASE WHEN rn = (9 * n + 19) div 20 THEN cents END) AS p45,
+        |    max(CASE WHEN rn = (n + 1) div 2 THEN cents END) AS p50,
+        |    max(CASE WHEN rn = (11 * n + 19) div 20 THEN cents END) AS p55
+        |  FROM r GROUP BY rf),
+        |appr AS (SELECT rf, approx_percentile(cents, 0.5, 10000) AS ap FROM x GROUP BY rf)
+        |SELECT exact.rf, p50 AS p50_exact,
+        |  CAST(ap BETWEEN p45 AND p55 AS INT) AS within_band
+        |FROM exact JOIN appr ON exact.rf = appr.rf
+        |ORDER BY rf""".stripMargin)
+
+  /** ANSI-safe scalar battery: Spark 4 runs with ANSI ON, so the try_*
+    * family is how a pipeline expresses "null, not job-abort" for bad
+    * cells — division by zero and unparseable casts here; the oracle
+    * states the same nulls via CASE / TRY_CAST.
+    */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("customer"),
+      """WITH x AS (SELECT c_custkey, c_name,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer)
+        |SELECT c_custkey,
+        |  round(try_divide(CAST(bal AS DOUBLE), CAST(c_custkey % 5 AS DOUBLE)), 6)
+        |    AS per_bucket,
+        |  try_cast(c_name AS DOUBLE) AS name_num,
+        |  try_cast(substring(c_name, 10) AS BIGINT) AS id_num
+        |FROM x ORDER BY c_custkey""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_quantile" -> approxQuantile,
+    "try_funcs" -> tryFuncs,
     "filtered_agg" -> filteredAgg,
     "window_nav" -> windowNav,
     "histogram" -> histogram,
@@ -388,6 +432,25 @@ object Analytics {
     "list_filter(string_split_regex(text, '[ \t\n\r]'), t -> t <> '')"
 
   val oracleSql: Map[String, String] = Map(
+    "approx_quantile" ->
+      """WITH x AS (SELECT l_returnflag AS rf,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |r AS (SELECT rf, cents,
+        |        row_number() OVER (PARTITION BY rf ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY rf) AS n FROM x)
+        |SELECT rf, max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_exact,
+        |  1::INT AS within_band
+        |FROM r GROUP BY rf ORDER BY rf""".stripMargin,
+    "try_funcs" ->
+      """WITH x AS (SELECT c_custkey, c_name,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer)
+        |SELECT c_custkey,
+        |  round(CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |        ELSE bal::DOUBLE / (c_custkey % 5)::DOUBLE END, 6) AS per_bucket,
+        |  TRY_CAST(c_name AS DOUBLE) AS name_num,
+        |  TRY_CAST(substring(c_name, 10) AS BIGINT) AS id_num
+        |FROM x ORDER BY c_custkey""".stripMargin,
     "filtered_agg" ->
       """SELECT l_returnflag,
         |  count(*)::BIGINT AS n_all,
