@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Oracle-parity conventions are Core's (exact cents, BIGINT counts,
   * total ORDER BY; doubles only as a final fixed expression tree over
-  * exact integers — identical IEEE op order both engines). `ln` and
+  * exact integers — identical IEEE op order both engines). Like the
+  * rest of the repo, `CAST(l_quantity AS BIGINT)` leans on TPC-H's
+  * integral quantities (1..50): Spark truncates double→bigint while
+  * DuckDB rounds, so the idiom is only parity-safe on integral values
+  * (money goes through round() into cents precisely because of this).
+  * `ln` and
   * `sqrt` appear under round(..., 6): sqrt is IEEE-correctly-rounded
   * everywhere; ln can differ by 1 ulp across libms, but a 1e-15 absolute
   * wiggle against a 5e-7 rounding boundary makes a flip vanishingly
@@ -28,14 +33,9 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  /** Same uniquely-prefixed temp-view SQL surface as Relational.sql. */
-  private def sql(s: SparkSession, d: String, tables: Seq[String], q: String): DataFrame = {
-    val rewritten = tables.foldLeft(q) { (acc, t) =>
-      Tables(s, d, t).createOrReplaceTempView(s"graft_$t")
-      acc.replaceAll(s"\\b$t\\b", s"graft_$t")
-    }
-    s.sql(rewritten)
-  }
+  // parity-critical helpers single-sourced in Shared
+  private def sql(s: SparkSession, d: String, tables: Seq[String], q: String): DataFrame =
+    Shared.sql(s, d, tables, q)
 
   /** Aggregate FILTER clauses: per-flag totals with per-aggregate
     * predicates — one scan, one shuffle, partial-agg friendly (the
@@ -427,9 +427,7 @@ object Analytics {
     "approx_distinct" -> approxDistinct,
   )
 
-  // non-empty token list, shared with Relational's oracle fragments
-  private val ToksNE =
-    "list_filter(string_split_regex(text, '[ \t\n\r]'), t -> t <> '')"
+  private val ToksNE = Shared.ToksNE
 
   val oracleSql: Map[String, String] = Map(
     "approx_quantile" ->

@@ -23,9 +23,8 @@ object Pipeline {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  // DuckDB fragments shared by several oracles
-  private val ToksNE =
-    "list_filter(string_split_regex(text, '[ \t\n\r]'), t -> t <> '')"
+  // DuckDB fragments shared by several oracles (single-sourced in Shared)
+  private val ToksNE = Shared.ToksNE
 
   /** Exact dedup by content hash. */
   def dedupExact(s: SparkSession, d: String): DataFrame = Dedup.exact(docs(s, d))

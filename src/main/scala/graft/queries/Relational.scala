@@ -26,21 +26,15 @@ object Relational {
     * would silently clobber a user temp view of the same name on the
     * shared session every time one of these queries runs.
     */
-  private def sql(s: SparkSession, d: String, tables: Seq[String], q: String): DataFrame = {
-    val rewritten = tables.foldLeft(q) { (acc, t) =>
-      Tables(s, d, t).createOrReplaceTempView(s"graft_$t")
-      acc.replaceAll(s"\\b$t\\b", s"graft_$t")
-    }
-    s.sql(rewritten)
-  }
+  private def sql(s: SparkSession, d: String, tables: Seq[String], q: String): DataFrame =
+    Shared.sql(s, d, tables, q)
 
   // non-empty reference-semantics tokens, staged as a materialized column
   // (HOF-on-expression-built-array re-evaluation trap — see TextFns)
   private def nonEmptyTokens(c: Column): Column =
     filter(TextFns.tokens(c), t => length(t) > 0)
 
-  private val ToksNE =
-    "list_filter(string_split_regex(text, '[ \t\n\r]'), t -> t <> '')"
+  private val ToksNE = Shared.ToksNE
 
   /** Scalar subquery: orders priced above the all-orders mean. The mean is
     * exact-integer (cents, integer division) so the threshold is identical

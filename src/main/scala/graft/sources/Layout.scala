@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
 
 /** Physical-layout helpers for the 100 TB posture. The reference has no
   * storage layout at all (its sink is 10 append-mode text files,
@@ -34,13 +34,17 @@ object Layout {
     * band at target scale.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    require(!table.contains("."),
+      "Layout.writeBucketed takes a simple table name (current database)")
     // idempotent against a previous JVM's leftovers: with the in-memory
     // catalog the table METADATA dies with the session but the warehouse
-    // FILES persist, and saveAsTable refuses an orphaned location
+    // FILES persist, and saveAsTable refuses an orphaned location. The
+    // location comes from the catalog itself — a string-built warehouse
+    // path would miss its identifier normalization (lowercasing)
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+      org.apache.spark.sql.graft.Bridge.defaultTablePath(spark, table))
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
@@ -51,8 +55,13 @@ object Layout {
     * either side (the bucketing IS the hash partitioning).
     */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right), col(leftKey) === col(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    // side-qualified keys: same-bucketed tables usually share the key
+    // NAME, and unqualified col(...) === col(...) is AMBIGUOUS_REFERENCE
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 
   /** Write `df` range-partitioned and sorted on `key`: output files have
     * pairwise-disjoint [min, max] ranges on `key`, enabling file- and
@@ -70,10 +79,24 @@ object Layout {
     * non-negative and fit 31 bits (bucket/quantize wider domains first).
     */
   def writeZOrdered(df: DataFrame, path: String, keyX: String, keyY: String,
-      partitions: Int): Unit =
-    df.withColumn("__z", graft.functions.ZOrder.morton2(col(keyX), col(keyY)))
+      partitions: Int): Unit = {
+    require(!df.columns.contains("__z"),
+      "Layout.writeZOrdered reserves the column name __z")
+    // fail fast on out-of-range keys: morton2 masks to 31 bits, and a
+    // silently wrapped key destroys the bounded-rectangle property the
+    // layout exists for without any visible error (data stays correct,
+    // skipping just quietly stops working)
+    def checked(name: String) = {
+      val c = col(name)
+      when(c < 0L || c > 0x7FFFFFFFL,
+        raise_error(concat(lit(s"writeZOrdered: $name out of [0, 2^31) range: "),
+          c.cast("string")))).otherwise(c)
+    }
+    df.withColumn("__z",
+        graft.functions.ZOrder.morton2(checked(keyX), checked(keyY)))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -31,6 +31,15 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.conf.contains(key)
 
+  /** The catalog's own location for a (simple) table name — string-built
+    * warehouse paths miss the catalog's identifier normalization
+    * (lowercasing, db qualification), breaking orphan-location cleanup.
+    */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession, table: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+
   /** Release the block-storage backing of a `localCheckpoint()`ed
     * Dataset. `Dataset.unpersist` only clears SQL-cache entries; a local
     * checkpoint lives as persisted RDD blocks inside the plan's

@@ -75,6 +75,28 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("bucketedJoin disambiguates identical key names on both sides") {
+    Layout.writeBucketed(Tables.nation(spark, sf0001)
+      .select(col("n_nationkey").as("k"), col("n_name")), "graft_nation_a", 4, "k")
+    Layout.writeBucketed(Tables.nation(spark, sf0001)
+      .select(col("n_nationkey").as("k"), col("n_regionkey")), "graft_nation_b", 4, "k")
+    // same key NAME on both sides — unqualified col("k") === col("k")
+    // would throw AMBIGUOUS_REFERENCE
+    val n = Layout.bucketedJoin(spark, "graft_nation_a", "graft_nation_b", "k", "k").count()
+    assert(n == 25)
+  }
+
+  test("writeZOrdered fails fast on out-of-range keys instead of silently wrapping") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zguard").toString
+    val bad = spark.range(10).select(col("id").as("x"), (col("id") - 5).as("y"))
+    val e = intercept[Exception] {
+      Layout.writeZOrdered(bad, s"$tmp/bad", "x", "y", 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("out of [0, 2^31) range")), e.toString)
+  }
+
   test("morton2 matches a bit-by-bit reference interleave") {
     import graft.functions.ZOrder
     val rnd = new scala.util.Random(42)
