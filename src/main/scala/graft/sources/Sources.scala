@@ -51,4 +51,15 @@ object Sources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** XML source/sink — built into Spark 4 core (the former spark-xml
+    * connector), so it works in this offline container unlike avro.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).format("xml").load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite")
+      .option("rootTag", "rows").option("rowTag", rowTag)
+      .format("xml").save(path)
 }

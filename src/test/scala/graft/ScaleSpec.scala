@@ -51,6 +51,12 @@ class ScaleSpec extends SparkSuite {
     val fromOrc = Sources.orc(spark, s"$tmp/wc_orc")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(fromOrc == expected)
+    // XML (built into Spark 4 core): like CSV, an empty element reads
+    // back as null — the remaining tokens must round-trip exactly
+    Sources.writeXml(wc, s"$tmp/wc_xml")
+    val fromXml = Sources.xml(spark, s"$tmp/wc_xml")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toMap
+    assert(fromXml.filter(_._1 != null) == expected.filter(_._1.nonEmpty))
   }
 
   test("binned range join count equals sessionize n_events (self-check invariant)") {
