@@ -315,6 +315,38 @@ class ScaleSpec extends SparkSuite {
       plan.take(800))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the other runtime re-plan lever beside AQE skew-split: a selective
+    // dim side injects bloom_filter_agg -> might_contain onto the fact
+    // scan, cutting shuffled fact rows before the join — at 100 TB this
+    // is the difference between shuffling the full fact table and
+    // shuffling the ~1% that can match
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      spark.range(100000).select(col("id").as("fk"))
+        .write.mode("overwrite").parquet(s"$tmp/fact")
+      spark.range(10000).select(col("id").as("pk"))
+        .write.mode("overwrite").parquet(s"$tmp/dim")
+      val fact = spark.read.parquet(s"$tmp/fact")
+      val dim = spark.read.parquet(s"$tmp/dim").filter(col("pk") % 97 === 0)
+      val j = fact.join(dim, col("fk") === col("pk"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        plan.take(1500))
+      assert(j.count() == 104) // ceil(10000 / 97)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // one hot key owning ~75% of the probe side — the join-skew shape
     // that AQE (not salting) handles: thresholds lowered so the tiny
