@@ -318,6 +318,18 @@ object Pipeline {
         array_join(transform(col("frame_samples"), _.cast("string")), ","))
       .orderBy(col("doc_id"))
 
+  /** The frame-sampling fan-out a feature extractor consumes: one row
+    * per sampled frame (payload, ordinal, frame index) via posexplode of
+    * the decoded sample list — the batch shape a video pipeline hands to
+    * the per-frame model stage.
+    */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMeta(s, docs(s, d)).toDF()
+      .select(col("doc_id"), posexplode(col("frame_samples")).as(Seq("pos", "fi")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("sample_ord"),
+        col("fi").cast("int").as("frame_idx"))
+      .orderBy(col("doc_id"), col("sample_ord"))
+
   /** Pair list -> one row per cluster: representative (min id), member
     * count, dropped count (members minus the kept rep — summing it gives
     * `docs_kept = n_docs - sum(n_dropped)` for the whole corpus), and the
@@ -496,6 +508,7 @@ object Pipeline {
     "session_window" -> sessionWindow,
     "events_json" -> eventsJson,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_frames" -> multimodalFrames,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
     "asof_forward" -> asofForward,
@@ -763,6 +776,13 @@ object Pipeline {
       """SELECT event_type, count(*)::BIGINT AS cnt,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents),
+        |f AS (SELECT doc_id, 1::INT AS sample_ord, 0::INT AS frame_idx FROM m
+        |  UNION ALL SELECT doc_id, 2::INT, ((1 + n_bytes % 30) // 2)::INT FROM m
+        |  UNION ALL SELECT doc_id, 3::INT, (n_bytes % 30)::INT FROM m)
+        |SELECT doc_id, sample_ord, frame_idx FROM f
+        |ORDER BY doc_id, sample_ord""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, n_bytes,
         |  (64 + n_bytes % 577)::INT AS width,
