@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** A (session, sfDir)-keyed cache of a materialized shared input (a
+  * persisted DataFrame computed once and consumed by several queries).
+  *
+  * Staleness caveat: entries are keyed by path, not by file content — if
+  * the parquet files under an sfDir are rewritten while a JVM holds a
+  * cached entry, consumers keep reading the persisted stale blocks until
+  * [[MaterializedCaches.invalidateAll]] (or [[clear]]) is called. Tools
+  * and tests that rewrite inputs must invalidate first; long-lived
+  * multi-session apps should invalidate when retiring a session so the
+  * strong session references and their storage blocks are released.
+  */
+final class DfCache(val name: String) {
+  private val m = TrieMap.empty[(SparkSession, String), DataFrame]
+  MaterializedCaches.register(this)
+
+  def getOrElseUpdate(key: (SparkSession, String), compute: => DataFrame): DataFrame =
+    m.getOrElseUpdate(key, compute)
+
+  /** Unpersist every cached block and drop all entries (incl. the strong
+    * SparkSession references).
+    */
+  def clear(): Unit = {
+    m.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Exception => () })
+    m.clear()
+  }
+
+  private[graft] def size: Int = m.size
+}
+
+/** Registry of every [[DfCache]] in the engine, so one call releases all
+  * materialized shared inputs (see the staleness caveat on [[DfCache]]).
+  */
+object MaterializedCaches {
+  private val all = TrieMap.empty[String, DfCache]
+
+  private[graft] def register(c: DfCache): Unit = all.put(c.name, c)
+
+  /** Unpersist and forget every cached shared input across all modules. */
+  def invalidateAll(): Unit = all.values.foreach(_.clear())
+
+  private[graft] def registered: Seq[String] = all.keys.toSeq.sorted
+}

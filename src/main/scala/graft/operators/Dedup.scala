@@ -326,14 +326,24 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nfp = fingerprint(next)
+      // The fingerprint is a cheap screen; on a match, confirm the
+      // fixpoint EXACTLY once (counts already equal via the fingerprint
+      // and both sides are distinct sets, so a one-sided empty except is
+      // set equality) — a ~2^-64 hash collision would otherwise
+      // terminate early with silently wrong clusters.
+      converged = nfp == fp && next.except(edges).isEmpty
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(edges)
-      converged = nfp == fp
       edges = next
       fp = nfp
       iter += 1
     }
     p0.unpersist()
-    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    if (!converged) {
+      // release the final round's checkpoint blocks on the failure path too
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(edges)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    }
     // fixpoint edges are (member, root) stars; roots label themselves
     edges.select(col("src").as("id"), col("dst").as("label"))
       .union(edges.select(col("dst").as("id"), col("dst").as("label")))

@@ -205,8 +205,7 @@ object Analytics {
     * reject UNION-distinct, which rules out cyclic closures; the depth
     * cap is belt-and-braces, mirrored in the oracle).
     */
-  private val evChainCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val evChainCache = new graft.DfCache("analytics.evChain")
 
   def eventChain(s: SparkSession, d: String): DataFrame = {
     // the lag()-linked event list is persisted once per (session, sfDir):

@@ -35,8 +35,7 @@ object Pipeline {
     * is written once and every consumer (pair report, cluster collapse,
     * kept-docs filter) reads it, not re-derives it.
     */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairCache = new graft.DfCache("pipeline.minhashPairs")
 
   private def minhashPairTable(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((s, d), Dedup.minhashPairs(docs(s, d)).persist())
@@ -62,8 +61,7 @@ object Pipeline {
     * dedup_kept consume this list (the ngram_jaccard query itself stays
     * uncached — it measures pair production).
     */
-  private val ngramPairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ngramPairCache = new graft.DfCache("pipeline.ngramPairs")
 
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     ngramPairCache.getOrElseUpdate((s, d), ngramJaccardPairsUncached(s, d).persist())
@@ -110,8 +108,7 @@ object Pipeline {
     * per-query work — at 100 TB it is trained/materialized once and
     * every top-k probe reuses it.
     */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val centroidCache = new graft.DfCache("pipeline.centroids")
 
   def centroids(s: SparkSession, d: String): DataFrame =
     centroidCache.getOrElseUpdate((s, d), {
@@ -415,8 +412,7 @@ object Pipeline {
     * measures CC production via [[clustersOf]]; dedup_kept consumes the
     * persisted labels.
     */
-  private val ccLabelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ccLabelCache = new graft.DfCache("pipeline.ccLabels")
 
   private def ccLabels(s: SparkSession, d: String): DataFrame =
     ccLabelCache.getOrElseUpdate((s, d),

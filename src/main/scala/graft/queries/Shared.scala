@@ -23,8 +23,60 @@ private[queries] object Shared {
   def sql(s: SparkSession, d: String, tables: Seq[String], q: String): DataFrame = {
     val rewritten = tables.foldLeft(q) { (acc, t) =>
       Tables(s, d, t).createOrReplaceTempView(s"graft_$t")
-      acc.replaceAll(s"\\b$t\\b", s"graft_$t")
+      rewriteBareWord(acc, t, s"graft_$t")
     }
+    // Loud guard: the textual rewrite must have changed exactly the
+    // relation references (table + CTE names), nothing else. A literal
+    // like event_type = 'orders' or a stray token would shift this set.
+    val orig = org.apache.spark.sql.graft.Bridge.parsedRelations(s, q)
+    val expect = orig.map(r => if (tables.contains(r)) s"graft_$r" else r)
+    val got = org.apache.spark.sql.graft.Bridge.parsedRelations(s, rewritten)
+    require(got == expect,
+      s"table-name rewrite corrupted the query: relations $got != expected $expect\n$rewritten")
     s.sql(rewritten)
+  }
+
+  /** Replace word-boundary occurrences of `from` with `to`, but ONLY in
+    * plain SQL text — occurrences inside single-quoted string literals,
+    * double-quoted / backtick-quoted identifiers, `--` line comments and
+    * bracketed comments are left untouched (a query filtering on
+    * `event_type = 'orders'` must not become `'graft_orders'`).
+    */
+  private[queries] def rewriteBareWord(q: String, from: String, to: String): String = {
+    val sb = new StringBuilder(q.length + 64)
+    val n = q.length
+    var i = 0
+    def wordChar(c: Char) = c == '_' || Character.isLetterOrDigit(c)
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') { // quoted region: copy verbatim ('' escapes)
+        val quote = c
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          sb.append(q.charAt(i))
+          if (q.charAt(i) == quote) {
+            if (i + 1 < n && q.charAt(i + 1) == quote) { sb.append(quote); i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else if (c == '-' && i + 1 < n && q.charAt(i + 1) == '-') { // line comment
+        while (i < n && q.charAt(i) != '\n') { sb.append(q.charAt(i)); i += 1 }
+      } else if (c == '/' && i + 1 < n && q.charAt(i + 1) == '*') { // block comment
+        sb.append("/*"); i += 2
+        while (i < n && !(q.charAt(i) == '*' && i + 1 < n && q.charAt(i + 1) == '/')) {
+          sb.append(q.charAt(i)); i += 1
+        }
+        if (i < n) { sb.append("*/"); i += 2 }
+      } else if (q.startsWith(from, i) &&
+          (i == 0 || !wordChar(q.charAt(i - 1))) &&
+          (i + from.length >= n || !wordChar(q.charAt(i + from.length)))) {
+        sb.append(to); i += from.length
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 }

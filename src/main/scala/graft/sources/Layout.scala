@@ -40,12 +40,32 @@ object Layout {
     // catalog the table METADATA dies with the session but the warehouse
     // FILES persist, and saveAsTable refuses an orphaned location. The
     // location comes from the catalog itself — a string-built warehouse
-    // path would miss its identifier normalization (lowercasing)
+    // path would miss its identifier normalization (lowercasing).
+    // Deletion is guarded: a live MANAGED table cleans up its own files
+    // on DROP; files a dropped EXTERNAL table leaves behind are user
+    // data we refuse to touch; and an orphaned location is reclaimed
+    // only when it sits inside this session's warehouse dir.
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       org.apache.spark.sql.graft.Bridge.defaultTablePath(spark, table))
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (spark.catalog.tableExists(table)) {
+      val wasExternal = spark.catalog.getTable(table).tableType == "EXTERNAL"
+      spark.sql(s"DROP TABLE `$table`")
+      if (wasExternal && fs.exists(loc)) throw new IllegalStateException(
+        s"refusing to overwrite `$table`: a dropped EXTERNAL table left data at $loc — " +
+          "move or delete it explicitly before calling writeBucketed")
+    }
+    if (fs.exists(loc)) {
+      val warehouse = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")))
+      val q = fs.makeQualified(loc)
+      def under(p: org.apache.hadoop.fs.Path): Boolean =
+        p != null && (p == warehouse || under(p.getParent))
+      if (!under(q.getParent)) throw new IllegalStateException(
+        s"refusing to delete orphaned location $q: outside the warehouse dir $warehouse")
+      fs.delete(q, true)
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }

@@ -40,6 +40,18 @@ object Bridge {
       .sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
 
+  /** Relation names (tables, views, CTE references) a SQL text parses to,
+    * in plan-walk order. Parse-only — nothing is resolved or executed.
+    * Used to assert that textual table-name rewrites touched exactly the
+    * relation references and nothing else (literals, aliases, comments).
+    */
+  def parsedRelations(spark: org.apache.spark.sql.SparkSession, sqlText: String): Seq[String] =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sqlText).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".")
+      }
+
   /** Release the block-storage backing of a `localCheckpoint()`ed
     * Dataset. `Dataset.unpersist` only clears SQL-cache entries; a local
     * checkpoint lives as persisted RDD blocks inside the plan's

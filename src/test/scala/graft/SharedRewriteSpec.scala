@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.{MaterializedCaches, SparkSuite}
+import org.apache.spark.sql.graft.Bridge
+
+/** The table-name rewrite behind every SQL-surface query: bare relation
+  * tokens are prefixed, but string literals, quoted identifiers and
+  * comments are untouched, and the parse-level guard rejects a rewrite
+  * that changes anything but relation references.
+  */
+class SharedRewriteSpec extends SparkSuite {
+
+  test("rewriteBareWord leaves string literals, quotes and comments alone") {
+    val q = "SELECT * FROM orders WHERE t = 'orders' AND u = 'x''orders' " +
+      "AND v = \"orders\" -- orders in a comment\n/* orders */ JOIN orders o"
+    val r = Shared.rewriteBareWord(q, "orders", "graft_orders")
+    assert(r === "SELECT * FROM graft_orders WHERE t = 'orders' AND u = 'x''orders' " +
+      "AND v = \"orders\" -- orders in a comment\n/* orders */ JOIN graft_orders o")
+  }
+
+  test("rewriteBareWord respects word boundaries") {
+    val q = "SELECT part_stats, part.p_size, reorders FROM part"
+    val r = Shared.rewriteBareWord(q, "part", "graft_part")
+    assert(r === "SELECT part_stats, graft_part.p_size, reorders FROM graft_part")
+  }
+
+  test("parsedRelations sees tables and CTE references, not literals or aliases") {
+    val rels = Bridge.parsedRelations(spark,
+      "WITH c AS (SELECT 1 x) SELECT * FROM orders o JOIN c ON o.x = c.x WHERE t = 'lineitem'")
+    assert(rels.toSet === Set("orders", "c"))
+  }
+
+  test("Shared.sql runs a query containing the table name inside a literal") {
+    val df = Shared.sql(spark, sf0001, Seq("orders"),
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority <> 'orders'")
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
+  test("MaterializedCaches.invalidateAll clears every registered cache") {
+    // populate at least one cache, then invalidate: a second call must be
+    // safe and the registry must know all module caches
+    graft.streaming.Sessions.sessionTable(spark, sf0001).count()
+    assert(MaterializedCaches.registered.contains("sessions.sessionTable"))
+    MaterializedCaches.invalidateAll()
+    MaterializedCaches.invalidateAll() // idempotent
+    // caches repopulate on demand after invalidation
+    assert(graft.streaming.Sessions.sessionTable(spark, sf0001).count() > 0)
+  }
+}

@@ -81,6 +81,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL-rows] {name}: spark={len(g)} duck={len(e)}")
             failures += 1
             continue
+        # dtype-drift report: the sort-key normalization above makes
+        # int64 10 and float64 10.0 compare equal, so a lost ::BIGINT
+        # cast can no longer FAIL the value check — surface int-vs-float
+        # column pairs loudly so type-contract drift stays visible
+        for c in g.columns:
+            gk, ek = g[c].dtype.kind, e[c].dtype.kind
+            if gk != ek and {gk, ek} <= {"i", "u", "f"}:
+                print(f"[WARN-type] {name}: col={c} "
+                      f"spark={g[c].dtype} duck={e[c].dtype} (int/float drift)")
         # value compare, cell by cell with list support
         bad = None
         for c in g.columns:
