@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Pipeline.queries ++
-      graft.queries.Relational.queries ++ graft.queries.Analytics.queries
+      graft.queries.Relational.queries ++ graft.queries.Analytics.queries ++
+      graft.queries.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracleSql ++ graft.queries.Pipeline.oracleSql ++
-      graft.queries.Relational.oracleSql ++ graft.queries.Analytics.oracleSql
+      graft.queries.Relational.oracleSql ++ graft.queries.Analytics.oracleSql ++
+      graft.queries.Curation.oracleSql
 }

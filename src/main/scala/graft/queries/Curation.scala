@@ -1,0 +1,375 @@
+package graft.queries
+
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 coverage: the remaining training-data-curation operators
+  * (sequence packing, PII redaction, stratified sampling, BM25 ranking,
+  * bigram collocations via PMI, n-gram containment) and relational gaps
+  * (EXISTS subqueries, interpolated percentiles, struct round-trips,
+  * correlated LATERAL top-k).
+  *
+  * The reference has none of this (it is a 640-LoC MapReduce kernel,
+  * `mapreduce.c:41-213`); these generalize its map→shuffle→reduce shape
+  * into the operations a 100 TB curation pipeline runs daily. Oracle
+  * parity follows the repo conventions: exact integer cents, BIGINT
+  * counts, doubles only as a final fixed expression tree with identical
+  * IEEE op order on both engines, total ORDER BY.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  private def sql(s: SparkSession, d: String, tables: Seq[String], q: String): DataFrame =
+    Shared.sql(s, d, tables, q)
+
+  // --- sequence packing -------------------------------------------------
+
+  /** Fixed-boundary sequence packing: documents (in deterministic doc_id
+    * order) are laid end-to-end per source shard and cut into CTX-token
+    * bins — the standard pre-tokenization packing pass before LLM
+    * training. The window is partitioned by `source`, so at 100 TB each
+    * shard packs independently in parallel; there is no global sort.
+    * (A doc longer than CTX overflows its bin — boundary packing, not
+    * doc splitting.)
+    */
+  def packSequences(s: SparkSession, d: String, ctx: Long = 2048L): DataFrame = {
+    val t = docs(s, d).select(col("source"), col("doc_id"),
+      size(Dedup.tokensNE(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $ctx"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  // --- PII redaction ----------------------------------------------------
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val PhoneRe = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val NumRe = "[0-9]{5,}"
+
+  /** PII redaction: scrub emails, phone numbers and long numeric ids
+    * from text, reporting per-document match counts and the hash of the
+    * scrubbed output. The synthetic corpus contains no PII, so each doc
+    * is audited against deterministically PLANTED markers (email + phone
+    * + numeric id derived from doc_id) appended inside the query — the
+    * standard way to test a redactor: known positives, exact expected
+    * output. Map-only and codegen'd; scales embarrassingly.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" ref "), (col("doc_id") + lit(1000000L)).cast("string"))
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+      NumRe, "<NUM>")
+    docs(s, d).select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("aug"), lit(NumRe)).cast("long").as("n_ids"),
+        scrubbed.as("sc"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ids"),
+        length(col("sc")).as("n_chars"), sha2(col("sc"), 256).as("sha"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- stratified sampling ----------------------------------------------
+
+  /** Stratified corpus sampling with per-language quotas: the dominant
+    * language is downsampled (20%), the rest kept at 50%, membership
+    * decided by the same deterministic doc_id hash as train_test_split —
+    * stable under resharding, no RNG state, no shuffle beyond the final
+    * per-stratum count.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(100L))
+    val rate = when(col("lang") === "en", lit(20L)).otherwise(lit(50L))
+    docs(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(bucket < rate, lit(1))).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  // --- BM25 ranking -------------------------------------------------------
+
+  /** BM25 relevance of every document for a fixed query term set — the
+    * retrieval-quality scorer a curation pipeline runs to mine topical
+    * subsets. Both tf and df are exact integers; the only doubles are
+    * the final fixed expression tree (k1=1.2, b=0.75), identical on both
+    * engines. Term/doc-frequency pass is two hash aggregations; the
+    * corpus-level scalars ride a broadcast.
+    */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+      .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("dl"))
+    val stats = t.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val terms = s.createDataFrame(Seq(Tuple1("spark"), Tuple1("vector"))).toDF("term")
+    val tf = t.crossJoin(broadcast(terms))
+      .select(col("doc_id"), col("dl"), col("term"),
+        size(filter(col("ts"), x => x === col("term"))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    tf.join(broadcast(dfT), "term").crossJoin(broadcast(stats))
+      .withColumn("sco",
+        log(lit(1.0) + (col("n") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / (col("sumdl").cast("double") / col("n"))))))
+      .groupBy(col("doc_id")).agg(round(sum(col("sco")), 6).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- bigram collocations (PMI) ------------------------------------------
+
+  /** Bigram collocation mining: pointwise mutual information of adjacent
+    * token pairs occurring >= 5 times. Bigrams come from zipping each
+    * token list with its own tail (two slices, no self-join); unigram
+    * and bigram totals derive from the list lengths, so the whole query
+    * is two hash aggregations plus a broadcast of the totals.
+    */
+  def bigramPmi(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(Dedup.tokensNE(col("text")).as("ts"))
+      .select(col("ts"), size(col("ts")).as("l")).filter(col("l") >= 2)
+    val uni = t.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bg = t.select(explode(zip_with(
+        slice(col("ts"), lit(1), col("l") - 1), slice(col("ts"), lit(2), col("l") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val totals = t.agg(sum(col("l")).as("n1t"), sum(col("l") - 1).as("n2t"))
+    big.join(broadcast(uni.select(col("w").as("w1"), col("c1").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cb"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") / col("n2t")) /
+          ((col("ca") / col("n1t")) * (col("cb") / col("n1t")))), 6).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  // --- n-gram containment ---------------------------------------------------
+
+  /** Asymmetric near-dup detection: shingle-set CONTAINMENT (|A∩B|/|A|),
+    * which catches a document embedded inside a larger one — Jaccard
+    * misses those because the union is dominated by the big doc. Same
+    * bounded-id oracle-able slice and native sorted-merge intersect as
+    * ngram_jaccard.
+    */
+  def ngramContainment(s: SparkSession, d: String): DataFrame = {
+    val sets = Dedup.shingleHashSets(docs(s, d).filter(col("doc_id") < 500))
+    val a = sets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
+    val b = sets.select(col("doc_id").as("id2"), col("hs").as("hs2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+      .withColumn("cont12", round(col("inter").cast("double") / size(col("hs1")), 6))
+      .withColumn("cont21", round(col("inter").cast("double") / size(col("hs2")), 6))
+      .filter(greatest(col("cont12"), col("cont21")) >= 0.6)
+      .select(col("id1"), col("id2"), col("cont12"), col("cont21"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // --- relational gaps --------------------------------------------------------
+
+  /** EXISTS / NOT EXISTS correlated subqueries (Catalyst rewrites them
+    * to semi/anti joins — plan-guarded in ScaleSpec's spirit by the
+    * equi-join shape, no per-row subquery execution).
+    */
+  def existsSubquery(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("customer", "orders"),
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+
+  /** Interpolated percentiles + median per group (the continuous
+    * counterpart of percentile_disc): quarter positions on integral
+    * quantities make the linear interpolation IEEE-exact on both
+    * engines, so no rounding is needed.
+    */
+  def percentileCont(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("median(l_quantity)").as("med"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Struct round-trip: build a struct, take its lexicographic MIN per
+    * group (struct ordering = field-by-field), extract the fields back
+    * out. The oracle states the same pick as a row_number window — two
+    * different operators, one answer.
+    */
+  def structFuncs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .select(col("o_orderpriority"),
+        struct(round(col("o_totalprice") * 100).cast("long").as("c"),
+          col("o_orderkey").as("k")).as("m"))
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("m")).as("mn"), count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("mn.c").as("min_cents"),
+        col("mn.k").as("min_okey"), col("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
+    * customer, the SQL-standard spelling of per-group top-k (Catalyst
+    * decorrelates it into a ranked window — same engine path as
+    * RewriteWindowTopK's input shape, arrived at from SQL).
+    */
+  def lateralTopk(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("customer", "orders"),
+      """SELECT c.c_custkey, t.okey, t.cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey AS okey,
+        |                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |         FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, cents DESC, okey""".stripMargin)
+
+  // --- registration ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "pii_scrub" -> piiScrub,
+    "stratified_sample" -> stratifiedSample,
+    "bm25" -> bm25,
+    "bigram_pmi" -> bigramPmi,
+    "ngram_containment" -> ngramContainment,
+    "exists_subquery" -> existsSubquery,
+    "percentile_cont" -> percentileCont,
+    "struct_funcs" -> structFuncs,
+    "lateral_topk" -> lateralTopk,
+  )
+
+  // parity-critical DuckDB fragments (ToksNE single-sourced in Shared)
+  private val ToksNE = Shared.ToksNE
+
+  def oracleSql: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT source, doc_id, len($ToksNE)::BIGINT AS n_tok FROM documents),
+         |b AS (SELECT source, doc_id, n_tok,
+         |        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |      FROM t)
+         |SELECT source, (cum_before // 2048)::BIGINT AS bin_id,
+         |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or +1-555-'
+        |      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |      || ' ref ' || (doc_id + 1000000)::VARCHAR AS aug
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |    len(regexp_extract_all(aug, '[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        |    len(regexp_extract_all(aug, '[0-9]{5,}'))::BIGINT AS n_ids,
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{5,}', '<NUM>', 'g') AS sc
+        |  FROM a)
+        |SELECT doc_id, n_emails, n_phones, n_ids,
+        |  length(sc)::INT AS n_chars, sha256(sc) AS sha
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT lang, count(*)::BIGINT AS n_total,
+        |  count(*) FILTER (WHERE ((doc_id % 2147483647) * 2654435761) % 100
+        |    < CASE WHEN lang = 'en' THEN 20 ELSE 50 END)::BIGINT AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "bm25" ->
+      s"""WITH d AS (SELECT doc_id, ts, len(ts)::BIGINT AS dl
+         |           FROM (SELECT doc_id, $ToksNE AS ts FROM documents)),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM d),
+         |q AS (SELECT unnest(['spark', 'vector']) AS term),
+         |tf AS (SELECT doc_id, dl, term,
+         |         len(list_filter(ts, x -> x = term))::BIGINT AS tf
+         |       FROM d, q),
+         |tfp AS (SELECT * FROM tf WHERE tf > 0),
+         |dft AS (SELECT term, count(*)::BIGINT AS dft FROM tfp GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |         ln(1.0 + (n - dft + 0.5) / (dft + 0.5)) * (tf * 2.2)
+         |           / (tf + 1.2 * (0.25 + 0.75 * (dl / (sumdl::DOUBLE / n)))) AS sco
+         |       FROM tfp JOIN dft USING (term) CROSS JOIN st)
+         |SELECT doc_id, round(sum(sco), 6) AS bm25
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "bigram_pmi" ->
+      s"""WITH d AS (SELECT ts, len(ts) AS l
+         |           FROM (SELECT $ToksNE AS ts FROM documents) WHERE len(ts) >= 2),
+         |u AS (SELECT w, count(*)::BIGINT AS c1
+         |      FROM (SELECT unnest(ts) AS w FROM d) GROUP BY w),
+         |b AS (SELECT w1, w2, count(*)::BIGINT AS c12
+         |      FROM (SELECT unnest(ts[1:l-1]) AS w1, unnest(ts[2:l]) AS w2 FROM d)
+         |      GROUP BY 1, 2 HAVING count(*) >= 5),
+         |s AS (SELECT sum(l)::BIGINT AS n1t, sum(l - 1)::BIGINT AS n2t FROM d)
+         |SELECT w1, w2, c12,
+         |  round(ln((c12 / n2t) / ((a.c1 / n1t) * (bb.c1 / n1t))), 6) AS pmi
+         |FROM b JOIN u a ON b.w1 = a.w JOIN u bb ON b.w2 = bb.w CROSS JOIN s
+         |ORDER BY w1, w2""".stripMargin,
+    "ngram_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+         |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents WHERE doc_id < 500)
+         |  WHERE len(ts) >= 3)
+         |SELECT id1, id2, cont12, cont21 FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) AS cont12,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh), 6) AS cont21
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |WHERE greatest(cont12, cont21) >= 0.6 ORDER BY id1, id2""".stripMargin,
+    "exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "percentile_cont" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  median(l_quantity) AS med,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "struct_funcs" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey AS k,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, c AS min_cents, k AS min_okey, n::BIGINT AS n
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "lateral_topk" ->
+      """SELECT c.c_custkey, t.okey, t.cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey AS okey,
+        |                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |         FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, cents DESC, okey""".stripMargin,
+  )
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.queries.Curation
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-4 curation/relational batch (hash parity vs
+  * DuckDB is the driver gate; these pin the operator semantics).
+  */
+class CurationSpec extends SparkSuite {
+
+  test("pack_sequences conserves tokens and numbers bins contiguously per source") {
+    val bins = Curation.packSequences(spark, sf001).cache()
+    val perSource = bins.groupBy("source")
+      .agg(sum("n_tokens").as("toks"), min("bin_id").as("lo"),
+        max("bin_id").as("hi"), countDistinct("bin_id").as("nb"))
+      .collect()
+    val totals = graft.sources.Tables.documents(spark, sf001)
+      .groupBy("source")
+      .agg(sum(size(graft.operators.Dedup.tokensNE(col("text"))).cast("long")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      assert(r.getLong(1) === totals(r.getString(0)), s"token loss in ${r.getString(0)}")
+      assert(r.getLong(2) === 0L, "bins must start at 0")
+      assert(r.getLong(4) === r.getLong(3) + 1, "bin ids must be contiguous")
+    }
+    bins.unpersist()
+  }
+
+  test("pii_scrub removes every planted email/phone/id and counts them") {
+    val out = Curation.piiScrub(spark, sf001)
+    assert(out.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ids") < 1).count() === 0)
+    // re-derive one scrubbed doc and assert no residual PII patterns
+    val sc = graft.sources.Tables.documents(spark, sf001).limit(20)
+      .select(regexp_replace(regexp_replace(regexp_replace(
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" ref "), (col("doc_id") + lit(1000000L)).cast("string")),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+        "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+        "[0-9]{5,}", "<NUM>").as("sc"))
+    assert(sc.filter(col("sc").rlike("@|[0-9]{5,}")).count() === 0)
+  }
+
+  test("stratified_sample downsamples the dominant language deterministically") {
+    val a = Curation.stratifiedSample(spark, sf001).collect()
+    val b = Curation.stratifiedSample(spark, sf001).collect()
+    assert(a.toSeq === b.toSeq, "sampling must be deterministic")
+    a.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val byLang = a.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (enT, enS) = byLang("en")
+    assert(enS.toDouble / enT < 0.35, "en must be downsampled toward 20%")
+  }
+
+  test("bm25 scores exactly the docs containing a query term, positively") {
+    val scored = Curation.bm25(spark, sf001)
+    val expected = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), graft.operators.Dedup.tokensNE(col("text")).as("ts"))
+      .filter(array_contains(col("ts"), "spark") || array_contains(col("ts"), "vector"))
+    assert(scored.count() === expected.count())
+    assert(scored.filter(col("bm25") <= 0).count() === 0)
+  }
+
+  test("bigram_pmi only reports pairs at the support threshold, with finite pmi") {
+    val out = Curation.bigramPmi(spark, sf001).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("c12") < 5).count() === 0)
+    assert(out.filter(isnan(col("pmi")) || col("pmi").isNull).count() === 0)
+    out.unpersist()
+  }
+
+  test("containment dominates jaccard on every shared pair") {
+    val j = graft.queries.Pipeline.ngramJaccard(spark, sf001)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val c = Curation.ngramContainment(spark, sf001)
+    // J = I/|union| <= I/|A| and I/|B|: both containments bound jaccard
+    val joined = j.join(c, Seq("id1", "id2"))
+    assert(joined.filter(col("jaccard") > col("cont12") + 1e-9 ||
+      col("jaccard") > col("cont21") + 1e-9).count() === 0)
+  }
+
+  test("struct min equals the argmin window pick") {
+    val viaStruct = Curation.structFuncs(spark, sf001)
+      .select("o_orderpriority", "min_cents").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = graft.sources.Tables(spark, sf001, "orders")
+      .groupBy("o_orderpriority")
+      .agg(min(round(col("o_totalprice") * 100).cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaStruct === direct)
+  }
+
+  test("lateral_topk returns at most 2 orders per customer, the top ones") {
+    val out = Curation.lateralTopk(spark, sf001).cache()
+    val over = out.groupBy("c_custkey").count().filter(col("count") > 2)
+    assert(over.count() === 0)
+    // spot-check one customer against a direct sort
+    val one = out.limit(1).collect()(0).getLong(0)
+    val got = out.filter(col("c_custkey") === one).select("cents")
+      .collect().map(_.getLong(0)).toSeq
+    val want = graft.sources.Tables(spark, sf001, "orders")
+      .filter(col("o_custkey") === one)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      .orderBy(col("c").desc).limit(2).collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    out.unpersist()
+  }
+
+  test("percentile_cont is monotone across quarters and brackets the median") {
+    Curation.percentileCont(spark, sf001).collect().foreach { r =>
+      val (p25, p50, p75, med) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(med === p50)
+    }
+  }
+}
