@@ -230,6 +230,16 @@ object Curation {
     * customer, the SQL-standard spelling of per-group top-k (Catalyst
     * decorrelates it into a ranked window — same engine path as
     * RewriteWindowTopK's input shape, arrived at from SQL).
+    *
+    * Scale caveat (observed on the optimized plan): Spark's decorrelation
+    * emits the subquery ORDER BY as a GLOBAL sort below the window and
+    * drops the window's own order spec, so per-key order relies on the
+    * shuffle preserving the sorted order — guaranteed in local mode
+    * (all blocks local, fetched in map order; verified stable at
+    * local[32] and hash-equal to DuckDB) but not something to lean on
+    * across a real cluster's fetch interleave. At 100 TB spell per-group
+    * top-k as topk_per_group (the heap operator) or window row_number
+    * with an explicit in-window ORDER BY.
     */
   def lateralTopk(s: SparkSession, d: String): DataFrame =
     sql(s, d, Seq("customer", "orders"),
