@@ -83,6 +83,36 @@ object Layout {
     l.join(r, l(leftKey) === r(rightKey))
   }
 
+  /** Compact a directory of small parquet files into ~`targetBytes`
+    * files — the maintenance pass every streaming/incremental sink needs
+    * (a micro-batch sink writing 1000 files/hour makes every later scan
+    * pay 1000 footer reads + task launches; NameNode/object-store
+    * listing cost scales with file count, not data size).
+    *
+    * File count = ceil(input bytes / targetBytes), sized from the
+    * actual listing, not guessed. `rebalance=false` (default) uses
+    * `coalesce` — a narrow dependency, zero shuffle, the cheap path
+    * when input files are similar sizes. `rebalance=true` pays one
+    * round-robin shuffle for evenly-sized output files — worth it when
+    * the input mixes tiny and large files (coalesce would glue them
+    * unevenly). Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20, rebalance: Boolean = false): (Int, Int) = {
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(in).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(parts.nonEmpty, s"no parquet files under $inDir")
+    val total = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val out = if (rebalance) df.repartition(n) else df.coalesce(n)
+    out.write.mode("overwrite").parquet(outDir)
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, written)
+  }
+
   /** Write `df` range-partitioned and sorted on `key`: output files have
     * pairwise-disjoint [min, max] ranges on `key`, enabling file- and
     * row-group-level skipping for predicates on it.

@@ -55,6 +55,15 @@ object Sources {
   /** XML source/sink — built into Spark 4 core (the former spark-xml
     * connector), so it works in this offline container unlike avro.
     */
+  /** Whole-file binary ingest (`binaryFile` format): one row per file
+    * with (path, modificationTime, length, content) — the ingest seam
+    * for raw image/audio/video payloads feeding `operators.Multimodal`.
+    * Files larger than `spark.sql.sources.binaryFile.maxLength` (2 GB
+    * default ceiling) must be chunked upstream.
+    */
+  def binaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
   def xml(spark: SparkSession, path: String, rowTag: String = "row"): DataFrame =
     spark.read.option("rowTag", rowTag).format("xml").load(path)
 

@@ -144,4 +144,37 @@ class LayoutSpec extends SparkSuite {
     assert(z.max <= 48, z.mkString(","))
     assert(z.sum.toDouble / z.length < x.sum.toDouble / x.length)
   }
+
+  test("compactParquet collapses a small-file explosion without losing rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val li = Tables(spark, sf0001, "lineitem")
+    li.repartition(40).write.parquet(s"$tmp/small")
+    val (before, after) =
+      Layout.compactParquet(spark, s"$tmp/small", s"$tmp/compacted", targetBytes = 4L << 20)
+    assert(before === 40)
+    assert(after < before, s"expected fewer files, got $after")
+    val a = spark.read.parquet(s"$tmp/compacted")
+    assert(a.count() === li.count())
+    // content equality, order-free: same multiset of orderkey/linenumber
+    val fp = (df: org.apache.spark.sql.DataFrame) => df
+      .agg(expr("bit_xor(xxhash64(l_orderkey, l_linenumber, l_quantity))")).collect()(0).getLong(0)
+    assert(fp(a) === fp(li))
+    // rebalance path: same rows, evenly sized output
+    val (_, afterR) =
+      Layout.compactParquet(spark, s"$tmp/small", s"$tmp/rebalanced", 4L << 20, rebalance = true)
+    assert(afterR < before && fp(spark.read.parquet(s"$tmp/rebalanced")) === fp(li))
+  }
+
+  test("binaryFiles reads whole files as rows with path/length/content") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    val payload = Array.tabulate[Byte](257)(i => (i % 251).toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/a.bin"), payload)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/b.txt"), "not binary".getBytes)
+    val df = graft.sources.Sources.binaryFiles(spark, tmp, "*.bin")
+    val rows = df.select("path", "length", "content").collect()
+    assert(rows.length === 1, "glob must filter to the .bin file")
+    assert(rows(0).getAs[String]("path").endsWith("a.bin"))
+    assert(rows(0).getAs[Long]("length") === 257L)
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq === payload.toSeq)
+  }
 }
