@@ -252,6 +252,58 @@ object Curation {
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c_custkey, cents DESC, okey""".stripMargin)
 
+  /** Second string battery: translate/split_part/left/right/repeat/
+    * instr/startswith/endswith (everything DuckDB also has — initcap,
+    * soundex, next_day have no DuckDB twin and stay spec-only territory).
+    */
+  def stringFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "part").selectExpr(
+      "p_partkey",
+      "translate(p_name, 'ae', '43') AS tr",
+      "split_part(p_type, ' ', 2) AS typ2",
+      "left(p_name, 5) AS l5",
+      "right(p_name, 4) AS r4",
+      "repeat(p_brand, 2) AS rep",
+      "CAST(instr(p_name, 'a') AS BIGINT) AS ia",
+      "startswith(p_type, 'S') AS sw",
+      "endswith(p_name, 'e') AS ew")
+      .orderBy(col("p_partkey"))
+
+  /** Second array battery: set ops (sorted for cross-engine order
+    * independence), flatten, sequence, overlap, position, max. The
+    * greatest(...,1) floor keeps `sequence` ascending for empty token
+    * lists (Spark's sequence(1,0) would run DESCENDING to [1,0] while
+    * DuckDB's range(1,1) is empty).
+    */
+  def arrayFuncs2(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .selectExpr("doc_id",
+        "array_sort(array_intersect(ts, array('spark','data','merge'))) AS inter",
+        "array_sort(array_except(ts, array('spark','data','merge'))) AS exc",
+        "flatten(array(slice(ts, 1, 2), slice(ts, 3, 2))) AS fl",
+        "sequence(CAST(1 AS BIGINT), CAST(greatest(least(size(ts), 5), 1) AS BIGINT)) AS seq",
+        "arrays_overlap(ts, array('spark','data','merge')) AS ov",
+        "array_position(ts, 'data') AS pos",
+        "array_max(ts) AS mx")
+      .orderBy(col("doc_id"))
+
+  /** Second date battery: last_day / add_months (both engines clamp to
+    * month end), ISO week, day-of-year, make_date — dates exported as
+    * epoch days (the repo's date-parity convention).
+    */
+  def dateFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders").select(col("o_orderkey"),
+      datediff(last_day(col("o_orderdate").cast("date")), lit("1970-01-01"))
+        .cast("long").as("ld_days"),
+      datediff(add_months(col("o_orderdate").cast("date"), 2), lit("1970-01-01"))
+        .cast("long").as("m2_days"),
+      weekofyear(col("o_orderdate").cast("date")).as("woy"),
+      dayofyear(col("o_orderdate").cast("date")).as("doy"),
+      datediff(make_date(lit(2024), month(col("o_orderdate")), lit(1)), lit("1970-01-01"))
+        .cast("long").as("md_days"))
+      .orderBy(col("o_orderkey"))
+
   // --- registration ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -265,6 +317,9 @@ object Curation {
     "percentile_cont" -> percentileCont,
     "struct_funcs" -> structFuncs,
     "lateral_topk" -> lateralTopk,
+    "string_funcs2" -> stringFuncs2,
+    "array_funcs2" -> arrayFuncs2,
+    "date_funcs2" -> dateFuncs2,
   )
 
   // parity-critical DuckDB fragments (ToksNE single-sourced in Shared)
@@ -381,5 +436,38 @@ object Curation {
         |         WHERE o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c_custkey, cents DESC, okey""".stripMargin,
+    "string_funcs2" ->
+      """SELECT p_partkey,
+        |  translate(p_name, 'ae', '43') AS tr,
+        |  split_part(p_type, ' ', 2) AS typ2,
+        |  left(p_name, 5) AS l5,
+        |  right(p_name, 4) AS r4,
+        |  repeat(p_brand, 2) AS rep,
+        |  instr(p_name, 'a')::BIGINT AS ia,
+        |  starts_with(p_type, 'S') AS sw,
+        |  ends_with(p_name, 'e') AS ew
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "array_funcs2" ->
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents)
+         |SELECT doc_id,
+         |  list_sort(list_intersect(ts, ['spark','data','merge'])) AS inter,
+         |  list_sort(list_distinct(list_filter(ts,
+         |    x -> NOT list_contains(['spark','data','merge'], x)))) AS exc,
+         |  flatten([ts[1:2], ts[3:4]]) AS fl,
+         |  range(1, greatest(least(len(ts), 5), 1) + 1) AS seq,
+         |  len(list_intersect(ts, ['spark','data','merge'])) > 0 AS ov,
+         |  coalesce(list_position(ts, 'data'), 0)::BIGINT AS pos,
+         |  list_aggregate(ts, 'max') AS mx
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "date_funcs2" ->
+      """SELECT o_orderkey,
+        |  date_diff('day', DATE '1970-01-01', last_day(o_orderdate::DATE))::BIGINT AS ld_days,
+        |  date_diff('day', DATE '1970-01-01',
+        |    (o_orderdate::DATE + INTERVAL 2 MONTH)::DATE)::BIGINT AS m2_days,
+        |  week(o_orderdate::DATE)::INT AS woy,
+        |  dayofyear(o_orderdate::DATE)::INT AS doy,
+        |  date_diff('day', DATE '1970-01-01',
+        |    make_date(2024, month(o_orderdate)::INT, 1))::BIGINT AS md_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }
