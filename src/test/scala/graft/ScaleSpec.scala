@@ -379,4 +379,29 @@ class ScaleSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("plan guards: round-4 batch keeps the scale shape") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    // exists_subquery: EXISTS/NOT EXISTS must become semi+anti equi-joins
+    val ex = planOf("exists_subquery")
+    assert(ex.contains("LeftSemi") && ex.contains("LeftAnti"), ex.take(800))
+    assert(!ex.contains("BroadcastNestedLoopJoin") && !ex.contains("CartesianProduct"),
+      ex.take(800))
+    // pack_sequences: exactly one hash exchange (by source) below the
+    // window — a global range sort here means the per-shard parallelism
+    // was lost
+    val ps = planOf("pack_sequences")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(ps).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1, ps.take(1200))
+    // bm25: corpus scalars and per-term document frequencies must ride
+    // broadcasts — a shuffle join on a 2-row dim or a 1-row stats table
+    // is the wrong shape at any scale
+    val bm = planOf("bm25")
+    assert(!bm.contains("SortMergeJoin"), bm.take(1200))
+    // stratified_sample / pii_scrub: map-only up to the final agg — no
+    // join operator anywhere
+    assert(!planOf("stratified_sample").contains("Join"))
+    assert(!planOf("pii_scrub").contains("Join"))
+  }
 }
