@@ -204,6 +204,13 @@ object Analytics {
     * time-monotone (terminates under UNION ALL — Spark's recursive CTEs
     * reject UNION-distinct, which rules out cyclic closures; the depth
     * cap is belt-and-braces, mirrored in the oracle).
+    *
+    * Scale note: because the walk follows a linear lag-link, the same
+    * metric reduces to ONE gaps-and-islands window pass (break at
+    * >30 min gap, chain_len = position in island, capped) — proved
+    * equivalent in AnalyticsSpec ("the 100 TB path"). The recursive CTE
+    * stays as the declared query for SQL-surface coverage; a production
+    * run at scale uses the windowed form.
     */
   private val evChainCache = new graft.DfCache("analytics.evChain")
 

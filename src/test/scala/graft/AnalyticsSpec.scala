@@ -73,6 +73,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("event_chain equals the single-pass windowed formulation (the 100 TB path)") {
+    // The recursive CTE is the SQL-surface showcase (~chain-length join
+    // rounds); the SAME metric falls out of one gaps-and-islands window
+    // pass: a chain break is a >30 min gap (or the user's first event),
+    // islands number the breaks cumulatively, and the chain length of a
+    // purchase is its 0-based position in its island, capped like the
+    // recursion depth. One shuffle total — the formulation a 100 TB run
+    // would use.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val ev = graft.streaming.Sessions.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+      .withColumn("brk",
+        (coalesce(col("ts_ms") - lag(col("ts_ms"), 1).over(w), lit(Long.MaxValue))
+          > 1800000L).cast("long"))
+      .withColumn("island", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val expected = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("island")).orderBy(col("ts_ms"), col("event_id"))))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        least(col("rn") - 1, lit(64)).cast("long").as("chain_len"))
+    val got = Analytics.eventChain(spark, sf001).select("purchase_id", "chain_len")
+    assert(got.count() === expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   private implicit class BoolOps(val a: Boolean) {
     def ==>(b: Boolean): Boolean = !a || b
   }
