@@ -40,6 +40,49 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS stream_sessions")
   }
 
+  test("checkpoint restart: dedup state and file-sink exactly-once survive a stop/start") {
+    // The durability contract a production pipeline leans on: stop a
+    // stream, restart from the same checkpoint, and (a) the file sink
+    // stays exactly-once, (b) operator state (here dropDuplicates ids)
+    // is RESTORED — replays arriving after the restart are still
+    // dropped. Phase 2 deliberately re-ships 20 phase-1 events.
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ck").toString
+    val ev = Sessions.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
+    // FileStreamSource lists flat files only: copy the part-file out of
+    // the directory a DataFrame write produces
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(streamDir.toString)
+        .dropDuplicates("event_id")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val even = ev.filter(col("event_id") % 2 === 0)
+    stageFlat(even, "h1.parquet")
+    runOnce()
+    stageFlat(ev.filter(col("event_id") % 2 === 1).unionAll(even.limit(20)), "h2.parquet")
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    val n = ev.count()
+    assert(out.count() === n, "restart must neither duplicate nor lose events")
+    assert(out.select("event_id").distinct().count() === n,
+      "replayed phase-1 ids must be dropped by state restored from the checkpoint")
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-state")
     java.nio.file.Files.copy(
