@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Djb2Hash, Djb2Pid, CosineSimExpr, SimHash64Expr, SortedIntersectCountExpr}
+import graft.functions.{CosineSimExpr, CountEqExpr, Djb2Hash, Djb2Pid, SimHash64Expr, SortedIntersectCountExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_simhash64(array<long>)`  — 64-bit SimHash of element hashes
   *   - `graft_cosine(a, b)`            — cosine similarity of float arrays
   *   - `graft_sorted_intersect(a, b)`  — merge-loop intersect count
+  *   - `graft_counteq(arr, needle)`    — term frequency (count of equal elements)
   *   - `graft_morton(x, y)`            — Z-order bit interleave (ZOrder.morton2)
   *
   * Two registration paths:
@@ -42,6 +43,7 @@ object GraftFunctions {
     "graft_simhash64" -> (es => SimHash64Expr(es.head)),
     "graft_cosine" -> (es => CosineSimExpr(es.head, es(1))),
     "graft_sorted_intersect" -> (es => SortedIntersectCountExpr(es.head, es(1))),
+    "graft_counteq" -> (es => CountEqExpr(es.head, es(1))),
     "graft_morton" -> (es => graft.functions.ZOrder.morton2Expr(es.head, es(1))),
   )
 

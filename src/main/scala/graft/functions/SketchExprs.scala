@@ -69,6 +69,15 @@ object SketchExprs {
   /** Intersection size of two sorted `array<long>` columns (merge loop). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCountExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Occurrences of `needle` in an `array<string>` column — term
+    * frequency in one generated loop. The HOF spelling
+    * `size(filter(ts, x -> x = t))` interprets the lambda per element
+    * and re-evaluates wherever the expression is referenced; this stays
+    * inside whole-stage codegen.
+    */
+  def countEq(arr: Column, needle: Column): Column =
+    Bridge.column(CountEqExpr(Bridge.expression(arr), Bridge.expression(needle)))
 }
 
 case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long], p: Long)
@@ -316,5 +325,58 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** tf(needle, tokens): count of array elements byte-equal to `needle`
+  * (the per-document analogue of the reference's count reducer,
+  * distwc.c:27-30). Null elements don't match; null array or needle →
+  * null (BinaryExpression's null-safe contract).
+  */
+case class CountEqExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with RequiresArrayOf {
+  override def dataType: DataType = IntegerType
+  override protected def requiredElementType: DataType = StringType
+  // only the array child carries the element-type requirement; the
+  // needle is checked separately below
+  override protected def typedChildren: Seq[Expression] = Seq(left)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    super.checkInputDataTypes() match {
+      case f: TypeCheckResult.TypeCheckFailure => f
+      case _ if right.dataType != StringType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string needle, got ${right.dataType.simpleString}")
+      case ok => ok
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val needle = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0; var n = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).equals(needle)) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |int $i = 0; int $n = 0;
+         |while ($i < $a.numElements()) {
+         |  if (!$a.isNullAt($i) && $a.getUTF8String($i).equals($b)) { $n++; }
+         |  $i++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountEqExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -115,7 +115,7 @@ object Curation {
     val terms = s.createDataFrame(Seq(Tuple1("spark"), Tuple1("vector"))).toDF("term")
     val tf = t.crossJoin(broadcast(terms))
       .select(col("doc_id"), col("dl"), col("term"),
-        size(filter(col("ts"), x => x === col("term"))).cast("long").as("tf"))
+        graft.functions.SketchExprs.countEq(col("ts"), col("term")).cast("long").as("tf"))
       .filter(col("tf") > 0)
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
     tf.join(broadcast(dfT), "term").crossJoin(broadcast(stats))

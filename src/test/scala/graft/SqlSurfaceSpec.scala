@@ -24,6 +24,31 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r.getLong(4) == 5381L) // single element: bits of the element itself
   }
 
+  test("graft_counteq equals the HOF tf formulation and handles edges") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_counteq(array('a','b','a',''), 'a') AS two,
+        |  graft_counteq(array('a','b'), 'z') AS zero,
+        |  graft_counteq(array('a', CAST(NULL AS STRING)), 'a') AS skipnull,
+        |  graft_counteq(CAST(NULL AS ARRAY<STRING>), 'a') AS narr,
+        |  graft_counteq(array(''), '') AS empt""".stripMargin).collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.getInt(2) == 1)
+    assert(r.isNullAt(3) && r.getInt(4) == 1)
+    // equivalence vs the interpreted HOF on real token lists
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(graft.operators.Dedup.tokensNE(col("text")).as("ts"))
+    val diff = docs.select(
+      graft.functions.SketchExprs.countEq(col("ts"), lit("spark")).as("native"),
+      size(filter(col("ts"), x => x === lit("spark"))).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+    // wrong types rejected at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_counteq(array(1L, 2L), 'a')").collect()
+    }
+    assert(e.getMessage.contains("array<string>"), e.getMessage)
+  }
+
   test("wrong-typed arrays fail analysis with a clear message, not silent garbage") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception] {
