@@ -304,6 +304,18 @@ object Curation {
         .cast("long").as("md_days"))
       .orderBy(col("o_orderkey"))
 
+  /** Modern SQL-surface sugar both engines grew: GROUP BY ALL (group by
+    * every non-aggregate select item) + ORDER BY ALL (total order over
+    * the whole select list) — one shared query text, zero dialect
+    * translation.
+    */
+  def groupByAll(s: SparkSession, d: String): DataFrame =
+    sql(s, d, Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+
   // --- registration ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -320,6 +332,7 @@ object Curation {
     "string_funcs2" -> stringFuncs2,
     "array_funcs2" -> arrayFuncs2,
     "date_funcs2" -> dateFuncs2,
+    "group_by_all" -> groupByAll,
   )
 
   // parity-critical DuckDB fragments (ToksNE single-sourced in Shared)
@@ -469,5 +482,10 @@ object Curation {
         |  date_diff('day', DATE '1970-01-01',
         |    make_date(2024, month(o_orderdate)::INT, 1))::BIGINT AS md_days
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
   )
 }
