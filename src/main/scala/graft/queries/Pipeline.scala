@@ -184,6 +184,30 @@ object Pipeline {
     docs(s, d).select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Token-budget subset selection: per language, admit documents in
+    * quality-descending order until the token budget fills (the last
+    * admitted doc may straddle the boundary) — "fill a 10B-token budget
+    * with the best docs" as one window pass. Partitioned by language,
+    * so every stratum selects in parallel; no global sort, no driver
+    * loop. Reports per-language docs/tokens admitted and the quality
+    * cutoff actually achieved.
+    */
+  def tokenBudgetSample(s: SparkSession, d: String, budget: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, d).select(col("doc_id"), col("lang"),
+      TextFns.qualityScore(col("text")).as("quality"),
+      size(Dedup.tokensNE(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored.withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") - col("n_tok") < budget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("quality")).as("min_quality"))
+      .orderBy(col("lang"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint (min 3-gram hash). */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextFns.fingerprintDf(docs(s, d), "doc_id", "text").orderBy(col("doc_id"))
@@ -483,6 +507,7 @@ object Pipeline {
     "train_test_split" -> trainTestSplit,
     "normalize_text" -> normalizeText,
     "curated_sample" -> curatedSample,
+    "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_kept" -> dedupKept,
@@ -677,6 +702,18 @@ object Pipeline {
          |      ORDER BY q.quality DESC, l.doc_id) AS rn
          |  FROM ($langIdOracle) l JOIN ($QualityOracle) q ON l.doc_id = q.doc_id)
          |WHERE rn <= 5 ORDER BY lang_pred, quality DESC, doc_id""".stripMargin,
+    "token_budget_sample" ->
+      s"""WITH t AS (
+         |  SELECT d.doc_id, d.lang, q.quality, len($ToksNE)::BIGINT AS n_tok
+         |  FROM documents d JOIN ($QualityOracle) q ON d.doc_id = q.doc_id),
+         |c AS (
+         |  SELECT lang, n_tok, quality,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+         |  min(quality) AS min_quality
+         |FROM c WHERE cum - n_tok < 2000 GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       s"""SELECT doc_id, fp FROM (
          |  SELECT doc_id,

@@ -107,6 +107,27 @@ class CurationSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("token_budget_sample boundaries: infinite budget = whole corpus, budget 1 = best doc") {
+    val P = graft.queries.Pipeline
+    val full = P.tokenBudgetSample(spark, sf001, Long.MaxValue / 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = graft.sources.Tables.documents(spark, sf001)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(size(graft.operators.Dedup.tokensNE(col("text"))).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(full === direct, "an unreachable budget must admit every document")
+    val one = P.tokenBudgetSample(spark, sf001, 1L).collect()
+    val bestQ = graft.sources.Tables.documents(spark, sf001)
+      .select(col("lang"), graft.functions.TextFns.qualityScore(col("text")).as("q"))
+      .groupBy("lang").agg(max("q").as("mq"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    one.foreach { r =>
+      assert(r.getLong(1) === 1L, "budget 1 admits exactly the first (boundary-straddling) doc")
+      assert(r.getDouble(3) === bestQ(r.getString(0)), "and that doc is the best-quality one")
+    }
+  }
+
   test("percentile_cont is monotone across quarters and brackets the median") {
     Curation.percentileCont(spark, sf001).collect().foreach { r =>
       val (p25, p50, p75, med) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
