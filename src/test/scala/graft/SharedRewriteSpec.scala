@@ -36,6 +36,33 @@ class SharedRewriteSpec extends SparkSuite {
     assert(df.collect().head.getLong(0) > 0)
   }
 
+  test("rewriteBareWord fuzz: only code segments rewritten (seeded, 300 rounds)") {
+    // build queries from segments whose classification is known by
+    // construction: code segments expect a plain word-boundary replace,
+    // quoted/comment segments must come through untouched
+    val rnd = new scala.util.Random(4242)
+    val words = Seq("orders", "orders_x", "xorders", "part", "o1", "sum", "ORDERS")
+    def codeSeg(): String =
+      (0 to rnd.nextInt(3)).map(_ => words(rnd.nextInt(words.size))).mkString(" ", " ", " ")
+    for (round <- 1 to 300) {
+      val segs = (1 to (1 + rnd.nextInt(6))).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => val c = codeSeg(); (c, true)
+          case 1 => ("'" + codeSeg().replace("'", "''") + "'", false)
+          case 2 => ("\"" + codeSeg() + "\"", false)
+          case 3 => ("/*" + codeSeg() + "*/", false)
+          case 4 => ("-- " + codeSeg() + "\n", false)
+        }
+      }
+      val q = segs.map(_._1).mkString
+      val expected = segs.map { case (seg, isCode) =>
+        if (isCode) seg.replaceAll("\\borders\\b", "graft_orders") else seg
+      }.mkString
+      assert(Shared.rewriteBareWord(q, "orders", "graft_orders") === expected,
+        s"round $round input: $q")
+    }
+  }
+
   test("MaterializedCaches.invalidateAll clears every registered cache") {
     // populate at least one cache, then invalidate: a second call must be
     // safe and the registry must know all module caches
