@@ -49,13 +49,20 @@ private[queries] object Shared {
     def wordChar(c: Char) = c == '_' || Character.isLetterOrDigit(c)
     while (i < n) {
       val c = q.charAt(i)
-      if (c == '\'' || c == '"' || c == '`') { // quoted region: copy verbatim ('' escapes)
+      if (c == '\'' || c == '"' || c == '`') {
+        // quoted region: copy verbatim. Handles BOTH escape styles that
+        // Spark's default lexer accepts — doubled quotes ('') and
+        // backslash escapes (\' — spark.sql.parser.escapedStringLiterals
+        // is false by default), so a literal like 'it\'s orders' cannot
+        // be terminated early and rewritten mid-literal
         val quote = c
         sb.append(c); i += 1
         var done = false
         while (i < n && !done) {
           sb.append(q.charAt(i))
-          if (q.charAt(i) == quote) {
+          if (q.charAt(i) == '\\' && i + 1 < n) { // backslash escape: copy next blindly
+            sb.append(q.charAt(i + 1)); i += 1
+          } else if (q.charAt(i) == quote) {
             if (i + 1 < n && q.charAt(i + 1) == quote) { sb.append(quote); i += 1 }
             else done = true
           }

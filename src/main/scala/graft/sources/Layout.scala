@@ -50,20 +50,29 @@ object Layout {
       org.apache.spark.sql.graft.Bridge.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (spark.catalog.tableExists(table)) {
-      val wasExternal = spark.catalog.getTable(table).tableType == "EXTERNAL"
+      // refuse BEFORE any destruction: dropping first would destroy the
+      // external table's catalog entry (schema, properties, location)
+      // even on the "refused" path
+      if (spark.catalog.getTable(table).tableType == "EXTERNAL" && fs.exists(loc))
+        throw new IllegalStateException(
+          s"refusing to overwrite `$table`: an EXTERNAL table holds data at $loc — " +
+            "move or drop it explicitly before calling writeBucketed")
       spark.sql(s"DROP TABLE `$table`")
-      if (wasExternal && fs.exists(loc)) throw new IllegalStateException(
-        s"refusing to overwrite `$table`: a dropped EXTERNAL table left data at $loc — " +
-          "move or delete it explicitly before calling writeBucketed")
     }
     if (fs.exists(loc)) {
-      val warehouse = fs.makeQualified(
-        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")))
+      // reclaim orphans only inside a location the catalog itself owns:
+      // the warehouse dir, or the CURRENT database's location (which a
+      // CREATE DATABASE ... LOCATION puts outside the warehouse)
+      val roots = Seq(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+        new org.apache.hadoop.fs.Path(
+          spark.catalog.getDatabase(spark.catalog.currentDatabase).locationUri)
+      ).map(fs.makeQualified)
       val q = fs.makeQualified(loc)
-      def under(p: org.apache.hadoop.fs.Path): Boolean =
-        p != null && (p == warehouse || under(p.getParent))
-      if (!under(q.getParent)) throw new IllegalStateException(
-        s"refusing to delete orphaned location $q: outside the warehouse dir $warehouse")
+      def under(p: org.apache.hadoop.fs.Path, root: org.apache.hadoop.fs.Path): Boolean =
+        p != null && (p == root || under(p.getParent, root))
+      if (!roots.exists(under(q.getParent, _))) throw new IllegalStateException(
+        s"refusing to delete orphaned location $q: outside ${roots.mkString(" and ")}")
       fs.delete(q, true)
     }
     df.write.mode("overwrite").format("parquet")
@@ -96,13 +105,27 @@ object Layout {
     * round-robin shuffle for evenly-sized output files — worth it when
     * the input mixes tiny and large files (coalesce would glue them
     * unevenly). Returns (filesBefore, filesAfter).
+    *
+    * Listing is recursive, so a hive-partitioned sink (dt=.../part-*)
+    * is sized correctly — but note the rewrite FLATTENS the partition
+    * directories (partition columns become plain data columns in the
+    * output files); to keep a partitioned layout, compact each leaf
+    * partition directory separately.
     */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L << 20, rebalance: Boolean = false): (Int, Int) = {
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(in).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    require(parts.nonEmpty, s"no parquet files under $inDir")
+    val parts = {
+      val it = fs.listFiles(in, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.toSeq
+    }
+    require(parts.nonEmpty, s"no parquet files under $inDir (searched recursively)")
     val total = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inDir)

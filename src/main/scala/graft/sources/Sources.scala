@@ -52,9 +52,6 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
-  /** XML source/sink — built into Spark 4 core (the former spark-xml
-    * connector), so it works in this offline container unlike avro.
-    */
   /** Whole-file binary ingest (`binaryFile` format): one row per file
     * with (path, modificationTime, length, content) — the ingest seam
     * for raw image/audio/video payloads feeding `operators.Multimodal`.
@@ -64,6 +61,9 @@ object Sources {
   def binaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
+  /** XML source/sink — built into Spark 4 core (the former spark-xml
+    * connector), so it works in this offline container unlike avro.
+    */
   def xml(spark: SparkSession, path: String, rowTag: String = "row"): DataFrame =
     spark.read.option("rowTag", rowTag).format("xml").load(path)
 

@@ -44,13 +44,33 @@ object Bridge {
     * in plan-walk order. Parse-only — nothing is resolved or executed.
     * Used to assert that textual table-name rewrites touched exactly the
     * relation references and nothing else (literals, aliases, comments).
+    *
+    * The walk descends where a plain `plan.collect` is blind: subquery
+    * EXPRESSIONS (EXISTS / IN / scalar / LATERAL) and CTE definition
+    * bodies (`UnresolvedWith` keeps them as innerChildren, outside the
+    * child traversal) — otherwise a guard built on this would verify
+    * nothing for exactly the queries whose relations live only inside
+    * those.
     */
-  def parsedRelations(spark: org.apache.spark.sql.SparkSession, sqlText: String): Seq[String] =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.sqlParser.parsePlan(sqlText).collect {
+  def parsedRelations(spark: org.apache.spark.sql.SparkSession, sqlText: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: LogicalPlan): Unit = p.foreach { node =>
+      node match {
         case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          r.multipartIdentifier.mkString(".")
+          out += r.multipartIdentifier.mkString(".")
+        case w: UnresolvedWith => w.cteRelations.foreach { case (_, rel, _) => walk(rel) }
+        case _ => ()
       }
+      node.expressions.foreach(_.foreach {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => walk(sq.plan)
+        case _ => ()
+      })
+    }
+    walk(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sqlText))
+    out.toSeq
+  }
 
   /** Release the block-storage backing of a `localCheckpoint()`ed
     * Dataset. `Dataset.unpersist` only clears SQL-cache entries; a local

@@ -30,6 +30,27 @@ class SharedRewriteSpec extends SparkSuite {
     assert(rels.toSet === Set("orders", "c"))
   }
 
+  test("parsedRelations descends into subquery expressions and CTE bodies") {
+    // EXISTS / IN / scalar subqueries and LATERAL hide relations inside
+    // expressions; CTE bodies live outside the child traversal — all
+    // must be visible or the rewrite guard is blind for those queries
+    assert(Bridge.parsedRelations(spark,
+      "SELECT 1 FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.k = c.k)")
+      .toSet === Set("customer", "orders"))
+    assert(Bridge.parsedRelations(spark,
+      "SELECT 1 FROM customer c, LATERAL (SELECT k FROM orders WHERE k = c.k LIMIT 1) t")
+      .toSet === Set("customer", "orders"))
+    assert(Bridge.parsedRelations(spark,
+      "WITH c AS (SELECT k FROM lineitem) SELECT (SELECT max(k) FROM part), * FROM c")
+      .toSet === Set("lineitem", "part", "c"))
+  }
+
+  test("rewriteBareWord honors backslash-escaped quotes (Spark's default lexer)") {
+    val q = "SELECT * FROM orders WHERE c = 'it\\'s orders day' AND d = orders.x"
+    assert(Shared.rewriteBareWord(q, "orders", "graft_orders") ===
+      "SELECT * FROM graft_orders WHERE c = 'it\\'s orders day' AND d = graft_orders.x")
+  }
+
   test("Shared.sql runs a query containing the table name inside a literal") {
     val df = Shared.sql(spark, sf0001, Seq("orders"),
       "SELECT count(*) AS n FROM orders WHERE o_orderpriority <> 'orders'")

@@ -88,8 +88,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in g.columns:
             gk, ek = g[c].dtype.kind, e[c].dtype.kind
             if gk != ek and {gk, ek} <= {"i", "u", "f"}:
+                kind = "int/float drift" if "f" in {gk, ek} else "signedness drift"
                 print(f"[WARN-type] {name}: col={c} "
-                      f"spark={g[c].dtype} duck={e[c].dtype} (int/float drift)")
+                      f"spark={g[c].dtype} duck={e[c].dtype} ({kind})")
         # value compare, cell by cell with list support
         bad = None
         for c in g.columns:
