@@ -135,15 +135,24 @@ object Dedup {
       starBucketThreshold: Int = Int.MaxValue): DataFrame =
     candidatesFrom(minhashSignatures(docs), starBucketThreshold)
 
-  private def candidatesFrom(sigs: DataFrame, starBucketThreshold: Int): DataFrame = {
-    tuneBucketAgg(sigs)
+  /** One row per (doc, LSH band): the band's 4 signature slots hashed to
+    * a bucket key. Shared by the symmetric pair generator and the
+    * incremental (new-vs-old) join.
+    */
+  private def bandKeys(sigs: DataFrame): DataFrame = {
     val bands = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * 4 + 1 to b * 4 + 4).map(i => element_at(col("sig"), i)): _*).as("bh"))
     }
     sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .groupBy(col("bk.band"), col("bk.bh"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  private def candidatesFrom(sigs: DataFrame, starBucketThreshold: Int): DataFrame = {
+    tuneBucketAgg(sigs)
+    bandKeys(sigs)
+      .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairsOf(col("ids"), starBucketThreshold)).as("p"))
@@ -180,6 +189,36 @@ object Dedup {
     * below a distinct/aggregate, so feeding the sorted variant would pay
     * a wasted range-partition + sort of the whole pair list.
     */
+  /** Incremental near-dup gate: (new_id, old_id, jaccard) for every NEW
+    * document whose MinHash/LSH buckets collide with an OLD-corpus
+    * document and whose exact Jaccard passes — the daily-ingest filter
+    * ("drop incoming docs already represented in the corpus"). The join
+    * is asymmetric: new band keys probe old band keys, so the work is
+    * O(|new batch|) bucket lookups, never a rescan of old-vs-old pairs.
+    * At 100 TB the old side's band keys are a materialized artifact
+    * (written once per corpus build, bucketed on (band, bh)); each
+    * ingest batch computes only its own signatures and equi-joins in.
+    */
+  def minhashIncremental(newDocs: DataFrame, oldDocs: DataFrame,
+      minJac: Double = 0.5): DataFrame = {
+    val hsNew = shingleHashSets(newDocs)
+    val hsOld = shingleHashSets(oldDocs)
+    val bNew = bandKeys(signaturesFrom(hsNew)).select(
+      col("doc_id").as("new_id"), col("band"), col("bh"))
+    val bOld = bandKeys(signaturesFrom(hsOld)).select(
+      col("doc_id").as("old_id"), col("band"), col("bh"))
+    bNew.join(bOld, Seq("band", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .join(hsNew.select(col("doc_id").as("new_id"), col("hs").as("hs1")), "new_id")
+      .join(hsOld.select(col("doc_id").as("old_id"), col("hs").as("hs2")), "old_id")
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
+      .filter(col("jaccard") >= minJac)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
   def minhashPairs(docs: DataFrame, minJac: Double = 0.5,
       starBucketThreshold: Int = Int.MaxValue): DataFrame = {
     val hsets = shingleHashSets(docs)

@@ -208,6 +208,20 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Incremental NEAR-dup ingest gate (the LSH sibling of the exact
+    * dedup_incremental): odd doc_ids play the incoming batch, even ones
+    * the existing corpus; report which new docs near-dup an old doc.
+    * Rows-only in the driver gate (LSH is not SQL-expressible); the
+    * spec pins it against the full symmetric pair list restricted to
+    * parity-crossing pairs.
+    */
+  def dedupIncrementalNear(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.minhashIncremental(
+        all.filter(col("doc_id") % 2 === 1), all.filter(col("doc_id") % 2 === 0))
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint (min 3-gram hash). */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextFns.fingerprintDf(docs(s, d), "doc_id", "text").orderBy(col("doc_id"))
@@ -508,6 +522,7 @@ object Pipeline {
     "normalize_text" -> normalizeText,
     "curated_sample" -> curatedSample,
     "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
+    "dedup_incremental_near" -> dedupIncrementalNear,
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_kept" -> dedupKept,

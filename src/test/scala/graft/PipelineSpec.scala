@@ -255,4 +255,21 @@ class PipelineSpec extends SparkSuite {
     val got = words.toDF("w").select(Djb2.djb2(col("w"))).collect().map(_.getLong(0))
     assert(got.sameElements(words.map(Djb2.hash)))
   }
+
+  test("incremental near-dup gate equals the symmetric pair list restricted to the split") {
+    // odd ids = incoming batch, even = existing corpus: the asymmetric
+    // band-probe must find exactly the parity-crossing pairs of the full
+    // symmetric LSH run, re-keyed as (new_id, old_id)
+    val full = graft.operators.Dedup.minhash(
+        graft.sources.Tables.documents(spark, sf001))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }.toSet
+    val got = graft.queries.Pipeline.dedupIncrementalNear(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "split must cross at least one near-dup pair")
+    assert(got === expected)
+  }
 }
