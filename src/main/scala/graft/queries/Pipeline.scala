@@ -222,6 +222,34 @@ object Pipeline {
       .orderBy(col("new_id"), col("old_id"))
   }
 
+  /** Frequency-sketch contracts: a Count-Min sketch and a Bloom filter
+    * built over the token stream (`df.stat` — aggregates, built
+    * distributed then merged to one driver-side sketch object, the same
+    * posture as any aggregate result), then audited against exact
+    * counts: CMS may only OVERcount and only within eps*N; a Bloom
+    * filter has NO false negatives. The oracle states the exact counts
+    * and `true` for each guaranteed contract — the approx_distinct /
+    * approx_quantile pattern, completing the sketch family (HLL,
+    * KLL-style quantiles, CMS, Bloom).
+    */
+  def freqSketch(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(explode(Dedup.tokensNE(col("text"))).as("tok"))
+    val probes = Seq("spark", "data", "merge", "the")
+    val cms = toks.stat.countMinSketch("tok", eps = 0.001, confidence = 0.99, seed = 42)
+    val bloom = toks.stat.bloomFilter("tok", expectedNumItems = 1000000L, fpp = 0.01)
+    val slack = (0.001 * cms.totalCount()).toLong + 1
+    import s.implicits._
+    val est = probes.map(p =>
+      (p, cms.estimateCount(p), bloom.mightContain(p))).toDF("tok", "est", "might")
+    toks.filter(col("tok").isin(probes: _*)).groupBy("tok").agg(count(lit(1)).as("exact"))
+      .join(broadcast(est), "tok")
+      .select(col("tok"), col("exact"),
+        (col("est") >= col("exact") && col("est") <= col("exact") + lit(slack))
+          .as("cms_contract"),
+        col("might").as("bloom_contract"))
+      .orderBy(col("tok"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint (min 3-gram hash). */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextFns.fingerprintDf(docs(s, d), "doc_id", "text").orderBy(col("doc_id"))
@@ -523,6 +551,7 @@ object Pipeline {
     "curated_sample" -> curatedSample,
     "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
     "dedup_incremental_near" -> dedupIncrementalNear,
+    "freq_sketch" -> freqSketch,
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_kept" -> dedupKept,
@@ -717,6 +746,12 @@ object Pipeline {
          |      ORDER BY q.quality DESC, l.doc_id) AS rn
          |  FROM ($langIdOracle) l JOIN ($QualityOracle) q ON l.doc_id = q.doc_id)
          |WHERE rn <= 5 ORDER BY lang_pred, quality DESC, doc_id""".stripMargin,
+    "freq_sketch" ->
+      s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents)
+         |SELECT tok, count(*)::BIGINT AS exact,
+         |  true AS cms_contract, true AS bloom_contract
+         |FROM t WHERE tok IN ('spark', 'data', 'merge', 'the')
+         |GROUP BY tok ORDER BY tok""".stripMargin,
     "token_budget_sample" ->
       s"""WITH t AS (
          |  SELECT d.doc_id, d.lang, q.quality, len($ToksNE)::BIGINT AS n_tok
