@@ -28,8 +28,6 @@ final class DfCache(val name: String) {
     m.values.foreach(df => try df.unpersist(blocking = false) catch { case _: Exception => () })
     m.clear()
   }
-
-  private[graft] def size: Int = m.size
 }
 
 /** Registry of every [[DfCache]] in the engine, so one call releases all

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.operators.Dedup
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,9 +50,11 @@ object Curation {
 
   // --- PII redaction ----------------------------------------------------
 
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-  private val PhoneRe = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
-  private val NumRe = "[0-9]{5,}"
+  // private[graft]: CurationSpec audits residual patterns with the SAME
+  // regexes (a drifted copy would silently weaken the test)
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private[graft] val PhoneRe = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private[graft] val NumRe = "[0-9]{5,}"
 
   /** PII redaction: scrub emails, phone numbers and long numeric ids
     * from text, reporting per-document match counts and the hash of the
@@ -166,12 +168,7 @@ object Curation {
     * ngram_jaccard.
     */
   def ngramContainment(s: SparkSession, d: String): DataFrame = {
-    val sets = Dedup.shingleHashSets(docs(s, d).filter(col("doc_id") < 500))
-    val a = sets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
-    val b = sets.select(col("doc_id").as("id2"), col("hs").as("hs2"))
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("inter",
-        graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+    Pipeline.boundedShinglePairs(s, d)
       .withColumn("cont12", round(col("inter").cast("double") / size(col("hs1")), 6))
       .withColumn("cont21", round(col("inter").cast("double") / size(col("hs2")), 6))
       .filter(greatest(col("cont12"), col("cont21")) >= 0.6)

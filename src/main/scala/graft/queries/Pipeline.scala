@@ -66,26 +66,34 @@ object Pipeline {
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     ngramPairCache.getOrElseUpdate((s, d), ngramJaccardPairsUncached(s, d).persist())
 
-  /** [[ngramJaccard]] without the deterministic output sort (cluster
-    * collapse reshuffles immediately — see Dedup.minhashPairs).
+  /** Bounded-id shingle-hash pair scaffold shared by the exact-similarity
+    * twins (Jaccard here, containment in Curation): (id1 < id2) pairs
+    * with their sorted hash sets and native merge-loop intersect count.
+    * Sorted distinct shingle-hash sets come from Dedup.shingleHashSets —
+    * the one definition the minhash verify also uses: set sizes are
+    * identical to the string sets (shingles are already distinct; 64-bit
+    * collisions are ~2^-64), and the pairwise stage is a native
+    * merge-loop intersect instead of interpreted string-set ops (~50x).
+    * The doc_id < 500 oracle bound is single-sourced here.
     */
-  private def ngramJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
-    // sorted distinct shingle-hash sets (Dedup.shingleHashSets — the one
-    // definition the minhash verify also uses): set sizes are identical
-    // to the string sets (shingles are already distinct; 64-bit
-    // collisions are ~2^-64), and the pairwise stage becomes a native
-    // merge-loop intersect instead of interpreted string-set ops (~50x)
+  private[queries] def boundedShinglePairs(s: SparkSession, d: String): DataFrame = {
     val sets = Dedup.shingleHashSets(docs(s, d).filter(col("doc_id") < 500))
     val a = sets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
     val b = sets.select(col("doc_id").as("id2"), col("hs").as("hs2"))
     a.join(b, col("id1") < col("id2"))
       .withColumn("inter",
         graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+  }
+
+  /** [[ngramJaccard]] without the deterministic output sort (cluster
+    * collapse reshuffles immediately — see Dedup.minhashPairs).
+    */
+  private def ngramJaccardPairsUncached(s: SparkSession, d: String): DataFrame =
+    boundedShinglePairs(s, d)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
-  }
 
   /** Brute-force cosine top-20 for query vector vec_id=0 (the exact
     * baseline; the LSH-bucketed scale path is dedup_embedding).

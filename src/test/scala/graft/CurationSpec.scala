@@ -37,9 +37,9 @@ class CurationSpec extends SparkSuite {
           lit("@mail.example.com or +1-555-"),
           lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
           lit(" ref "), (col("doc_id") + lit(1000000L)).cast("string")),
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
-        "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
-        "[0-9]{5,}", "<NUM>").as("sc"))
+        Curation.EmailRe, "<EMAIL>"),
+        Curation.PhoneRe, "<PHONE>"),
+        Curation.NumRe, "<NUM>").as("sc"))
     assert(sc.filter(col("sc").rlike("@|[0-9]{5,}")).count() === 0)
   }
 
