@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+import graft.streaming.Sessions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / event-stream analytics the reference's MapReduce shape
+  * generalizes to (reference analogue: the grouped-reduce phase,
+  * `mapreduce.c:105-213` — these are grouped reductions with ordering
+  * semantics layered on top), plus the CDC upsert a batch pipeline runs
+  * to fold late-arriving changes into a base table.
+  *
+  * Oracle-parity conventions as everywhere: exact integer epoch-ms
+  * (ns `div` — never double math), BIGINT counts, integer cents, total
+  * ORDER BY on every result.
+  */
+object Journey {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Sessions.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+
+  // --- funnel -----------------------------------------------------------
+
+  /** Ordered funnel conversion: view -> click -> purchase, each stage's
+    * FIRST event at-or-after the user's previous-stage entry time. The
+    * classic product-analytics query; three per-user min-aggregates
+    * chained by co-partitioned joins on user_id (every shuffle is on the
+    * same key, so at scale the exchanges reuse one partitioning — no
+    * all-pairs work, no window over the full stream).
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("view_ms"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_ms") >= col("view_ms"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("click_ms"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_ms") >= col("click_ms"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("purchase_ms"))
+    e.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  // --- sliding-window distinct count ------------------------------------
+
+  /** Distinct users in the trailing hour at every event — an operator
+    * Spark's window functions genuinely lack (no DISTINCT aggregates
+    * over frames), composed from built-ins: `collect_list` over a RANGE
+    * frame + `array_distinct` + `size`. Partitioned by event_type here;
+    * at 100 TB the partition key would be a time-range shard with a
+    * 1-window overlap region (dedup the seam rows), keeping every
+    * partition's frame state bounded by the window span — the same
+    * contract Structured Streaming's watermarked windows give.
+    */
+  def windowDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    ev(s, d)
+      .withColumn("du",
+        size(array_distinct(collect_list(col("user_id")).over(w))).cast("long"))
+      .select(col("event_id"), col("event_type"), col("du"))
+      .orderBy(col("event_id"))
+  }
+
+  // --- nearest-in-time as-of join ---------------------------------------
+
+  /** Nearest signup to every error event, in EITHER time direction (ties
+    * break backward) — the bidirectional completion of asof_join /
+    * asof_forward. Runs [[AsOfJoin.lastValue]] and [[AsOfJoin.nextValue]]
+    * back-to-back (two shuffle-sorts on user_id, no join operator, no
+    * nested loop) and picks the closer candidate per row. The build side
+    * is deduped to one row per (user, ts) first so both engines' at-equal
+    * -ts choice is unambiguous.
+    */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_ms")).agg(min(col("event_id")).as("b_id"))
+    val back = su.select(col("user_id"), col("ts_ms"),
+      struct(col("ts_ms").as("ts"), col("b_id").as("id")).as("back"))
+    val fwd = su.select(col("user_id"), col("ts_ms"),
+      struct(col("ts_ms").as("ts"), col("b_id").as("id")).as("fwd"))
+    val probe = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+    val joined = AsOfJoin.nextValue(
+      AsOfJoin.lastValue(probe, back, "user_id", "ts_ms", "back"),
+      fwd, "user_id", "ts_ms", "fwd")
+    val nearest: Column =
+      when(col("back").isNull, col("fwd"))
+        .when(col("fwd").isNull, col("back"))
+        .when(col("ts_ms") - col("back.ts") <= col("fwd.ts") - col("ts_ms"),
+          col("back"))
+        .otherwise(col("fwd"))
+    joined
+      .withColumn("near", nearest)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("near.id").as("signup_id"),
+        abs(col("near.ts") - col("ts_ms")).as("delta_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // --- CDC merge / upsert -----------------------------------------------
+
+  /** Batch CDC upsert: fold a change batch (updates + inserts, derived
+    * deterministically from orders itself: every 7th key re-priced and
+    * re-statused, every 997th key cloned as a brand-new order) into the
+    * base table with MERGE semantics — update wins over base, inserts
+    * append. One full-outer join on the key (co-partitioned, no driver
+    * data), then an audit aggregate per action+status with exact cents.
+    * This is the plan shape a lakehouse MERGE INTO executes; without a
+    * transactional table format the join IS the merge.
+    */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("b_status"),
+      round(col("o_totalprice") * 100).cast("long").as("b_cents"))
+    val upd = base.filter(pmod(col("k"), lit(7L)) === 0L)
+      .select(col("k"), lit("U").as("c_status"), (col("b_cents") + 100L).as("c_cents"))
+    val ins = base.filter(pmod(col("k"), lit(997L)) === 0L)
+      .select((col("k") + 10000000L).as("k"), lit("N").as("c_status"),
+        lit(9999L).as("c_cents"))
+    val changes = upd.unionByName(ins)
+    base.join(changes, Seq("k"), "full_outer")
+      .select(
+        when(col("b_status").isNull, lit("insert"))
+          .when(col("c_status").isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"),
+        coalesce(col("c_status"), col("b_status")).as("status"),
+        coalesce(col("c_cents"), col("b_cents")).as("cents"))
+      .groupBy(col("action"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("action"), col("status"))
+  }
+
+  // --- registration -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel" -> funnel,
+    "window_distinct" -> windowDistinct,
+    "asof_nearest" -> asofNearest,
+    "merge_upsert" -> mergeUpsert,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS view_ms FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_ms) AS click_ms FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts_ms >= v.view_ms GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_ms) AS purchase_ms FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts_ms >= c.click_ms GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM ev)::BIGINT AS n_users,
+        |       (SELECT count(*) FROM v)::BIGINT AS n_view,
+        |       (SELECT count(*) FROM c)::BIGINT AS n_click,
+        |       (SELECT count(*) FROM p)::BIGINT AS n_purchase""".stripMargin,
+    "window_distinct" ->
+      """SELECT event_id, event_type,
+        |  count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)::BIGINT AS du
+        |FROM events ORDER BY event_id""".stripMargin,
+    "asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |su AS (SELECT user_id, ts_ms, min(event_id) AS b_id FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1, 2),
+        |er AS (SELECT user_id, event_id, ts_ms FROM ev WHERE event_type = 'error'),
+        |b AS (SELECT er.user_id, er.event_id, er.ts_ms, su.ts_ms AS bts, su.b_id AS bid
+        |      FROM er ASOF LEFT JOIN su
+        |        ON er.user_id = su.user_id AND er.ts_ms >= su.ts_ms),
+        |f AS (SELECT er.user_id, er.event_id, su.ts_ms AS fts, su.b_id AS fid
+        |      FROM er ASOF LEFT JOIN su
+        |        ON er.user_id = su.user_id AND er.ts_ms <= su.ts_ms)
+        |SELECT b.user_id, b.event_id, b.ts_ms,
+        |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+        |       WHEN fts IS NULL THEN bid
+        |       WHEN bts IS NULL THEN fid
+        |       WHEN (b.ts_ms - bts) <= (fts - b.ts_ms) THEN bid ELSE fid END AS signup_id,
+        |  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+        |       WHEN fts IS NULL THEN b.ts_ms - bts
+        |       WHEN bts IS NULL THEN fts - b.ts_ms
+        |       WHEN (b.ts_ms - bts) <= (fts - b.ts_ms) THEN b.ts_ms - bts
+        |       ELSE fts - b.ts_ms END AS delta_ms
+        |FROM b JOIN f USING (user_id, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS b_status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS b_cents FROM orders),
+        |changes AS (
+        |  SELECT k, 'U' AS c_status, b_cents + 100 AS c_cents FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k + 10000000, 'N', 9999 FROM base WHERE k % 997 = 0),
+        |m AS (
+        |  SELECT CASE WHEN b.k IS NULL THEN 'insert'
+        |              WHEN c.k IS NULL THEN 'keep' ELSE 'update' END AS action,
+        |    coalesce(c.c_status, b.b_status) AS status,
+        |    coalesce(c.c_cents, b.b_cents) AS cents
+        |  FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
+        |SELECT action, status, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents
+        |FROM m GROUP BY 1, 2 ORDER BY action, status""".stripMargin,
+  )
+}

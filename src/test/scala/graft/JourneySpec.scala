@@ -1,0 +1,99 @@
+package graft
+
+import graft.queries.Journey
+import org.apache.spark.sql.functions._
+
+/** Invariants for the Journey batch (funnel, sliding-window distinct,
+  * bidirectional as-of, CDC upsert) beyond the DuckDB value gate: the
+  * gate proves parity, these pin the semantic claims the Scaladoc makes.
+  */
+class JourneySpec extends SparkSuite {
+
+  test("funnel: stage counts are monotone non-increasing and bounded by users") {
+    val r = Journey.funnel(spark, sf0001).head()
+    val (users, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= v && v >= c && c >= p,
+      s"funnel must narrow: users=$users view=$v click=$c purchase=$p")
+    assert(p > 0, "the synthetic corpus funnels at least one user end-to-end")
+  }
+
+  test("funnel: each stage entry really has the ordered event sequence") {
+    // brute-force re-derivation on the small sf: per user, scan the event
+    // list in time order with a 3-state machine and compare stage counts
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      val vMs = sorted.collectFirst { case (_, "view", t) => t }
+      val cMs = vMs.flatMap(v => sorted.collectFirst { case (_, "click", t) if t >= v => t })
+      val pMs = cMs.flatMap(c => sorted.collectFirst { case (_, "purchase", t) if t >= c => t })
+      if (vMs.isDefined) nv += 1
+      if (cMs.isDefined) nc += 1
+      if (pMs.isDefined) np += 1
+    }
+    val r = Journey.funnel(spark, sf0001).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nv, nc, np)))
+  }
+
+  test("window_distinct: trailing-hour counts match a brute-force recount") {
+    val got = Journey.windowDistinct(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._2).values.foreach { group =>
+      group.foreach { case (id, _, _, ts) =>
+        val expect = group.filter(e => e._4 >= ts - 3600000L && e._4 <= ts)
+          .map(_._3).distinct.length.toLong
+        assert(got(id) == expect, s"event $id: got ${got(id)} expect $expect")
+      }
+    }
+  }
+
+  test("asof_nearest: picks the closest signup either direction, ties backward") {
+    val su = graft.streaming.Sessions.events(spark, sf0001)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val rows = Journey.asofNearest(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (user, ts) = (r.getLong(0), r.getLong(2))
+      su.get(user) match {
+        case None =>
+          assert(r.isNullAt(3) && r.isNullAt(4), s"user $user has no signup")
+        case Some(cands) =>
+          val best = cands.map { case (_, bts, _) => math.abs(bts - ts) }.min
+          assert(r.getLong(4) == best,
+            s"user $user event ${r.getLong(1)}: delta ${r.getLong(4)} != $best")
+          // tie or unique: the chosen id must be a signup at that distance,
+          // and when both directions tie, the backward one (bts <= ts) wins
+          val atBest = cands.filter { case (_, bts, _) => math.abs(bts - ts) == best }
+          val chosen = r.getLong(3)
+          assert(atBest.exists(_._3 == chosen))
+          val back = atBest.filter(_._2 <= ts)
+          if (back.nonEmpty) assert(back.exists(_._3 == chosen), "tie must break backward")
+      }
+    }
+  }
+
+  test("merge_upsert: row conservation and action/status partitioning") {
+    val base = spark.read.parquet(s"$sf0001/orders.parquet")
+    val nBase = base.count()
+    val nUpd = base.filter(pmod(col("o_orderkey"), lit(7L)) === 0L).count()
+    val nIns = base.filter(pmod(col("o_orderkey"), lit(997L)) === 0L).count()
+    val rows = Journey.mergeUpsert(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byAction = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byAction("keep") + byAction("update") == nBase)
+    assert(byAction("update") == nUpd)
+    assert(byAction("insert") == nIns)
+    // every updated row carries the changed status, every insert the new one
+    assert(rows.filter(_._1 == "update").forall(_._2 == "U"))
+    assert(rows.filter(_._1 == "insert").forall(_._2 == "N"))
+    assert(rows.filter(_._1 == "keep").forall(r => r._2 != "U" && r._2 != "N"))
+  }
+}
