@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Pipeline.queries ++
       graft.queries.Relational.queries ++ graft.queries.Analytics.queries ++
-      graft.queries.Curation.queries ++ graft.queries.Journey.queries
+      graft.queries.Curation.queries ++ graft.queries.Journey.queries ++
+      graft.queries.Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracleSql ++ graft.queries.Pipeline.oracleSql ++
       graft.queries.Relational.oracleSql ++ graft.queries.Analytics.oracleSql ++
-      graft.queries.Curation.oracleSql ++ graft.queries.Journey.oracleSql
+      graft.queries.Curation.oracleSql ++ graft.queries.Journey.oracleSql ++
+      graft.queries.Quality.oracleSql
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.operators.Dedup
+import graft.streaming.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators in the Gopher/C4 style: per-document rule
+  * batteries a pretraining pipeline uses to drop boilerplate and
+  * degenerate text, plus the mergeable-sketch pattern that makes corpus
+  * statistics cheap at 100 TB (per-shard sketch, byte-mergeable union —
+  * never a global distinct).
+  *
+  * Every ratio test is integer cross-multiplied (`10*sum_len >= 30*n`,
+  * never `sum_len/n >= 3.0`) so both engines compare exact BIGINTs —
+  * the repo-wide oracle-parity convention.
+  */
+object Quality {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.documents(s, d)
+
+  /** Stopwords for the synthetic corpus's vocabulary (the reference's
+    * sample corpus is 21 words of filler prose; the driver's documents
+    * table uses a Spark-ish vocabulary where 'a' and 'the' play the
+    * stopword role).
+    */
+  private[graft] val Stopwords = Seq("a", "the")
+
+  // --- Gopher-style rule battery ---------------------------------------
+
+  /** Per-document quality filter battery — the Gopher rules re-expressed
+    * over the synthetic corpus: token-count bounds, mean-word-length
+    * band, minimum stopword incidence (prose-ness), top-token dominance
+    * (repetition), distinct-token ratio. Two hash aggregations
+    * (doc×token, then doc), map-side combinable, no window, no sort
+    * until the final presentation ORDER BY — at 100 TB this is two
+    * shuffles on keys that never concentrate (doc_id is unique).
+    */
+  def qualityFilters(s: SparkSession, d: String): DataFrame = {
+    val g = docs(s, d)
+      .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val p = g.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("n_uniq"),
+      max(col("c")).as("maxc"),
+      sum(length(col("tok")) * col("c")).as("sum_len"),
+      coalesce(sum(when(col("tok").isin(Stopwords: _*), col("c"))), lit(0L)).as("n_stop"))
+    val okLen = col("n").between(5L, 100000L)
+    val okWordlen = (lit(10L) * col("sum_len") >= lit(30L) * col("n")) &&
+      (lit(10L) * col("sum_len") <= lit(100L) * col("n"))
+    val okStop = lit(50L) * col("n_stop") >= col("n")
+    val okRep = lit(5L) * col("maxc") < col("n")
+    val okUniq = lit(10L) * col("n_uniq") >= col("n")
+    p.select(col("doc_id"), col("n"), col("n_uniq"), col("maxc"),
+        okLen.as("ok_len"), okWordlen.as("ok_wordlen"), okStop.as("ok_stop"),
+        okRep.as("ok_rep"), okUniq.as("ok_uniq"),
+        (okLen && okWordlen && okStop && okRep && okUniq).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- per-document n-gram repetition ----------------------------------
+
+  /** Top-bigram dominance per document (the Gopher "duplicated n-gram
+    * fraction" signal): the most frequent adjacent pair and the share of
+    * bigram slots it occupies. Bigrams come from zipping the token list
+    * with its own tail (map-only), the argmax is a deterministic
+    * row_number pick (count desc, then lexicographic), and the
+    * repetitive flag is the integer test `5*maxc >= nb` (>= 20% of
+    * slots). Shuffles on (doc_id, bigram) then doc_id — same
+    * never-concentrating key shape as [[qualityFilters]].
+    */
+  def repetitionNgram(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("l"))
+      .filter(col("l") >= 2)
+    val bg = t.select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), col("l") - 1), slice(col("ts"), lit(2), col("l") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val g = bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+    g.withColumn("rn", row_number().over(w))
+      .withColumn("nb", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("nb"), col("c").as("maxc"),
+        col("w1"), col("w2"),
+        (lit(5L) * col("c") >= col("nb")).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- mergeable distinct-count sketches -------------------------------
+
+  /** The mergeable-sketch pattern end-to-end: one HLL sketch of user_id
+    * per event_type shard, then a byte-level `hll_union_agg` merge and a
+    * single estimate — never a global COUNT(DISTINCT) shuffle. This is
+    * how corpus-wide cardinalities are kept fresh at 100 TB (per-file
+    * sketches merged in O(shards)). The estimate is checked against the
+    * exact count with the library's published error contract (HLL_SKETCH
+    * default lgK=12 ⇒ well under 5% at any corpus size); like
+    * approx_distinct, the CONTRACT is the oracle row: the exact count
+    * plus the within-bounds flag, both engines computing the same
+    * BIGINT + literal-true pair.
+    */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Sessions.events(s, d).select(col("event_type"), col("user_id"))
+    val per = ev.groupBy(col("event_type")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = per.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.crossJoin(merged)
+      .select(col("n_exact"),
+        (abs(col("est") - col("n_exact")) * lit(20L) <= col("n_exact"))
+          .as("merged_within_5pct"))
+  }
+
+  // --- registration -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_filters" -> qualityFilters,
+    "repetition_ngram" -> repetitionNgram,
+    "hll_merge" -> hllMerge,
+  )
+
+  private val ToksNE = Shared.ToksNE
+
+  def oracleSql: Map[String, String] = Map(
+    "quality_filters" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
+         |g AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         |p AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_uniq,
+         |        max(c)::BIGINT AS maxc, sum(length(tok) * c)::BIGINT AS sum_len,
+         |        coalesce(sum(c) FILTER (WHERE tok IN ('a', 'the')), 0)::BIGINT AS n_stop
+         |      FROM g GROUP BY 1)
+         |SELECT doc_id, n, n_uniq, maxc,
+         |  (n BETWEEN 5 AND 100000) AS ok_len,
+         |  (10 * sum_len >= 30 * n AND 10 * sum_len <= 100 * n) AS ok_wordlen,
+         |  (50 * n_stop >= n) AS ok_stop,
+         |  (5 * maxc < n) AS ok_rep,
+         |  (10 * n_uniq >= n) AS ok_uniq,
+         |  ((n BETWEEN 5 AND 100000) AND (10 * sum_len >= 30 * n AND 10 * sum_len <= 100 * n)
+         |    AND (50 * n_stop >= n) AND (5 * maxc < n) AND (10 * n_uniq >= n)) AS kept
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "repetition_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
+         |x AS (SELECT doc_id, ts, len(ts) AS l FROM t WHERE len(ts) >= 2),
+         |bg AS (SELECT doc_id, unnest(ts[1:l-1]) AS w1, unnest(ts[2:l]) AS w2 FROM x),
+         |g AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+         |r AS (SELECT doc_id, w1, w2, c,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w1, w2) AS rn,
+         |        sum(c) OVER (PARTITION BY doc_id) AS nb
+         |      FROM g)
+         |SELECT doc_id, nb::BIGINT AS nb, c::BIGINT AS maxc, w1, w2,
+         |  (5 * c >= nb) AS repetitive
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "hll_merge" ->
+      """SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
+        |  TRUE AS merged_within_5pct
+        |FROM events""".stripMargin,
+  )
+}

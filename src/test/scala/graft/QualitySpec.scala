@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.Quality
+import org.apache.spark.sql.functions._
+
+/** Invariants for the Quality batch beyond the DuckDB value gate. */
+class QualitySpec extends SparkSuite {
+
+  test("quality_filters: flags recompute brute-force and kept is their AND") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = Quality.qualityFilters(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split("[ \t\n\r]").filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = toks.length.toLong
+      val nUniq = counts.size.toLong
+      val maxc = counts.values.max
+      val sumLen = toks.map(_.length.toLong).sum
+      val nStop = Quality.Stopwords.map(w => counts.getOrElse(w, 0L)).sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, nUniq, maxc)))
+      val flags = Seq(
+        n >= 5 && n <= 100000,
+        10 * sumLen >= 30 * n && 10 * sumLen <= 100 * n,
+        50 * nStop >= n,
+        5 * maxc < n,
+        10 * nUniq >= n)
+      flags.zipWithIndex.foreach { case (f, i) =>
+        assert(r.getBoolean(4 + i) == f, s"doc ${r.getLong(0)} flag $i")
+      }
+      assert(r.getBoolean(9) == flags.forall(identity))
+    }
+  }
+
+  test("repetition_ngram: the reported bigram is the true per-doc argmax") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = Quality.repetitionNgram(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split("[ \t\n\r]").filter(_.nonEmpty)
+      val bgs = toks.sliding(2).collect { case Array(a, b) => (a, b) }.toSeq
+      val counts = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val best = counts.toSeq.sortBy { case ((w1, w2), c) => (-c, w1, w2) }.head
+      assert(r.getLong(1) == bgs.length.toLong, "nb = bigram slots")
+      assert(r.getLong(2) == best._2, s"doc ${r.getLong(0)} maxc")
+      assert((r.getString(3), r.getString(4)) == best._1, s"doc ${r.getLong(0)} argmax")
+      assert(r.getBoolean(5) == (5 * best._2 >= bgs.length))
+    }
+  }
+
+  test("hll_merge: union of per-shard sketches equals the one-shot sketch") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("event_type"), col("user_id"))
+    // HLL merge is a per-register max — sharding must not change the
+    // estimate at all, not just keep it within the error contract
+    val merged = ev.groupBy(col("event_type")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val oneShot = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    assert(merged == oneShot, s"sharded merge $merged != one-shot $oneShot")
+    val r = Quality.hllMerge(spark, sf0001).head()
+    assert(r.getBoolean(1), "estimate outside the 5% contract")
+  }
+}
