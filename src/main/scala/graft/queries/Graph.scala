@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.operators.PageRank
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the star schema's implicit graphs. Connected
+  * components (the dedup-cluster collapse) lives in
+  * [[graft.operators.Dedup]]; this module adds the other iterative
+  * graph kernel a curation/analytics stack runs — PageRank-style
+  * centrality — in the same oracle-exact integer discipline.
+  */
+object Graph {
+
+  /** Offset separating part nodes from supplier nodes in the bipartite
+    * co-purchase graph (max supplier key is far below it at any sf).
+    */
+  private val PartOffset = 1000000L
+
+  /** Supplier/part centrality: 3 PageRank rounds over the undirected
+    * bipartite supplier↔part graph induced by lineitem (distinct
+    * supplier-part pairs, both directions), BIGINT fixed-point — see
+    * [[PageRank]] for the arithmetic and iteration mechanics. Output is
+    * the top-100 nodes by rank with a total tie-break order. The DuckDB
+    * oracle unrolls the three rounds as plain CTEs — same lattice, no
+    * recursion needed for a fixed iteration count.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    // the two directions are disjoint by construction (src < offset vs
+    // src >= offset), so plain unionAll introduces no duplicate edges
+    val edges = li.select(col("sk").as("src"), (col("pk") + PartOffset).as("dst"))
+      .union(li.select((col("pk") + PartOffset).as("src"), col("sk").as("dst")))
+    PageRank.run(edges, iters = 3)
+      .select(
+        when(col("node") >= PartOffset, lit("part")).otherwise(lit("supplier")).as("kind"),
+        when(col("node") >= PartOffset, col("node") - PartOffset).otherwise(col("node")).as("id"),
+        col("r").as("rank"))
+      .orderBy(col("rank").desc, col("kind"), col("id"))
+      .limit(100)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank" -> pagerank,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT sk AS src, pk + 1000000 AS dst FROM e0
+        |      UNION ALL SELECT pk + 1000000, sk FROM e0),
+        |deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, 1000000000000::BIGINT AS r FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         (150000000000 + (85 * sum(r0.r // deg.d)) // 100)::BIGINT AS r
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         (150000000000 + (85 * sum(r1.r // deg.d)) // 100)::BIGINT AS r
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         (150000000000 + (85 * sum(r2.r // deg.d)) // 100)::BIGINT AS r
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst)
+        |SELECT CASE WHEN node >= 1000000 THEN 'part' ELSE 'supplier' END AS kind,
+        |  CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END AS id,
+        |  r AS rank
+        |FROM r3 ORDER BY rank DESC, kind, id LIMIT 100""".stripMargin,
+  )
+}

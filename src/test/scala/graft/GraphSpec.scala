@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.PageRank
+import graft.queries.Graph
+import org.apache.spark.sql.functions._
+
+/** Invariants for the integer fixed-point PageRank beyond the DuckDB
+  * value gate (which already pins the full 3-round lattice at sf0.01).
+  */
+class GraphSpec extends SparkSuite {
+
+  private def edgePairs(): Seq[(Long, Long)] = {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    li.flatMap { case (s, p) => Seq((s, p + 1000000L), (p + 1000000L, s)) }.toSeq
+  }
+
+  test("pagerank: ranks equal a driver-side integer reference implementation") {
+    val edges = edgePairs()
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r: Map[Long, Long] = deg.keys.map(_ -> PageRank.Scale).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) => contrib(dst) += r(src) / deg(src) }
+      r = contrib.map { case (n, c) =>
+        n -> (15L * PageRank.Scale / 100L + 85L * c / 100L)
+      }.toMap
+    }
+    val e = spark.createDataFrame(edges).toDF("src", "dst")
+    val got = PageRank.run(e, 3).collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == r, "distributed fixed-point lattice != driver-side reference")
+  }
+
+  test("pagerank: mass bounded and every node present with at least the jump rank") {
+    val rows = Graph.pagerank(spark, sf0001).collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getLong(2) >= 15L * PageRank.Scale / 100L))
+    // presentation order is total: rank desc, then kind, then id
+    val key = rows.map(r => (-r.getLong(2), r.getString(0), r.getLong(1))).toSeq
+    assert(key == key.sorted)
+  }
+
+  test("pagerank: rejects graphs with dangling nodes loudly") {
+    import spark.implicits._
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 3 is never a src
+    val ex = intercept[IllegalArgumentException](PageRank.run(directed, 2))
+    assert(ex.getMessage.contains("dangling"))
+  }
+}
