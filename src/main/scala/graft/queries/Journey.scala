@@ -139,6 +139,62 @@ object Journey {
       .orderBy(col("action"), col("status"))
   }
 
+  // --- SCD type-2 history build ----------------------------------------
+
+  /** Slowly-changing-dimension (type 2) history: collapse each
+    * customer's order-status timeline into validity intervals — one row
+    * per consecutive status run with [from, to) epoch-day bounds (open
+    * current version = null to). The run detection is the gaps-and-
+    * islands idiom (lag + running sum over ONE per-customer window
+    * order), so the whole build is a single shuffle on the dimension
+    * key; this is how a warehouse derives SCD2 from an append-only
+    * change log without a transactional store.
+    */
+  def scd2Build(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("day"),
+      col("o_orderstatus").as("st"))
+    val w = Window.partitionBy(col("cust")).orderBy(col("day"), col("ok"))
+    val runs = o
+      .withColumn("chg",
+        when(lag(col("st"), 1).over(w).isNull ||
+          lag(col("st"), 1).over(w) =!= col("st"), 1L).otherwise(0L))
+      .withColumn("ver", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val versions = runs.groupBy(col("cust"), col("ver"), col("st"))
+      .agg(min(col("day")).as("from_day"), count(lit(1)).as("n_orders"))
+    val wv = Window.partitionBy(col("cust")).orderBy(col("ver"))
+    versions
+      .withColumn("to_day", lead(col("from_day"), 1).over(wv))
+      .select(col("cust"), col("ver"), col("st"), col("from_day"),
+        col("to_day"), col("n_orders"))
+      .orderBy(col("cust"), col("ver"))
+  }
+
+  // --- event transition matrix ------------------------------------------
+
+  /** First-order Markov transition counts/probabilities between event
+    * types per user timeline (what follows what): lead() over the
+    * per-user total order, then one count aggregate; probability is the
+    * fixed expression round(n/total, 6) on both engines. Sequence-mining
+    * primitive for behavioral modeling; one window shuffle + one agg.
+    */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val steps = ev(s, d)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("cur"), col("nxt"))
+    val counts = steps.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("cur")).agg(sum(col("n")).as("total"))
+    counts.join(totals, "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,6 +202,8 @@ object Journey {
     "window_distinct" -> windowDistinct,
     "asof_nearest" -> asofNearest,
     "merge_upsert" -> mergeUpsert,
+    "scd2_build" -> scd2Build,
+    "transition_matrix" -> transitionMatrix,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -204,5 +262,31 @@ object Journey {
         |  FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
         |SELECT action, status, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents
         |FROM m GROUP BY 1, 2 ORDER BY action, status""".stripMargin,
+    "scd2_build" ->
+      """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day,
+        |    o_orderstatus AS st FROM orders),
+        |r AS (SELECT *, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM o WINDOW w AS (PARTITION BY cust ORDER BY day, ok)),
+        |v0 AS (SELECT *, sum(chg) OVER (PARTITION BY cust ORDER BY day, ok
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ver
+        |       FROM r),
+        |v AS (SELECT cust, ver, st, min(day)::BIGINT AS from_day,
+        |        count(*)::BIGINT AS n_orders
+        |      FROM v0 GROUP BY 1, 2, 3)
+        |SELECT cust, ver, st, from_day,
+        |  lead(from_day) OVER (PARTITION BY cust ORDER BY ver) AS to_day, n_orders
+        |FROM v ORDER BY cust, ver""".stripMargin,
+    "transition_matrix" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |st AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS nxt
+        |  FROM ev),
+        |c AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM st WHERE nxt IS NOT NULL
+        |      GROUP BY 1, 2),
+        |t AS (SELECT cur, sum(n)::BIGINT AS total FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n, round(c.n::DOUBLE / t.total, 6) AS p
+        |FROM c JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin,
   )
 }

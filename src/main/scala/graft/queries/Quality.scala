@@ -116,12 +116,37 @@ object Quality {
           .as("merged_within_5pct"))
   }
 
+  // --- k-nearest-neighbor doc graph ------------------------------------
+
+  /** Top-3 most similar documents per document by exact shingle Jaccard
+    * (the k-NN similarity graph curation uses for near-dup review and
+    * diversity sampling). Reuses the bounded-id pair scaffold the
+    * ngram_jaccard/containment twins share, symmetrizes it, and picks
+    * each doc's top-3 through the custom [[graft.plans.TopKPerGroup]]
+    * heap plan — per-group bounded heaps, no per-group sort at any
+    * scale. At 100 TB the pair generator swaps to the LSH candidate
+    * stream (Dedup.minhash) and this stage is unchanged — that's the
+    * point of splitting candidate generation from k-NN selection.
+    */
+  def neardupKnn(s: SparkSession, d: String): DataFrame = {
+    val pairs = Pipeline.boundedShinglePairs(s, d)
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("nbr"), col("jaccard"))
+      .union(pairs.select(col("id2").as("doc_id"), col("id1").as("nbr"), col("jaccard")))
+    graft.plans.TopKPerGroup(sym, Seq("doc_id"),
+        Seq(col("jaccard").desc, col("nbr")), 3)
+      .orderBy(col("doc_id"), col("jaccard").desc, col("nbr"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_filters" -> qualityFilters,
     "repetition_ngram" -> repetitionNgram,
     "hll_merge" -> hllMerge,
+    "neardup_knn" -> neardupKnn,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -159,5 +184,23 @@ object Quality {
       """SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
         |  TRUE AS merged_within_5pct
         |FROM events""".stripMargin,
+    "neardup_knn" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+         |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents WHERE doc_id < 500)
+         |  WHERE len(ts) >= 3),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |        round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |              / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |      FROM t a JOIN t b ON a.doc_id < b.doc_id),
+         |sym AS (SELECT id1 AS doc_id, id2 AS nbr, jaccard FROM p
+         |        UNION ALL SELECT id2, id1, jaccard FROM p),
+         |r AS (SELECT doc_id, nbr, jaccard,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY jaccard DESC, nbr) AS rn
+         |      FROM sym)
+         |SELECT doc_id, nbr, jaccard FROM r WHERE rn <= 3
+         |ORDER BY doc_id, jaccard DESC, nbr""".stripMargin,
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.{Journey, Quality}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariants for the second Journey/Quality batch: SCD2 history,
+  * Markov transitions, k-NN doc graph.
+  */
+class Journey2Spec extends SparkSuite {
+
+  test("scd2_build: intervals tile per customer and orders are conserved") {
+    val rows = Journey.scd2Build(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    val byCust = rows.groupBy(_._1)
+    byCust.values.foreach { vs =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, "versions are 1..n")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._5.contains(b._4), "to_day of v == from_day of v+1")
+        assert(a._3 != b._3, "consecutive versions must change status")
+      }
+      assert(sorted.last._5.isEmpty, "current version is open-ended")
+    }
+    val nOrders = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(rows.map(_._6).sum == nOrders, "n_orders sums to the order count")
+  }
+
+  test("transition_matrix: step conservation and per-state probabilities sum to ~1") {
+    val rows = Journey.transitionMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers,
+      "each user contributes (events-1) transitions")
+    rows.groupBy(_._1).values.foreach { g =>
+      val p = g.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-3, s"probabilities sum to $p")
+    }
+  }
+
+  test("neardup_knn: equals the window row_number formulation") {
+    // independent formulation: exact Jaccard over string shingle sets +
+    // window top-3 (the plan TopKPerGroup replaces at scale)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 500)
+    val sets = graft.operators.Dedup.shingleHashSets(docs)
+    val a = sets.select(col("doc_id").as("id1"), col("hs").as("hs1"))
+    val b = sets.select(col("doc_id").as("id2"), col("hs").as("hs2"))
+    val pairs = a.join(b, col("id1") < col("id2"))
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("nbr"), col("jaccard"))
+      .union(pairs.select(col("id2").as("doc_id"), col("id1").as("nbr"), col("jaccard")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("nbr"))
+    val expect = sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("nbr"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Quality.neardupKnn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    assert(got.groupBy(_._1).values.forall(_.size <= 3))
+  }
+}
