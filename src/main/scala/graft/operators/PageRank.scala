@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
   * against node count, both documented here rather than discovered as
   * an overflow at scale (Spark ANSI mode would throw, not wrap).
   *
-  * Iteration mechanics follow [[Dedup.connectedComponents]]: the rank
-  * table feeds the next round through an eager `localCheckpoint` (plan
-  * doubles per round otherwise), previous rounds' blocks are released
-  * eagerly, and the edge/degree tables persist across rounds. Per round
-  * the cost is one join + one aggregate, both shuffling on node id —
-  * the exact shape GraphX/Pregel executes, declared here in DataFrames
-  * so AQE still re-plans skew (a celebrity node's incoming partition).
+  * Iteration mechanics: unlike [[Dedup.connectedComponents]] (whose
+  * label table feeds each round twice — join + change count — doubling
+  * the plan per round), the rank table appears exactly once per round,
+  * so the plan grows LINEARLY and short runs execute as one AQE query;
+  * `checkpointEvery` bounds driver-side plan depth on long runs, with
+  * previous-round block release. Per round the cost is one join + one
+  * aggregate — and with the degree pre-join + dst-partitioned edge
+  * cache + size-gated rank broadcast below, the round collapses to
+  * scan + project + aggregate with no exchange at all (the Pregel
+  * shape, declared in DataFrames so AQE still re-plans skew when the
+  * graph outgrows the broadcast gate).
   */
 object PageRank {
 
@@ -38,36 +42,75 @@ object PageRank {
     * is undirected; every node must appear as a src (guaranteed for
     * symmetrized graphs — dangling-node mass handling is out of scope
     * and rejected loudly below). Returns (node, r) after `iters` rounds.
+    *
+    * Lineage: unlike connectedComponents (whose label table feeds each
+    * round TWICE — join + change count — doubling the plan per round),
+    * the rank table appears exactly once per round, so the un-checkpointed
+    * plan grows LINEARLY and short fixed-iteration runs are best left as
+    * one query: AQE then sees every round's shuffle statistics and
+    * broadcast-converts the rank side of each join at runtime (a
+    * localCheckpoint would erase those stats and force sort-merge joins).
+    * Long runs still need truncation — driver-side plan/optimizer cost
+    * per round grows with depth — hence `checkpointEvery` (with block
+    * release of the previous checkpoint), not checkpoint-always.
     */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  /** Rank tables below this node count ride a broadcast each round (24 B
+    * a row ⇒ ~120 MB at the limit); larger graphs fall back to a shuffle
+    * join. The gate is on the MEASURED node count — never a blind hint
+    * (a hint would OOM the moment the graph outgrows the driver).
+    */
+  val BroadcastNodeLimit = 5000000L
+
+  def run(edges: DataFrame, iters: Int, checkpointEvery: Int = 8,
+      validate: Boolean = true): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val e = edges.select(col("src"), col("dst")).persist()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-    val nNodes = deg.count() // materializes both persists
+    require(checkpointEvery >= 1)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
+    // degree pre-joined once and the result partitioned by dst: with the
+    // rank side broadcast, every round is then scan + project + aggregate
+    // with NO exchange (broadcast joins preserve the cached partitioning,
+    // which already satisfies the aggregate's required distribution)
+    val e2 = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("d"))
+      .repartition(col("dst")).persist()
+    val nNodes = deg.count()
     require(nNodes < 108000000L,
       s"$nNodes nodes overflows 85*N*SCALE at SCALE=1e12; lower PageRank.Scale")
-    // dangling check: a dst that never occurs as src would silently leak
-    // rank mass; symmetrized inputs can't trigger this, a directed graph
-    // wired in by mistake fails loudly instead of converging wrong
-    val dangling = e.select(col("dst").as("src")).except(deg.select(col("src"))).count()
-    require(dangling == 0, s"$dangling dangling nodes (dst never src): symmetrize first")
-    var chk = deg.select(col("src").as("node"), lit(Scale).as("r")).localCheckpoint()
-    var r = chk
+    if (validate) {
+      // dangling check: a dst that never occurs as src would silently
+      // leak rank mass; symmetrized inputs can't trigger this (callers
+      // whose construction proves symmetry pass validate=false), a
+      // directed graph wired in by mistake fails loudly instead of
+      // converging wrong. Left-anti against the small degree table —
+      // not except(), which would pay a distinct of the edge list first.
+      val dangling = e2.select(col("dst").as("src"))
+        .join(deg.select(col("src")), Seq("src"), "left_anti").count()
+      require(dangling == 0, s"$dangling dangling edges (dst never src): symmetrize first")
+    }
+    val small = nNodes <= BroadcastNodeLimit
+    var chk: Option[DataFrame] = None
+    var r = deg.select(col("src").as("node"), lit(Scale).as("r"))
     try {
-      for (_ <- 1 to iters) {
-        val next = e.join(r.withColumnRenamed("node", "src"), "src")
-          .join(deg, "src")
+      for (i <- 1 to iters) {
+        val ranks = r.withColumnRenamed("node", "src")
+        r = e2.join(if (small) broadcast(ranks) else ranks, "src")
           .select(col("dst"), expr("r div d").as("contrib"))
           .groupBy(col("dst"))
           .agg(sum(col("contrib")).as("c"))
           .select(col("dst").as("node"),
             (lit(Jump) + expr("(85 * c) div 100")).as("r"))
-          .localCheckpoint()
-        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(chk)
-        chk = next
-        r = next
+        // the FINAL round always checkpoints: the returned frame must not
+        // depend on e2/deg, which the finally below unpersists before the
+        // caller ever executes the (lazy) result. The eager checkpoint
+        // runs the whole linear plan as ONE AQE query first.
+        if ((i % checkpointEvery == 0 && i < iters) || i == iters) {
+          val next = r.localCheckpoint()
+          chk.foreach(org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+          chk = Some(next)
+          r = next
+        }
       }
       r
-    } finally { e.unpersist(); deg.unpersist() }
+    } finally { e2.unpersist(); deg.unpersist() }
   }
 }

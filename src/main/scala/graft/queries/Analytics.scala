@@ -5,6 +5,7 @@ import graft.operators.Skew
 import graft.sources.Tables
 import graft.streaming.Sessions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-3 analytics coverage beyond Relational: aggregate FILTER
@@ -411,7 +412,60 @@ object Analytics {
         |  try_cast(substring(c_name, 10) AS BIGINT) AS id_num
         |FROM x ORDER BY c_custkey""".stripMargin)
 
+  /** Rolling median — an aggregate Spark's window functions genuinely
+    * lack (no percentile/median over a moving frame): composed from
+    * `collect_list` over a 10-row frame + `sort_array` + middle-element
+    * arithmetic. Exact on the integral quantities (the even-count case
+    * averages two BIGINTs — exactly representable in a double, matching
+    * DuckDB's `median(...) OVER` to the bit). Frame state is bounded by
+    * the frame length, so at 100 TB memory per window is O(10) — this
+    * composition is the right shape for any small-frame order statistic.
+    *
+    * Ordering: the synthetic lineitem has DUPLICATE (orderkey,
+    * linenumber) keys, so q completes the frame order — rows tied on
+    * all four keys are identical tuples, and permuting identical rows
+    * cannot change any frame's multiset, so the result multiset stays
+    * engine-independent.
+    */
+  def windowPercentile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_quantity").cast("long").as("q"),
+      datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("sday"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("sday"), col("l_orderkey"), col("l_linenumber"), col("q"))
+      .rowsBetween(-9, 0)
+    li.withColumn("a", sort_array(collect_list(col("q")).over(w)))
+      .withColumn("n", size(col("a")))
+      .withColumn("med",
+        when(expr("n % 2 = 1"),
+          expr("element_at(a, CAST((n + 1) div 2 AS INT))").cast("double"))
+        .otherwise(
+          (expr("element_at(a, CAST(n div 2 AS INT))") +
+            expr("element_at(a, CAST(n div 2 + 1 AS INT))"))
+            .cast("double") / 2.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("med"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Boolean/conditional aggregate battery: count_if, bool_and/bool_or,
+    * every/any equivalents — the remaining ANSI aggregate surface. One
+    * hash aggregate, trivially partial-aggregated.
+    */
+  def aggFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_disc"),
+        bool_and(col("l_quantity") >= 1.0).as("all_q1"),
+        bool_or(col("l_tax") > 0.07).as("any_hitax"),
+        count_if(col("l_linestatus") === "F").as("n_f"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_percentile" -> windowPercentile,
+    "agg_funcs2" -> aggFuncs2,
     "approx_quantile" -> approxQuantile,
     "try_funcs" -> tryFuncs,
     "filtered_agg" -> filteredAgg,
@@ -436,6 +490,22 @@ object Analytics {
   private val ToksNE = Shared.ToksNE
 
   val oracleSql: Map[String, String] = Map(
+    "window_percentile" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |    l_quantity::BIGINT AS q,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS sday FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        |  median(q) OVER (PARTITION BY l_partkey
+        |    ORDER BY sday, l_orderkey, l_linenumber, q
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)::DOUBLE AS med
+        |FROM li ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "agg_funcs2" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05)::BIGINT AS n_disc,
+        |  bool_and(l_quantity >= 1.0) AS all_q1,
+        |  bool_or(l_tax > 0.07) AS any_hitax,
+        |  count(*) FILTER (WHERE l_linestatus = 'F')::BIGINT AS n_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "approx_quantile" ->
       """WITH x AS (SELECT l_returnflag AS rf,
         |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents

@@ -33,7 +33,9 @@ object Graph {
     // src >= offset), so plain unionAll introduces no duplicate edges
     val edges = li.select(col("sk").as("src"), (col("pk") + PartOffset).as("dst"))
       .union(li.select((col("pk") + PartOffset).as("src"), col("sk").as("dst")))
-    PageRank.run(edges, iters = 3)
+    // validate=false: the union above IS the symmetrization proof — every
+    // dst appears as a src by construction, so the dangling scan is waste
+    PageRank.run(edges, iters = 3, validate = false)
       .select(
         when(col("node") >= PartOffset, lit("part")).otherwise(lit("supplier")).as("kind"),
         when(col("node") >= PartOffset, col("node") - PartOffset).otherwise(col("node")).as("id"),

@@ -100,6 +100,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("window_percentile: rolling median matches a brute-force frame recount") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity").cast("long"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the synthetic lineitem has duplicate (orderkey, linenumber) keys,
+    // so compare output MULTISETS (sorted tuple sequences), not a map
+    val expect = li.groupBy(_._3).toSeq.flatMap { case (pk, rows) =>
+      val sorted = rows.sortBy(r => (r._5, r._1, r._2, r._4))
+      sorted.zipWithIndex.map { case (r, i) =>
+        val frame = sorted.slice(math.max(0, i - 9), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med = if (n % 2 == 1) frame(n / 2).toDouble
+          else (frame(n / 2 - 1) + frame(n / 2)).toDouble / 2.0
+        (r._1, r._2.toLong, pk, med)
+      }
+    }.sorted
+    val got = graft.queries.Analytics.windowPercentile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
+
   private implicit class BoolOps(val a: Boolean) {
     def ==>(b: Boolean): Boolean = !a || b
   }
