@@ -463,7 +463,35 @@ object Analytics {
         count_if(col("l_linestatus") === "F").as("n_f"))
       .orderBy(col("l_returnflag"))
 
+  /** Z-score outlier detection with EXACT arithmetic: the 1.5σ test
+    * `(x-μ)² > (1.5σ)²` cross-multiplied into integers —
+    * `4(nx-s)² > 9(n·sq - s²)` over cents — so both engines compare the
+    * same exact numbers (a double σ would make the boundary rows
+    * engine-dependent). DECIMAL(38,0) carries the ~1e27 intermediates
+    * (BIGINT would wrap; in ANSI mode, throw). Two passes over orders:
+    * a 3-row moment aggregate (broadcast back) + one filtered count —
+    * the standard scalable shape for anomaly scoring.
+    */
+  def outlierZscore(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val dec = col("cents").cast("decimal(38,0)")
+    val g = o.groupBy(col("st")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec).cast("decimal(38,0)").as("s"),
+      sum(dec * dec).cast("decimal(38,0)").as("sq"))
+    val dev = col("n") * dec - col("s")
+    val isOut = (lit(4) * dev * dev) > (lit(9) * (col("n") * col("sq") - col("s") * col("s")))
+    o.join(g, "st")
+      .groupBy(col("st")).agg(
+        count(lit(1)).as("n_rows"),
+        count(when(isOut, lit(1))).as("n_outliers"),
+        min(when(isOut, col("cents"))).as("min_outlier_cents"))
+      .orderBy(col("st"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "outlier_zscore" -> outlierZscore,
     "window_percentile" -> windowPercentile,
     "agg_funcs2" -> aggFuncs2,
     "approx_quantile" -> approxQuantile,
@@ -490,6 +518,18 @@ object Analytics {
   private val ToksNE = Shared.ToksNE
 
   val oracleSql: Map[String, String] = Map(
+    "outlier_zscore" ->
+      """WITH o AS (SELECT o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT st, count(*)::DECIMAL(38,0) AS n, sum(cents)::DECIMAL(38,0) AS s,
+        |        sum(cents::DECIMAL(38,0) * cents)::DECIMAL(38,0) AS sq
+        |      FROM o GROUP BY 1)
+        |SELECT o.st, count(*)::BIGINT AS n_rows,
+        |  count(*) FILTER (WHERE 4*(g.n*o.cents - g.s)*(g.n*o.cents - g.s)
+        |                       > 9*(g.n*g.sq - g.s*g.s))::BIGINT AS n_outliers,
+        |  min(o.cents) FILTER (WHERE 4*(g.n*o.cents - g.s)*(g.n*o.cents - g.s)
+        |                       > 9*(g.n*g.sq - g.s*g.s))::BIGINT AS min_outlier_cents
+        |FROM o JOIN g ON o.st = g.st GROUP BY o.st ORDER BY o.st""".stripMargin,
     "window_percentile" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
         |    l_quantity::BIGINT AS q,

@@ -156,6 +156,36 @@ object Sessions {
         unix_millis(col("p_ts")).as("purchase_ms"))
   }
 
+  /** LEFT OUTER variant of [[streamingViewPurchaseJoin]]: views with no
+    * purchase in the window are still emitted (purchase_id null) — but
+    * only once the watermark passes `view_ts + 30min`, because until
+    * then a matching purchase could still arrive. The engine therefore
+    * holds back the null row for exactly the state-retention horizon;
+    * any spec comparing against the batch left join must cut off views
+    * younger than (max event time − watermark − window), which is the
+    * honest semantics of a streaming outer join, not a test artifact.
+    */
+  def streamingViewPurchaseLeftJoin(spark: SparkSession, sfDir: String,
+      streamDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    def side(tpe: String, pfx: String) =
+      spark.readStream.schema(schema).parquet(streamDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "1 hour")
+    side("view", "v").join(side("purchase", "p"),
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+        col("p_id").as("purchase_id"),
+        unix_millis(col("v_ts")).as("view_ms"))
+  }
+
   /** Streaming exact dedup on event_id with watermark-bounded state:
     * duplicates arriving within the watermark delay are dropped, state
     * for expired event times is cleaned up (the streaming face of

@@ -139,6 +139,47 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS stream_vp")
   }
 
+  test("stream-stream LEFT OUTER join emits null-matched views past the watermark") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssljoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val q = Sessions.streamingViewPurchaseLeftJoin(spark, sf0001, streamDir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_vpl").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_vpl").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    val ev = Sessions.events(spark, sf0001)
+    // outer-join rows for views younger than (max ts - watermark - window)
+    // are legitimately still held back when the stream drains; compare
+    // only the emitted horizon (see streamingViewPurchaseLeftJoin doc)
+    val maxMs = ev.agg(max(col("ts_ms"))).head().getLong(0)
+    val cutoff = maxMs - 3600000L - 1800000L - 60000L
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("view_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ms"))
+    val batch = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ms") >= col("view_ms") &&
+          col("purchase_ms") <= col("view_ms") + lit(1800000L), "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"), col("view_ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    val sOld = streamed.filter(_._4 < cutoff)
+    val bOld = batch.filter(_._4 < cutoff)
+    assert(bOld.exists(_._3 == -1L), "comparator horizon has no unmatched views")
+    assert(sOld == bOld,
+      s"stream-only: ${(sOld -- bOld).take(3)}; batch-only: ${(bOld -- sOld).take(3)}")
+    // matched pairs emit eagerly — they must ALL be present, horizon or not
+    assert(batch.filter(_._3 != -1L).subsetOf(streamed))
+    spark.sql("DROP TABLE IF EXISTS stream_vpl")
+  }
+
   test("dropDuplicatesWithinWatermark: replayed duplicate batch is fully deduped") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
     // same events file staged twice -> every event_id arrives twice
