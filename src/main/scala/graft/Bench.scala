@@ -27,6 +27,11 @@ object Bench {
       // measured by the producing queries — sessionize, dedup_near,
       // ngram_jaccard — which deliberately bypass the caches)
       graft.queries.Pipeline.warmMaterializedInputs(spark, sfDir)
+      // JIT the iterative-graph path (join/agg/checkpoint round trip) on
+      // a 3-node toy graph — same rationale as the dedup warmup above
+      val toy = spark.range(3).selectExpr("id AS src", "(id + 1) % 3 AS dst")
+      graft.operators.PageRank.run(
+        toy.union(toy.selectExpr("dst AS src", "src AS dst")), 2).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
