@@ -140,6 +140,38 @@ object Quality {
       .orderBy(col("doc_id"), col("jaccard").desc, col("nbr"))
   }
 
+  // --- benchmark contamination -----------------------------------------
+
+  /** Train-vs-test contamination check over the FULL corpus: a test-split
+    * document is flagged when ≥20% of its distinct 3-gram shingles occur
+    * anywhere in the train split (the standard n-gram-overlap
+    * decontamination pass before benchmark evaluation). Deliberately NOT
+    * pairwise: test shingles semi-join the distinct train shingle set —
+    * O(total shingles) with one hash join, no doc×doc stage, so the same
+    * plan runs at 100 TB (the train shingle set shards across executors;
+    * a bloom pre-filter slots in front of the join if it outgrows
+    * memory). Splits reuse train_test_split's deterministic doc_id hash.
+    */
+  def contaminationCheck(s: SparkSession, d: String): DataFrame = {
+    val sets = Dedup.shingleHashSets(docs(s, d))
+      .withColumn("split", Pipeline.splitColumn(col("doc_id")))
+    val train = sets.filter(col("split") === "train")
+      .select(explode(col("hs")).as("h")).distinct()
+    val test = sets.filter(col("split") === "test")
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
+    val matched = test.join(train, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    sets.filter(col("split") === "test")
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (lit(5L) * coalesce(col("n_matched"), lit(0L)) >= col("n_sh"))
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -147,6 +179,7 @@ object Quality {
     "repetition_ngram" -> repetitionNgram,
     "hll_merge" -> hllMerge,
     "neardup_knn" -> neardupKnn,
+    "contamination_check" -> contaminationCheck,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -202,5 +235,25 @@ object Quality {
          |      FROM sym)
          |SELECT doc_id, nbr, jaccard FROM r WHERE rn <= 3
          |ORDER BY doc_id, jaccard DESC, nbr""".stripMargin,
+    "contamination_check" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+         |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents)
+         |  WHERE len(ts) >= 3),
+         |s AS (SELECT doc_id, sh,
+         |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |             ELSE 'test' END AS split
+         |      FROM (SELECT doc_id, sh,
+         |              ((doc_id % 2147483647) * 2654435761) % 100 AS b FROM t)),
+         |tr AS (SELECT DISTINCT unnest(sh) AS h FROM s WHERE split = 'train'),
+         |te AS (SELECT doc_id, len(sh)::BIGINT AS n_sh, unnest(sh) AS h
+         |       FROM s WHERE split = 'test'),
+         |m AS (SELECT te.doc_id, count(*)::BIGINT AS n_matched
+         |      FROM te JOIN tr USING (h) GROUP BY 1),
+         |base AS (SELECT doc_id, max(n_sh)::BIGINT AS n_sh FROM te GROUP BY 1)
+         |SELECT b.doc_id, b.n_sh, coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+         |  (5 * coalesce(m.n_matched, 0) >= b.n_sh) AS contaminated
+         |FROM base b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -404,4 +404,37 @@ class ScaleSpec extends SparkSuite {
     assert(!planOf("stratified_sample").contains("Join"))
     assert(!planOf("pii_scrub").contains("Join"))
   }
+
+  test("plan guards: behavioral/quality/graph batch keeps the scale shape") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    // merge_upsert / contamination_check / asof_nearest: equi-joins only —
+    // never a nested-loop or cartesian fallback
+    for (q <- Seq("merge_upsert", "contamination_check", "asof_nearest")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: ${p.take(800)}")
+    }
+    // funnel: the stage joins must be equi-joins; the final assembly of
+    // four SINGLE-ROW aggregates is a broadcast nested-loop cross by
+    // design (1-row frames — constant work at any scale)
+    val fu = planOf("funnel")
+    assert(!fu.contains("CartesianProduct"), fu.take(800))
+    assert("Join LeftSemi|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(fu).isDefined, fu.take(800))
+    // merge_upsert: the merge IS one full-outer join
+    assert(planOf("merge_upsert").contains("FullOuter"))
+    // asof_nearest: composed from the union+window carries — no join
+    // operator at all (two window sorts, as documented)
+    assert(!planOf("asof_nearest").contains("Join"))
+    // quality_filters / repetition_ngram: aggregates are partially
+    // aggregated before the exchange (map-side combine)
+    for (q <- Seq("quality_filters", "repetition_ngram")) {
+      val p = planOf(q)
+      assert(p.contains("partial"), s"$q: ${p.take(800)}")
+    }
+    // contamination_check: the train side reaches the probe as a
+    // LeftSemi equi-join (the O(shingles) decontamination shape)
+    assert(planOf("contamination_check").contains("LeftSemi"))
+  }
 }
