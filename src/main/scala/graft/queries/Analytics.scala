@@ -490,7 +490,33 @@ object Analytics {
       .orderBy(col("st"))
   }
 
+  /** 2-D skyline (Pareto front): the price/size points no other part
+    * dominates. NOT the O(n²) dominance join — after a per-x dedupe
+    * (max y per distinct x), one descending-x sweep keeps a point iff
+    * its y beats the running max over strictly-greater x (RANGE frame
+    * to 1 PRECEDING, so equal-x peers stay excluded). The sweep's
+    * window is a global order over DISTINCT x values — already shrunk
+    * by the dedupe; at extreme cardinality it range-partitions by x
+    * with the boundary max carried between shards (the standard
+    * two-pass sweep). The DuckDB oracle is the INDEPENDENT quadratic
+    * NOT EXISTS dominance test on a bounded slice, so the sweep's
+    * correctness is cross-checked, not mirrored.
+    */
+  def paretoFront(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_partkey") < 2000)
+      .select(round(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("size"))
+    val g = p.groupBy(col("cents")).agg(max(col("size")).as("size"))
+    val w = Window.orderBy(col("cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    g.withColumn("mx", max(col("size")).over(w))
+      .filter(col("mx").isNull || col("size") > col("mx"))
+      .select(col("cents"), col("size"))
+      .orderBy(col("cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pareto_front" -> paretoFront,
     "outlier_zscore" -> outlierZscore,
     "window_percentile" -> windowPercentile,
     "agg_funcs2" -> aggFuncs2,
@@ -518,6 +544,14 @@ object Analytics {
   private val ToksNE = Shared.ToksNE
 
   val oracleSql: Map[String, String] = Map(
+    "pareto_front" ->
+      """WITH p AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |    p_size::BIGINT AS size FROM part WHERE p_partkey < 2000),
+        |g AS (SELECT cents, max(size)::BIGINT AS size FROM p GROUP BY 1)
+        |SELECT cents, size FROM g a WHERE NOT EXISTS (
+        |  SELECT 1 FROM g b WHERE b.cents >= a.cents AND b.size >= a.size
+        |    AND (b.cents > a.cents OR b.size > a.size))
+        |ORDER BY cents""".stripMargin,
     "outlier_zscore" ->
       """WITH o AS (SELECT o_orderstatus AS st,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

@@ -315,7 +315,35 @@ object Curation {
 
   // --- registration ---------------------------------------------------------
 
+  /** Data-mixing budget allocation by the largest-remainder method:
+    * split a global token budget across sources proportionally to their
+    * token counts, exactly — floor quotas first, then the leftover
+    * slots to the largest fractional remainders (rank ties by source).
+    * All integer arithmetic (quota = B·n div N, remainder = B·n mod N),
+    * so the allocation is exact, reproducible, and sums to the budget
+    * by construction. The rank runs over one row per SOURCE — a
+    * dimension-sized window, not a data-sized one.
+    */
+  def tokenAllocation(s: SparkSession, d: String, budget: Long = 100000L): DataFrame = {
+    val t = docs(s, d)
+      .select(col("source"), size(Dedup.tokensNE(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
+    val tot = t.agg(sum(col("n_tok")).as("total"))
+    val q = t.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($budget * n_tok) div total"))
+      .withColumn("rem", expr(s"($budget * n_tok) % total"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.orderBy(col("rem").desc, col("source"))
+    q.withColumn("slots_left", lit(budget) - sum(col("quota")).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .select(col("source"), col("n_tok"),
+        (col("quota") + when(col("rn") <= col("slots_left"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_allocation" -> ((s, d) => tokenAllocation(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "pii_scrub" -> piiScrub,
     "stratified_sample" -> stratifiedSample,
@@ -336,6 +364,20 @@ object Curation {
   private val ToksNE = Shared.ToksNE
 
   def oracleSql: Map[String, String] = Map(
+    "token_allocation" ->
+      s"""WITH t AS (SELECT source, sum(len($ToksNE))::BIGINT AS n_tok
+         |           FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(n_tok)::BIGINT AS total FROM t),
+         |q AS (SELECT source, n_tok,
+         |        (100000 * n_tok) // total AS quota,
+         |        (100000 * n_tok) % total AS rem
+         |      FROM t CROSS JOIN tot),
+         |r AS (SELECT *, 100000 - sum(quota) OVER () AS slots_left,
+         |        row_number() OVER (ORDER BY rem DESC, source) AS rn
+         |      FROM q)
+         |SELECT source, n_tok,
+         |  (quota + CASE WHEN rn <= slots_left THEN 1 ELSE 0 END)::BIGINT AS alloc
+         |FROM r ORDER BY source""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (SELECT source, doc_id, len($ToksNE)::BIGINT AS n_tok FROM documents),
          |b AS (SELECT source, doc_id, n_tok,

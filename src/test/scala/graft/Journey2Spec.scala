@@ -67,4 +67,33 @@ class Journey2Spec extends SparkSuite {
     assert(got == expect)
     assert(got.groupBy(_._1).values.forall(_.size <= 3))
   }
+
+  test("pareto_front: the sweep equals brute-force dominance on the full table") {
+    // no p_partkey bound here — the bound in the declared query exists
+    // only for the quadratic DuckDB oracle's sake
+    val pts = spark.read.parquet(s"$sf0001/part.parquet")
+      .select(round(col("p_retailprice") * 100).cast("long"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val g = pts.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val brute = g.filter { case (c, s) =>
+      !g.exists { case (c2, s2) => c2 >= c && s2 >= s && (c2 > c || s2 > s) }
+    }.toSet
+    val p = spark.createDataFrame(g.toSeq).toDF("cents", "size")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cents").desc)
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sweep = p.withColumn("mx", max(col("size")).over(w))
+      .filter(col("mx").isNull || col("size") > col("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sweep == brute)
+    assert(sweep.nonEmpty)
+  }
+
+  test("token_allocation: exact budget conservation and monotone allocations") {
+    val rows = graft.queries.Curation.tokenAllocation(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 100000L, "allocations must sum to the budget exactly")
+    // largest-remainder is monotone: a bigger source never gets less
+    for ((_, ni, ai) <- rows; (_, nj, aj) <- rows if ni > nj)
+      assert(ai >= aj, s"monotonicity: $ni tokens -> $ai but $nj -> $aj")
+  }
 }
