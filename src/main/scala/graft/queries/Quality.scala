@@ -172,6 +172,58 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  // --- unigram LM surprisal --------------------------------------------
+
+  /** Per-document unigram surprisal (−Σ ln p(token), the LM-likelihood
+    * quality signal perplexity filters threshold on). The corpus unigram
+    * model is one hash aggregate; each token's log-probability is
+    * quantized to integer micro-nats (`round(ln(c/N)·1e6)` — the same
+    * fixed double expression on both engines, then BIGINT), so the
+    * per-document sum is an ORDER-INDEPENDENT integer — a raw double
+    * sum over tokens would be aggregation-order-dependent and neither
+    * reproducible nor oracle-comparable. Vocab rides a broadcast; the
+    * doc aggregate shuffles on doc_id only.
+    */
+  def docSurprisal(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+      .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("tok"))
+    val v = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = v.agg(sum(col("c")).as("n"))
+    val lp = v.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log(col("c").cast("double") / col("n")) * 1000000).cast("long")
+          .as("lp_micro"))
+    t.join(broadcast(lp), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), (-sum(col("lp_micro"))).as("surprisal_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- one-pass dataset card -------------------------------------------
+
+  /** The corpus "dataset card" numbers in ONE scan: doc/char/token
+    * totals, language and source cardinalities, length extremes, and
+    * the exact-duplicate rate (docs minus distinct text hashes). All
+    * single-aggregate — no window, no join; the multi-distinct plan is
+    * Spark's expand-based exact count, fine at any scale for
+    * low-cardinality dims and replaced by [[hllMerge]]-style sketches
+    * when the dimension explodes.
+    */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(Dedup.tokensNE(col("text"))).cast("long").as("n_tok"),
+        sha2(col("text"), 256).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -180,6 +232,8 @@ object Quality {
     "hll_merge" -> hllMerge,
     "neardup_knn" -> neardupKnn,
     "contamination_check" -> contaminationCheck,
+    "doc_surprisal" -> docSurprisal,
+    "corpus_stats" -> corpusStats,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -255,5 +309,24 @@ object Quality {
          |SELECT b.doc_id, b.n_sh, coalesce(m.n_matched, 0)::BIGINT AS n_matched,
          |  (5 * coalesce(m.n_matched, 0) >= b.n_sh) AS contaminated
          |FROM base b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "doc_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
+         |v AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),
+         |tot AS (SELECT sum(c)::BIGINT AS n FROM v),
+         |lp AS (SELECT tok, CAST(round(ln(c::DOUBLE / n) * 1000000) AS BIGINT)
+         |         AS lp_micro FROM v CROSS JOIN tot)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+         |  (-sum(lp.lp_micro))::BIGINT AS surprisal_micro
+         |FROM t JOIN lp USING (tok) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      s"""SELECT count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  count(DISTINCT source)::BIGINT AS n_sources,
+         |  sum(n_chars)::BIGINT AS total_chars,
+         |  sum(len($ToksNE))::BIGINT AS total_tokens,
+         |  min(len($ToksNE))::BIGINT AS min_tokens,
+         |  max(len($ToksNE))::BIGINT AS max_tokens,
+         |  (count(*) - count(DISTINCT sha256(text)))::BIGINT AS n_exact_dups
+         |FROM documents""".stripMargin,
   )
 }

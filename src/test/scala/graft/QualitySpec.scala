@@ -52,6 +52,40 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("doc_surprisal: integer micro-nats match a driver-side recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[ \t\n\r]").filter(_.nonEmpty)))
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum.toDouble
+    val lp = counts.map { case (t, c) =>
+      t -> math.round(math.log(c / n) * 1000000.0)
+    }
+    val expect = docs.map { case (id, ts) =>
+      id -> (ts.length.toLong, -ts.map(lp).sum)
+    }.toMap
+    val rows = graft.queries.Quality.docSurprisal(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == expect(r.getLong(0)), s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) > 0, "surprisal is positive")
+    }
+  }
+
+  test("corpus_stats: every cell re-derives independently") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val r = graft.queries.Quality.corpusStats(spark, sf0001).head()
+    assert(r.getLong(0) == d.count())
+    assert(r.getLong(1) == d.select("lang").distinct().count())
+    assert(r.getLong(2) == d.select("source").distinct().count())
+    assert(r.getLong(3) == d.agg(sum(col("n_chars"))).head().getLong(0))
+    val toks = d.select(col("text")).collect()
+      .map(_.getString(0).split("[ \t\n\r]").count(_.nonEmpty).toLong)
+    assert(r.getLong(4) == toks.sum)
+    assert(r.getLong(5) == toks.min && r.getLong(6) == toks.max)
+    assert(r.getLong(7) == d.count() - d.select("text").distinct().count())
+  }
+
   test("hll_merge: union of per-shard sketches equals the one-shot sketch") {
     val ev = graft.streaming.Sessions.events(spark, sf0001)
       .select(col("event_type"), col("user_id"))
