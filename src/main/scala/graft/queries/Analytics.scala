@@ -515,7 +515,27 @@ object Analytics {
       .orderBy(col("cents"))
   }
 
+  /** Equi-DEPTH histogram (16 equal-count buckets over order cents) —
+    * the complement of `histogram`'s equal-width bucketing: ntile over
+    * the (cents, orderkey) total order, then per-bucket count/min/max.
+    * Exact by construction; the global ntile sort is the declared
+    * formulation at oracle scale — at 100 TB the cutpoints come from
+    * approx_percentile (see approx_quantile) and bucket assignment
+    * becomes a map-only width_bucket against the broadcast cutpoints.
+    */
+  def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"), col("o_orderkey"))
+    val w = Window.orderBy(col("cents"), col("o_orderkey"))
+    o.withColumn("bucket", ntile(16).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "equidepth_histogram" -> equidepthHistogram,
     "pareto_front" -> paretoFront,
     "outlier_zscore" -> outlierZscore,
     "window_percentile" -> windowPercentile,
@@ -544,6 +564,13 @@ object Analytics {
   private val ToksNE = Shared.ToksNE
 
   val oracleSql: Map[String, String] = Map(
+    "equidepth_histogram" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey FROM orders),
+        |b AS (SELECT cents, ntile(16) OVER (ORDER BY cents, o_orderkey) AS bucket FROM o)
+        |SELECT bucket, count(*)::BIGINT AS n, min(cents)::BIGINT AS min_cents,
+        |  max(cents)::BIGINT AS max_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "pareto_front" ->
       """WITH p AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
         |    p_size::BIGINT AS size FROM part WHERE p_partkey < 2000),

@@ -125,6 +125,18 @@ class AnalyticsSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("equidepth_histogram: near-equal counts, ordered non-overlapping ranges") {
+    val rows = graft.queries.Analytics.equidepthHistogram(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1 to 16))
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1, "ntile buckets differ by at most 1")
+    assert(counts.sum == spark.read.parquet(s"$sf0001/orders.parquet").count())
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(0)._4 <= p(1)._3, "bucket value ranges must not interleave")
+    }
+  }
+
   private implicit class BoolOps(val a: Boolean) {
     def ==>(b: Boolean): Boolean = !a || b
   }
