@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_cosine(a, b)`            — cosine similarity of float arrays
   *   - `graft_sorted_intersect(a, b)`  — merge-loop intersect count
   *   - `graft_counteq(arr, needle)`    — term frequency (count of equal elements)
+  *   - `graft_toprun(sorted_arr)`      — longest run of a sorted array (mode/argmax)
   *   - `graft_morton(x, y)`            — Z-order bit interleave (ZOrder.morton2)
   *
   * Two registration paths:
@@ -44,6 +45,7 @@ object GraftFunctions {
     "graft_cosine" -> (es => CosineSimExpr(es.head, es(1))),
     "graft_sorted_intersect" -> (es => SortedIntersectCountExpr(es.head, es(1))),
     "graft_counteq" -> (es => CountEqExpr(es.head, es(1))),
+    "graft_toprun" -> (es => graft.functions.TopRunExpr(es.head)),
     "graft_morton" -> (es => graft.functions.ZOrder.morton2Expr(es.head, es(1))),
   )
 

@@ -78,6 +78,12 @@ object SketchExprs {
     */
   def countEq(arr: Column, needle: Column): Column =
     Bridge.column(CountEqExpr(Bridge.expression(arr), Bridge.expression(needle)))
+
+  /** Longest run (most frequent element + count) of a SORTED
+    * `array<string>` — the map-only mode/argmax primitive.
+    */
+  def topRun(sortedArr: Column): Column =
+    Bridge.column(TopRunExpr(Bridge.expression(sortedArr)))
 }
 
 case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long], p: Long)
@@ -379,4 +385,66 @@ case class CountEqExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CountEqExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Longest run in a SORTED `array<string>`: returns
+  * struct(w: string, c: int) — the most frequent element and its count,
+  * ties resolved to the FIRST (= lexicographically smallest, since the
+  * input is sorted) run. One generated pass comparing adjacent elements;
+  * null for empty/absent arrays. With `sort_array` this turns per-row
+  * mode/argmax computations (e.g. a document's dominant n-gram) into a
+  * map-only expression — no (row, element) explode, no two-level
+  * aggregation, no shuffle.
+  */
+case class TopRunExpr(child: Expression) extends UnaryExpression with RequiresArrayOf {
+  override protected def requiredElementType: DataType = StringType
+  override protected def typedChildren: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("c", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    var bestStart = 0; var bestLen = 1
+    var runStart = 0; var runLen = 1
+    var i = 1
+    while (i < n) {
+      if (arr.getUTF8String(i).equals(arr.getUTF8String(i - 1))) {
+        runLen += 1
+        if (runLen > bestLen) { bestLen = runLen; bestStart = runStart }
+      } else { runStart = i; runLen = 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](arr.getUTF8String(bestStart).copy(), bestLen))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val bs = ctx.freshName("bestStart"); val bl = ctx.freshName("bestLen")
+      val rs = ctx.freshName("runStart"); val rl = ctx.freshName("runLen")
+      s"""
+         |int $n = $c.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bs = 0; int $bl = 1; int $rs = 0; int $rl = 1;
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    if ($c.getUTF8String($i).equals($c.getUTF8String($i - 1))) {
+         |      $rl++;
+         |      if ($rl > $bl) { $bl = $rl; $bs = $rs; }
+         |    } else { $rs = $i; $rl = 1; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $c.getUTF8String($bs).copy(), java.lang.Integer.valueOf($bl) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TopRunExpr =
+    copy(child = newChild)
 }

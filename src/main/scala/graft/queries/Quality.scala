@@ -65,30 +65,31 @@ object Quality {
 
   /** Top-bigram dominance per document (the Gopher "duplicated n-gram
     * fraction" signal): the most frequent adjacent pair and the share of
-    * bigram slots it occupies. Bigrams come from zipping the token list
-    * with its own tail (map-only), the argmax is a deterministic
-    * row_number pick (count desc, then lexicographic), and the
-    * repetitive flag is the integer test `5*maxc >= nb` (>= 20% of
-    * slots). Shuffles on (doc_id, bigram) then doc_id — same
-    * never-concentrating key shape as [[qualityFilters]].
+    * bigram slots it occupies; repetitive when `5*maxc >= nb` (>= 20%).
+    *
+    * MAP-ONLY: bigrams are zipped from the token list's own tail,
+    * space-joined, sorted in-row, and the argmax comes from the native
+    * codegen'd [[graft.functions.SketchExprs.topRun]] run-length scan —
+    * no (doc, bigram) explode, no two-level aggregation, NO shuffle at
+    * any scale (the first formulation shuffled every bigram twice; this
+    * one touches each row once). Tie-break parity with the group-by
+    * oracle: the space delimiter sorts below every token character, so
+    * "w1 w2" string order equals (w1, w2) tuple order, and topRun's
+    * first-run tie pick IS the lexicographically-smallest pair.
     */
   def repetitionNgram(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d).select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("l"))
       .filter(col("l") >= 2)
-    val bg = t.select(col("doc_id"), explode(zip_with(
-        slice(col("ts"), lit(1), col("l") - 1), slice(col("ts"), lit(2), col("l") - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val g = bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("c").desc, col("w1"), col("w2"))
-    g.withColumn("rn", row_number().over(w))
-      .withColumn("nb", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("nb"), col("c").as("maxc"),
-        col("w1"), col("w2"),
-        (lit(5L) * col("c") >= col("nb")).as("repetitive"))
+    val bigrams = zip_with(
+      slice(col("ts"), lit(1), col("l") - 1), slice(col("ts"), lit(2), col("l") - 1),
+      (a, b) => concat_ws(" ", a, b))
+    t.withColumn("tr", graft.functions.SketchExprs.topRun(sort_array(bigrams)))
+      .select(col("doc_id"), (col("l") - 1).cast("long").as("nb"),
+        col("tr.c").cast("long").as("maxc"),
+        split_part(col("tr.w"), lit(" "), lit(1)).as("w1"),
+        split_part(col("tr.w"), lit(" "), lit(2)).as("w2"),
+        (lit(5L) * col("tr.c") >= (col("l") - 1)).as("repetitive"))
       .orderBy(col("doc_id"))
   }
 

@@ -49,6 +49,46 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(e.getMessage.contains("array<string>"), e.getMessage)
   }
 
+  test("graft_toprun equals the group-by argmax and handles edges") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_toprun(array('a','a','b')) AS aa,
+        |  graft_toprun(array('a','b','b','b','c','c')) AS bbb,
+        |  graft_toprun(array('x')) AS single,
+        |  graft_toprun(array('a','a','b','b')) AS tie,
+        |  graft_toprun(CAST(array() AS ARRAY<STRING>)) AS empt,
+        |  graft_toprun(CAST(NULL AS ARRAY<STRING>)) AS narr""".stripMargin)
+      .collect().head
+    def wc(i: Int) = (r.getStruct(i).getString(0), r.getStruct(i).getInt(1))
+    assert(wc(0) == (("a", 2)) && wc(1) == (("b", 3)) && wc(2) == (("x", 1)))
+    assert(wc(3) == (("a", 2)), "ties go to the first (smallest) run")
+    assert(r.isNullAt(4) && r.isNullAt(5))
+    // equivalence vs an explode+group-by argmax on real sorted bigram lists
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.operators.Dedup.tokensNE(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), sort_array(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val native = docs
+      .select(col("doc_id"), graft.functions.SketchExprs.topRun(col("bg")).as("tr"))
+      .select(col("doc_id"), col("tr.w"), col("tr.c"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("g"))
+    val grouped = docs.select(col("doc_id"), explode(col("bg")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).cast("int").as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSet
+    assert(native == grouped)
+    // wrong types rejected at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_toprun(array(1L, 2L))").collect()
+    }
+    assert(e.getMessage.contains("array<string>"), e.getMessage)
+  }
+
   test("wrong-typed arrays fail analysis with a clear message, not silent garbage") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception] {
