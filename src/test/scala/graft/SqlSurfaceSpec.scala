@@ -89,6 +89,38 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(e.getMessage.contains("array<string>"), e.getMessage)
   }
 
+  test("graft_toprun fuzz: 400 seeded random arrays match driver-side brute force") {
+    // small alphabet forces heavy runs and ties; empty arrays included
+    val rnd = new scala.util.Random(1717)
+    val alphabet = Vector("a", "ab", "b", "ba", "c", "")
+    val cases = Seq.fill(400)(
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))))
+    val expect = cases.map { xs =>
+      val sorted = xs.sorted
+      if (sorted.isEmpty) null
+      else {
+        // first (smallest) maximal run of the sorted sequence
+        val runs = sorted.foldLeft(List.empty[(String, Int)]) {
+          case ((w, c) :: t, x) if w == x => (w, c + 1) :: t
+          case (acc, x) => (x, 1) :: acc
+        }.reverse
+        runs.maxBy { case (_, c) => (c, 0) } match { case best =>
+          runs.find(_._2 == best._2).get // earliest run with the max count
+        }
+      }
+    }
+    import spark.implicits._
+    val got = cases.map(_.toArray).toDF("xs")
+      .select(graft.functions.SketchExprs.topRun(sort_array(col("xs"))).as("tr"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) null
+        else (r.getStruct(0).getString(0), r.getStruct(0).getInt(1)))
+    assert(got.length == expect.length)
+    got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"case $i: input=${cases(i)} got=$g expect=$e")
+    }
+  }
+
   test("wrong-typed arrays fail analysis with a clear message, not silent garbage") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception] {
