@@ -53,19 +53,35 @@ object Journey {
   /** Distinct users in the trailing hour at every event — an operator
     * Spark's window functions genuinely lack (no DISTINCT aggregates
     * over frames), composed from built-ins: `collect_list` over a RANGE
-    * frame + `array_distinct` + `size`. Partitioned by event_type here;
-    * at 100 TB the partition key would be a time-range shard with a
-    * 1-window overlap region (dedup the seam rows), keeping every
-    * partition's frame state bounded by the window span — the same
-    * contract Structured Streaming's watermarked windows give.
+    * frame + `array_distinct` + `size`.
+    *
+    * This is the SHARDED formulation that actually scales: a naive
+    * global-ORDER-BY window would serialize the whole timeline through
+    * one partition. Instead each event owns the 2-hour time shard
+    * `ts div 2h`, events in the last hour of a shard are ALSO copied
+    * into the next shard as lookback context (owned=false), the window
+    * runs per shard, and only owner rows survive. Every row's 1-hour
+    * frame is fully present in its shard, so the result is exactly the
+    * global-window answer — the oracle is DuckDB's true global
+    * `count(DISTINCT) OVER (RANGE ...)`, which pins the equivalence —
+    * while Spark's parallelism is (timeline / 2h) with ≤50% row
+    * duplication, frame state bounded by the window span.
     */
   def windowDistinct(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ms"))
+    val ShardMs = 7200000L // 2 h shards, 1 h lookback overlap
+    val e = ev(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
+    val owners = e.withColumn("shard", expr(s"ts_ms div $ShardMs"))
+      .withColumn("owned", lit(true))
+    val context = e.filter(pmod(col("ts_ms"), lit(ShardMs)) >= ShardMs - 3600000L)
+      .withColumn("shard", expr(s"ts_ms div $ShardMs") + 1L)
+      .withColumn("owned", lit(false))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ts_ms"))
       .rangeBetween(-3600000L, 0L)
-    ev(s, d)
+    owners.unionByName(context)
       .withColumn("du",
         size(array_distinct(collect_list(col("user_id")).over(w))).cast("long"))
-      .select(col("event_id"), col("event_type"), col("du"))
+      .filter(col("owned"))
+      .select(col("event_id"), col("du"))
       .orderBy(col("event_id"))
   }
 
@@ -220,8 +236,8 @@ object Journey {
         |       (SELECT count(*) FROM c)::BIGINT AS n_click,
         |       (SELECT count(*) FROM p)::BIGINT AS n_purchase""".stripMargin,
     "window_distinct" ->
-      """SELECT event_id, event_type,
-        |  count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)
+      """SELECT event_id,
+        |  count(DISTINCT user_id) OVER (ORDER BY epoch_ms(ts)
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)::BIGINT AS du
         |FROM events ORDER BY event_id""".stripMargin,
     "asof_nearest" ->

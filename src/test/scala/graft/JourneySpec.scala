@@ -38,18 +38,17 @@ class JourneySpec extends SparkSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nv, nc, np)))
   }
 
-  test("window_distinct: trailing-hour counts match a brute-force recount") {
+  test("window_distinct: sharded computation equals a global brute-force recount") {
     val got = Journey.windowDistinct(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toMap
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
     val ev = graft.streaming.Sessions.events(spark, sf0001)
-      .select(col("event_id"), col("event_type"), col("user_id"), col("ts_ms"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    ev.groupBy(_._2).values.foreach { group =>
-      group.foreach { case (id, _, _, ts) =>
-        val expect = group.filter(e => e._4 >= ts - 3600000L && e._4 <= ts)
-          .map(_._3).distinct.length.toLong
-        assert(got(id) == expect, s"event $id: got ${got(id)} expect $expect")
-      }
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.size == ev.length, "one owned row per event — no seam dups/losses")
+    ev.foreach { case (id, _, ts) =>
+      val expect = ev.filter(e => e._3 >= ts - 3600000L && e._3 <= ts)
+        .map(_._2).distinct.length.toLong
+      assert(got(id) == expect, s"event $id: got ${got(id)} expect $expect")
     }
   }
 
