@@ -578,6 +578,7 @@ object Pipeline {
     "quality_score" -> qualityScore,
     "doc_fingerprint" -> docFingerprint,
     "sessionize" -> sessionize,
+    "sessionize_incremental" -> ((s, d) => Sessions.sessionizeIncremental(s, d)),
     "session_window" -> sessionWindow,
     "events_json" -> eventsJson,
     "multimodal_meta" -> multimodalMeta,
@@ -787,6 +788,15 @@ object Pipeline {
          |        FROM documents))
          | WHERE n >= 3 ORDER BY doc_id""".stripMargin,
     "sessionize" ->
+      s"""WITH $IslandsCte
+         |SELECT user_id, session_seq::BIGINT AS session_seq,
+         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+         |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+         | FROM s GROUP BY user_id, session_seq
+         | ORDER BY user_id, session_seq""".stripMargin,
+    // the incremental fold must be indistinguishable from the full
+    // recompute — same oracle text as sessionize IS the contract
+    "sessionize_incremental" ->
       s"""WITH $IslandsCte
          |SELECT user_id, session_seq::BIGINT AS session_seq,
          |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,

@@ -34,9 +34,16 @@ object Sessions {
     * previous event of the same user exceeds 30 minutes. Output one row
     * per session with exact integer aggregates.
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeOf(events(spark, sfDir)).orderBy(col("user_id"), col("session_seq"))
+
+  /** The gaps-and-islands collapse over an arbitrary event frame —
+    * shared by [[sessionize]] and [[sessionizeIncremental]] so the two
+    * can never drift.
+    */
+  private def sessionizeOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-    events(spark, sfDir)
+    ev
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
       .withColumn("is_new",
         when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > GapMs, 1)
@@ -49,7 +56,30 @@ object Sessions {
         max(col("ts_ms")).as("end_ms"),
         count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Incremental session maintenance: fold a new event batch
+    * (ts >= cutoff) into the materialized session table built from the
+    * old batch, re-sessionizing ONLY the users the batch touches (their
+    * full history — a new event can merge sessions across the cutoff)
+    * and keeping every untouched user's rows as-is. Work is O(new batch
+    * + touched users' history), not O(all history) — the batch analogue
+    * of the streaming session_window state update, and the third member
+    * of the incremental family (dedup_incremental, _near). Must equal
+    * [[sessionize]] exactly; the declared query shares its oracle.
+    * The old-batch session table is rebuilt here so the query is
+    * self-contained (in production it is a materialized artifact; the
+    * gate deliberately measures the full fold like dedup_incremental).
+    */
+  def sessionizeIncremental(spark: SparkSession, sfDir: String,
+      cutoffMs: Long = 1706054400000L): DataFrame = { // 2024-01-24T00:00Z
+    val e = events(spark, sfDir)
+    val oldSessions = sessionizeOf(e.filter(col("ts_ms") < cutoffMs))
+    val touched = e.filter(col("ts_ms") >= cutoffMs)
+      .select(col("user_id")).distinct()
+    val untouched = oldSessions.join(touched, Seq("user_id"), "left_anti")
+    val updated = sessionizeOf(e.join(touched, Seq("user_id"), "left_semi"))
+    untouched.unionByName(updated).orderBy(col("user_id"), col("session_seq"))
   }
 
   /** The session table computed ONCE per (session, sfDir) and persisted:

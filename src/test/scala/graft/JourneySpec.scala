@@ -79,6 +79,25 @@ class JourneySpec extends SparkSuite {
     }
   }
 
+  test("sessionize_incremental: equals the full recompute and exercises a cross-cutoff merge") {
+    // choose a cutoff that provably SPLITS a session: any same-user
+    // consecutive pair within the gap, cut between the two events —
+    // the merge path is then exercised by construction, not by luck
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("user_id"), col("ts_ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cutoff = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.map(_._2).sorted.toSeq.sliding(2).collectFirst {
+        case Seq(t1, t2) if t2 > t1 && t2 - t1 <= graft.streaming.Sessions.GapMs => t2
+      }
+    }.head
+    val full = graft.streaming.Sessions.sessionize(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val inc = graft.streaming.Sessions.sessionizeIncremental(spark, sf0001, cutoff)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full, "incremental fold must be indistinguishable from full recompute")
+  }
+
   test("merge_upsert: row conservation and action/status partitioning") {
     val base = spark.read.parquet(s"$sf0001/orders.parquet")
     val nBase = base.count()
