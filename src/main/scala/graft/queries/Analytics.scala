@@ -534,7 +534,46 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  /** Trailing-value feature vectors (the classic ML lag-feature prep):
+    * each event carries its user's previous 3 event values as an array,
+    * in frame order. One window shuffle on user_id, frame state O(3).
+    * Spark's `collect_list` over an empty frame yields `[]` where
+    * DuckDB's `list()` yields NULL — the oracle coalesces, pinning that
+    * edge explicitly.
+    */
+  def lagFeatures(s: SparkSession, d: String): DataFrame = {
+    val ev = Sessions.events(s, d).select(col("event_id"), col("user_id"),
+      col("ts_ms"), round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-3, -1)
+    ev.select(col("event_id"), collect_list(col("cents")).over(w).as("feat"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Per-group z-score feature scaling: exact integer moments (the
+    * outlier_zscore pattern), then ONE fixed double expression tree —
+    * `(x − s/n) / sqrt(sq/n − (s/n)²)`, rounded — evaluated identically
+    * on both engines. Broadcast 5-row moment table back over the
+    * events; map-only after the aggregate.
+    */
+  def featureScale(s: SparkSession, d: String): DataFrame = {
+    val ev = Sessions.events(s, d).select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val dec = col("cents").cast("decimal(38,0)")
+    val g = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s"),
+      sum(dec * dec).cast("long").as("sq"))
+    val mean = col("s").cast("double") / col("n")
+    val z = (col("cents") - mean) /
+      sqrt(col("sq").cast("double") / col("n") - mean * mean)
+    ev.join(broadcast(g), "event_type")
+      .select(col("event_id"), round(z, 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lag_features" -> lagFeatures,
+    "feature_scale" -> featureScale,
     "equidepth_histogram" -> equidepthHistogram,
     "pareto_front" -> paretoFront,
     "outlier_zscore" -> outlierZscore,
@@ -564,6 +603,22 @@ object Analytics {
   private val ToksNE = Shared.ToksNE
 
   val oracleSql: Map[String, String] = Map(
+    "lag_features" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id,
+        |  coalesce(list(cents) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), CAST([] AS BIGINT[])) AS feat
+        |FROM ev ORDER BY event_id""".stripMargin,
+    "feature_scale" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+        |        sum(cents::DECIMAL(38,0) * cents)::BIGINT AS sq FROM ev GROUP BY 1)
+        |SELECT ev.event_id,
+        |  round((ev.cents - s::DOUBLE / n)
+        |        / sqrt(sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)), 6) AS z
+        |FROM ev JOIN g USING (event_type) ORDER BY event_id""".stripMargin,
     "equidepth_histogram" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |    o_orderkey FROM orders),

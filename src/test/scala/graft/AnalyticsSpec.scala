@@ -137,6 +137,32 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("lag_features: each vector is exactly the user's previous <=3 values in order") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._2).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.map { case (r, i) =>
+        r._1 -> sorted.slice(math.max(0, i - 3), i).map(_._4).toSeq
+      }
+    }.toMap
+    val got = graft.queries.Analytics.lagFeatures(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(got.nonEmpty)
+    got.foreach { case (id, feat) => assert(feat == expect(id), s"event $id") }
+  }
+
+  test("feature_scale: grouped z-scores re-standardize to mean ~0, var ~1") {
+    val z = graft.queries.Analytics.featureScale(spark, sf0001)
+      .collect().map(_.getDouble(1))
+    val mean = z.sum / z.length
+    val varr = z.map(x => (x - mean) * (x - mean)).sum / z.length
+    assert(math.abs(mean) < 1e-3, s"mean $mean")
+    assert(math.abs(varr - 1.0) < 1e-2, s"variance $varr")
+  }
+
   private implicit class BoolOps(val a: Boolean) {
     def ==>(b: Boolean): Boolean = !a || b
   }
