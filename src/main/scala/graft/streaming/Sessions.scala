@@ -158,6 +158,57 @@ object Sessions {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
+  /** Funnel stage state: sentinel -1 = stage not reached (Options would
+    * need a custom encoder; a sentinel keeps the state codegen-friendly).
+    */
+  case class FunnelState(user_id: Long, view_ms: Long, click_ms: Long,
+      purchase_ms: Long)
+
+  /** Streaming funnel: the ordered view→click→purchase state machine of
+    * [[graft.queries.Journey.funnel]] as incremental per-user state
+    * (`flatMapGroupsWithState`), emitting the advanced state per batch.
+    * Within a batch the group's rows are sorted by event time before
+    * the machine runs; across batches the carried stage minima are
+    * correct as long as batches arrive time-ordered — the file-source
+    * contract here, and in production the same guarantee a watermarked,
+    * event-time-sorted ingest provides (an out-of-order click older
+    * than the stored view_ms cannot retroactively lower it: that is
+    * exactly the trade every incremental funnel makes; replay from the
+    * log to re-derive). Per-user state is 3 longs — bounded forever.
+    */
+  def streamingFunnel(spark: SparkSession, sfDir: String, streamDir: String,
+      maxFilesPerTrigger: Int = 0): Dataset[FunnelState] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    import spark.implicits._
+    val reader = spark.readStream.schema(schema)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    val ev = tuned.parquet(streamDir)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        expr("ts div 1000000").as[Long])
+
+    def update(userId: Long, rows: Iterator[(Long, String, Long)],
+        state: GroupState[FunnelState]): Iterator[FunnelState] = {
+      var st = state.getOption.getOrElse(FunnelState(userId, -1L, -1L, -1L))
+      rows.toSeq.sortBy(_._3).foreach { case (_, tpe, ts) =>
+        tpe match {
+          case "view" if st.view_ms < 0 => st = st.copy(view_ms = ts)
+          case "click" if st.click_ms < 0 && st.view_ms >= 0 && ts >= st.view_ms =>
+            st = st.copy(click_ms = ts)
+          case "purchase" if st.purchase_ms < 0 && st.click_ms >= 0 && ts >= st.click_ms =>
+            st = st.copy(purchase_ms = ts)
+          case _ =>
+        }
+      }
+      state.update(st)
+      Iterator.single(st)
+    }
+
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-stream inner join with event-time range bounds: each `view`
     * event joined to the same user's `purchase` events within the next 30
     * minutes. Watermarks on BOTH sides bound the join state (without them

@@ -139,6 +139,45 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS stream_vp")
   }
 
+  test("streaming funnel: two time-ordered batches carry stage state and equal the batch funnel") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-funnel")
+    // split the corpus into two TIME-ORDERED files (the documented
+    // ordering contract) and force one batch per file so the second
+    // batch genuinely exercises the carried state
+    val ev = Sessions.events(spark, sf0001)
+    val mid = ev.agg(expr("CAST(percentile(ts_ms, 0.5) AS LONG)")).head().getLong(0)
+    val schema = graft.sources.Tables.events(spark, sf0001).schema
+    ev.filter(col("ts_ms") < mid).select(schema.fieldNames.map(col): _*)
+      .coalesce(1).write.parquet(s"$streamDir/b0")
+    ev.filter(col("ts_ms") >= mid).select(schema.fieldNames.map(col): _*)
+      .coalesce(1).write.parquet(s"$streamDir/b1")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-funnel-in")
+    def onlyParquet(sub: String) = java.nio.file.Files.list(
+        java.nio.file.Paths.get(streamDir.toString, sub)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".parquet")).head
+    java.nio.file.Files.copy(onlyParquet("b0"), inDir.resolve("00.parquet"))
+    java.nio.file.Files.copy(onlyParquet("b1"), inDir.resolve("01.parquet"))
+    val q = Sessions.streamingFunnel(spark, sf0001, inDir.toString,
+        maxFilesPerTrigger = 1) // one file per batch -> the state carries
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("stream_funnel")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // last emitted state per user (stages only ever advance)
+    val streamed = spark.table("stream_funnel")
+      .groupBy(col("user_id"))
+      .agg(max(col("view_ms")).as("v"), max(col("click_ms")).as("c"),
+        max(col("purchase_ms")).as("p"))
+      .collect()
+    val nv = streamed.count(_.getLong(1) >= 0)
+    val nc = streamed.count(_.getLong(2) >= 0)
+    val np = streamed.count(_.getLong(3) >= 0)
+    val b = graft.queries.Journey.funnel(spark, sf0001).head()
+    assert((nv.toLong, nc.toLong, np.toLong) == ((b.getLong(1), b.getLong(2), b.getLong(3))),
+      s"stream ($nv,$nc,$np) != batch (${b.getLong(1)},${b.getLong(2)},${b.getLong(3)})")
+  }
+
   test("stream-stream LEFT OUTER join emits null-matched views past the watermark") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ssljoin")
     java.nio.file.Files.copy(
