@@ -427,12 +427,15 @@ class ScaleSpec extends SparkSuite {
     // asof_nearest: composed from the union+window carries — no join
     // operator at all (two window sorts, as documented)
     assert(!planOf("asof_nearest").contains("Join"))
-    // quality_filters / repetition_ngram: aggregates are partially
-    // aggregated before the exchange (map-side combine)
-    for (q <- Seq("quality_filters", "repetition_ngram")) {
-      val p = planOf(q)
-      assert(p.contains("partial"), s"$q: ${p.take(800)}")
-    }
+    // quality_filters: aggregates are partially aggregated before the
+    // exchange (map-side combine)
+    assert(planOf("quality_filters").contains("partial"),
+      planOf("quality_filters").take(800))
+    // repetition_ngram: MAP-ONLY since the TopRunExpr rewrite — no join,
+    // no aggregate, and the only exchange is the presentation sort
+    val rn = planOf("repetition_ngram")
+    assert(!rn.contains("Join") && !rn.contains("HashAggregate"), rn.take(800))
+    assert("Exchange hashpartitioning".r.findFirstIn(rn).isEmpty, rn.take(800))
     // contamination_check: the train side reaches the probe as a
     // LeftSemi equi-join (the O(shingles) decontamination shape)
     assert(planOf("contamination_check").contains("LeftSemi"))
