@@ -404,21 +404,31 @@ case class TopRunExpr(child: Expression) extends UnaryExpression with RequiresAr
     StructField("w", StringType, nullable = false),
     StructField("c", IntegerType, nullable = false)))
 
+  // NULL array elements are SKIPPED (not counted as a run): the function
+  // is SQL-registered, so a user can pass arrays with nulls — sibling
+  // CountEqExpr takes the same stance, and reading a null slot through
+  // getUTF8String would NPE interpreted / return garbage under codegen.
+  // sort_array groups nulls together (first), so skipping a prefix/run
+  // of nulls preserves the sorted-adjacency the scan relies on.
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
-    var bestStart = 0; var bestLen = 1
-    var runStart = 0; var runLen = 1
-    var i = 1
+    var bestStart = -1; var bestLen = 0
+    var runStart = -1; var runLen = 0
+    var i = 0
     while (i < n) {
-      if (arr.getUTF8String(i).equals(arr.getUTF8String(i - 1))) {
+      if (arr.isNullAt(i)) { runStart = -1; runLen = 0 }
+      else if (runLen > 0 && arr.getUTF8String(i).equals(arr.getUTF8String(i - 1))) {
         runLen += 1
         if (runLen > bestLen) { bestLen = runLen; bestStart = runStart }
-      } else { runStart = i; runLen = 1 }
+      } else {
+        runStart = i; runLen = 1
+        if (bestLen == 0) { bestLen = 1; bestStart = i }
+      }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+    if (bestLen == 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](arr.getUTF8String(bestStart).copy(), bestLen))
   }
 
@@ -429,16 +439,20 @@ case class TopRunExpr(child: Expression) extends UnaryExpression with RequiresAr
       val rs = ctx.freshName("runStart"); val rl = ctx.freshName("runLen")
       s"""
          |int $n = $c.numElements();
-         |if ($n == 0) {
+         |int $bs = -1; int $bl = 0; int $rs = -1; int $rl = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) { $rs = -1; $rl = 0; }
+         |  else if ($rl > 0 && $c.getUTF8String($i).equals($c.getUTF8String($i - 1))) {
+         |    $rl++;
+         |    if ($rl > $bl) { $bl = $rl; $bs = $rs; }
+         |  } else {
+         |    $rs = $i; $rl = 1;
+         |    if ($bl == 0) { $bl = 1; $bs = $i; }
+         |  }
+         |}
+         |if ($bl == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $bs = 0; int $bl = 1; int $rs = 0; int $rl = 1;
-         |  for (int $i = 1; $i < $n; $i++) {
-         |    if ($c.getUTF8String($i).equals($c.getUTF8String($i - 1))) {
-         |      $rl++;
-         |      if ($rl > $bl) { $bl = $rl; $bs = $rs; }
-         |    } else { $rs = $i; $rl = 1; }
-         |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[]{ $c.getUTF8String($bs).copy(), java.lang.Integer.valueOf($bl) });
          |}

@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   *   r0(v)   = SCALE                       (= 1.0 in fixed-point)
   *   r_i(v)  = (15*SCALE)/100 + (85 * Σ_u→v  r_{i-1}(u) div deg(u)) / 100
   *
-  * i.e. the standard d=0.85 update with per-term floors. Overflow bound:
-  * total rank mass stays ≤ N*SCALE, so `85 * Σ` needs
-  * `85*N*SCALE < 2^63` → N < ~1.08e8 nodes at SCALE=1e12; larger graphs
-  * drop SCALE to 1e9 (N < ~1.08e11) — rank resolution trades off
-  * against node count, both documented here rather than discovered as
-  * an overflow at scale (Spark ANSI mode would throw, not wrap).
+  * i.e. the standard d=0.85 update with per-term floors. Overflow bound
+  * (worst case — a star graph concentrating the entire mass on one
+  * node): total rank mass stays ≤ N*SCALE, so `85 * Σ` needs
+  * `85*N*SCALE < 2^63` → N < ~1.08e5 nodes at SCALE=1e12, ~1.08e8 at
+  * 1e9, ~1.08e11 at 1e6 — rank resolution trades off against node
+  * count, enforced by a guard DERIVED from Scale below rather than
+  * discovered as an overflow at scale (Spark ANSI mode would throw,
+  * not wrap).
   *
   * Iteration mechanics: unlike [[Dedup.connectedComponents]] (whose
   * label table feeds each round twice — join + change count — doubling
@@ -74,8 +76,13 @@ object PageRank {
       .select(col("src"), col("dst"), col("d"))
       .repartition(col("dst")).persist()
     val nNodes = deg.count()
-    require(nNodes < 108000000L,
-      s"$nNodes nodes overflows 85*N*SCALE at SCALE=1e12; lower PageRank.Scale")
+    // bound DERIVED from Scale (not a hard-coded literal): total rank
+    // mass <= N*Scale, and the per-node update computes 85 * sum, so
+    // 85*N*Scale must fit int64 — lowering Scale genuinely raises the
+    // admissible node count as the Scaladoc promises
+    val maxNodes = Long.MaxValue / (85L * Scale)
+    require(nNodes < maxNodes,
+      s"$nNodes nodes overflows 85*N*SCALE at SCALE=$Scale (max ${maxNodes - 1}); lower PageRank.Scale")
     if (validate) {
       // dangling check: a dst that never occurs as src would silently
       // leak rank mass; symmetrized inputs can't trigger this (callers

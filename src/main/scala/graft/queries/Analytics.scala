@@ -446,7 +446,9 @@ object Analytics {
             expr("element_at(a, CAST(n div 2 + 1 AS INT))"))
             .cast("double") / 2.0))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("med"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // duplicate (orderkey, linenumber) keys exist — partkey + med make
+      // the presentation order total, per the repo-wide convention
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("med"))
   }
 
   /** Boolean/conditional aggregate battery: count_if, bool_and/bool_or,
@@ -559,10 +561,14 @@ object Analytics {
   def featureScale(s: SparkSession, d: String): DataFrame = {
     val ev = Sessions.events(s, d).select(col("event_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
+    // moments stay DECIMAL(38,0) all the way to the final double cast —
+    // sq ~ rows x cents^2 clears BIGINT long before the 100 TB regime,
+    // and a silent decimal->long wrap/null here would diverge from the
+    // oracle exactly at scale (the outlier_zscore lesson)
     val dec = col("cents").cast("decimal(38,0)")
     val g = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"), sum(col("cents")).as("s"),
-      sum(dec * dec).cast("long").as("sq"))
+      count(lit(1)).as("n"), sum(dec).cast("decimal(38,0)").as("s"),
+      sum(dec * dec).cast("decimal(38,0)").as("sq"))
     val mean = col("s").cast("double") / col("n")
     val z = (col("cents") - mean) /
       sqrt(col("sq").cast("double") / col("n") - mean * mean)
@@ -613,8 +619,9 @@ object Analytics {
     "feature_scale" ->
       """WITH ev AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |g AS (SELECT event_type, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
-        |        sum(cents::DECIMAL(38,0) * cents)::BIGINT AS sq FROM ev GROUP BY 1)
+        |g AS (SELECT event_type, count(*)::BIGINT AS n,
+        |        sum(cents)::DECIMAL(38,0) AS s,
+        |        sum(cents::DECIMAL(38,0) * cents)::DECIMAL(38,0) AS sq FROM ev GROUP BY 1)
         |SELECT ev.event_id,
         |  round((ev.cents - s::DOUBLE / n)
         |        / sqrt(sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)), 6) AS z
@@ -654,7 +661,7 @@ object Analytics {
         |  median(q) OVER (PARTITION BY l_partkey
         |    ORDER BY sday, l_orderkey, l_linenumber, q
         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)::DOUBLE AS med
-        |FROM li ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM li ORDER BY l_orderkey, l_linenumber, l_partkey, med""".stripMargin,
     "agg_funcs2" ->
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_discount > 0.05)::BIGINT AS n_disc,

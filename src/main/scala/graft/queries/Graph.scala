@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Offset separating part nodes from supplier nodes in the bipartite
-    * co-purchase graph (max supplier key is far below it at any sf).
+    * co-purchase graph. 2^40: TPC-H suppkey is 10,000×sf, so aliasing
+    * would need sf ~1e8 (a 10-EB dataset) — a 1e6 offset would already
+    * alias at sf 100, well inside the target range.
     */
-  private val PartOffset = 1000000L
+  private val PartOffset = 1L << 40
 
   /** Supplier/part centrality: 3 PageRank rounds over the undirected
     * bipartite supplier↔part graph induced by lineitem (distinct
@@ -51,8 +53,8 @@ object Graph {
   def oracleSql: Map[String, String] = Map(
     "pagerank" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT sk AS src, pk + 1000000 AS dst FROM e0
-        |      UNION ALL SELECT pk + 1000000, sk FROM e0),
+        |e AS (SELECT sk AS src, pk + 1099511627776 AS dst FROM e0
+        |      UNION ALL SELECT pk + 1099511627776, sk FROM e0),
         |deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
         |r0 AS (SELECT src AS node, 1000000000000::BIGINT AS r FROM deg),
         |r1 AS (SELECT e.dst AS node,
@@ -67,8 +69,8 @@ object Graph {
         |         (150000000000 + (85 * sum(r2.r // deg.d)) // 100)::BIGINT AS r
         |       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
         |       GROUP BY e.dst)
-        |SELECT CASE WHEN node >= 1000000 THEN 'part' ELSE 'supplier' END AS kind,
-        |  CASE WHEN node >= 1000000 THEN node - 1000000 ELSE node END AS id,
+        |SELECT CASE WHEN node >= 1099511627776 THEN 'part' ELSE 'supplier' END AS kind,
+        |  CASE WHEN node >= 1099511627776 THEN node - 1099511627776 ELSE node END AS id,
         |  r AS rank
         |FROM r3 ORDER BY rank DESC, kind, id LIMIT 100""".stripMargin,
   )

@@ -139,8 +139,11 @@ object Journey {
       round(col("o_totalprice") * 100).cast("long").as("b_cents"))
     val upd = base.filter(pmod(col("k"), lit(7L)) === 0L)
       .select(col("k"), lit("U").as("c_status"), (col("b_cents") + 100L).as("c_cents"))
+    // synthetic insert keys are NEGATED (orderkeys are positive at every
+    // sf), so they can never collide with a real key — a fixed additive
+    // offset would alias once max(o_orderkey) outgrows it
     val ins = base.filter(pmod(col("k"), lit(997L)) === 0L)
-      .select((col("k") + 10000000L).as("k"), lit("N").as("c_status"),
+      .select((-col("k") - 1L).as("k"), lit("N").as("c_status"),
         lit(9999L).as("c_cents"))
     val changes = upd.unionByName(ins)
     base.join(changes, Seq("k"), "full_outer")
@@ -269,7 +272,7 @@ object Journey {
         |changes AS (
         |  SELECT k, 'U' AS c_status, b_cents + 100 AS c_cents FROM base WHERE k % 7 = 0
         |  UNION ALL
-        |  SELECT k + 10000000, 'N', 9999 FROM base WHERE k % 997 = 0),
+        |  SELECT -k - 1, 'N', 9999 FROM base WHERE k % 997 = 0),
         |m AS (
         |  SELECT CASE WHEN b.k IS NULL THEN 'insert'
         |              WHEN c.k IS NULL THEN 'keep' ELSE 'update' END AS action,

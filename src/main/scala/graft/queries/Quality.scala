@@ -163,8 +163,11 @@ object Quality {
         explode(col("hs")).as("h"))
     val matched = test.join(train, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-    sets.filter(col("split") === "test")
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
+    // base frame re-aggregated from the SAME exploded test branch (as
+    // the oracle's base CTE does) — a third sets-subtree here would
+    // re-tokenize/re-shingle/re-hash the whole corpus once more
+    val base = test.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+    base
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_sh"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),

@@ -188,10 +188,18 @@ object Sessions {
       .select(col("user_id").as[Long], col("event_type").as[String],
         expr("ts div 1000000").as[Long])
 
+    // at EQUAL timestamps the earlier funnel stage must run first (the
+    // batch funnel's >= comparisons are inclusive, so a view and click
+    // sharing a ms-truncated ts both count) — sorting by ts alone would
+    // leave the tie to arrival order and nondeterministically drop the
+    // later stage
+    val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+
     def update(userId: Long, rows: Iterator[(Long, String, Long)],
         state: GroupState[FunnelState]): Iterator[FunnelState] = {
       var st = state.getOption.getOrElse(FunnelState(userId, -1L, -1L, -1L))
-      rows.toSeq.sortBy(_._3).foreach { case (_, tpe, ts) =>
+      rows.toSeq.sortBy(r => (r._3, stageRank.getOrElse(r._2, 3))).foreach {
+        case (_, tpe, ts) =>
         tpe match {
           case "view" if st.view_ms < 0 => st = st.copy(view_ms = ts)
           case "click" if st.click_ms < 0 && st.view_ms >= 0 && ts >= st.view_ms =>

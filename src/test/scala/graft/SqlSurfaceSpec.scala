@@ -57,12 +57,16 @@ class SqlSurfaceSpec extends SparkSuite {
         |  graft_toprun(array('x')) AS single,
         |  graft_toprun(array('a','a','b','b')) AS tie,
         |  graft_toprun(CAST(array() AS ARRAY<STRING>)) AS empt,
-        |  graft_toprun(CAST(NULL AS ARRAY<STRING>)) AS narr""".stripMargin)
+        |  graft_toprun(CAST(NULL AS ARRAY<STRING>)) AS narr,
+        |  graft_toprun(sort_array(array('b', 'a', NULL, 'a'))) AS skipnull,
+        |  graft_toprun(array(CAST(NULL AS STRING), NULL)) AS allnull""".stripMargin)
       .collect().head
     def wc(i: Int) = (r.getStruct(i).getString(0), r.getStruct(i).getInt(1))
     assert(wc(0) == (("a", 2)) && wc(1) == (("b", 3)) && wc(2) == (("x", 1)))
     assert(wc(3) == (("a", 2)), "ties go to the first (smallest) run")
     assert(r.isNullAt(4) && r.isNullAt(5))
+    assert(wc(6) == (("a", 2)), "null elements are skipped, not counted")
+    assert(r.isNullAt(7), "all-null array has no run")
     // equivalence vs an explode+group-by argmax on real sorted bigram lists
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), graft.operators.Dedup.tokensNE(col("text")).as("ts"))
