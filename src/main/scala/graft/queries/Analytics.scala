@@ -577,7 +577,52 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Median absolute deviation per order status — the robust dispersion
+    * measure outlier pipelines prefer over σ (a single corrupt price
+    * moves σ unboundedly, MAD not at all). Exact integers end-to-end:
+    * the discrete median via the distributed row_number idiom (the
+    * percentile_disc pattern — no per-group collect), then the same
+    * idiom again over |x − med|. Two window passes on a 3-value key.
+    */
+  def madStats(s: SparkSession, d: String): DataFrame =
+    Shared.sql(s, d, Seq("orders"),
+      """WITH x AS (SELECT o_orderstatus AS st,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT st, cents,
+        |        row_number() OVER (PARTITION BY st ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY st) AS n FROM x),
+        |m AS (SELECT st, max(CASE WHEN rn = (n + 1) div 2 THEN cents END) AS med
+        |      FROM r GROUP BY st),
+        |d AS (SELECT x.st, abs(x.cents - m.med) AS dev FROM x JOIN m ON x.st = m.st),
+        |r2 AS (SELECT st, dev,
+        |         row_number() OVER (PARTITION BY st ORDER BY dev) AS rn,
+        |         count(*) OVER (PARTITION BY st) AS n FROM d)
+        |SELECT r2.st, max(m.med) AS med_cents,
+        |       max(CASE WHEN rn = (n + 1) div 2 THEN dev END) AS mad_cents
+        |FROM r2 JOIN m ON r2.st = m.st GROUP BY r2.st ORDER BY r2.st""".stripMargin)
+
+  /** Join-key skew diagnostics over lineitem's three join columns: key
+    * cardinality, the heaviest key's row count, and an integer
+    * cross-multiplied skew flag (heaviest key > 1% of rows). This is
+    * the profiling query run before choosing salting/AQE strategies —
+    * three hash aggregates, one per column, unioned.
+    */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def profile(c: String) = li.groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_rows"), sum(col("cnt")).as("n_rows"))
+      .select(lit(c).as("col_name"), col("n_keys"), col("max_key_rows"),
+        col("n_rows"), (col("max_key_rows") * 100L > col("n_rows")).as("skewed"))
+    profile("l_orderkey")
+      .unionByName(profile("l_partkey"))
+      .unionByName(profile("l_suppkey"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mad_stats" -> madStats,
+    "skew_report" -> skewReport,
     "lag_features" -> lagFeatures,
     "feature_scale" -> featureScale,
     "equidepth_histogram" -> equidepthHistogram,
@@ -609,6 +654,32 @@ object Analytics {
   private val ToksNE = Shared.ToksNE
 
   val oracleSql: Map[String, String] = Map(
+    "mad_stats" ->
+      """WITH x AS (SELECT o_orderstatus AS st,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT st, cents,
+        |        row_number() OVER (PARTITION BY st ORDER BY cents) AS rn,
+        |        count(*) OVER (PARTITION BY st) AS n FROM x),
+        |m AS (SELECT st, max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med
+        |      FROM r GROUP BY st),
+        |d AS (SELECT x.st, abs(x.cents - m.med) AS dev FROM x JOIN m ON x.st = m.st),
+        |r2 AS (SELECT st, dev,
+        |         row_number() OVER (PARTITION BY st ORDER BY dev) AS rn,
+        |         count(*) OVER (PARTITION BY st) AS n FROM d)
+        |SELECT r2.st, max(m.med)::BIGINT AS med_cents,
+        |       max(CASE WHEN rn = (n + 1) // 2 THEN dev END)::BIGINT AS mad_cents
+        |FROM r2 JOIN m ON r2.st = m.st GROUP BY r2.st ORDER BY r2.st""".stripMargin,
+    "skew_report" ->
+      """WITH p AS (
+        |  SELECT 'l_orderkey' AS col_name, count(*)::BIGINT AS cnt
+        |  FROM lineitem GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey)
+        |SELECT col_name, count(*)::BIGINT AS n_keys, max(cnt)::BIGINT AS max_key_rows,
+        |  sum(cnt)::BIGINT AS n_rows, (max(cnt) * 100 > sum(cnt)) AS skewed
+        |FROM p GROUP BY col_name ORDER BY col_name""".stripMargin,
     "lag_features" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
