@@ -158,16 +158,18 @@ object Quality {
       .withColumn("split", Pipeline.splitColumn(col("doc_id")))
     val train = sets.filter(col("split") === "train")
       .select(explode(col("hs")).as("h")).distinct()
+    // the exploded branch must reference hs EXACTLY ONCE: hs is an
+    // expression-built array, and a second reference (e.g. carrying
+    // size(hs) alongside the explode) duplicates the whole shingle
+    // pipeline per row — measured 0.3 s -> 9 s at sf0.1. The separate
+    // map-only base branch below looks like a third scan but is the
+    // fast shape: column pruning strips it to one array build per doc
     val test = sets.filter(col("split") === "test")
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
-        explode(col("hs")).as("h"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     val matched = test.join(train, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-    // base frame re-aggregated from the SAME exploded test branch (as
-    // the oracle's base CTE does) — a third sets-subtree here would
-    // re-tokenize/re-shingle/re-hash the whole corpus once more
-    val base = test.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
-    base
+    sets.filter(col("split") === "test")
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_sh"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
