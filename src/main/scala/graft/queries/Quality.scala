@@ -230,6 +230,44 @@ object Quality {
         max(col("n_tok")).as("max_tokens"),
         (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
 
+  // --- positional inverted index ---------------------------------------
+
+  /** Positional inverted index for a fixed term set: term → (doc,
+    * 1-based position list, tf) — the IR structure phrase/proximity
+    * search consumes (the plain `inverted_index` carries doc ids only).
+    * posexplode + one (term, doc) aggregate; the term filter prunes
+    * before the shuffle, so the shuffle carries matching postings only.
+    */
+  def positionalIndex(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        posexplode(Dedup.tokensNE(col("text"))).as(Seq("pos0", "tok")))
+      .filter(col("tok").isin("spark", "query"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos0") + 1)).as("positions"),
+        count(lit(1)).as("tf"))
+      .orderBy(col("tok"), col("doc_id"))
+
+  // --- bigram language-model continuations ------------------------------
+
+  /** Top-3 continuations per token by corpus bigram count (the greedy
+    * next-token table of a bigram LM) through the TopKPerGroup heap —
+    * per-group bounded heaps over the (w1, w2) counts, no per-group
+    * sort. Ties break lexicographically.
+    */
+  def bigramLmTopk(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(Dedup.tokensNE(col("text")).as("ts"))
+      .select(col("ts"), size(col("ts")).as("l")).filter(col("l") >= 2)
+    val bg = t.select(explode(zip_with(
+        slice(col("ts"), lit(1), col("l") - 1), slice(col("ts"), lit(2), col("l") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    graft.plans.TopKPerGroup(counts, Seq("w1"),
+        Seq(col("c").desc, col("w2")), 3)
+      .orderBy(col("w1"), col("c").desc, col("w2"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,6 +278,8 @@ object Quality {
     "contamination_check" -> contaminationCheck,
     "doc_surprisal" -> docSurprisal,
     "corpus_stats" -> corpusStats,
+    "positional_index" -> positionalIndex,
+    "bigram_lm_topk" -> bigramLmTopk,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -334,5 +374,22 @@ object Quality {
          |  max(len($ToksNE))::BIGINT AS max_tokens,
          |  (count(*) - count(DISTINCT sha256(text)))::BIGINT AS n_exact_dups
          |FROM documents""".stripMargin,
+    "positional_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksNE) AS tok,
+         |             generate_subscripts($ToksNE, 1) AS pos FROM documents)
+         |SELECT tok, doc_id, list(pos ORDER BY pos) AS positions,
+         |  count(*)::BIGINT AS tf
+         |FROM t WHERE tok IN ('spark', 'query')
+         |GROUP BY tok, doc_id ORDER BY tok, doc_id""".stripMargin,
+    "bigram_lm_topk" ->
+      s"""WITH d AS (SELECT ts, len(ts) AS l
+         |           FROM (SELECT $ToksNE AS ts FROM documents) WHERE len(ts) >= 2),
+         |b AS (SELECT w1, w2, count(*)::BIGINT AS c
+         |      FROM (SELECT unnest(ts[1:l-1]) AS w1, unnest(ts[2:l]) AS w2 FROM d)
+         |      GROUP BY 1, 2),
+         |r AS (SELECT w1, w2, c,
+         |        row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+         |      FROM b)
+         |SELECT w1, w2, c FROM r WHERE rn <= 3 ORDER BY w1, c DESC, w2""".stripMargin,
   )
 }

@@ -86,6 +86,35 @@ class QualitySpec extends SparkSuite {
     assert(r.getLong(7) == d.count() - d.select("text").distinct().count())
   }
 
+  test("positional_index: every listed position really holds the term") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[ \t\n\r]").filter(_.nonEmpty)))
+      .toMap
+    val rows = graft.queries.Quality.positionalIndex(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, doc, pos, tf) =
+        (r.getString(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3))
+      assert(pos.length.toLong == tf)
+      assert(pos == pos.sorted && pos.distinct == pos, "strictly increasing")
+      pos.foreach(p => assert(docs(doc)(p - 1) == tok, s"$tok@$doc:$p"))
+      // completeness: every occurrence is listed
+      assert(docs(doc).count(_ == tok).toLong == tf)
+    }
+  }
+
+  test("bigram_lm_topk: <=3 continuations per token, counts non-increasing") {
+    val rows = graft.queries.Quality.bigramLmTopk(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= 3)
+      val cs = g.map(_._3).toSeq
+      assert(cs == cs.sortBy(-_), "counts non-increasing within a group")
+    }
+  }
+
   test("hll_merge: union of per-shard sketches equals the one-shot sketch") {
     val ev = graft.streaming.Sessions.events(spark, sf0001)
       .select(col("event_type"), col("user_id"))
