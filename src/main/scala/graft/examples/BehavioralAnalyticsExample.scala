@@ -1,0 +1,68 @@
+package graft.examples
+
+import graft.queries.{Graph, Journey}
+import graft.sources.Tables
+import graft.streaming.Sessions
+import org.apache.spark.sql.functions._
+
+/** End-to-end behavioral analytics over the events stream — the
+  * round-4 continuation operators composed the way a product-analytics
+  * job would run them nightly:
+  *
+  *   1. sessionize the raw stream (gaps-and-islands), then demonstrate
+  *      the INCREMENTAL fold of the latest day into the "materialized"
+  *      table (touched users only)
+  *   2. funnel conversion + first-order transition matrix
+  *   3. SCD2 customer-status history from the orders change log
+  *   4. supplier/part centrality (integer fixed-point PageRank)
+  *   5. per-day summary parquet out, partitioned for pruned reads
+  *
+  * Every stage is shuffle-bounded on user/dimension keys; the only
+  * iterative driver involvement is PageRank's fixed 3 rounds.
+  * Usage: runMain graft.examples.BehavioralAnalyticsExample <sfDir> <outDir>
+  */
+object BehavioralAnalyticsExample {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-behavior"
+    val spark = graft.GraftSession.getOrCreate(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. sessions: full build, then the incremental fold (same result,
+    // touched-users-only work — see Sessions.sessionizeIncremental)
+    val sessions = Sessions.sessionize(spark, sfDir)
+    val nSessions = sessions.count()
+    val incremental = Sessions.sessionizeIncremental(spark, sfDir)
+    require(incremental.count() == nSessions,
+      "incremental fold must match the full recompute")
+
+    // 2. funnel + transitions
+    val funnelRow = Journey.funnel(spark, sfDir).head()
+    val transitions = Journey.transitionMatrix(spark, sfDir)
+
+    // 3. SCD2 history
+    val scd2 = Journey.scd2Build(spark, sfDir)
+
+    // 4. centrality
+    val topNodes = Graph.pagerank(spark, sfDir)
+
+    // 5. write the day's artifacts, partitioned where downstream prunes
+    sessions.write.mode("overwrite").parquet(s"$outDir/sessions")
+    transitions.write.mode("overwrite").parquet(s"$outDir/transitions")
+    scd2.write.mode("overwrite").parquet(s"$outDir/scd2")
+    topNodes.write.mode("overwrite").parquet(s"$outDir/centrality")
+    // ts is nanos-as-long here (Sessions.events set the reader flag):
+    // derive the partition day via exact integer division, never a
+    // long->timestamp cast (that would reinterpret nanos as seconds)
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .write.mode("overwrite").partitionBy("day")
+      .parquet(s"$outDir/events_by_day")
+
+    println(s"sessions=$nSessions funnel=" +
+      s"${funnelRow.getLong(0)}/${funnelRow.getLong(1)}/" +
+      s"${funnelRow.getLong(2)}/${funnelRow.getLong(3)} -> $outDir")
+    spark.stop()
+  }
+}
