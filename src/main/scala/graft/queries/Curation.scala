@@ -342,7 +342,28 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spiridakis A-ES):
+    * top-20 documents by the key ln(u)/w — equivalent in order to
+    * u^(1/w), so inclusion probability is proportional to the weight
+    * (n_chars here) — with u derived from the SAME deterministic doc_id
+    * hash arithmetic as train_test_split (portable integer ops, no
+    * engine RNG). One map pass + a global top-k; reshard-stable,
+    * rerun-stable, and mergeable (union the per-shard top-20s, take the
+    * top-20 again — the property that makes A-ES the distributed
+    * weighted-reservoir algorithm).
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = ((pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+      lit(1000000007L))) + lit(1L)).cast("double") / lit(1000000008.0)
+    docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        round(log(u) / col("n_chars"), 9).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_sample" -> weightedSample,
     "token_allocation" -> ((s, d) => tokenAllocation(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "pii_scrub" -> piiScrub,
@@ -364,6 +385,13 @@ object Curation {
   private val ToksNE = Shared.ToksNE
 
   def oracleSql: Map[String, String] = Map(
+    "weighted_sample" ->
+      """WITH x AS (SELECT doc_id, n_chars,
+        |    ((((doc_id % 2147483647) * 2654435761) % 1000000007) + 1)::DOUBLE
+        |      / 1000000008 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(ln(u) / n_chars, 9) AS key
+        |FROM x ORDER BY key DESC, doc_id LIMIT 20""".stripMargin,
     "token_allocation" ->
       s"""WITH t AS (SELECT source, sum(len($ToksNE))::BIGINT AS n_tok
          |           FROM documents GROUP BY 1),
