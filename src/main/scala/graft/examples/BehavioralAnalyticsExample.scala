@@ -1,7 +1,6 @@
 package graft.examples
 
 import graft.queries.{Graph, Journey}
-import graft.sources.Tables
 import graft.streaming.Sessions
 import org.apache.spark.sql.functions._
 
@@ -29,9 +28,10 @@ object BehavioralAnalyticsExample {
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
     spark.sparkContext.setLogLevel("WARN")
 
-    // 1. sessions: full build, then the incremental fold (same result,
-    // touched-users-only work — see Sessions.sessionizeIncremental)
-    val sessions = Sessions.sessionize(spark, sfDir)
+    // 1. sessions: full build (persisted — counted here AND written in
+    // step 5; without the persist the dominant stage runs twice), then
+    // the incremental fold (same result, touched-users-only work)
+    val sessions = Sessions.sessionize(spark, sfDir).persist()
     val nSessions = sessions.count()
     val incremental = Sessions.sessionizeIncremental(spark, sfDir)
     require(incremental.count() == nSessions,
@@ -52,11 +52,13 @@ object BehavioralAnalyticsExample {
     transitions.write.mode("overwrite").parquet(s"$outDir/transitions")
     scd2.write.mode("overwrite").parquet(s"$outDir/scd2")
     topNodes.write.mode("overwrite").parquet(s"$outDir/centrality")
-    // ts is nanos-as-long here (Sessions.events set the reader flag):
-    // derive the partition day via exact integer division, never a
-    // long->timestamp cast (that would reinterpret nanos as seconds)
-    Tables.events(spark, sfDir)
-      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    // Sessions.events owns the nanos-as-long reader flag AND the exact
+    // ns->us derivation — going through it (rather than Tables.events +
+    // a local `ts div 1000`) keeps this block independent of earlier
+    // steps having set the session conf as a side effect
+    Sessions.events(spark, sfDir)
+      .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      .drop("ts_ms", "ts_us")
       .write.mode("overwrite").partitionBy("day")
       .parquet(s"$outDir/events_by_day")
 

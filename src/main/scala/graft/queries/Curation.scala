@@ -352,15 +352,20 @@ object Curation {
     * top-20 again — the property that makes A-ES the distributed
     * weighted-reservoir algorithm).
     */
-  def weightedSample(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: the mergeability spec derives per-shard top-ks from
+  // the SAME key expression it audits (a drifted copy would silently
+  // weaken the test — the repo-wide single-source convention)
+  private[graft] def aesKey: org.apache.spark.sql.Column = {
     val u = ((pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
       lit(1000000007L))) + lit(1L)).cast("double") / lit(1000000008.0)
+    round(log(u) / col("n_chars"), 9)
+  }
+
+  def weightedSample(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), col("n_chars"),
-        round(log(u) / col("n_chars"), 9).as("key"))
+      .select(col("doc_id"), col("n_chars"), aesKey.as("key"))
       .orderBy(col("key").desc, col("doc_id"))
       .limit(20)
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "weighted_sample" -> weightedSample,

@@ -140,13 +140,12 @@ class CurationSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val global = Curation.weightedSample(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toSeq
-    // three arbitrary shards; keys are row-local so sharding is free
+    // three arbitrary shards; keys come from the SAME single-sourced
+    // expression the query uses (Curation.aesKey)
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val perShard = (0 to 2).flatMap { sh =>
-      val u = ((pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
-        lit(1000000007L))) + lit(1L)).cast("double") / lit(1000000008.0)
       docs.filter(pmod(col("doc_id"), lit(3L)) === sh.toLong)
-        .select(col("doc_id"), round(log(u) / col("n_chars"), 9).as("key"))
+        .select(col("doc_id"), Curation.aesKey.as("key"))
         .orderBy(col("key").desc, col("doc_id")).limit(20)
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
     }
