@@ -268,6 +268,46 @@ object Quality {
       .orderBy(col("w1"), col("c").desc, col("w2"))
   }
 
+  // --- edit-distance-1 similarity join ----------------------------------
+
+  /** Edit-distance-≤1 vocabulary pairs via the SymSpell
+    * deletion-neighborhood join — the scalable string-similarity-join
+    * shape: each word expands to {itself} ∪ its single-deletion
+    * variants (length+1 keys per word), candidates are equi-join
+    * bucket-mates on a shared variant, and only candidates pay the
+    * exact levenshtein check. Complete for distance ≤ 1 (substitution ⇒
+    * shared deletion at the edited position; deletion ⇒ the shorter
+    * word IS a variant of the longer). No all-pairs stage at any
+    * vocabulary size — the quadratic NOT-EXISTS-free oracle is only
+    * feasible because the test vocabulary is tiny.
+    *
+    * The synthetic vocabulary has no natural distance-1 pairs, so known
+    * positives are PLANTED (drop-last-char variants of every word of
+    * length ≥ 4 — the pii_scrub testing pattern: deterministic, exact
+    * expected output).
+    */
+  def typoPairs(s: SparkSession, d: String): DataFrame = {
+    val vocab = docs(s, d)
+      .select(explode(Dedup.tokensNE(col("text"))).as("w")).distinct()
+    val planted = vocab.filter(length(col("w")) >= 4)
+      .select(expr("substring(w, 1, length(w) - 1)").as("w")).distinct()
+    val v = vocab.union(planted).distinct()
+    // {word} ∪ single-deletion variants, as (variant, word) postings
+    val postings = v.select(col("w"), explode(concat(array(col("w")),
+      expr("transform(sequence(1, length(w)), i -> " +
+        "concat(substring(w, 1, i - 1), substring(w, i + 1, length(w) - i)))")))
+      .as("variant")).distinct()
+    val cand = postings.as("a")
+      .join(postings.as("b"), Seq("variant"))
+      .filter(col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
+    cand
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+      .select(col("w1"), col("w2"),
+        levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,6 +320,7 @@ object Quality {
     "corpus_stats" -> corpusStats,
     "positional_index" -> positionalIndex,
     "bigram_lm_topk" -> bigramLmTopk,
+    "typo_pairs" -> typoPairs,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -391,5 +432,13 @@ object Quality {
          |        row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
          |      FROM b)
          |SELECT w1, w2, c FROM r WHERE rn <= 3 ORDER BY w1, c DESC, w2""".stripMargin,
+    "typo_pairs" ->
+      s"""WITH t AS (SELECT DISTINCT unnest($ToksNE) AS w FROM documents),
+         |p AS (SELECT DISTINCT substr(w, 1, length(w) - 1) AS w FROM t
+         |      WHERE length(w) >= 4),
+         |v AS (SELECT w FROM t UNION SELECT w FROM p)
+         |SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w)::BIGINT AS dist
+         |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+         |ORDER BY w1, w2""".stripMargin,
   )
 }

@@ -115,6 +115,29 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("typo_pairs: deletion-neighborhood candidates miss no brute-force pair") {
+    val rows = graft.queries.Quality.typoPairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.nonEmpty, "planted variants must produce pairs")
+    // brute force over the same vocab ∪ planted set
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split("[ \t\n\r]").filter(_.nonEmpty)).distinct
+    val planted = toks.filter(_.length >= 4).map(w => w.substring(0, w.length - 1))
+    val v = (toks ++ planted).distinct
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- v; b <- v if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(rows == brute, s"missing=${(brute -- rows).take(5)} extra=${(rows -- brute).take(5)}")
+  }
+
   test("hll_merge: union of per-shard sketches equals the one-shot sketch") {
     val ev = graft.streaming.Sessions.events(spark, sf0001)
       .select(col("event_type"), col("user_id"))
