@@ -25,9 +25,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  // exact-arity guard: `es.head`/`es(1)` alone would silently DISCARD
+  // extra arguments (graft_toprun(arr, oops) computing toprun(arr) looks
+  // plausible and is wrong) and crash confusingly on too few
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name takes exactly $n argument(s), got ${es.length}")
+      build(es)
+    }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_djb2" -> (es => Djb2Hash(es.head)),
-    "graft_djb2_pid" -> (es => Djb2Pid(es.head, es(1) match {
+    "graft_djb2" -> arity("graft_djb2", 1)(es => Djb2Hash(es.head)),
+    "graft_djb2_pid" -> arity("graft_djb2_pid", 2)(es => Djb2Pid(es.head, es(1) match {
       // accept any integral literal width; reject non-foldable args with a
       // clear message instead of an eval() crash on an unevaluable column
       case e if e.foldable => e.eval() match {
@@ -41,12 +52,14 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException(
         "graft_djb2_pid: numPartitions must be a literal (foldable), not a column")
     })),
-    "graft_simhash64" -> (es => SimHash64Expr(es.head)),
-    "graft_cosine" -> (es => CosineSimExpr(es.head, es(1))),
-    "graft_sorted_intersect" -> (es => SortedIntersectCountExpr(es.head, es(1))),
-    "graft_counteq" -> (es => CountEqExpr(es.head, es(1))),
-    "graft_toprun" -> (es => graft.functions.TopRunExpr(es.head)),
-    "graft_morton" -> (es => graft.functions.ZOrder.morton2Expr(es.head, es(1))),
+    "graft_simhash64" -> arity("graft_simhash64", 1)(es => SimHash64Expr(es.head)),
+    "graft_cosine" -> arity("graft_cosine", 2)(es => CosineSimExpr(es.head, es(1))),
+    "graft_sorted_intersect" ->
+      arity("graft_sorted_intersect", 2)(es => SortedIntersectCountExpr(es.head, es(1))),
+    "graft_counteq" -> arity("graft_counteq", 2)(es => CountEqExpr(es.head, es(1))),
+    "graft_toprun" -> arity("graft_toprun", 1)(es => graft.functions.TopRunExpr(es.head)),
+    "graft_morton" ->
+      arity("graft_morton", 2)(es => graft.functions.ZOrder.morton2Expr(es.head, es(1))),
   )
 
   /** Register all graft functions on a live session. */

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * (worst case — a star graph concentrating the entire mass on one
   * node): total rank mass stays ≤ N*SCALE, so `85 * Σ` needs
   * `85*N*SCALE < 2^63` → N < ~1.08e5 nodes at SCALE=1e12, ~1.08e8 at
-  * 1e9, ~1.08e11 at 1e6 — rank resolution trades off against node
-  * count, enforced by a guard DERIVED from Scale below rather than
-  * discovered as an overflow at scale (Spark ANSI mode would throw,
-  * not wrap).
+  * 1e9, ~1.08e11 at 1e6. Rank resolution trades off against node
+  * count, and `run` AUTO-STEPS the resolution down in power-of-10
+  * notches until the bound holds (rejecting only graphs beyond the
+  * 1e6-resolution floor) — never a silent overflow (Spark ANSI mode
+  * would throw, not wrap) and never a hard abort on a graph that a
+  * coarser lattice handles fine.
   *
   * Iteration mechanics: unlike [[Dedup.connectedComponents]] (whose
   * label table feeds each round twice — join + change count — doubling
@@ -38,7 +40,6 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   val Scale = 1000000000000L // 1e12: rank 1.0 in fixed-point
-  private val Jump = 15L * Scale / 100L
 
   /** edges: (src: BIGINT, dst: BIGINT), already symmetrized if the graph
     * is undirected; every node must appear as a src (guaranteed for
@@ -64,9 +65,10 @@ object PageRank {
   val BroadcastNodeLimit = 5000000L
 
   def run(edges: DataFrame, iters: Int, checkpointEvery: Int = 8,
-      validate: Boolean = true): DataFrame = {
+      validate: Boolean = true, scale: Long = Scale): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(checkpointEvery >= 1)
+    require(scale >= 1000000L, "scale below 1e6 leaves too little rank resolution")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
     // degree pre-joined once and the result partitioned by dst: with the
     // rank side broadcast, every round is then scan + project + aggregate
@@ -76,13 +78,20 @@ object PageRank {
       .select(col("src"), col("dst"), col("d"))
       .repartition(col("dst")).persist()
     val nNodes = deg.count()
-    // bound DERIVED from Scale (not a hard-coded literal): total rank
-    // mass <= N*Scale, and the per-node update computes 85 * sum, so
-    // 85*N*Scale must fit int64 — lowering Scale genuinely raises the
-    // admissible node count as the Scaladoc promises
-    val maxNodes = Long.MaxValue / (85L * Scale)
-    require(nNodes < maxNodes,
-      s"$nNodes nodes overflows 85*N*SCALE at SCALE=$Scale (max ${maxNodes - 1}); lower PageRank.Scale")
+    // overflow safety WITHOUT a hard abort: the worst case (a star graph
+    // concentrating the whole mass on one node) needs 85*N*scale < 2^63.
+    // Rather than rejecting large graphs, automatically step the
+    // fixed-point resolution down (in power-of-10 notches, so small-graph
+    // results are bit-stable as a graph grows toward a notch) until the
+    // bound holds; only graphs beyond the 1e6-resolution floor
+    // (~1.08e11 nodes) are rejected. Callers needing a pinned lattice
+    // (e.g. the oracle-gated query, whose DuckDB twin hardcodes 1e12)
+    // stay below the first notch by construction.
+    var eff = scale
+    while (eff > 1000000L && nNodes >= Long.MaxValue / (85L * eff)) eff /= 10L
+    require(nNodes < Long.MaxValue / (85L * eff),
+      s"$nNodes nodes overflows 85*N*scale even at the 1e6 resolution floor")
+    val jump = 15L * eff / 100L
     if (validate) {
       // dangling check: a dst that never occurs as src would silently
       // leak rank mass; symmetrized inputs can't trigger this (callers
@@ -96,7 +105,7 @@ object PageRank {
     }
     val small = nNodes <= BroadcastNodeLimit
     var chk: Option[DataFrame] = None
-    var r = deg.select(col("src").as("node"), lit(Scale).as("r"))
+    var r = deg.select(col("src").as("node"), lit(eff).as("r"))
     try {
       for (i <- 1 to iters) {
         val ranks = r.withColumnRenamed("node", "src")
@@ -105,7 +114,7 @@ object PageRank {
           .groupBy(col("dst"))
           .agg(sum(col("contrib")).as("c"))
           .select(col("dst").as("node"),
-            (lit(Jump) + expr("(85 * c) div 100")).as("r"))
+            (lit(jump) + expr("(85 * c) div 100")).as("r"))
         // the FINAL round always checkpoints: the returned frame must not
         // depend on e2/deg, which the finally below unpersists before the
         // caller ever executes the (lazy) result. The eager checkpoint

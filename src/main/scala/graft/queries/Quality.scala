@@ -72,10 +72,12 @@ object Quality {
     * codegen'd [[graft.functions.SketchExprs.topRun]] run-length scan —
     * no (doc, bigram) explode, no two-level aggregation, NO shuffle at
     * any scale (the first formulation shuffled every bigram twice; this
-    * one touches each row once). Tie-break parity with the group-by
-    * oracle: the space delimiter sorts below every token character, so
-    * "w1 w2" string order equals (w1, w2) tuple order, and topRun's
-    * first-run tie pick IS the lexicographically-smallest pair.
+    * one touches each row once). Tie-break contract: the smallest
+    * SPACE-JOINED bigram string wins (topRun picks the first maximal
+    * run of the sorted strings) and the oracle tie-breaks on the same
+    * joined string — exact for arbitrary token bytes, where a (w1, w2)
+    * tuple order would diverge whenever a token contains a character
+    * below 0x20 (legal under whitespace-only tokenization).
     */
   def repetitionNgram(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d).select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
@@ -348,7 +350,13 @@ object Quality {
          |bg AS (SELECT doc_id, unnest(ts[1:l-1]) AS w1, unnest(ts[2:l]) AS w2 FROM x),
          |g AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
          |r AS (SELECT doc_id, w1, w2, c,
-         |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w1, w2) AS rn,
+         |        -- tie-break on the SPACE-JOINED string, matching the Spark
+         |        -- side's sorted-string topRun pick exactly for ANY bytes
+         |        -- (tuple order (w1, w2) would diverge when a token contains
+         |        -- a character below 0x20 — legal under whitespace-only
+         |        -- tokenization)
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY c DESC, w1 || ' ' || w2) AS rn,
          |        sum(c) OVER (PARTITION BY doc_id) AS nb
          |      FROM g)
          |SELECT doc_id, nb::BIGINT AS nb, c::BIGINT AS maxc, w1, w2,

@@ -41,6 +41,21 @@ class GraphSpec extends SparkSuite {
     assert(key == key.sorted)
   }
 
+  test("pagerank: resolution auto-steps down instead of aborting on large graphs") {
+    // 200k nodes > the 1e12-scale notch (~108.5k) -> one step to 1e11.
+    // Symmetric ring: every node has degree 2, so after any number of
+    // rounds every rank is identical and equals eff (up to floor dust)
+    val n = 200000L
+    val ring = spark.range(n).selectExpr("id AS src", s"(id + 1) % $n AS dst")
+    val edges = ring.union(ring.selectExpr("dst AS src", "src AS dst"))
+    val r = graft.operators.PageRank.run(edges, iters = 2, validate = false)
+      .agg(min(col("r")), max(col("r"))).head()
+    val eff = 100000000000L // 1e11: first notch below 1e12 for 200k nodes
+    assert(r.getLong(0) == r.getLong(1), "ring symmetry: all ranks equal")
+    assert(math.abs(r.getLong(0) - eff) <= 2L,
+      s"uniform rank ${r.getLong(0)} should be ~$eff (floor dust only)")
+  }
+
   test("pagerank: rejects graphs with dangling nodes loudly") {
     import spark.implicits._
     val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 3 is never a src

@@ -44,7 +44,8 @@ class QualitySpec extends SparkSuite {
       val toks = docs(r.getLong(0)).split("[ \t\n\r]").filter(_.nonEmpty)
       val bgs = toks.sliding(2).collect { case Array(a, b) => (a, b) }.toSeq
       val counts = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
-      val best = counts.toSeq.sortBy { case ((w1, w2), c) => (-c, w1, w2) }.head
+      // tie-break on the space-joined string — the declared contract
+      val best = counts.toSeq.sortBy { case ((w1, w2), c) => (-c, s"$w1 $w2") }.head
       assert(r.getLong(1) == bgs.length.toLong, "nb = bigram slots")
       assert(r.getLong(2) == best._2, s"doc ${r.getLong(0)} maxc")
       assert((r.getString(3), r.getString(4)) == best._1, s"doc ${r.getLong(0)} argmax")

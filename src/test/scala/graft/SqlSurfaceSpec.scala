@@ -91,6 +91,11 @@ class SqlSurfaceSpec extends SparkSuite {
       spark.sql("SELECT graft_toprun(array(1L, 2L))").collect()
     }
     assert(e.getMessage.contains("array<string>"), e.getMessage)
+    // wrong ARITY rejected too — extra args must not be silently dropped
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_toprun(array('a'), 'oops')").collect()
+    }
+    assert(e2.getMessage.contains("exactly 1 argument"), e2.getMessage)
   }
 
   test("graft_toprun fuzz: 400 seeded random arrays match driver-side brute force") {
