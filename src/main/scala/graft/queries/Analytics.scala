@@ -541,14 +541,17 @@ object Analytics {
     * in frame order. One window shuffle on user_id, frame state O(3).
     * Spark's `collect_list` over an empty frame yields `[]` where
     * DuckDB's `list()` yields NULL — the oracle coalesces, pinning that
-    * edge explicitly.
+    * edge explicitly. The vector is serialized to a ','-joined string
+    * (driver-sortable-output convention; empty frame → '').
     */
   def lagFeatures(s: SparkSession, d: String): DataFrame = {
     val ev = Sessions.events(s, d).select(col("event_id"), col("user_id"),
       col("ts_ms"), round(col("value") * 100).cast("long").as("cents"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(-3, -1)
-    ev.select(col("event_id"), collect_list(col("cents")).over(w).as("feat"))
+    ev.select(col("event_id"), collect_list(col("cents")).over(w).as("featArr"))
+      .select(col("event_id"),
+        expr("array_join(transform(featArr, x -> CAST(x AS STRING)), ',')").as("feat"))
       .orderBy(col("event_id"))
   }
 
@@ -684,8 +687,8 @@ object Analytics {
       """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT event_id,
-        |  coalesce(list(cents) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), CAST([] AS BIGINT[])) AS feat
+        |  coalesce(array_to_string(list(cents) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ','), '') AS feat
         |FROM ev ORDER BY event_id""".stripMargin,
     "feature_scale" ->
       """WITH ev AS (SELECT event_id, event_type,

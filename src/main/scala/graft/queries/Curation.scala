@@ -270,16 +270,19 @@ object Curation {
     * independence), flatten, sequence, overlap, position, max. The
     * greatest(...,1) floor keeps `sequence` ascending for empty token
     * lists (Spark's sequence(1,0) would run DESCENDING to [1,0] while
-    * DuckDB's range(1,1) is empty).
+    * DuckDB's range(1,1) is empty). Array-typed results are serialized
+    * to ','-joined strings — the repo's driver-sortable-output
+    * convention (the harness row-sorts in pandas, where array cells are
+    * unhashable; see inverted_index).
     */
   def arrayFuncs2(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
       .selectExpr("doc_id",
-        "array_sort(array_intersect(ts, array('spark','data','merge'))) AS inter",
-        "array_sort(array_except(ts, array('spark','data','merge'))) AS exc",
-        "flatten(array(slice(ts, 1, 2), slice(ts, 3, 2))) AS fl",
-        "sequence(CAST(1 AS BIGINT), CAST(greatest(least(size(ts), 5), 1) AS BIGINT)) AS seq",
+        "array_join(array_sort(array_intersect(ts, array('spark','data','merge'))), ',') AS inter",
+        "array_join(array_sort(array_except(ts, array('spark','data','merge'))), ',') AS exc",
+        "array_join(flatten(array(slice(ts, 1, 2), slice(ts, 3, 2))), ',') AS fl",
+        "array_join(transform(sequence(CAST(1 AS BIGINT), CAST(greatest(least(size(ts), 5), 1) AS BIGINT)), x -> CAST(x AS STRING)), ',') AS seq",
         "arrays_overlap(ts, array('spark','data','merge')) AS ov",
         "array_position(ts, 'data') AS pos",
         "array_max(ts) AS mx")
@@ -535,11 +538,11 @@ object Curation {
     "array_funcs2" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents)
          |SELECT doc_id,
-         |  list_sort(list_intersect(ts, ['spark','data','merge'])) AS inter,
-         |  list_sort(list_distinct(list_filter(ts,
-         |    x -> NOT list_contains(['spark','data','merge'], x)))) AS exc,
-         |  flatten([ts[1:2], ts[3:4]]) AS fl,
-         |  range(1, greatest(least(len(ts), 5), 1) + 1) AS seq,
+         |  coalesce(array_to_string(list_sort(list_intersect(ts, ['spark','data','merge'])), ','), '') AS inter,
+         |  coalesce(array_to_string(list_sort(list_distinct(list_filter(ts,
+         |    x -> NOT list_contains(['spark','data','merge'], x)))), ','), '') AS exc,
+         |  coalesce(array_to_string(flatten([ts[1:2], ts[3:4]]), ','), '') AS fl,
+         |  coalesce(array_to_string(range(1, greatest(least(len(ts), 5), 1) + 1), ','), '') AS seq,
          |  len(list_intersect(ts, ['spark','data','merge'])) > 0 AS ov,
          |  coalesce(list_position(ts, 'data'), 0)::BIGINT AS pos,
          |  list_aggregate(ts, 'max') AS mx

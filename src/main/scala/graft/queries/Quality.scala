@@ -239,6 +239,8 @@ object Quality {
     * search consumes (the plain `inverted_index` carries doc ids only).
     * posexplode + one (term, doc) aggregate; the term filter prunes
     * before the shuffle, so the shuffle carries matching postings only.
+    * The position list is serialized to a ','-joined string
+    * (driver-sortable-output convention; see inverted_index).
     */
   def positionalIndex(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -246,8 +248,11 @@ object Quality {
         posexplode(Dedup.tokensNE(col("text"))).as(Seq("pos0", "tok")))
       .filter(col("tok").isin("spark", "query"))
       .groupBy(col("tok"), col("doc_id"))
-      .agg(sort_array(collect_list(col("pos0") + 1)).as("positions"),
+      .agg(sort_array(collect_list(col("pos0") + 1)).as("posArr"),
         count(lit(1)).as("tf"))
+      .select(col("tok"), col("doc_id"),
+        expr("array_join(transform(posArr, x -> CAST(x AS STRING)), ',')").as("positions"),
+        col("tf"))
       .orderBy(col("tok"), col("doc_id"))
 
   // --- bigram language-model continuations ------------------------------
@@ -426,7 +431,7 @@ object Quality {
     "positional_index" ->
       s"""WITH t AS (SELECT doc_id, unnest($ToksNE) AS tok,
          |             generate_subscripts($ToksNE, 1) AS pos FROM documents)
-         |SELECT tok, doc_id, list(pos ORDER BY pos) AS positions,
+         |SELECT tok, doc_id, array_to_string(list(pos ORDER BY pos), ',') AS positions,
          |  count(*)::BIGINT AS tf
          |FROM t WHERE tok IN ('spark', 'query')
          |GROUP BY tok, doc_id ORDER BY tok, doc_id""".stripMargin,

@@ -148,8 +148,10 @@ class AnalyticsSpec extends SparkSuite {
         r._1 -> sorted.slice(math.max(0, i - 3), i).map(_._4).toSeq
       }
     }.toMap
+    // output is the ','-serialized vector (driver-sortable convention)
     val got = graft.queries.Analytics.lagFeatures(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
     assert(got.nonEmpty)
     got.foreach { case (id, feat) => assert(feat == expect(id), s"event $id") }
   }

@@ -8,8 +8,22 @@ import graft.queries.Core
 class CoreQueriesSpec extends SparkSuite {
 
   test("every declared query runs and returns rows at sf0.001") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     for ((name, fn) <- SparkEntry.queries) {
-      val n = fn(spark, sf0001).count()
+      val df = fn(spark, sf0001)
+      // driver-sortable-output contract: the harness row-sorts results in
+      // pandas, where array/map/struct cells are unhashable and crash the
+      // gate (round-4 lesson: array_funcs2/lag_features/positional_index).
+      // Complex values must be serialized to strings before leaving a query.
+      val complex = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(complex.isEmpty,
+        s"query $name outputs driver-unsortable columns ${complex.mkString(",")}: " +
+          "serialize arrays/maps/structs to strings (inverted_index pattern)")
+      val n = df.count()
       assert(n > 0, s"query $name returned no rows")
     }
   }

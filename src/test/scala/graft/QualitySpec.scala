@@ -95,8 +95,11 @@ class QualitySpec extends SparkSuite {
     val rows = graft.queries.Quality.positionalIndex(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      // positions arrive ','-serialized (driver-sortable convention)
       val (tok, doc, pos, tf) =
-        (r.getString(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3))
+        (r.getString(0), r.getLong(1),
+          r.getString(2).split(",").filter(_.nonEmpty).map(_.toInt).toSeq,
+          r.getLong(3))
       assert(pos.length.toLong == tf)
       assert(pos == pos.sorted && pos.distinct == pos, "strictly increasing")
       pos.foreach(p => assert(docs(doc)(p - 1) == tok, s"$tok@$doc:$p"))

@@ -66,6 +66,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
+        # the DRIVER's gate row-sorts with raw pandas sort_values, which
+        # crashes on array cells — an array-typed Spark output is a red row
+        # there even when values match, so mirror that as a hard FAIL here
+        arrayish = [c for c in got.columns if len(got) and any(
+            hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+            for v in got[c].head(5))]
+        if arrayish:
+            print(f"[FAIL-arr ] {name}: array-typed output cols {arrayish} — "
+                  "driver's pandas row-sort crashes on these; serialize to string")
+            failures += 1
+            continue
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
