@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: rewrite the ubiquitous SQL top-k-per-group idiom
@@ -41,7 +41,7 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
           partSpec, orderSpec, child, _)))
         if partSpec.nonEmpty && isPlainRowNumber(we) =>
       limitOf(cond, alias.toAttribute) match {
-        case Some(k) if k > 0 &&
+        case Some(k) if k > 0 && orderSpec.nonEmpty &&
             projList.forall(_.references.subsetOf(child.outputSet)) =>
           // Spark's own InferWindowGroupLimit may already have inserted a
           // WindowGroupLimit below the window (a partial per-partition
@@ -53,9 +53,43 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
             case other => other
           }
           Project(projList, TopKPerGroupPlan(partSpec, orderSpec, k, input))
+        case Some(k) if k > 0 && orderSpec.isEmpty &&
+            projList.forall(_.references.subsetOf(child.outputSet)) =>
+          // Decorrelated `LATERAL (... ORDER BY o LIMIT k)`: Catalyst emits
+          // the subquery's ORDER BY as a GLOBAL Sort below the window and
+          // leaves the window's own order spec EMPTY, so the row_number
+          // assignment silently depends on the shuffle preserving sorted
+          // order — true in local mode, NOT contractual across a cluster's
+          // fetch interleave. Recover the intended order from that Sort,
+          // make it the heap's explicit order, and drop the Sort itself
+          // (a full range-exchange + global sort the heap never needed).
+          sortBelow(child) match {
+            case Some((order, rebuilt)) if order.nonEmpty &&
+                order.forall(_.deterministic) =>
+              Project(projList, TopKPerGroupPlan(partSpec, order, k, rebuilt))
+            case _ => p
+          }
         case _ => p
       }
   }
+
+  /** For an order-spec-less window input, the Sort supplying its row order:
+    * directly below, or below one Project. Returns the sort order plus a
+    * child equivalent to the window input with the Sort removed — any
+    * sort-key columns the intervening Project dropped are passed back
+    * through (the parent Project added by the rewrite prunes them again).
+    */
+  private def sortBelow(child: LogicalPlan): Option[(Seq[SortOrder], LogicalPlan)] =
+    child match {
+      case s: Sort => Some((s.order, s.child))
+      case Project(innerList, s: Sort) =>
+        val missing = AttributeSet(s.order.flatMap(_.references)) --
+          AttributeSet(innerList.map(_.toAttribute))
+        if (missing.subsetOf(s.child.outputSet))
+          Some((s.order, Project(innerList ++ missing.toSeq, s.child)))
+        else None
+      case _ => None
+    }
 
   private def isPlainRowNumber(we: WindowExpression): Boolean = we match {
     case WindowExpression(RowNumber(),

@@ -228,17 +228,17 @@ object Curation {
     * decorrelates it into a ranked window — same engine path as
     * RewriteWindowTopK's input shape, arrived at from SQL).
     *
-    * Scale caveat (observed on the optimized plan): Spark's decorrelation
-    * emits the subquery ORDER BY as a GLOBAL sort below the window and
-    * drops the window's own order spec, so per-key order relies on the
-    * shuffle preserving the sorted order — guaranteed in local mode
-    * (all blocks local, fetched in map order; verified stable at
-    * local[32] and hash-equal to DuckDB) but not something to lean on
-    * across a real cluster's fetch interleave. At 100 TB spell per-group
-    * top-k as topk_per_group (the heap operator) or window row_number
-    * with an explicit in-window ORDER BY.
+    * Scale note: Spark's decorrelation emits the subquery ORDER BY as a
+    * GLOBAL sort below the window and drops the window's own order spec,
+    * so per-key order would rely on the shuffle preserving sorted order —
+    * true in local mode, not contractual on a cluster's fetch interleave.
+    * RewriteWindowTopK recognizes exactly that shape, recovers the order
+    * from the Sort, and plans the heap operator (TopKPerGroupExec) with
+    * the order made explicit — deterministic at any scale, and the global
+    * range-exchange + sort disappears (plan-guarded in SharedRewriteSpec).
     */
-  def lateralTopk(s: SparkSession, d: String): DataFrame =
+  def lateralTopk(s: SparkSession, d: String): DataFrame = {
+    graft.plans.TopKPerGroup.ensureRule(s)
     sql(s, d, Seq("customer", "orders"),
       """SELECT c.c_custkey, t.okey, t.cents
         |FROM customer c,
@@ -248,6 +248,7 @@ object Curation {
         |         WHERE o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c_custkey, cents DESC, okey""".stripMargin)
+  }
 
   /** Second string battery: translate/split_part/left/right/repeat/
     * instr/startswith/endswith (everything DuckDB also has — initcap,

@@ -2,24 +2,27 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the formatted physical plan of named gate queries
-  * (the "explain and iterate until it's the plan you'd want" loop).
-  * Usage: runMain graft.tools.PlanDump <sfDir> <queryName>...
+/** Dev tool: print the optimized logical + executed plan of a declared
+  * query — `runMain graft.tools.PlanDump <sfDir> <queryName>`. Not part
+  * of the driver contract; exists so plan-shape work (rewrite rules,
+  * shuffle audits) has a one-command feedback loop.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val Array(sfDir, name) = args.take(2)
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    args.drop(1).foreach { name =>
-      println(s"===== $name =====")
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      println(df.queryExecution.executedPlan.toString.take(8000))
-    }
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    // println (not log) — the whole point is stdout you can grep
+    println("=== OPTIMIZED ===")
+    println(df.queryExecution.optimizedPlan.treeString)
+    println("=== EXECUTED ===")
+    println(df.queryExecution.executedPlan.treeString)
     spark.stop()
   }
 }

@@ -75,6 +75,23 @@ class TopKPerGroupSpec extends SparkSuite {
     assert(viaRule == viaWindow)
   }
 
+  test("decorrelated LATERAL ORDER BY+LIMIT plans onto the heap with explicit order") {
+    // the lateral_topk query: Catalyst's decorrelation leaves the window's
+    // order spec EMPTY and relies on a global Sort below it surviving the
+    // shuffle — the rule must recover that order into TopKPerGroupExec so
+    // row selection is deterministic at cluster scale
+    val q = SparkEntry.queries("lateral_topk")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup [o_custkey"), plan.take(1200))
+    // the recovered heap order is the subquery's ORDER BY, made explicit
+    assert(plan.contains("o_totalprice") && plan.contains("o_orderkey"),
+      s"sort order not recovered into the heap:\n${plan.take(1200)}")
+    assert(!plan.contains("Window ["), s"window survived:\n${plan.take(1200)}")
+    // exactly one sort remains: the query's own final ORDER BY (total
+    // order over the output — NOT the dropped subquery sort)
+    assert("Sort \\[".r.findAllIn(plan).size == 1, plan.take(1200))
+  }
+
   test("optimizer rule does NOT fire when rn is kept, a bound is non-literal, or no PARTITION BY") {
     TopKPerGroup.ensureRule(spark)
     val li = Tables.lineitem(spark, sf0001)
