@@ -52,36 +52,88 @@ object Journey {
 
   /** Distinct users in the trailing hour at every event — an operator
     * Spark's window functions genuinely lack (no DISTINCT aggregates
-    * over frames), composed from built-ins: `collect_list` over a RANGE
-    * frame + `array_distinct` + `size`.
+    * over frames).
     *
     * This is the SHARDED formulation that actually scales: a naive
     * global-ORDER-BY window would serialize the whole timeline through
     * one partition. Instead each event owns the 2-hour time shard
     * `ts div 2h`, events in the last hour of a shard are ALSO copied
-    * into the next shard as lookback context (owned=false), the window
-    * runs per shard, and only owner rows survive. Every row's 1-hour
-    * frame is fully present in its shard, so the result is exactly the
-    * global-window answer — the oracle is DuckDB's true global
-    * `count(DISTINCT) OVER (RANGE ...)`, which pins the equivalence —
-    * while Spark's parallelism is (timeline / 2h) with ≤50% row
-    * duplication, frame state bounded by the window span.
+    * into the next shard as lookback context (owned=false), the shards
+    * are processed independently, and only owner rows survive. Every
+    * row's 1-hour frame is fully present in its shard, so the result is
+    * exactly the global-window answer — the oracle is DuckDB's true
+    * global `count(DISTINCT) OVER (RANGE ...)`, which pins the
+    * equivalence — while Spark's parallelism is (timeline / 2h) with
+    * ≤50% row duplication.
+    *
+    * Inside a shard the count is a TWO-POINTER SLIDING MULTISET in one
+    * `mapPartitions` pass over shard-sorted events (a legitimate
+    * per-partition-imperative use: built-ins would materialize the full
+    * frame per row — `collect_list` over a hot hour is O(frame) list
+    * build per OUTPUT row and an O(frame²)-bytes window buffer, the
+    * round-4 scale-killer). Here state is ONE live window: events enter
+    * at the frame head grouped by equal ts (RANGE-frame peer semantics),
+    * leave when older than 1 h, and a user→count map gives the distinct
+    * count in O(1) per event. Memory = one hour of events per shard,
+    * not one hour SQUARED.
     */
   def windowDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val ShardMs = 7200000L // 2 h shards, 1 h lookback overlap
+    val FrameMs = 3600000L
     val e = ev(s, d).select(col("event_id"), col("user_id"), col("ts_ms"))
     val owners = e.withColumn("shard", expr(s"ts_ms div $ShardMs"))
       .withColumn("owned", lit(true))
-    val context = e.filter(pmod(col("ts_ms"), lit(ShardMs)) >= ShardMs - 3600000L)
+    val context = e.filter(pmod(col("ts_ms"), lit(ShardMs)) >= ShardMs - FrameMs)
       .withColumn("shard", expr(s"ts_ms div $ShardMs") + 1L)
       .withColumn("owned", lit(false))
-    val w = Window.partitionBy(col("shard")).orderBy(col("ts_ms"))
-      .rangeBetween(-3600000L, 0L)
     owners.unionByName(context)
-      .withColumn("du",
-        size(array_distinct(collect_list(col("user_id")).over(w))).cast("long"))
-      .filter(col("owned"))
-      .select(col("event_id"), col("du"))
+      .select(col("shard"), col("ts_ms"), col("event_id"), col("user_id"),
+        col("owned"))
+      .as[(Long, Long, Long, Long, Boolean)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ts_ms"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        var curShard = Long.MinValue
+        // the one live frame: FIFO of (ts, user) + user multiset
+        val window = new java.util.ArrayDeque[(Long, Long)]()
+        val counts = new java.util.HashMap[Long, Int]()
+        val group = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+        new Iterator[(Long, Long)] {
+          val pending = scala.collection.mutable.Queue.empty[(Long, Long)]
+          // drain ts-groups until one yields an owner row (a trailing
+          // group may be all lookback context and emit nothing)
+          private def fill(): Unit = {
+            while (pending.isEmpty && buf.hasNext) {
+              val (shard, ts, _, _, _) = buf.head
+              if (shard != curShard) { // shard boundary: fresh frame
+                curShard = shard; window.clear(); counts.clear()
+              }
+              // admit ALL events at this ts (RANGE peers count each other)
+              group.clear()
+              while (buf.hasNext && buf.head._1 == curShard && buf.head._2 == ts) {
+                val (_, _, id, user, owned) = buf.next()
+                window.addLast((ts, user))
+                counts.merge(user, 1, Integer.sum)
+                group += ((id, owned))
+              }
+              // retire events older than the 1 h frame
+              while (!window.isEmpty && window.peekFirst()._1 < ts - FrameMs) {
+                val (_, u) = window.pollFirst()
+                if (counts.merge(u, -1, Integer.sum) == 0) counts.remove(u)
+              }
+              val du = counts.size.toLong
+              group.foreach { case (id, owned) =>
+                if (owned) pending.enqueue((id, du))
+              }
+            }
+          }
+          def hasNext: Boolean = { fill(); pending.nonEmpty }
+          def next(): (Long, Long) = { fill(); pending.dequeue() }
+        }
+      }
+      .toDF("event_id", "du")
       .orderBy(col("event_id"))
   }
 

@@ -52,6 +52,19 @@ class JourneySpec extends SparkSuite {
     }
   }
 
+  test("window_distinct: no window-operator frame materialization in the plan") {
+    // the round-4 scale-killer was collect_list over a RANGE frame — an
+    // O(frame) array build per output row inside WindowExec; the sliding
+    // multiset keeps the shard seam but must leave NO window operator
+    // (the only sort allowed is the per-shard sortWithinPartitions + the
+    // final presentation ORDER BY)
+    val plan = Journey.windowDistinct(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ") && !plan.contains("collect_list"),
+      s"frame materialization survived:\n${plan.take(1000)}")
+    assert(plan.contains("MapPartitions"), plan.take(1000))
+  }
+
   test("asof_nearest: picks the closest signup either direction, ties backward") {
     val su = graft.streaming.Sessions.events(spark, sf0001)
       .filter(col("event_type") === "signup")
