@@ -877,21 +877,25 @@ object Pipeline {
       """SELECT event_type, count(*)::BIGINT AS cnt,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle re-derives what the BMP BUILDER planted (geometry is a
+    // fixed function of the text byte length); the Spark side arrives at
+    // the same numbers only by PARSING the container bytes — builder and
+    // reader are independent code paths meeting at the byte level
     "multimodal_frames" ->
-      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents),
-        |f AS (SELECT doc_id, 1::INT AS sample_ord, 0::INT AS frame_idx FROM m
-        |  UNION ALL SELECT doc_id, 2::INT, ((1 + n_bytes % 30) // 2)::INT FROM m
-        |  UNION ALL SELECT doc_id, 3::INT, (n_bytes % 30)::INT FROM m)
-        |SELECT doc_id, sample_ord, frame_idx FROM f
+      """WITH m AS (SELECT doc_id, 1 + octet_length(encode(text)) % 5 AS f FROM documents),
+        |s AS (SELECT doc_id, 1::INT AS sample_ord, 0::INT AS frame_idx FROM m
+        |  UNION ALL SELECT doc_id, 2::INT, (f // 2)::INT FROM m
+        |  UNION ALL SELECT doc_id, 3::INT, (f - 1)::INT FROM m)
+        |SELECT doc_id, sample_ord, frame_idx FROM s
         |ORDER BY doc_id, sample_ord""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id, n_bytes,
-        |  (64 + n_bytes % 577)::INT AS width,
-        |  (64 + (n_bytes * 31) % 509)::INT AS height,
-        |  (1 + n_bytes % 30)::INT AS n_frames,
-        |  concat('0,', (1 + n_bytes % 30) // 2, ',', n_bytes % 30) AS frame_samples
-        | FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents)
-        | ORDER BY doc_id""".stripMargin,
+      """WITH g AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h, 1 + n % 5 AS f
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents))
+        |SELECT doc_id,
+        |  (f * (54 + ((w * 3 + 3) // 4) * 4 * h))::BIGINT AS n_bytes,
+        |  w::INT AS width, h::INT AS height, f::INT AS n_frames,
+        |  concat('0,', f // 2, ',', f - 1) AS frame_samples
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 
   /** quality_score oracle (also the scored input of curated_sample).

@@ -240,13 +240,36 @@ class PipelineSpec extends SparkSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
-  test("multimodal codec: per-partition decode produces the deterministic metadata") {
+  test("multimodal codec: metadata comes from parsing real BMP bytes") {
+    import Multimodal.{BmpCodec, BmpFile, MediaIn}
+    val codec = new BmpCodec
+    // single handcrafted frame with known dims: the parser must read them
+    // back from the header bytes alone
+    val one = codec.decode(MediaIn(1L, BmpFile.build(7, 5, seed = 99L)))
+    assert(one.width == 7 && one.height == 5 && one.n_frames == 1)
+    assert(one.n_bytes == BmpFile.size(7, 5).toLong)
+    assert(one.frame_samples == Seq(0, 0, 0))
+    // three concatenated frames: counted by walking the fileSize chain
+    val f = BmpFile.build(9, 4, seed = 1L)
+    val tri = codec.decode(MediaIn(2L, f ++ BmpFile.build(9, 4, 2L) ++ BmpFile.build(9, 4, 3L)))
+    assert(tri.n_frames == 3 && tri.width == 9 && tri.height == 4)
+    assert(tri.frame_samples == Seq(0, 1, 2))
+    // corrupted magic must throw, not fabricate metadata
+    val bad = BmpFile.build(7, 5, 0L); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](codec.decode(MediaIn(3L, bad)))
+    // truncated mid-chain (second frame's declared size overruns) throws
+    intercept[IllegalArgumentException](
+      codec.decode(MediaIn(4L, f ++ f.take(60))))
+  }
+
+  test("multimodal pipeline: planted geometry round-trips through the byte decode") {
     import spark.implicits._
     val docs = Seq((7L, "abcd")).toDF("doc_id", "text") // 4 bytes
     val m = Multimodal.decodeMeta(spark, docs).collect().head
-    assert(m.doc_id == 7L && m.n_bytes == 4L)
-    assert(m.width == 64 + 4 && m.height == 64 + (4 * 31) % 509 && m.n_frames == 5)
-    assert(m.frame_samples == Seq(0, 2, 4))
+    val (w, h, f) = (4 + 4 % 12, 4 + (4 * 31) % 11, 1 + 4 % 5)
+    assert(m.doc_id == 7L && m.width == w && m.height == h && m.n_frames == f)
+    assert(m.n_bytes == (Multimodal.BmpFile.size(w, h) * f).toLong)
+    assert(m.frame_samples == Seq(0, f / 2, f - 1))
   }
 
   test("djb2 column hash used by simhash equals the scalar reference hash") {
