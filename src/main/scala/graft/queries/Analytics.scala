@@ -623,7 +623,38 @@ object Analytics {
       .orderBy(col("col_name"))
   }
 
+  /** Deterministic per-group mode (most frequent value, ties to the
+    * smallest value): count per (group, value), then the TopKPerGroup
+    * heap at k=1 — no per-group sort, and the deterministic tie-break
+    * both engines can state (Spark's native `mode()` is explicitly
+    * tie-nondeterministic, so it can never be oracle-gated). Profiles
+    * the modal document source per language.
+    */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    graft.plans.TopKPerGroup(c, Seq("lang"), Seq(col("n").desc, col("source")), 1)
+      .orderBy(col("lang"))
+  }
+
+  /** Global contiguous row ids in a total order via
+    * [[graft.operators.AssignIds]] — the scalable replacement for the
+    * single-partition `row_number() OVER (ORDER BY ...)` window (which
+    * funnels all 100 TB through one task). Range exchange + in-partition
+    * sort + the two-job partition-offset count; the oracle IS that
+    * global window, pinning id-for-id equivalence.
+    */
+  def assignIds(s: SparkSession, d: String): DataFrame =
+    graft.operators.AssignIds.byOrder(
+      Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      Seq(col("cents").desc, col("o_orderkey")), "rid")
+      .select(col("o_orderkey"), col("cents"), col("rid"))
+      .orderBy(col("rid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mode_per_group" -> modePerGroup,
+    "assign_ids" -> assignIds,
     "mad_stats" -> madStats,
     "skew_report" -> skewReport,
     "lag_features" -> lagFeatures,
@@ -672,6 +703,17 @@ object Analytics {
         |SELECT r2.st, max(m.med)::BIGINT AS med_cents,
         |       max(CASE WHEN rn = (n + 1) // 2 THEN dev END)::BIGINT AS mad_cents
         |FROM r2 JOIN m ON r2.st = m.st GROUP BY r2.st ORDER BY r2.st""".stripMargin,
+    "mode_per_group" ->
+      """WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, source) AS rn FROM c)
+        |SELECT lang, source, n FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
+    "assign_ids" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |    o_orderkey)::BIGINT AS rid
+        |FROM orders ORDER BY rid""".stripMargin,
     "skew_report" ->
       """WITH p AS (
         |  SELECT 'l_orderkey' AS col_name, count(*)::BIGINT AS cnt

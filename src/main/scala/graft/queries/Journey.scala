@@ -266,6 +266,62 @@ object Journey {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  // --- session path mining ----------------------------------------------
+
+  /** Top-20 most common within-session event-type sequences (the
+    * sequence-mining step behind "what do users actually do"): 30-minute
+    * gap sessions via gaps-and-islands, each session's path built by
+    * sorting the collected (ts, id, type) structs IN-ROW (array_sort on
+    * a grouped collect_list — no per-group window sort), then one count
+    * aggregate over paths. Three shuffles total (user window, session
+    * agg, path count); path cardinality, not event volume, bounds the
+    * final stage. Long sessions bound the in-row array by the session
+    * span — the same contract as the session aggregates themselves.
+    */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val gapped = ev(s, d)
+      .withColumn("prev", lag(col("ts_ms"), 1).over(w))
+      .withColumn("gap",
+        when(col("prev").isNull || col("ts_ms") - col("prev") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess",
+        sum(col("gap")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = gapped.groupBy(col("user_id"), col("sess"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_ms"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")),
+        ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  // --- last-observation-carried-forward ---------------------------------
+
+  /** LOCF gap fill: every event carries its user's most recent purchase
+    * amount (NULL before the first purchase) — the standard time-series
+    * imputation / "state at event time" join. One window shuffle on
+    * user_id with `last(..., ignoreNulls)` over the running frame; frame
+    * state is a single value, so scale is bounded by the user-partition
+    * sort alone. The oracle pins Spark's ignoreNulls against DuckDB's
+    * IGNORE NULLS.
+    */
+  def locfFill(s: SparkSession, d: String): DataFrame = {
+    val e = Sessions.events(s, d).select(col("event_id"), col("user_id"),
+      col("ts_ms"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("last_purchase_cents",
+        last(when(col("event_type") === "purchase", col("cents")),
+          ignoreNulls = true).over(w))
+      .select(col("event_id"), col("last_purchase_cents"))
+      .orderBy(col("event_id"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,6 +331,8 @@ object Journey {
     "merge_upsert" -> mergeUpsert,
     "scd2_build" -> scd2Build,
     "transition_matrix" -> transitionMatrix,
+    "event_paths" -> eventPaths,
+    "locf_fill" -> locfFill,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -359,5 +417,26 @@ object Journey {
         |t AS (SELECT cur, sum(n)::BIGINT AS total FROM c GROUP BY 1)
         |SELECT c.cur, c.nxt, c.n, round(c.n::DOUBLE / t.total, 6) AS p
         |FROM c JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin,
+    "event_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                       OR ts_ms - lag(ts_ms) OVER w > 1800000
+        |                     THEN 1 ELSE 0 END AS gap
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "locf_fill" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN cents END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_cents
+        |FROM ev ORDER BY event_id""".stripMargin,
   )
 }

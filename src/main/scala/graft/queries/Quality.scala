@@ -315,6 +315,34 @@ object Quality {
       .orderBy(col("w1"), col("w2"))
   }
 
+  // --- BPE-ish token counting -------------------------------------------
+
+  /** Subword token counting, the budget currency of an LLM corpus: a
+    * GPT-2-style pre-tokenizer regex splits text into alpha runs, single
+    * digits, and single punctuation marks, then alpha runs are charged
+    * ceil(len/4) subwords (the ~4-chars-per-BPE-token rule of thumb) and
+    * everything else 1. Map-only: `regexp_extract_all` + an `aggregate`
+    * fold per row, no shuffle before the final presentation sort. The
+    * integer `(len+3) div 4` keeps both engines exact.
+    */
+  def tokenCountBpe(s: SparkSession, d: String): DataFrame =
+    tokenCountBpeOf(docs(s, d)).orderBy(col("doc_id"))
+
+  /** The counting battery over any (doc_id, text) frame — split out so
+    * specs can pin known strings without a parquet detour.
+    */
+  private[graft] def tokenCountBpeOf(in: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"), lit(0))
+    in.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_pieces"),
+        aggregate(col("toks"), lit(0L), (acc, t) =>
+          acc + when(t.rlike("^[A-Za-z]+$"),
+            ((length(t) + lit(3)).cast("long").divide(lit(4))).cast("long"))
+            .otherwise(lit(1L))).as("n_subwords"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,6 +356,7 @@ object Quality {
     "positional_index" -> positionalIndex,
     "bigram_lm_topk" -> bigramLmTopk,
     "typo_pairs" -> typoPairs,
+    "token_count_bpe" -> tokenCountBpe,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -453,5 +482,14 @@ object Quality {
          |SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w)::BIGINT AS dist
          |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
          |ORDER BY w1, w2""".stripMargin,
+    "token_count_bpe" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]') AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks)::BIGINT AS n_pieces,
+        |  coalesce(list_sum(list_transform(toks,
+        |    t -> CASE WHEN regexp_full_match(t, '[A-Za-z]+')
+        |              THEN (length(t) + 3) // 4 ELSE 1 END)), 0)::BIGINT AS n_subwords
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

@@ -156,6 +156,40 @@ class AnalyticsSpec extends SparkSuite {
     got.foreach { case (id, feat) => assert(feat == expect(id), s"event $id") }
   }
 
+  test("assign_ids: distributed layout (range partitioning, never a single-partition sort)") {
+    val df = graft.queries.Analytics.assignIds(spark, sf0001)
+    // ids must be exactly 1..n with no gaps or dups
+    val ids = df.collect().map(_.getLong(2))
+    assert(ids.toSeq == (1L to ids.length.toLong))
+    // the id assignment's layout stage must NOT plan a single-partition
+    // global sort (the 100 TB anti-pattern this operator exists to
+    // avoid): a rangepartitioning exchange + in-partition sort only
+    val plan = graft.operators.AssignIds.layout(
+      graft.sources.Tables.orders(spark, sf0001)
+        .select(col("o_orderkey")), Seq(col("o_orderkey")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(800))
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+    assert(!plan.contains("Sort [o_orderkey#") || plan.contains(", false, 0"),
+      plan.take(800)) // any Sort present is global=false (in-partition)
+  }
+
+  test("mode_per_group: the heap pick equals a brute-force per-group argmax") {
+    val rows = graft.queries.Analytics.modePerGroup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val all = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = all.groupBy(_._1).map { case (lang, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.size.toLong)
+      // highest count, ties to smallest source
+      val (src, n) = counts.toSeq.minBy { case (s2, c) => (-c, s2) }
+      lang -> ((src, n))
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { case (lang, src, n) => assert(expect(lang) == ((src, n)), lang) }
+  }
+
   test("feature_scale: grouped z-scores re-standardize to mean ~0, var ~1") {
     val z = graft.queries.Analytics.featureScale(spark, sf0001)
       .collect().map(_.getDouble(1))

@@ -65,6 +65,51 @@ class JourneySpec extends SparkSuite {
     assert(plan.contains("MapPartitions"), plan.take(1000))
   }
 
+  test("event_paths: paths reconstruct from a brute-force sessionization") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      // 30-min gap sessionization, then the ordered type sequence
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._4 - cur.head._4 <= 1800000L => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }
+      sessions.map(_.reverse.map(_._3).mkString(">"))
+    }.toSeq
+    val expect = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Journey.eventPaths(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("locf_fill: carries exactly the user's last purchase at each event") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val expect = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      var lastP: Option[Long] = None
+      sorted.map { e =>
+        if (e._3 == "purchase") lastP = Some(e._5)
+        e._2 -> lastP
+      }
+    }.toMap
+    val got = Journey.locfFill(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val v = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(v == expect(id), s"event $id")
+    }
+  }
+
   test("asof_nearest: picks the closest signup either direction, ties backward") {
     val su = graft.streaming.Sessions.events(spark, sf0001)
       .filter(col("event_type") === "signup")

@@ -108,6 +108,16 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("token_count_bpe: pre-tokenizer pieces and subword charges on known strings") {
+    import spark.implicits._
+    // "Hello"->2 (ceil 5/4), ","->1, "world"->2, "4"->1, "2"->1, "abc"->1
+    val rows = graft.queries.Quality.tokenCountBpeOf(
+        Seq((1L, "Hello, world 42abc"), (2L, "a"), (3L, "supercalifragilistic"))
+          .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 6L, 8L), (2L, 1L, 1L), (3L, 1L, 5L)))
+  }
+
   test("bigram_lm_topk: <=3 continuations per token, counts non-increasing") {
     val rows = graft.queries.Quality.bigramLmTopk(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
