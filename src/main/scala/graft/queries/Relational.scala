@@ -316,6 +316,37 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin)
 
+  /** OUTER generator semantics: explode_outer keeps the parent row (as a
+    * NULL token) when the array is empty — the LEFT-JOIN-LATERAL shape a
+    * pipeline needs so filtering to a rare token class can't silently
+    * drop documents. The 'q%' filter manufactures genuinely empty arrays
+    * from the corpus.
+    */
+  def explodeOuter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        filter(nonEmptyTokens(col("text")), t => t.startsWith("q")).as("qs"))
+      .select(col("doc_id"), explode_outer(col("qs")).as("tok"))
+      .orderBy(col("doc_id"), col("tok"))
+
+  /** Higher-order-function battery over token arrays — filter / exists /
+    * forall / aggregate / transform composed to SCALAR outputs (the
+    * driver-sortable contract). All codegen'd array lambdas: map-only,
+    * the 100 TB cost is one pass over each row's token list.
+    */
+  def hofFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), nonEmptyTokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(filter(col("ts"), t => length(t) > 4)).cast("long").as("n_long"),
+        exists(col("ts"), t => t === "spark").as("has_spark"),
+        forall(col("ts"), t => length(t) <= 12).as("all_short"),
+        aggregate(col("ts"), lit(0L), (a, t) => a + length(t).cast("long"))
+          .as("sum_len"),
+        array_max(transform(col("ts"), t => length(t))).cast("long").as("max_len"))
+      .orderBy(col("doc_id"))
+
   /** Bitwise aggregates over the orderkey domain. */
   def bitwiseAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -347,6 +378,8 @@ object Relational {
     "array_funcs" -> arrayFuncs,
     "conditional_funcs" -> conditionalFuncs,
     "lateral_explode" -> lateralExplode,
+    "explode_outer" -> explodeOuter,
+    "hof_funcs" -> hofFuncs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -501,5 +534,21 @@ object Relational {
          |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS i, unnest(ts) AS tok
          |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents WHERE doc_id < 50))
          |ORDER BY doc_id, i""".stripMargin,
+    "explode_outer" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($ToksNE, t -> t LIKE 'q%') AS qs
+         |           FROM documents WHERE doc_id < 100),
+         |u AS (SELECT doc_id, unnest(qs) AS tok FROM t)
+         |SELECT t.doc_id, u.tok
+         |FROM t LEFT JOIN u ON t.doc_id = u.doc_id
+         |ORDER BY t.doc_id, tok""".stripMargin,
+    "hof_funcs" ->
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents)
+         |SELECT doc_id,
+         |  len(list_filter(ts, t -> length(t) > 4))::BIGINT AS n_long,
+         |  len(list_filter(ts, t -> t = 'spark')) > 0 AS has_spark,
+         |  len(list_filter(ts, t -> length(t) > 12)) = 0 AS all_short,
+         |  coalesce(list_sum(list_transform(ts, t -> length(t))), 0)::BIGINT AS sum_len,
+         |  list_max(list_transform(ts, t -> length(t)))::BIGINT AS max_len
+         |FROM t ORDER BY doc_id""".stripMargin,
   )
 }
