@@ -275,6 +275,35 @@ object Sessions {
         unix_millis(col("v_ts")).as("view_ms"))
   }
 
+  /** FULL OUTER variant — the last stream-stream join flavor: matched
+    * pairs emit eagerly; an unmatched view OR purchase is emitted (other
+    * side null) only once ITS watermark passes the join horizon, because
+    * until then the missing side could still arrive. State retention and
+    * the emission horizon are symmetric versions of the LEFT OUTER
+    * contract documented on [[streamingViewPurchaseLeftJoin]].
+    */
+  def streamingViewPurchaseFullJoin(spark: SparkSession, sfDir: String,
+      streamDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    def side(tpe: String, pfx: String) =
+      spark.readStream.schema(schema).parquet(streamDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "1 hour")
+    side("view", "v").join(side("purchase", "p"),
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+        col("v_id").as("view_id"), col("p_id").as("purchase_id"),
+        unix_millis(col("v_ts")).as("view_ms"),
+        unix_millis(col("p_ts")).as("purchase_ms"))
+  }
+
   /** Streaming exact dedup on event_id with watermark-bounded state:
     * duplicates arriving within the watermark delay are dropped, state
     * for expired event times is cleaned up (the streaming face of

@@ -440,4 +440,32 @@ class ScaleSpec extends SparkSuite {
     // LeftSemi equi-join (the O(shingles) decontamination shape)
     assert(planOf("contamination_check").contains("LeftSemi"))
   }
+
+  test("plan guards: round-5 batch keeps the scale shape") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    // token_count_bpe / hof_funcs: map-only — the ONLY exchange is the
+    // presentation sort, and the token array is materialized in its own
+    // projection so the regex/split runs ONCE per row even though two
+    // output columns consume it (the projection-duplication trap)
+    for (q <- Seq("token_count_bpe", "hof_funcs")) {
+      val p = planOf(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"), s"$q: ${p.take(800)}")
+      assert("Exchange hashpartitioning".r.findFirstIn(p).isEmpty, s"$q: ${p.take(800)}")
+    }
+    assert("regexp_extract_all".r.findAllIn(planOf("token_count_bpe")).size == 1,
+      "token regex must be evaluated once, not per consumer")
+    // explode_outer: the doc_id filter reaches the parquet scan
+    assert(planOf("explode_outer").contains("LessThan(doc_id,100)"),
+      planOf("explode_outer").take(800))
+    // event_paths: the user window and the (user, sess) aggregate REUSE
+    // one hash exchange; the path count adds the second — two total
+    // (final top-20 is TakeOrdered, no range exchange)
+    assert("Exchange".r.findAllIn(planOf("event_paths")).size <= 2,
+      planOf("event_paths").take(1200))
+    // locf_fill: one window exchange + the presentation sort, no joins
+    val lf = planOf("locf_fill")
+    assert(!lf.contains("Join"), lf.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(lf).size == 1, lf.take(800))
+  }
 }

@@ -219,6 +219,61 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS stream_vpl")
   }
 
+  test("stream-stream FULL OUTER join emits both unmatched sides past the watermark") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssfjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val q = Sessions.streamingViewPurchaseFullJoin(spark, sf0001, streamDir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_vpf").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(u: Long, v: Long, p: Long) = (u, v, p)
+    val streamed = spark.table("stream_vpf").collect().map { r =>
+      (key(r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)),
+        // the horizon clock of a row is whichever side is present
+        if (r.isNullAt(3)) r.getLong(4) else r.getLong(3))
+    }.toSet
+    val ev = Sessions.events(spark, sf0001)
+    val maxMs = ev.agg(max(col("ts_ms"))).head().getLong(0)
+    // the purchase side's state watermark subtracts the join window AGAIN
+    // (a view in [p_ts-30min, p_ts] may arrive until the watermark passes
+    // p_ts + 30min) — one extra window of slack below the left-outer
+    // test's horizon keeps the comparator strictly inside both sides'
+    // emitted regions
+    val cutoff = maxMs - 3600000L - 2 * 1800000L - 60000L
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_ms").as("view_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ms"))
+    val batch = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("purchase_ms") >= col("view_ms") &&
+          col("purchase_ms") <= col("view_ms") + lit(1800000L), "full_outer")
+      .collect().map { r =>
+        val vNull = r.isNullAt(1)
+        (key(if (vNull) r.getLong(3) else r.getLong(0),
+          if (vNull) -1L else r.getLong(1),
+          if (r.isNullAt(4)) -1L else r.getLong(4)),
+          if (vNull) r.getLong(5) else r.getLong(2))
+      }.toSet
+    val sOld = streamed.filter(_._2 < cutoff).map(_._1)
+    val bOld = batch.filter(_._2 < cutoff).map(_._1)
+    // the comparator horizon must exercise BOTH unmatched flavors
+    assert(bOld.exists(_._2 == -1L), "no unmatched purchases below horizon")
+    assert(bOld.exists(_._3 == -1L), "no unmatched views below horizon")
+    assert(sOld == bOld,
+      s"stream-only: ${(sOld -- bOld).take(3)}; batch-only: ${(bOld -- sOld).take(3)}")
+    // matched pairs emit eagerly — all present regardless of horizon
+    assert(batch.map(_._1).filter(k => k._2 != -1L && k._3 != -1L)
+      .subsetOf(streamed.map(_._1)))
+    spark.sql("DROP TABLE IF EXISTS stream_vpf")
+  }
+
   test("dropDuplicatesWithinWatermark: replayed duplicate batch is fully deduped") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
     // same events file staged twice -> every event_id arrives twice
