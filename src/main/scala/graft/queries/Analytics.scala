@@ -652,7 +652,39 @@ object Analytics {
       .select(col("o_orderkey"), col("cents"), col("rid"))
       .orderBy(col("rid"))
 
+  /** Order-independent table fingerprints — the data-validation primitive
+    * a pipeline runs after every copy/migrate/backfill step ("same rows
+    * on both sides?") without sorting anything: per row, a 60-bit value
+    * from sha256 over a canonical '|'-joined string of the row's exact
+    * integer projection, XOR-folded per table. XOR is commutative, so
+    * the fingerprint is partition- and order-agnostic (map-side
+    * combinable, one tiny aggregate per table); 15 hex digits keep the
+    * value inside BIGINT on both engines. Doubles enter only as exact
+    * cents — float formatting never reaches the hash.
+    */
+  def tableChecksum(s: SparkSession, d: String): DataFrame = {
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+    def fp(name: String, df: DataFrame, canonical: org.apache.spark.sql.Column) =
+      df.select(h(canonical).as("hv"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(hv)").as("fingerprint"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("fingerprint"))
+    fp("customer", Tables.customer(s, d),
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long")))
+      .unionByName(fp("orders", Tables.orders(s, d),
+        concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long"))))
+      .unionByName(fp("lineitem", Tables.lineitem(s, d),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"))))
+      .orderBy(col("tbl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_checksum" -> tableChecksum,
     "mode_per_group" -> modePerGroup,
     "assign_ids" -> assignIds,
     "mad_stats" -> madStats,
@@ -703,6 +735,22 @@ object Analytics {
         |SELECT r2.st, max(m.med)::BIGINT AS med_cents,
         |       max(CASE WHEN rn = (n + 1) // 2 THEN dev END)::BIGINT AS mad_cents
         |FROM r2 JOIN m ON r2.st = m.st GROUP BY r2.st ORDER BY r2.st""".stripMargin,
+    "table_checksum" ->
+      """WITH c AS (SELECT ('0x' || substr(sha256(concat_ws('|', c_custkey, c_name,
+        |    c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT))), 1, 15))::BIGINT AS hv
+        |  FROM customer),
+        |o AS (SELECT ('0x' || substr(sha256(concat_ws('|', o_orderkey, o_custkey,
+        |    o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT))), 1, 15))::BIGINT AS hv
+        |  FROM orders),
+        |l AS (SELECT ('0x' || substr(sha256(concat_ws('|', l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT),
+        |    CAST(round(l_extendedprice * 100) AS BIGINT))), 1, 15))::BIGINT AS hv
+        |  FROM lineitem)
+        |SELECT 'customer' AS tbl, count(*)::BIGINT AS n_rows,
+        |  bit_xor(hv)::BIGINT AS fingerprint FROM c
+        |UNION ALL SELECT 'orders', count(*), bit_xor(hv) FROM o
+        |UNION ALL SELECT 'lineitem', count(*), bit_xor(hv) FROM l
+        |ORDER BY tbl""".stripMargin,
     "mode_per_group" ->
       """WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
         |  FROM documents GROUP BY 1, 2),

@@ -62,8 +62,20 @@ object Graph {
       .limit(100)
   }
 
+  /** Degree histogram of the supplier↔part graph ([[edgeTable]]) — the
+    * profiling query run before choosing any graph algorithm's strategy
+    * (skew, broadcast thresholds, expected wedge counts). Two hash
+    * aggregates; output is bounded by the distinct-degree count.
+    */
+  def degreeHistogram(s: SparkSession, d: String): DataFrame =
+    edgeTable(s, d)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerank,
+    "degree_histogram" -> degreeHistogram,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -89,5 +101,12 @@ object Graph {
         |  CASE WHEN node >= 1099511627776 THEN node - 1099511627776 ELSE node END AS id,
         |  r AS rank
         |FROM r3 ORDER BY rank DESC, kind, id LIMIT 100""".stripMargin,
+    "degree_histogram" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT sk AS src, pk + 1099511627776 AS dst FROM e0
+        |      UNION ALL SELECT pk + 1099511627776, sk FROM e0),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1)
+        |SELECT deg, count(*)::BIGINT AS n_nodes FROM deg
+        |GROUP BY 1 ORDER BY deg""".stripMargin,
   )
 }
