@@ -121,9 +121,12 @@ object Multimodal {
     docs.select(col("doc_id"), octet_length(col("text")).as("n"))
       .as[(Long, Int)]
       .map { case (id, n) =>
-        val w = 4 + n % 12
-        val h = 4 + (n * 31) % 11
-        val f = 1 + n % 5
+        // Long math: the oracle computes these in BIGINT, and n*31
+        // overflows Int at ~66 MiB of text (h would go negative)
+        val nl = n.toLong
+        val w = 4 + (nl % 12).toInt
+        val h = 4 + ((nl * 31) % 11).toInt
+        val f = 1 + (nl % 5).toInt
         val frame = BmpFile.size(w, h)
         val out = new Array[Byte](frame * f)
         var i = 0

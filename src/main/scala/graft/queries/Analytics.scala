@@ -550,8 +550,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(-3, -1)
     ev.select(col("event_id"), collect_list(col("cents")).over(w).as("featArr"))
-      .select(col("event_id"),
-        expr("array_join(transform(featArr, x -> CAST(x AS STRING)), ',')").as("feat"))
+      .select(col("event_id"), Shared.csv(col("featArr")).as("feat"))
       .orderBy(col("event_id"))
   }
 

@@ -279,14 +279,14 @@ object Curation {
   def arrayFuncs2(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
-      .selectExpr("doc_id",
-        "array_join(array_sort(array_intersect(ts, array('spark','data','merge'))), ',') AS inter",
-        "array_join(array_sort(array_except(ts, array('spark','data','merge'))), ',') AS exc",
-        "array_join(flatten(array(slice(ts, 1, 2), slice(ts, 3, 2))), ',') AS fl",
-        "array_join(transform(sequence(CAST(1 AS BIGINT), CAST(greatest(least(size(ts), 5), 1) AS BIGINT)), x -> CAST(x AS STRING)), ',') AS seq",
-        "arrays_overlap(ts, array('spark','data','merge')) AS ov",
-        "array_position(ts, 'data') AS pos",
-        "array_max(ts) AS mx")
+      .select(col("doc_id"),
+        Shared.csv(expr("array_sort(array_intersect(ts, array('spark','data','merge')))")).as("inter"),
+        Shared.csv(expr("array_sort(array_except(ts, array('spark','data','merge')))")).as("exc"),
+        Shared.csv(expr("flatten(array(slice(ts, 1, 2), slice(ts, 3, 2)))")).as("fl"),
+        Shared.csv(expr("sequence(CAST(1 AS BIGINT), CAST(greatest(least(size(ts), 5), 1) AS BIGINT))")).as("seq"),
+        expr("arrays_overlap(ts, array('spark','data','merge'))").as("ov"),
+        expr("array_position(ts, 'data')").as("pos"),
+        expr("array_max(ts)").as("mx"))
       .orderBy(col("doc_id"))
 
   /** Second date battery: last_day / add_months (both engines clamp to

@@ -385,8 +385,7 @@ object Pipeline {
     */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeMeta(s, docs(s, d)).toDF()
-      .withColumn("frame_samples",
-        array_join(transform(col("frame_samples"), _.cast("string")), ","))
+      .withColumn("frame_samples", Shared.csv(col("frame_samples")))
       .orderBy(col("doc_id"))
 
   /** The frame-sampling fan-out a feature extractor consumes: one row

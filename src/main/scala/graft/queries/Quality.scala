@@ -251,7 +251,7 @@ object Quality {
       .agg(sort_array(collect_list(col("pos0") + 1)).as("posArr"),
         count(lit(1)).as("tf"))
       .select(col("tok"), col("doc_id"),
-        expr("array_join(transform(posArr, x -> CAST(x AS STRING)), ',')").as("positions"),
+        Shared.csv(col("posArr")).as("positions"),
         col("tf"))
       .orderBy(col("tok"), col("doc_id"))
 

@@ -15,6 +15,19 @@ private[queries] object Shared {
   val ToksNE =
     "list_filter(string_split_regex(text, '[ \t\n\r]'), t -> t <> '')"
 
+  /** Driver-sortable-output serialization, single-sourced: an array
+    * column flattened to a ','-joined string (the harness row-sorts in
+    * pandas, where array cells are unhashable — see CoreQueriesSpec's
+    * schema guard). The cast is a no-op on string arrays and pins the
+    * integer formatting on numeric ones; empty arrays yield ''. DuckDB
+    * twin: `coalesce(array_to_string(..., ','), '')` (DuckDB returns
+    * NULL for empty lists where this yields '').
+    */
+  def csv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_join, transform}
+    array_join(transform(c, _.cast("string")), ",")
+  }
+
   /** Register the named testdata tables as uniquely-prefixed temp views
     * (`graft_orders`, not `orders` — bare names would silently clobber a
     * user view on the shared session) and substitute the prefix into the

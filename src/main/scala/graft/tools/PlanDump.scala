@@ -9,7 +9,17 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, name) = args.take(2)
+    if (args.length < 2) {
+      System.err.println("usage: PlanDump <sfDir> <queryName> [moreQueryNames...]")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -17,12 +27,14 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    // println (not log) — the whole point is stdout you can grep
-    println("=== OPTIMIZED ===")
-    println(df.queryExecution.optimizedPlan.treeString)
-    println("=== EXECUTED ===")
-    println(df.queryExecution.executedPlan.treeString)
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // println (not log) — the whole point is stdout you can grep
+      println(s"=== $name OPTIMIZED ===")
+      println(df.queryExecution.optimizedPlan.treeString)
+      println(s"=== $name EXECUTED ===")
+      println(df.queryExecution.executedPlan.treeString)
+    }
     spark.stop()
   }
 }

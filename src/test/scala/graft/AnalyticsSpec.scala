@@ -170,8 +170,10 @@ class AnalyticsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), plan.take(800))
     assert(!plan.contains("SinglePartition"), plan.take(800))
-    assert(!plan.contains("Sort [o_orderkey#") || plan.contains(", false, 0"),
-      plan.take(800)) // any Sort present is global=false (in-partition)
+    // NO global sort may exist anywhere in the layout (a regression that
+    // adds one alongside the in-partition sort must fail here)
+    assert(!plan.contains(", true, 0"), plan.take(800))
+    assert(plan.contains(", false, 0"), plan.take(800)) // in-partition sort present
   }
 
   test("mode_per_group: the heap pick equals a brute-force per-group argmax") {

@@ -69,9 +69,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         # the DRIVER's gate row-sorts with raw pandas sort_values, which
         # crashes on array cells — an array-typed Spark output is a red row
         # there even when values match, so mirror that as a hard FAIL here
-        arrayish = [c for c in got.columns if len(got) and any(
+        # scan ALL rows (the frame is already in memory): leading NULLs
+        # must not hide an array column from the guard
+        arrayish = [c for c in got.columns if any(
             hasattr(v, "__len__") and not isinstance(v, (str, bytes))
-            for v in got[c].head(5))]
+            for v in got[c])]
         if arrayish:
             print(f"[FAIL-arr ] {name}: array-typed output cols {arrayish} — "
                   "driver's pandas row-sort crashes on these; serialize to string")
