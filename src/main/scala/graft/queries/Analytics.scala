@@ -682,7 +682,40 @@ object Analytics {
       .orderBy(col("tbl"))
   }
 
+  /** Pearson correlation + OLS slope of quantity vs price per return
+    * flag — the regr_slope/corr aggregate family, but oracle-exact: Spark's
+    * native corr()/regr_slope() accumulate doubles in partition order
+    * (non-reproducible bit-for-bit), so the moments are exact
+    * DECIMAL(38,0) sums instead and the statistics are ONE fixed double
+    * expression tree evaluated identically on both engines (the
+    * feature_scale discipline). Map-side combinable, one aggregate.
+    */
+  def corrAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val dx = col("x").cast("decimal(38,0)")
+    val dy = col("y").cast("decimal(38,0)")
+    val g = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(dx).cast("decimal(38,0)").as("sx"),
+      sum(dy).cast("decimal(38,0)").as("sy"),
+      sum(dx * dx).cast("decimal(38,0)").as("sxx"),
+      sum(dy * dy).cast("decimal(38,0)").as("syy"),
+      sum(dx * dy).cast("decimal(38,0)").as("sxy"))
+    val n = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    val cov = n * dbl("sxy") - dbl("sx") * dbl("sy")
+    val vx = n * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vy = n * dbl("syy") - dbl("sy") * dbl("sy")
+    g.select(col("l_returnflag"), col("n"),
+        round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr"),
+        round(cov / vx, 6).as("slope"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corr_agg" -> corrAgg,
     "table_checksum" -> tableChecksum,
     "mode_per_group" -> modePerGroup,
     "assign_ids" -> assignIds,
@@ -734,6 +767,22 @@ object Analytics {
         |SELECT r2.st, max(m.med)::BIGINT AS med_cents,
         |       max(CASE WHEN rn = (n + 1) // 2 THEN dev END)::BIGINT AS mad_cents
         |FROM r2 JOIN m ON r2.st = m.st GROUP BY r2.st ORDER BY r2.st""".stripMargin,
+    "corr_agg" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+        |g AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        |        sum(x)::DECIMAL(38,0) AS sx, sum(y)::DECIMAL(38,0) AS sy,
+        |        sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxx,
+        |        sum(y::DECIMAL(38,0) * y)::DECIMAL(38,0) AS syy,
+        |        sum(x::DECIMAL(38,0) * y)::DECIMAL(38,0) AS sxy
+        |      FROM li GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |       * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS corr,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "table_checksum" ->
       """WITH c AS (SELECT ('0x' || substr(sha256(concat_ws('|', c_custkey, c_name,
         |    c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT))), 1, 15))::BIGINT AS hv
