@@ -347,6 +347,26 @@ object Relational {
         array_max(transform(col("ts"), t => length(t))).cast("long").as("max_len"))
       .orderBy(col("doc_id"))
 
+  /** NULL-semantics battery — the classic cross-engine drift area,
+    * pinned explicitly: null-safe equality (Spark `<=>` == SQL IS NOT
+    * DISTINCT FROM), count(col) vs count(*) under NULLs, coalesce
+    * chains, and NULL placement under ORDER BY (Spark defaults NULLS
+    * FIRST ascending — stated explicitly so the oracle can't drift).
+    * NULLs are manufactured with nullif on a real column.
+    */
+  def nullSemantics(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("st"))
+      .select(col("o_orderkey"), col("st"),
+        (col("st") <=> lit("F")).as("nse_f"),
+        (col("st") <=> lit(null.asInstanceOf[String])).as("nse_null"),
+        coalesce(col("st"), lit("open")).as("st_or_open"))
+      .groupBy(col("st_or_open"))
+      .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_nonnull"),
+        sum(when(col("nse_f"), 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("nse_null"), 1L).otherwise(0L)).as("n_null_eq"))
+      .orderBy(col("st_or_open").asc_nulls_first)
+
   /** Bitwise aggregates over the orderkey domain. */
   def bitwiseAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -380,6 +400,7 @@ object Relational {
     "lateral_explode" -> lateralExplode,
     "explode_outer" -> explodeOuter,
     "hof_funcs" -> hofFuncs,
+    "null_semantics" -> nullSemantics,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -541,6 +562,17 @@ object Relational {
          |SELECT t.doc_id, u.tok
          |FROM t LEFT JOIN u ON t.doc_id = u.doc_id
          |ORDER BY t.doc_id, tok""".stripMargin,
+    "null_semantics" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders),
+        |x AS (SELECT o_orderkey, st,
+        |        st IS NOT DISTINCT FROM 'F' AS nse_f,
+        |        st IS NOT DISTINCT FROM NULL AS nse_null,
+        |        coalesce(st, 'open') AS st_or_open FROM o)
+        |SELECT st_or_open, count(*)::BIGINT AS n_rows,
+        |  count(st)::BIGINT AS n_nonnull,
+        |  sum(CASE WHEN nse_f THEN 1 ELSE 0 END)::BIGINT AS n_f,
+        |  sum(CASE WHEN nse_null THEN 1 ELSE 0 END)::BIGINT AS n_null_eq
+        |FROM x GROUP BY 1 ORDER BY st_or_open NULLS FIRST""".stripMargin,
     "hof_funcs" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents)
          |SELECT doc_id,
