@@ -172,4 +172,19 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Hive-style directory partitioning (`partitionBy`) — the FIRST-line
+    * 100 TB scan reducer: a predicate on the partition column never
+    * opens the pruned directories at all (`PartitionFilters` in the
+    * scan, before footer stats or bucket pruning even apply). The
+    * partition column should be low-cardinality (a date bucket, a
+    * source id — NOT a key): every distinct value is a directory, and
+    * millions of tiny directories destroy listing performance. Rows are
+    * pre-shuffled on the partition column so each partition directory
+    * gets ONE file per write task that holds it, not one file per
+    * upstream task (the classic small-files explosion).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
 }

@@ -145,6 +145,31 @@ class LayoutSpec extends SparkSuite {
     assert(z.sum.toDouble / z.length < x.sum.toDouble / x.length)
   }
 
+  test("directory partitioning: predicate prunes directories before any file opens") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-partby").toString
+    val o = Tables.orders(spark, sf0001).select(col("o_orderkey"),
+      col("o_totalprice"), month(col("o_orderdate")).as("omonth"))
+    Layout.writePartitioned(o, dir, "omonth")
+    // one file per partition directory (the pre-shuffle), 12 directories
+    val root = new java.io.File(dir)
+    val partDirs = root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("omonth="))
+    assert(partDirs.length == 12, partDirs.map(_.getName).mkString(","))
+    partDirs.foreach { pd =>
+      val files = pd.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${pd.getName}: $files files — small-files explosion")
+    }
+    // the month predicate must land in PartitionFilters (directory-level
+    // pruning — strictly before footer stats or bucket pruning), not in
+    // PushedFilters/DataFilters
+    val q = spark.read.parquet(dir).filter(col("omonth") === 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(omonth"), plan.take(800))
+    assert(plan.contains("(omonth") && plan.contains("= 3)"), plan.take(800))
+    // and the answer is the unpartitioned filter's answer
+    val expect = o.filter(col("omonth") === 3).count()
+    assert(q.count() == expect && expect > 0)
+  }
+
   test("compactParquet collapses a small-file explosion without losing rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val li = Tables(spark, sf0001, "lineitem")
