@@ -41,20 +41,30 @@ object Bench {
     // driver pass burned a review cycle on load ghosts (trivial queries
     // 3-5x inflated). Two timed passes and the min make the number
     // self-arbitrating — a spike must hit the same query twice to show.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val a = pass()
-      val b = pass()
+    // The passes are INTERLEAVED (pass 1 over all queries, then pass 2)
+    // so the two samples of any one query are minutes apart: round-5's
+    // back-to-back samples let a single multi-second host burst inflate
+    // both samples of a contiguous alphabetical window of queries.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pass1 = names.map { case (_, fn) => pass(fn) }
+    val pass2 = names.map { case (_, fn) => pass(fn) }
+    val results = names.zip(pass1.zip(pass2)).map { case ((name, _), (a, b)) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding: ms resolution is below host noise, and the
+    // full-precision line overflowed the driver's capture (parsed=null
+    // in rounds 4-5).
+    def r3(v: Double): String =
+      if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,12 @@ object AssignIds {
   private[graft] def layout(df: DataFrame, order: Seq[Column]): DataFrame =
     df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
 
+  /** REQUIRES a deterministic input plan: zipWithIndex runs an extra
+    * count job and re-evaluates `df`, so a non-deterministic upstream
+    * (sample, rand) could disagree between the two jobs and yield
+    * duplicate/skipped ids. Persist or localCheckpoint such inputs
+    * before calling.
+    */
   def byOrder(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = layout(df, order)

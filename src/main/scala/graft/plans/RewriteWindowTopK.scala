@@ -81,8 +81,11 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     */
   private def sortBelow(child: LogicalPlan): Option[(Seq[SortOrder], LogicalPlan)] =
     child match {
-      case s: Sort => Some((s.order, s.child))
-      case Project(innerList, s: Sort) =>
+      // only a GLOBAL sort defines a total per-group order; a
+      // sortWithinPartitions orders rows partition-locally and must not
+      // be promoted to the heap's order (nor dropped)
+      case s: Sort if s.global => Some((s.order, s.child))
+      case Project(innerList, s: Sort) if s.global =>
         val missing = AttributeSet(s.order.flatMap(_.references)) --
           AttributeSet(innerList.map(_.toAttribute))
         if (missing.subsetOf(s.child.outputSet))

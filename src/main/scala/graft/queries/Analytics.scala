@@ -518,18 +518,32 @@ object Analytics {
   }
 
   /** Equi-DEPTH histogram (16 equal-count buckets over order cents) —
-    * the complement of `histogram`'s equal-width bucketing: ntile over
-    * the (cents, orderkey) total order, then per-bucket count/min/max.
-    * Exact by construction; the global ntile sort is the declared
-    * formulation at oracle scale — at 100 TB the cutpoints come from
-    * approx_percentile (see approx_quantile) and bucket assignment
-    * becomes a map-only width_bucket against the broadcast cutpoints.
+    * the complement of `histogram`'s equal-width bucketing. DISTRIBUTED
+    * formulation: the global rank comes from [[graft.operators.AssignIds
+    * .byOrder]] (range exchange + in-partition sort — never a
+    * SinglePartition window; plan-guarded in AnalyticsSpec), and the
+    * bucket is computed from the rank with ntile's exact integer rule —
+    * N rows, B=16, q=N div B, r=N mod B: the first r buckets take q+1
+    * rows, the rest q. Matches `ntile(16) OVER (ORDER BY cents,
+    * o_orderkey)` (the DuckDB oracle) row-for-row, without funnelling
+    * all rows through one task. q=0 (N<16) is safe: then r=N so the
+    * CASE's q-dividing branch is never evaluated (CaseWhen is lazy).
+    * At 100 TB the exact variant is this one; the approximate variant
+    * (approx_percentile cutpoints + map-only width_bucket) trades the
+    * rank exchange for one pass — see approx_quantile.
     */
   def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(
       round(col("o_totalprice") * 100).cast("long").as("cents"), col("o_orderkey"))
-    val w = Window.orderBy(col("cents"), col("o_orderkey"))
-    o.withColumn("bucket", ntile(16).over(w))
+    val withRn = graft.operators.AssignIds.byOrder(
+      o, Seq(col("cents"), col("o_orderkey")), "rn")
+    val n = broadcast(o.groupBy().agg(count(lit(1)).as("N")))
+    withRn.crossJoin(n)
+      .selectExpr("cents", "rn", "N div 16 AS q", "N % 16 AS r")
+      .selectExpr("cents",
+        """CAST(CASE WHEN rn <= r * (q + 1) THEN (rn - 1) div (q + 1) + 1
+          |     ELSE r + (rn - r * (q + 1) - 1) div q + 1 END AS INT)
+          |  AS bucket""".stripMargin)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"))

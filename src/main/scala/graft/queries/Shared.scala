@@ -21,11 +21,14 @@ private[queries] object Shared {
     * schema guard). The cast is a no-op on string arrays and pins the
     * integer formatting on numeric ones; empty arrays yield ''. DuckDB
     * twin: `coalesce(array_to_string(..., ','), '')` (DuckDB returns
-    * NULL for empty lists where this yields '').
+    * NULL for empty lists where this yields ''). A NULL array input
+    * also coalesces to '' on BOTH sides — without the coalesce here, a
+    * nullable array column (e.g. from a left join) would drift from the
+    * documented twin.
     */
   def csv(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{array_join, transform}
-    array_join(transform(c, _.cast("string")), ",")
+    import org.apache.spark.sql.functions.{array_join, coalesce, lit, transform}
+    coalesce(array_join(transform(c, _.cast("string")), ","), lit(""))
   }
 
   /** Register the named testdata tables as uniquely-prefixed temp views

@@ -126,7 +126,25 @@ class AnalyticsSpec extends SparkSuite {
   }
 
   test("equidepth_histogram: near-equal counts, ordered non-overlapping ranges") {
-    val rows = graft.queries.Analytics.equidepthHistogram(spark, sf0001).collect()
+    val q = graft.queries.Analytics.equidepthHistogram(spark, sf0001)
+    // the declared plan must NOT contain a window at all (the old
+    // ntile-over-global-order formulation planned a SinglePartition
+    // WindowExec — the scale-killer): the global rank now comes from
+    // AssignIds.byOrder's range exchange (layout plan-guarded in the
+    // assign_ids test below). The one SinglePartition exchange allowed
+    // is the 1-row scalar COUNT aggregate (it receives one partial row
+    // per upstream partition, never the data).
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    val spIdx = plan.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("SinglePartition") => i
+    }.toSeq
+    val lines = plan.linesIterator.toIndexedSeq
+    assert(spIdx.forall(i => lines.drop(i + 1).take(2)
+      .exists(_.contains("partial_count"))),
+      "a SinglePartition exchange fed by anything but the scalar-count " +
+        "partials is the global-sort anti-pattern:\n" + plan.take(1200))
+    val rows = q.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.map(_._1).toSeq == (1 to 16))
     val counts = rows.map(_._2)

@@ -63,14 +63,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     have = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
     for name in sorted(have):
         got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'", connection=con).df()
-        if name not in oracle:
-            print(f"[rows-only] {name}: {len(got)} rows")
-            continue
         # the DRIVER's gate row-sorts with raw pandas sort_values, which
         # crashes on array cells — an array-typed Spark output is a red row
         # there even when values match, so mirror that as a hard FAIL here
         # scan ALL rows (the frame is already in memory): leading NULLs
-        # must not hide an array column from the guard
+        # must not hide an array column from the guard. Runs BEFORE the
+        # rows-only branch: the driver sorts rows-only outputs too.
         arrayish = [c for c in got.columns if any(
             hasattr(v, "__len__") and not isinstance(v, (str, bytes))
             for v in got[c])]
@@ -78,6 +76,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL-arr ] {name}: array-typed output cols {arrayish} — "
                   "driver's pandas row-sort crashes on these; serialize to string")
             failures += 1
+            continue
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
             continue
         try:
             exp = con.sql(oracle[name]).df()
