@@ -40,9 +40,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {OUT} → this dump's absolute path: lets an oracle join a sibling
+    // query's (spec-pinned) output — the bpe_word_tokens encoder table —
+    // since BPE encoding itself is not SQL-expressible. All dumps are
+    // written before any oracle runs, so the reference is always valid.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -728,7 +728,29 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Q2 revenue per month over the MONTH-PARTITIONED orders artifact
+    * ([[graft.sources.Layout.partitionedOrders]]) joined with a runtime-
+    * filtered quarter dim — the declared exercise of DYNAMIC partition
+    * pruning, the second half of the first-line 100 TB scan reducer
+    * (static PartitionFilters are spec-guarded in LayoutSpec): the dim's
+    * `quarter = 2` filter is not a literal month predicate, so only a
+    * DynamicPruningExpression on the fact scan (reusing the broadcast
+    * result) keeps the 9 non-Q2 partition directories from being read
+    * at all. Plan-guarded in LayoutSpec. The dim is a 12-row calendar
+    * derived with integer arithmetic — no date parsing parity risk.
+    */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = s.read.parquet(graft.sources.Layout.partitionedOrders(s, d))
+    val dim = s.range(1, 13).select(col("id").cast("int").as("omonth"),
+      expr("CAST((id - 1) DIV 3 + 1 AS INT)").as("quarter"))
+    fact.join(broadcast(dim.filter(col("quarter") === 2)), Seq("omonth"))
+      .groupBy(col("omonth"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue"))
+      .orderBy(col("omonth"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dpp_join" -> dppJoin,
     "corr_agg" -> corrAgg,
     "table_checksum" -> tableChecksum,
     "mode_per_group" -> modePerGroup,
@@ -852,6 +874,14 @@ object Analytics {
         |  round((ev.cents - s::DOUBLE / n)
         |        / sqrt(sq::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n)), 6) AS z
         |FROM ev JOIN g USING (event_type) ORDER BY event_id""".stripMargin,
+    "dpp_join" ->
+      """WITH o AS (SELECT CAST(month(o_orderdate) AS INT) AS omonth,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT (range + 1)::INT AS omonth, (range // 3 + 1)::INT AS quarter
+        |      FROM range(12))
+        |SELECT omonth, count(*)::BIGINT AS n, sum(cents)::BIGINT AS revenue
+        |FROM o JOIN d USING (omonth) WHERE quarter = 2
+        |GROUP BY omonth ORDER BY omonth""".stripMargin,
     "equidepth_histogram" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |    o_orderkey FROM orders),

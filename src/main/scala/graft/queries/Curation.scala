@@ -37,8 +37,10 @@ object Curation {
     * doc splitting.)
     */
   def packSequences(s: SparkSession, d: String, ctx: Long = 2048L): DataFrame = {
+    // sequence lengths in the real token currency (learned BPE)
     val t = docs(s, d).select(col("source"), col("doc_id"),
-      size(Dedup.tokensNE(col("text"))).cast("long").as("n_tok"))
+      graft.functions.Bpe.countSubwords(
+        col("text"), Quality.bpeMerges(s, d)).as("n_tok"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
@@ -329,8 +331,11 @@ object Curation {
     * dimension-sized window, not a data-sized one.
     */
   def tokenAllocation(s: SparkSession, d: String, budget: Long = 100000L): DataFrame = {
+    // budgets are charged in the REAL token currency: learned-BPE
+    // subword counts (Quality.bpeMerges), not whitespace tokens
     val t = docs(s, d)
-      .select(col("source"), size(Dedup.tokensNE(col("text"))).cast("long").as("n"))
+      .select(col("source"), graft.functions.Bpe.countSubwords(
+        col("text"), Quality.bpeMerges(s, d)).as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
     val tot = t.agg(sum(col("n_tok")).as("total"))
     val q = t.crossJoin(broadcast(tot))
@@ -402,8 +407,9 @@ object Curation {
         |SELECT doc_id, n_chars, round(ln(u) / n_chars, 9) AS key
         |FROM x ORDER BY key DESC, doc_id LIMIT 20""".stripMargin,
     "token_allocation" ->
-      s"""WITH t AS (SELECT source, sum(len($ToksNE))::BIGINT AS n_tok
-         |           FROM documents GROUP BY 1),
+      s"""WITH ${Shared.BpeDocTokCte},
+         |t AS (SELECT source, sum(n_tok)::BIGINT AS n_tok
+         |           FROM bpe_n GROUP BY 1),
          |tot AS (SELECT sum(n_tok)::BIGINT AS total FROM t),
          |q AS (SELECT source, n_tok,
          |        (100000 * n_tok) // total AS quota,
@@ -416,7 +422,8 @@ object Curation {
          |  (quota + CASE WHEN rn <= slots_left THEN 1 ELSE 0 END)::BIGINT AS alloc
          |FROM r ORDER BY source""".stripMargin,
     "pack_sequences" ->
-      s"""WITH t AS (SELECT source, doc_id, len($ToksNE)::BIGINT AS n_tok FROM documents),
+      s"""WITH ${Shared.BpeDocTokCte},
+         |t AS (SELECT source, doc_id, n_tok FROM bpe_n),
          |b AS (SELECT source, doc_id, n_tok,
          |        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before

@@ -202,9 +202,11 @@ object Pipeline {
     */
   def tokenBudgetSample(s: SparkSession, d: String, budget: Long = 2000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // admitted tokens are charged in the real currency (learned BPE)
     val scored = docs(s, d).select(col("doc_id"), col("lang"),
       TextFns.qualityScore(col("text")).as("quality"),
-      size(Dedup.tokensNE(col("text"))).cast("long").as("n_tok"))
+      graft.functions.Bpe.countSubwords(
+        col("text"), Quality.bpeMerges(s, d)).as("n_tok"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -761,9 +763,10 @@ object Pipeline {
          |FROM t WHERE tok IN ('spark', 'data', 'merge', 'the')
          |GROUP BY tok ORDER BY tok""".stripMargin,
     "token_budget_sample" ->
-      s"""WITH t AS (
-         |  SELECT d.doc_id, d.lang, q.quality, len($ToksNE)::BIGINT AS n_tok
-         |  FROM documents d JOIN ($QualityOracle) q ON d.doc_id = q.doc_id),
+      s"""WITH ${Shared.BpeDocTokCte},
+         |t AS (
+         |  SELECT n.doc_id, n.lang, q.quality, n.n_tok
+         |  FROM bpe_n n JOIN ($QualityOracle) q ON n.doc_id = q.doc_id),
          |c AS (
          |  SELECT lang, n_tok, quality,
          |    sum(n_tok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id

@@ -315,32 +315,68 @@ object Quality {
       .orderBy(col("w1"), col("w2"))
   }
 
-  // --- BPE-ish token counting -------------------------------------------
+  // --- learned-BPE token counting ---------------------------------------
 
-  /** Subword token counting, the budget currency of an LLM corpus: a
+  private val bpeMergeCache =
+    new scala.collection.concurrent.TrieMap[String, Array[String]]()
+
+  /** The learned BPE merge table for testdata dir `d` — trained once per
+    * JVM and reused by every consumer (the trained-artifact posture of
+    * the IVF centroids: in production the tokenizer is trained once and
+    * shipped to every job). The distributed part is the word-frequency
+    * aggregation (a groupBy/count over all alpha runs); the merge loop
+    * runs driver-side over the bounded top-4096 vocabulary cut — see
+    * [[graft.functions.Bpe]] for why that split is the standard one.
+    * Vocabulary ties break on (count desc, word asc): deterministic.
+    */
+  def bpeMerges(s: SparkSession, d: String): Array[String] =
+    bpeMergeCache.getOrElseUpdate(d, {
+      val words = docs(s, d).select(
+          explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(4096)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.functions.Bpe.train(words, 200)
+    })
+
+  /** Subword token counting, the budget currency of an LLM corpus: the
     * GPT-2-style pre-tokenizer regex splits text into alpha runs, single
-    * digits, and single punctuation marks, then alpha runs are charged
-    * ceil(len/4) subwords (the ~4-chars-per-BPE-token rule of thumb) and
-    * everything else 1. Map-only: `regexp_extract_all` + an `aggregate`
-    * fold per row, no shuffle before the final presentation sort. The
-    * integer `(len+3) div 4` keeps both engines exact.
+    * digits, and single punctuation marks; alpha runs are charged their
+    * REAL learned-BPE segment count under [[bpeMerges]] (round-5's
+    * `ceil(len/4)` approximation is gone) and everything else 1.
+    * Map-only: one codegen'd expression pass per row, no shuffle before
+    * the final presentation sort. The DuckDB oracle recomputes the sum
+    * from raw text joined against the [[bpeWordTokens]] dump (Verify
+    * substitutes the dump path), whose per-word counts are in turn
+    * pinned exactly by BpeSpec's independent encoder formulation.
     */
   def tokenCountBpe(s: SparkSession, d: String): DataFrame =
-    tokenCountBpeOf(docs(s, d)).orderBy(col("doc_id"))
+    tokenCountBpeOf(docs(s, d), bpeMerges(s, d)).orderBy(col("doc_id"))
 
   /** The counting battery over any (doc_id, text) frame — split out so
     * specs can pin known strings without a parquet detour.
     */
-  private[graft] def tokenCountBpeOf(in: DataFrame): DataFrame = {
-    val toks = regexp_extract_all(col("text"),
-      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"), lit(0))
-    in.select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_pieces"),
-        aggregate(col("toks"), lit(0L), (acc, t) =>
-          acc + when(t.rlike("^[A-Za-z]+$"),
-            ((length(t) + lit(3)).cast("long").divide(lit(4))).cast("long"))
-            .otherwise(lit(1L))).as("n_subwords"))
+  private[graft] def tokenCountBpeOf(in: DataFrame, merges: Array[String]): DataFrame =
+    in.select(col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit(graft.functions.Bpe.PreTokenRe), lit(0))).cast("long").as("n_pieces"),
+      graft.functions.Bpe.countSubwords(col("text"), merges).as("n_subwords"))
+
+  /** (word, n_tokens) for EVERY distinct alpha run in the corpus — the
+    * materialized encoder table the DuckDB oracles join against
+    * (corpus-complete by construction: built from the same pre-tokenizer
+    * alpha pattern). Rows-only in the driver gate (BPE encoding is not
+    * SQL-expressible); BpeSpec pins every row against the independent
+    * apply-merges-in-learned-order encoder.
+    */
+  def bpeWordTokens(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    docs(s, d).select(
+        explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("word"))
+      .distinct()
+      .select(col("word"),
+        graft.functions.Bpe.countSubwords(col("word"), merges).as("n_tokens"))
+      .orderBy(col("word"))
   }
 
   // --- registration -----------------------------------------------------
@@ -357,6 +393,7 @@ object Quality {
     "bigram_lm_topk" -> bigramLmTopk,
     "typo_pairs" -> typoPairs,
     "token_count_bpe" -> tokenCountBpe,
+    "bpe_word_tokens" -> bpeWordTokens,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -483,13 +520,12 @@ object Quality {
          |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
          |ORDER BY w1, w2""".stripMargin,
     "token_count_bpe" ->
-      """WITH t AS (SELECT doc_id,
-        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]') AS toks
-        |  FROM documents)
-        |SELECT doc_id, len(toks)::BIGINT AS n_pieces,
-        |  coalesce(list_sum(list_transform(toks,
-        |    t -> CASE WHEN regexp_full_match(t, '[A-Za-z]+')
-        |              THEN (length(t) + 3) // 4 ELSE 1 END)), 0)::BIGINT AS n_subwords
-        |FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH ${Shared.BpeDocTokCte},
+         |p AS (SELECT doc_id,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]'))::BIGINT
+         |      AS n_pieces
+         |  FROM documents)
+         |SELECT p.doc_id, p.n_pieces, n.n_tok AS n_subwords
+         |FROM p JOIN bpe_n n USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

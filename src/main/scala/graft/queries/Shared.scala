@@ -15,6 +15,26 @@ private[queries] object Shared {
   val ToksNE =
     "list_filter(string_split_regex(text, '[ \t\n\r]'), t -> t <> '')"
 
+  /** DuckDB CTE block (paste after `WITH `): per-doc learned-BPE subword
+    * counts as `bpe_n(doc_id, source, lang, n_tok)`, recomputed from raw
+    * text — the same pre-tokenizer regex as the Spark side — joined
+    * against the `bpe_word_tokens` dump (`{OUT}` is substituted with the
+    * absolute output dir by Verify at dump time; the word table's own
+    * counts are pinned exactly by BpeSpec). Docs with no pieces count 0.
+    */
+  val BpeDocTokCte =
+    """bpe_u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+      |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS tok FROM documents),
+      |bpe_w AS (SELECT word, n_tokens
+      |          FROM read_parquet('{OUT}/bpe_word_tokens/*.parquet')),
+      |bpe_c AS (SELECT u.doc_id,
+      |    sum(CASE WHEN regexp_full_match(u.tok, '[A-Za-z]+')
+      |        THEN w.n_tokens ELSE 1 END)::BIGINT AS n_tok
+      |    FROM bpe_u u LEFT JOIN bpe_w w ON u.tok = w.word GROUP BY u.doc_id),
+      |bpe_n AS (SELECT d.doc_id, d.source, d.lang,
+      |    coalesce(c.n_tok, 0)::BIGINT AS n_tok
+      |    FROM documents d LEFT JOIN bpe_c c ON d.doc_id = c.doc_id)""".stripMargin
+
   /** Driver-sortable-output serialization, single-sourced: an array
     * column flattened to a ','-joined string (the harness row-sorts in
     * pandas, where array cells are unhashable — see CoreQueriesSpec's

@@ -187,4 +187,25 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  private val partitionedOrdersCache =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Path of the month-partitioned orders artifact for testdata dir `d`
+    * — written once per JVM via [[writePartitioned]] (12 `omonth=<m>`
+    * directories, one file each). The production posture: the
+    * partitioned fact table is written ONCE by the ingest job and every
+    * consumer reads it back; [[graft.queries.Analytics.dppJoin]] is the
+    * declared consumer exercising dynamic partition pruning over it.
+    */
+  def partitionedOrders(s: SparkSession, d: String): String =
+    partitionedOrdersCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dpp-orders").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        org.apache.spark.sql.functions.round(col("o_totalprice") * 100)
+          .cast("long").as("cents"),
+        org.apache.spark.sql.functions.month(col("o_orderdate")).as("omonth"))
+      writePartitioned(o, dir, "omonth")
+      dir
+    })
 }

@@ -170,6 +170,28 @@ class LayoutSpec extends SparkSuite {
     assert(q.count() == expect && expect > 0)
   }
 
+  test("dpp_join: DynamicPruningExpression lands on the partitioned fact scan") {
+    val q = graft.queries.Analytics.dppJoin(spark, sf0001)
+    // the quarter filter is not a literal month predicate, so only
+    // DYNAMIC pruning (broadcast-result reuse feeding the scan's
+    // partition filter) keeps the 9 non-Q2 directories unread — the
+    // plan must carry it on the FileScan, not re-read everything and
+    // filter post-join
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruningexpression"), plan.take(1200))
+    // and the answer is the unpartitioned formulation's answer
+    val o = Tables.orders(spark, sf0001).select(
+      month(col("o_orderdate")).as("m"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("m").between(4, 6))
+    val expect = o.groupBy(col("m"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val got = q.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(4, 5, 6))
+    assert(got == expect)
+  }
+
   test("compactParquet collapses a small-file explosion without losing rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val li = Tables(spark, sf0001, "lineitem")

@@ -108,14 +108,24 @@ class QualitySpec extends SparkSuite {
     }
   }
 
-  test("token_count_bpe: pre-tokenizer pieces and subword charges on known strings") {
+  test("token_count_bpe: pre-tokenizer pieces and learned-BPE charges on known strings") {
     import spark.implicits._
-    // "Hello"->2 (ceil 5/4), ","->1, "world"->2, "4"->1, "2"->1, "abc"->1
+    val merges = graft.queries.Quality.bpeMerges(spark, sf0001)
+    val texts = Seq((1L, "Hello, world 42abc"), (2L, "a"), (3L, "supercalifragilistic"), (4L, ""))
+    // expectations from the INDEPENDENT in-learned-order encoder (BpeRef)
+    val expect = texts.map { case (id, t) =>
+      (id, BpeRef.pretokenize(t).length.toLong, BpeRef.countText(t, merges))
+    }.toSet
     val rows = graft.queries.Quality.tokenCountBpeOf(
-        Seq((1L, "Hello, world 42abc"), (2L, "a"), (3L, "supercalifragilistic"))
-          .toDF("doc_id", "text"))
+        texts.toDF("doc_id", "text"), merges)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(rows == Set((1L, 6L, 8L), (2L, 1L, 1L), (3L, 1L, 5L)))
+    assert(rows == expect)
+    // the single-char and unseen-long-word edges still behave: "a" is one
+    // piece/one subword; an out-of-vocab run never charges more than its
+    // length or less than 1
+    assert(rows.contains((2L, 1L, 1L)))
+    val (_, p3, s3) = rows.find(_._1 == 3L).get
+    assert(p3 == 1L && s3 >= 1L && s3 <= 20L)
   }
 
   test("bigram_lm_topk: <=3 continuations per token, counts non-increasing") {
