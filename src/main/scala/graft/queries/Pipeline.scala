@@ -167,6 +167,53 @@ object Pipeline {
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, d))
 
+  /** Full-corpus SimHash signature table (doc_id, simhash) — the
+    * materialized fingerprint artifact dedup_simhash buckets over,
+    * declared so the driver dumps it and [[simhashHamming]]'s DuckDB
+    * twin can read it back. Rows-only in the driver gate (djb2's 64-bit
+    * wraparound is not DuckDB-expressible); every signature is pinned by
+    * PipelineSpec's scalar-reference recompute (djb2 + bit-vote in plain
+    * Scala over the collected shingle sets).
+    */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashes(docs(s, d)).orderBy(col("doc_id"))
+
+  /** Bounded exact-hamming twin of dedup_simhash's verify stage (the
+    * ngram_jaccard pattern): all (id1 < id2) pairs of the doc_id < 500
+    * slice with `bit_count(xor)` distance <= 16 — computed independently
+    * by DuckDB from the dumped [[simhashSignatures]] table, so the
+    * pair/XOR/popcount semantics of the LSH verify are oracle-pinned
+    * even though the LSH bucketing itself is not SQL-expressible. The id
+    * bound keeps the pairwise stage O(1) in the scale factor.
+    */
+  def simhashHamming(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.simhashes(docs(s, d).filter(col("doc_id") < 500))
+    val a = sh.select(col("doc_id").as("id1"), col("simhash").as("h1"))
+    val b = sh.select(col("doc_id").as("id2"), col("simhash").as("h2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 16)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Bounded exact-cosine twin of embedding_neardup's verify stage: all
+    * (id1 < id2) pairs of the vec_id < 300 slice with rounded cosine >=
+    * 0.35 (the declared near-dup threshold), recomputed by DuckDB with
+    * the same sequential left-fold the codegen'd CosineSimExpr runs —
+    * the embedding_topk parity discipline, extended to pairs.
+    */
+  def embeddingCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(VectorFns.cosine(col("e1"), col("e2")), 6).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Per-document token statistics (reference-semantics tokens + BPE-ish
     * subword count).
     */
@@ -502,6 +549,48 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide duplicate-SPAN report — the Lee-et-al-style exact-
+    * substring dedup signal the doc-level family (exact/near/
+    * containment) can't see: WHICH 8-token spans recur across documents.
+    * Inverted index on the span fingerprint: tokenize, slide an 8-token
+    * window (positional — repeats within a doc count as occurrences, so
+    * no array_distinct), explode to (span, doc) postings, hash-groupBy
+    * the 60-bit sha-fingerprint (the cross-engine table_checksum idiom),
+    * keep hashes seen in >= 2 distinct docs. One bucketed shuffle on the
+    * hash with map-side partial aggregation — never a pairwise stage, so
+    * it scales like wordcount, not like a join. The listed doc sample is
+    * capped at 10 (a boilerplate span at 100 TB can live in millions of
+    * docs; n_docs/n_occurrences stay exact — the cap bounds only the
+    * display list). Suffix-array machinery (the paper's exact tool)
+    * finds maximal spans; the fixed-width shingle index is the
+    * Spark-native equivalent signal at a fraction of the machinery.
+    */
+  def duplicateSpans(s: SparkSession, d: String): DataFrame =
+    duplicateSpansOf(docs(s, d))
+
+  /** Split out so the planted-duplicate spec runs on a literal frame. */
+  private[graft] def duplicateSpansOf(in: DataFrame): DataFrame = {
+    val spans = in.select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - lit(7)),
+        i => concat_ws(" ",
+          element_at(col("ts"), i), element_at(col("ts"), i + lit(1)),
+          element_at(col("ts"), i + lit(2)), element_at(col("ts"), i + lit(3)),
+          element_at(col("ts"), i + lit(4)), element_at(col("ts"), i + lit(5)),
+          element_at(col("ts"), i + lit(6)), element_at(col("ts"), i + lit(7)))))
+        .as("span"))
+    spans
+      .groupBy(conv(substring(sha2(col("span"), 256), 1, 15), 16, 10)
+        .cast("long").as("span_hash"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        Shared.csv(slice(sort_array(collect_set(col("doc_id"))), 1, 10))
+          .as("sample_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span_hash"))
+  }
+
   /** The canonical train/valid/test (80/10/10) assignment — ONE
     * definition shared by the gated query and the curation example.
     * Knuth multiplicative hash on doc_id reduced mod 2^31-1 first, so
@@ -564,6 +653,7 @@ object Pipeline {
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_kept" -> dedupKept,
+    "duplicate_spans" -> duplicateSpans,
     "dedup_exact" -> dedupExact,
     // SURVEY.md §2 tier C name for the MinHash/LSH near-dup operator
     // (dedupMinhash; a second "dedup_minhash" alias ran the suite's most
@@ -574,6 +664,9 @@ object Pipeline {
     "embedding_topk" -> embeddingTopk,
     "embedding_topk_ivf" -> embeddingTopkIvf,
     "embedding_neardup" -> embeddingNearDup,
+    "simhash_signatures" -> simhashSignatures,
+    "simhash_hamming" -> simhashHamming,
+    "embedding_cosine_pairs" -> embeddingCosinePairs,
     "text_stats" -> textStats,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
@@ -687,7 +780,40 @@ object Pipeline {
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
         |  count(*)::BIGINT AS n_copies
         | FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
-    // dedup_minhash / dedup_simhash / embedding_neardup: LSH — rows-only.
+    "duplicate_spans" ->
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
+         |s AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+         |        i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3],
+         |                       ts[i+4], ts[i+5], ts[i+6], ts[i+7]))) AS span
+         |      FROM t WHERE len(ts) >= 8)
+         |SELECT ('0x' || substr(sha256(span), 1, 15))::BIGINT AS span_hash,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_occurrences,
+         |  array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS sample_docs
+         |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span_hash""".stripMargin,
+    // dedup_minhash / dedup_simhash / embedding_neardup: LSH — rows-only
+    // (their verify stages are oracle-pinned by the bounded twins below
+    // plus ngram_jaccard).
+    "simhash_hamming" ->
+      """WITH s AS (SELECT doc_id, simhash
+        |           FROM read_parquet('{OUT}/simhash_signatures/*.parquet')
+        |           WHERE doc_id < 500)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+        |ORDER BY id1, id2""".stripMargin,
+    "embedding_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+        |SELECT id1, id2, sim FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y))), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.35 ORDER BY id1, id2""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),

@@ -295,4 +295,62 @@ class PipelineSpec extends SparkSuite {
     assert(expected.nonEmpty, "split must cross at least one near-dup pair")
     assert(got === expected)
   }
+
+  test("simhash_signatures: every signature equals a scalar djb2+bit-vote recompute") {
+    // independent reference: re-derive each doc's 3-token shingles in
+    // plain Scala, hash with the scalar Djb2.hash, bit-vote — no
+    // Catalyst expression in the loop
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = graft.queries.Pipeline.simhashSignatures(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, sig) =>
+      val toks = docs(id).split("[ \t\n\r]").filter(_.nonEmpty)
+      val shingles = toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq.distinct
+      val acc = new Array[Int](64)
+      shingles.foreach { sh =>
+        val h = graft.functions.Djb2.hash(sh)
+        (0 until 64).foreach(i =>
+          acc(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1))
+      }
+      var ref = 0L
+      (0 until 64).foreach(i => if (acc(i) > 0) ref |= (1L << i))
+      assert(sig == ref, s"doc $id")
+    }
+  }
+
+  test("duplicate_spans: planted shared span is found, span-exactly, and nothing else") {
+    import spark.implicits._
+    // docs 1 and 2 share an exact 10-token run => exactly 3 shared
+    // 8-token spans (10-8+1), each n_docs=2; doc 3 shares nothing; the
+    // repeated span inside doc 4 alone must NOT appear (n_docs=1)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val df = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared five six seven"),
+      (3L, "completely different words with no overlap at all here ok"),
+      (4L, "rep rep rep rep rep rep rep rep rep rep rep rep")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.Pipeline.duplicateSpansOf(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 3, got.mkString(";"))
+    got.foreach { case (nDocs, nOcc, sample) =>
+      assert(nDocs == 2L && nOcc == 2L && sample == "1,2")
+    }
+    // and the hashes are exactly the fingerprints of the 3 shared spans
+    val toks = shared.split(" ")
+    val spans = (0 to 2).map(i => toks.slice(i, i + 8).mkString(" "))
+    val expectHashes = spans.map { sp =>
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(sp.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    }.sorted
+    val gotHashes = graft.queries.Pipeline.duplicateSpansOf(df).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(gotHashes == expectHashes)
+  }
 }
