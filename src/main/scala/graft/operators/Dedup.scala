@@ -166,7 +166,7 @@ object Dedup {
     * pileups but can lose pairs whose hub fails downstream verification —
     * callers default it OFF (Int.MaxValue) and expose it as a scale knob.
     */
-  private def pairsOf(ids: Column, starThreshold: Int): Column =
+  private[graft] def pairsOf(ids: Column, starThreshold: Int): Column =
     when(size(ids) > starThreshold,
       transform(slice(ids, lit(2), size(ids)), y =>
         struct(element_at(ids, 1).as("id1"), y.as("id2"))))
