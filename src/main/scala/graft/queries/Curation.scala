@@ -50,6 +50,39 @@ object Curation {
       .orderBy(col("source"), col("bin_id"))
   }
 
+  /** Global concat-and-chunk: the OTHER standard pretraining layout.
+    * [[packSequences]] packs whole docs into per-source bins (boundary
+    * packing, parallel by shard); this one lays the WHOLE corpus
+    * end-to-end in doc_id order and cuts fixed 4096-char context
+    * windows straight through document boundaries (GPT-style chunking —
+    * a window may span several docs, a long doc may span several
+    * windows). The global character offset is the scale crux: it is an
+    * exclusive prefix sum over corpus order, computed distributed by
+    * [[graft.operators.PrefixSum]] (range layout + per-partition sums +
+    * broadcast offset table — never the single-partition global
+    * window). Each doc then explodes to the windows it overlaps
+    * (`sequence(off div W, (off+len-1) div W)`) and one hash aggregate
+    * profiles every window. Chars stand in for tokens so the oracle is
+    * pure integer arithmetic; production runs the same plan on the
+    * learned-BPE counts ([[Quality.tokenCountBpe]]'s currency).
+    */
+  def chunkWindows(s: SparkSession, d: String): DataFrame = {
+    val W = 4096L
+    val dd = docs(s, d).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"))
+    graft.operators.PrefixSum.exclusive(dd, Seq(col("doc_id")), col("n_chars"), "off")
+      .select(col("doc_id"), col("n_chars"), col("off"),
+        explode(sequence(expr(s"off div $W"),
+          expr(s"(off + n_chars - 1) div $W"))).as("window_id"))
+      .withColumn("chars_in",
+        least(col("window_id") * W + W, col("off") + col("n_chars"))
+          - greatest(col("window_id") * W, col("off")))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars_in")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("window_id"))
+  }
+
   // --- PII redaction ----------------------------------------------------
 
   // private[graft]: CurationSpec audits residual patterns with the SAME
@@ -380,6 +413,7 @@ object Curation {
     "weighted_sample" -> weightedSample,
     "token_allocation" -> ((s, d) => tokenAllocation(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "chunk_windows" -> chunkWindows,
     "pii_scrub" -> piiScrub,
     "stratified_sample" -> stratifiedSample,
     "bm25" -> bm25,
@@ -431,6 +465,21 @@ object Curation {
          |SELECT source, (cum_before // 2048)::BIGINT AS bin_id,
          |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
          |FROM b GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+    "chunk_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM documents WHERE n_chars > 0),
+        |e AS (
+        |  SELECT doc_id, n_chars, off,
+        |    unnest(generate_series(off // 4096, (off + n_chars - 1) // 4096))::BIGINT AS window_id
+        |  FROM d)
+        |SELECT window_id, count(*)::BIGINT AS n_docs,
+        |  sum(least(window_id * 4096 + 4096, off + n_chars)
+        |      - greatest(window_id * 4096, off))::BIGINT AS n_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e GROUP BY window_id ORDER BY window_id""".stripMargin,
     "pii_scrub" ->
       """WITH a AS (
         |  SELECT doc_id,

@@ -13,8 +13,12 @@ object PlanDump {
       System.err.println("usage: PlanDump <sfDir> <queryName> [moreQueryNames...]")
       sys.exit(2)
     }
-    val sfDir = args(0)
-    val names = args.drop(1).toSeq
+    // -run: execute each query first so the printed adaptive plan is the
+    // FINAL one (runtime exchange/stage reuse only appears post-execution)
+    val run = args.contains("-run")
+    val rest = args.filterNot(_ == "-run")
+    val sfDir = rest(0)
+    val names = rest.drop(1).toSeq
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     if (unknown.nonEmpty) {
       System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
@@ -29,6 +33,7 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (run) df.collect()
       // println (not log) — the whole point is stdout you can grep
       println(s"=== $name OPTIMIZED ===")
       println(df.queryExecution.optimizedPlan.treeString)

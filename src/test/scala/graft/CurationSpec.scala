@@ -152,4 +152,58 @@ class CurationSpec extends SparkSuite {
     val merged = perShard.sortBy { case (id, k) => (-k, id) }.take(20)
     assert(merged == global, "A-ES: union of shard top-20s re-topped == global top-20")
   }
+
+  test("PrefixSum.exclusive equals the sequential scan and stays distributed") {
+    val df = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val got = graft.operators.PrefixSum
+      .exclusive(df, Seq(col("o_orderkey")), col("cents"), "off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var acc = 0L
+    val expect = got.map(t => (t._1, t._2)).sortBy(_._1).map { case (k, v) =>
+      val r = (k, v, acc); acc += v; r
+    }
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("chunk_windows: full windows, conserved chars, distributed prefix (one range exchange, reused)") {
+    val q = Curation.chunkWindows(spark, sf0001)
+    val rows = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalChars = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("n_chars") > 0).agg(sum("n_chars")).collect()(0).getLong(0)
+    // windows are contiguous from 0; every window except the last holds
+    // exactly 4096 chars; chars are conserved; doc spans are monotone
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong))
+    rows.init.foreach { w => assert(w._3 == 4096L, s"window ${w._1} not full") }
+    assert(rows.map(_._3).sum == totalChars)
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(0)._5 >= p(1)._4 - 1 && p(0)._5 <= p(1)._4,
+        "a window's last doc must be the next window's first doc or its predecessor")
+    }
+    // scale guards: the plan must never funnel DATA through one task.
+    // The only SinglePartition exchange allowed is the offset fold —
+    // it receives one partial_collect_list row per upstream partition
+    // (≤ shuffle.partitions rows), like the scalar-count exception in
+    // the equidepth guard. And after execution the final adaptive plan
+    // must materialize the range layout ONCE (ReuseExchange dedupes the
+    // offset branch — a second live range exchange means the corpus is
+    // scanned and shuffled twice)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("Initial Plan")(0)
+    val lines = plan.linesIterator.toIndexedSeq
+    val spIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("SinglePartition") => i
+    }
+    assert(spIdx.forall(i => lines.drop(i + 1).take(2)
+      .exists(_.contains("partial_collect_list"))),
+      "a SinglePartition exchange fed by anything but the per-partition " +
+        "sums fold is the global-funnel anti-pattern:\n" + plan.take(1200))
+    val liveRange = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning(doc_id") && !l.contains("ReusedExchange"))
+    assert(liveRange == 1,
+      s"expected exactly one live range exchange, got $liveRange:\n${finalPlan.take(1500)}")
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(1500))
+  }
 }
