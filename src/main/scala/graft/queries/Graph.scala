@@ -73,9 +73,54 @@ object Graph {
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
 
+  /** Parts supplied by more suppliers than this are dropped from pair
+    * generation (NOT from degrees) — the standard stop-part cut in
+    * bipartite projection. A hub part with h suppliers emits h(h-1)
+    * pairs; one 100k-supplier hub in a 100 TB corpus would alone emit
+    * 10^10 rows, so co-occurrence mining always declares this cap (cf.
+    * stopword removal in collocation mining). No-op at test scale
+    * (TPC-H part-supplier fan-in is single-digit) but part of the
+    * declared semantics, mirrored in the oracle.
+    */
+  private val ProjectionHubCap = 256
+
+  /** Nearest neighbor per supplier in the co-supply graph — link
+    * prediction over the BIPARTITE PROJECTION of supplier↔part. The
+    * projection is the classic scale hazard (it squares every part's
+    * supplier list), handled the same way as the dedup family: group by
+    * part, explode ordered pairs from the sorted in-row list
+    * ([[graft.operators.Dedup.pairsOf]] — one bucketed aggregate, never
+    * an all-pairs join), cap hubs at [[ProjectionHubCap]]. Similarity is
+    * exact integer Jaccard in basis points over part sets
+    * (`common·10⁴ div (d1+d2−common)`); the per-supplier argmax runs on
+    * the TopKPerGroup heap at k=1 with a stated tie-break (smaller
+    * neighbor id), so the result is oracle-exact.
+    */
+  def cosupplyNeighbors(s: SparkSession, d: String): DataFrame = {
+    val sp = edgeTable(s, d).filter(col("src") < PartOffset)
+      .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
+    val deg = sp.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+    val half = sp.groupBy(col("pk"))
+      .agg(sort_array(collect_list(col("sk"))).as("sks"))
+      .filter(size(col("sks")) > 1 && size(col("sks")) <= ProjectionHubCap)
+      .select(explode(graft.operators.Dedup.pairsOf(col("sks"), Int.MaxValue)).as("p"))
+      .select(col("p.id1").as("s1"), col("p.id2").as("s2"))
+    val pairs = half.union(half.select(col("s2").as("s1"), col("s1").as("s2")))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
+    val scored = pairs
+      .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
+      .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
+      .withColumn("jac_bp", expr("(common * 10000) div (d1 + d2 - common)"))
+      .select(col("s1"), col("s2"), col("common"), col("jac_bp"))
+    graft.plans.TopKPerGroup(scored, Seq("s1"),
+      Seq(col("jac_bp").desc, col("s2")), 1)
+      .orderBy(col("s1"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerank,
     "degree_histogram" -> degreeHistogram,
+    "cosupply_neighbors" -> cosupplyNeighbors,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +153,19 @@ object Graph {
         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1)
         |SELECT deg, count(*)::BIGINT AS n_nodes FROM deg
         |GROUP BY 1 ORDER BY deg""".stripMargin,
+    "cosupply_neighbors" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |deg AS (SELECT sk, count(*)::BIGINT AS deg FROM sp GROUP BY sk),
+        |ok AS (SELECT pk FROM sp GROUP BY pk
+        |       HAVING count(*) > 1 AND count(*) <= 256),
+        |pr AS (SELECT a.sk AS s1, b.sk AS s2, count(*)::BIGINT AS common
+        |       FROM sp a JOIN ok USING (pk) JOIN sp b USING (pk)
+        |       WHERE a.sk <> b.sk GROUP BY 1, 2),
+        |j AS (SELECT s1, s2, common,
+        |        (common * 10000) // (d1.deg + d2.deg - common) AS jac_bp
+        |      FROM pr JOIN deg d1 ON pr.s1 = d1.sk JOIN deg d2 ON pr.s2 = d2.sk),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY s1 ORDER BY jac_bp DESC, s2) AS rn FROM j)
+        |SELECT s1, s2, common, jac_bp FROM r WHERE rn = 1 ORDER BY s1""".stripMargin,
   )
 }

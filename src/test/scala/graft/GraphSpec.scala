@@ -62,4 +62,33 @@ class GraphSpec extends SparkSuite {
     val ex = intercept[IllegalArgumentException](PageRank.run(directed, 2))
     assert(ex.getMessage.contains("dangling"))
   }
+
+  test("cosupply_neighbors equals the brute-force per-supplier argmax") {
+    val sp = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parts = sp.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val byPart = sp.groupBy(_._2)
+    // mirror the declared semantics: pairs only via non-hub parts with >1
+    // supplier; degrees stay full
+    val okParts = byPart.filter { case (_, v) =>
+      v.length > 1 && v.length <= 256 }.keySet
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    sp.filter(e => okParts(e._2)).groupBy(_._2).values.foreach { es =>
+      val sks = es.map(_._1).sorted
+      for (a <- sks; b <- sks if a != b) common((a, b)) = common.getOrElse((a, b), 0L) + 1
+    }
+    val expect = common.keys.groupBy(_._1).map { case (s1, ks) =>
+      val best = ks.map { case (_, s2) =>
+        val c = common((s1, s2))
+        val jac = c * 10000L / (parts(s1).size + parts(s2).size - c)
+        (jac, s2, c)
+      }.toSeq.sortBy { case (jac, s2, _) => (-jac, s2) }.head
+      s1 -> (best._2, best._3, best._1)
+    }
+    val got = graft.queries.Graph.cosupplyNeighbors(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
 }
