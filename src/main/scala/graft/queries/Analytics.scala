@@ -176,18 +176,26 @@ object Analytics {
     * composing the vocab pipeline ([[vocabIdf]]) with the custom
     * TopKPerGroup heap operator — per-doc term selection with no
     * per-group sort at any scale. Term frequency and document frequency
-    * come from one occurrence explode + two hash aggregates; idf joins
-    * back on `tok` (a plain shuffled equi-join at scale) with the corpus
-    * size broadcast as a 1-row scalar.
+    * come from ONE occurrence explode + (doc,tok) aggregate evaluated
+    * once: the dfreq branch keeps a no-op reference to the `tf` count
+    * so column pruning cannot specialize its subtree (a pruned branch
+    * is no longer canonically equal to the scored branch, which defeats
+    * AQE's exchange reuse and re-runs the whole tokenize+aggregate
+    * pipeline — measured 2x the scan work). idf joins back as an
+    * EXPLICIT broadcast: dfreq is vocabulary-sized (sublinear in the
+    * corpus — partial aggregation collapses it map-side) while tf is
+    * data-sized; left to its size estimates at sf0.01 AQE broadcast the
+    * wrong (data-sized) side, a plan that dies at 100 TB.
     */
   def tfIdf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val occ = docs.select(col("doc_id"),
       explode(filter(TextFns.tokens(col("text")), t => length(t) > 0)).as("tok"))
     val tf = occ.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreq = tf.filter(col("tf") > 0) // no-op: keeps the subtree identical
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+    val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf"),
         (col("tf").cast("double") *
           round(log((col("n_docs") + 1).cast("double") /

@@ -586,14 +586,19 @@ object Pipeline {
           element_at(col("ts"), i + lit(4)), element_at(col("ts"), i + lit(5)),
           element_at(col("ts"), i + lit(6)), element_at(col("ts"), i + lit(7)))))
         .as("span"))
+    // n_docs comes from size(collect_set) rather than count_distinct:
+    // a distinct aggregate next to the set collect makes Catalyst plan
+    // the two-level distinct rewrite — a SECOND full shuffle of the
+    // span postings on (hash, doc_id) — when the set being collected
+    // anyway already holds the answer
     spans
       .groupBy(conv(substring(sha2(col("span"), 256), 1, 15), 16, 10)
         .cast("long").as("span_hash"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
-        Shared.csv(slice(sort_array(collect_set(col("doc_id"))), 1, 10))
-          .as("sample_docs"))
-      .filter(col("n_docs") >= 2)
+      .agg(count(lit(1)).as("n_occurrences"),
+        sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("span_hash"), size(col("ds")).cast("long").as("n_docs"),
+        col("n_occurrences"), Shared.csv(slice(col("ds"), 1, 10)).as("sample_docs"))
       .orderBy(col("span_hash"))
   }
 
