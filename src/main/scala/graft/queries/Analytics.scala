@@ -90,6 +90,36 @@ object Analytics {
         |  count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
         |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin)
 
+  /** Population stability index between two periods — the drift monitor
+    * an ML-ops pipeline runs on every feature before retraining ("did
+    * the price distribution move?"). Reference period = orders through
+    * 1997, current = 1998 on; 16 fixed integer cents bins (the
+    * [[histogram]] binning) so bucketing is map-only; one hash
+    * aggregate counts both periods per bucket (conditional counts, not
+    * two scans); totals join back as a broadcast 1-row scalar. Counts
+    * are Laplace-smoothed (+1 per bucket) so one-sided buckets stay
+    * finite; the only doubles are the final fixed expression tree
+    * `(p_cur − p_ref) · ln(p_cur / p_ref)` rounded to 9 dp — the
+    * weighted_sample ln-parity convention.
+    */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (year(col("o_orderdate")) <= 1997).as("is_ref"))
+    val counts = o
+      .select(least(expr("cents div 4194304"), lit(15L)).as("bucket"), col("is_ref"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("is_ref"), lit(1))).as("n_ref"),
+        count(when(!col("is_ref"), lit(1))).as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"))
+    val pr = (col("n_ref") + 1L).cast("double") / (col("tot_ref") + 16L).cast("double")
+    val pc = (col("n_cur") + 1L).cast("double") / (col("tot_cur") + 16L).cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round((pc - pr) * log(pc / pr), 9).as("psi_contrib"))
+      .orderBy(col("bucket"))
+  }
+
   /** Math scalar battery over balance cents: abs/sign, IEEE-exact sqrt,
     * ln, power-of-two shift, positive modulus.
     */
@@ -799,6 +829,7 @@ object Analytics {
     "filtered_agg" -> filteredAgg,
     "window_nav" -> windowNav,
     "histogram" -> histogram,
+    "psi_drift" -> psiDrift,
     "math_funcs" -> mathFuncs,
     "gap_fill" -> gapFill,
     "vocab_idf" -> vocabIdf,
@@ -1012,6 +1043,21 @@ object Analytics {
         |  (1::BIGINT << (c_custkey % 16))::BIGINT AS pow2,
         |  (((bal % 97) + 97) % 97)::BIGINT AS mod97
         |FROM x ORDER BY c_custkey""".stripMargin,
+    "psi_drift" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (year(o_orderdate) <= 1997) AS is_ref FROM orders),
+        |b AS (SELECT least(cents // 4194304, 15) AS bucket, is_ref FROM o),
+        |c AS (SELECT bucket,
+        |        count(*) FILTER (is_ref)::BIGINT AS n_ref,
+        |        count(*) FILTER (NOT is_ref)::BIGINT AS n_cur
+        |      FROM b GROUP BY bucket),
+        |t AS (SELECT sum(n_ref)::BIGINT AS tot_ref, sum(n_cur)::BIGINT AS tot_cur FROM c)
+        |SELECT bucket, n_ref, n_cur,
+        |  round(((n_cur + 1)::DOUBLE / (tot_cur + 16)::DOUBLE
+        |         - (n_ref + 1)::DOUBLE / (tot_ref + 16)::DOUBLE)
+        |        * ln(((n_cur + 1)::DOUBLE / (tot_cur + 16)::DOUBLE)
+        |             / ((n_ref + 1)::DOUBLE / (tot_ref + 16)::DOUBLE)), 9) AS psi_contrib
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
     "gap_fill" ->
       """WITH ev AS (SELECT user_id,
         |              (epoch_us(ts) // 3600000000) * 3600000 AS hour_ms

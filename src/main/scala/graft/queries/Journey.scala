@@ -322,9 +322,44 @@ object Journey {
       .orderBy(col("event_id"))
   }
 
+  // --- snapshot diff -----------------------------------------------------
+
+  /** Two-snapshot diff by key — the read-side companion to
+    * [[mergeUpsert]] and the row-level drill-down behind
+    * `table_checksum`'s one-number verdict: after a copy/migrate/
+    * backfill, WHICH keys were added, removed, or changed. The two
+    * snapshots are deterministic slices of orders (old drops keys
+    * ≡0 mod 10, new drops ≡0 mod 7 and bumps cents on ≡0 mod 5), so
+    * every status class is populated and the oracle states the exact
+    * row set. One full-outer hash join on the key — at 100 TB both
+    * snapshots are bucketed on the key ([[graft.sources.Layout]]), so
+    * the join plans with zero Exchange; unchanged rows are filtered
+    * before the output sort.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val old = base.filter(pmod(col("k"), lit(10L)) =!= 0L)
+      .select(col("k"), col("cents").as("old_cents"))
+    val neu = base.filter(pmod(col("k"), lit(7L)) =!= 0L)
+      .select(col("k"),
+        when(pmod(col("k"), lit(5L)) === 0L, col("cents") + 1L)
+          .otherwise(col("cents")).as("new_cents"))
+    old.join(neu, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("old_cents").isNull, lit("added"))
+          .when(col("new_cents").isNull, lit("removed"))
+          .when(col("old_cents") =!= col("new_cents"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_cents"), col("new_cents"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("k"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_diff" -> snapshotDiff,
     "funnel" -> funnel,
     "window_distinct" -> windowDistinct,
     "asof_nearest" -> asofNearest,
@@ -336,6 +371,20 @@ object Journey {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |old AS (SELECT k, cents AS old_cents FROM base WHERE k % 10 <> 0),
+        |neu AS (SELECT k, CASE WHEN k % 5 = 0 THEN cents + 1 ELSE cents END
+        |          AS new_cents FROM base WHERE k % 7 <> 0),
+        |j AS (SELECT coalesce(old.k, neu.k) AS k, old_cents, new_cents,
+        |        CASE WHEN old_cents IS NULL THEN 'added'
+        |             WHEN new_cents IS NULL THEN 'removed'
+        |             WHEN old_cents <> new_cents THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+        |SELECT k, status, old_cents, new_cents FROM j
+        |WHERE status <> 'unchanged' ORDER BY k""".stripMargin,
     "funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
         |v AS (SELECT user_id, min(ts_ms) AS view_ms FROM ev
