@@ -322,6 +322,42 @@ object Journey {
       .orderBy(col("event_id"))
   }
 
+  // --- EWMA (stateful scan) ----------------------------------------------
+
+  /** Exponentially-weighted moving average of each user's event values —
+    * the per-key RECURRENCE (s_t depends on s_{t−1}'s OUTPUT) that no
+    * window frame expresses and that runs on
+    * [[graft.operators.StatefulScan]]: one hash shuffle on user_id, an
+    * in-partition sort, one streaming pass with O(1) state. α = 1/2 in
+    * EXACT INTEGER cents — `s_t = (x_t + s_{t−1}) div 2`, seeded
+    * s_0 = x_0 — so a million-event history accumulates zero float
+    * drift and the DuckDB oracle (a linear recursive CTE over the
+    * per-user row_number chain) matches bit-for-bit. The power-series
+    * "EWMA as a window sum" trick is deliberately NOT used: its
+    * 1/(1−α)^i terms overflow double past ~1000 rows per key — a
+    * small-SF-only plan.
+    */
+  def ewmaFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = Sessions.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts_ms"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("cents", LongType, nullable = false),
+      StructField("ewma_cents", LongType, nullable = false)))
+    graft.operators.StatefulScan.perKey[Long](
+      ev, "user_id", Seq(col("ts_ms"), col("event_id")), schema) { (st, r) =>
+      val cents = r.getLong(3)
+      val e = st match {
+        case None => cents
+        case Some(prev) => (cents + prev) / 2 // positive cents: div == floor
+      }
+      (e, org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), cents, e))
+    }.orderBy(col("event_id"))
+  }
+
   // --- snapshot diff -----------------------------------------------------
 
   /** Two-snapshot diff by key — the read-side companion to
@@ -360,6 +396,7 @@ object Journey {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_diff" -> snapshotDiff,
+    "ewma_features" -> ewmaFeatures,
     "funnel" -> funnel,
     "window_distinct" -> windowDistinct,
     "asof_nearest" -> asofNearest,
@@ -371,6 +408,18 @@ object Journey {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ewma_features" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT user_id, event_id, cents,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_ms, event_id) AS rn FROM ev),
+        |w AS (SELECT user_id, event_id, cents, rn, cents AS ewma FROM r WHERE rn = 1
+        |      UNION ALL
+        |      SELECT r.user_id, r.event_id, r.cents, r.rn, (r.cents + w.ewma) // 2
+        |      FROM r JOIN w ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |SELECT event_id, user_id, cents, ewma AS ewma_cents
+        |FROM w ORDER BY event_id""".stripMargin,
     "snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey AS k,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

@@ -88,6 +88,37 @@ class Journey2Spec extends SparkSuite {
     assert(sweep.nonEmpty)
   }
 
+  test("ewma_features: stateful scan equals the driver replay and never global-sorts") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._2).values.flatMap { rows =>
+      var s = 0L
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case (r, i) =>
+        s = if (i == 0) r._4 else (r._4 + s) / 2
+        r._1 -> s
+      }
+    }.toMap
+    val q = Journey.ewmaFeatures(spark, sf0001)
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.nonEmpty)
+    assert(got == expect)
+    // the scan must stay distributed — the mapPartitions seam hides the
+    // layout behind Scan ExistingRDD (as with AssignIds), so guard the
+    // exposed layout stage directly: hash clustering on the key + an
+    // in-partition sort, never a global one
+    val plan = graft.operators.StatefulScan.layout(
+      graft.streaming.Sessions.events(spark, sf0001)
+        .select(col("event_id"), col("user_id"), col("ts_ms")),
+      "user_id", Seq(col("ts_ms"), col("event_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(900))
+    assert(plan.contains(", false, 0"), "in-partition sort expected:\n" + plan.take(900))
+    assert(!plan.contains(", true, 0"), "no global sort in the layout:\n" + plan.take(900))
+    assert(!plan.contains("SinglePartition"), plan.take(900))
+  }
+
   test("token_allocation: exact budget conservation and monotone allocations") {
     val rows = graft.queries.Curation.tokenAllocation(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
