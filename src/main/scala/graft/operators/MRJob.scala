@@ -67,6 +67,50 @@ object MRJob {
       if (s.isEmpty) Iterator.empty else s.split("(?<=\n)").iterator)
   }
 
+  /** A11 — shortest-job-first task ordering (`mapreduce.c:24-29,55-71`:
+    * stat each input file, qsort ascending by size, enqueue one map job
+    * per file). Re-expressed at the same layer the reference does it —
+    * the FILE-LIST scan: list + stat the directory, sort ascending by
+    * (size, path), and schedule EXACTLY one task per file with the
+    * partition INDEX equal to the SJF rank (Spark's scheduler launches
+    * ready partitions in index order, so with fewer slots than files the
+    * smallest files run first, like the reference's thread pool dequeue).
+    * Returns (path, content) so any whole-file mapper composes on top.
+    *
+    * Scale honesty, both directions: one-task-per-file is the
+    * reference's own granularity and only right when files are many and
+    * small (the regime SJF targets); for big splittable files Spark's
+    * native scan is strictly better — and its planner already applies
+    * the OPPOSITE heuristic (largest-first bin-packing of splits, the
+    * stronger makespan bound when tasks run in parallel rather than
+    * from a shared queue). This operator exists for MR-shim parity, not
+    * as the recommended 100 TB read path.
+    */
+  def sjfFiles(spark: SparkSession, dir: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = fs.listStatus(p).filter(_.isFile)
+      .map(f => (f.getPath.toString, f.getLen))
+      .sortBy { case (path, len) => (len, path) } // total order: size, then path
+      .map(_._1).toSeq
+    spark.sparkContext
+      .parallelize(paths, math.max(1, paths.length))
+      .map { path =>
+        // tasks re-derive the FS from the path URI (a Configuration is
+        // not serializable; defaults cover file:// and cluster-default
+        // remote schemes)
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val hfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = hfs.open(hp)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          (path, new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }.toDS()
+  }
+
   /** MR_Run with the intended (race-free) semantics: map -> shuffle on key
     * -> grouped reduce. Returns the reducer's output dataset.
     */

@@ -107,4 +107,29 @@ class MRJobSpec extends SparkSuite {
     // ascending byte order: 'This' (0x54) before 'exactly' before 'word'
     assert(p5 == "This: 5000\nexactly: 5000\nword: 5000\n")
   }
+
+  test("A11 sjfFiles: one task per file, partition index = ascending-size rank") {
+    val dir = Files.createTempDirectory("graft-sjf").toString
+    // sizes deliberately NOT in name order: c < a < b
+    Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "x " * 50)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.txt"), "y " * 200)
+    Files.writeString(java.nio.file.Paths.get(dir, "c.txt"), "z")
+    val ds = graft.operators.MRJob.sjfFiles(spark, dir)
+    assert(ds.rdd.getNumPartitions == 3, "exactly one map task per input file")
+    // harvest (partitionIndex, path) pairs: the SJF contract is that the
+    // i-th partition holds the i-th smallest file
+    val order = ds.rdd.mapPartitionsWithIndex { (i, it) =>
+      it.map(r => (i, r._1.split("/").last))
+    }.collect().sortBy(_._1).map(_._2).toSeq
+    assert(order == Seq("c.txt", "a.txt", "b.txt"), order.toString)
+    // content fidelity: byte-for-byte what the files hold
+    val byName = ds.collect().map { case (p, s) => p.split("/").last -> s }.toMap
+    assert(byName("c.txt") == "z" && byName("a.txt") == "x " * 50)
+    // and the reference corpus reads identically through SJF and the
+    // native whole-file scan (multiset of contents, order aside)
+    val ref = "/root/reference/sample_inputs"
+    val sjf = graft.operators.MRJob.sjfFiles(spark, ref).collect().map(_._2).sorted
+    val native = graft.operators.MRJob.wholeFiles(spark, ref).collect().sorted
+    assert(sjf.toSeq == native.toSeq)
+  }
 }
