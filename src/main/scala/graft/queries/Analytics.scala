@@ -4,7 +4,7 @@ import graft.functions.TextFns
 import graft.operators.Skew
 import graft.sources.Tables
 import graft.streaming.Sessions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -809,7 +809,83 @@ object Analytics {
       .orderBy(col("omonth"))
   }
 
+  /** Whole-table column profiler (the first query any data-management
+    * stack runs on an unknown table — Deequ/`ANALYZE`-style): per column,
+    * row/null/exact-distinct counts and min/max, in ONE pass over the
+    * table. Values are normalized to the repo's parity currencies first
+    * (cents, epoch ms) so min/max stringify identically on both engines;
+    * numeric min/max is computed on the NATIVE value and cast to string
+    * only in the output (lexicographic "10"<"9" never happens). The six
+    * exact `count(DISTINCT)`s plan as one Expand (×7 row multiplication
+    * feeding partial aggregates — the standard exact-profiling trade;
+    * the one-pass approximate alternative is `approx_count_distinct`,
+    * exercised by approx_distinct). Output is 6 rows via `stack`.
+    */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val cols: Seq[(String, Column)] = Seq(
+      "o_custkey" -> col("o_custkey"),
+      "o_orderdate" -> unix_millis(col("o_orderdate").cast("timestamp")),
+      "o_orderkey" -> col("o_orderkey"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> round(col("o_totalprice") * 100).cast("long"))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, c) =>
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+        countDistinct(c).as(s"nd_$n"),
+        min(c).cast("string").as(s"mn_$n"),
+        max(c).cast("string").as(s"mx_$n"))
+    }
+    val stackArgs = cols.map { case (n, _) =>
+      s"'$n', nn_$n, nd_$n, mn_$n, mx_$n" }.mkString(", ")
+    Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs)" +
+        " AS (col_name, n_nulls, n_distinct, min_v, max_v)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy(col("col_name"))
+  }
+
+  private val decileCache = new graft.DfCache("analytics.deciles")
+
+  /** Decile gains table (the ML-ops lift report behind every targeting
+    * model): customers ranked by total order spend, cut into 10
+    * equal-count buckets by the DISTRIBUTED global rank
+    * ([[graft.operators.AssignIds.byOrder]] — range exchange, never a
+    * SinglePartition window; same machinery as equidepth_histogram,
+    * decile rule `(rn−1)·10 div N`), then per-decile customer count,
+    * spend, and share/cumulative-share in exact basis points. The
+    * ≤10-row decile table is persisted (its three consumers — shares,
+    * cumulative prefix, total — would otherwise re-run the rank job)
+    * and the cumulative prefix is a broadcast theta-self-join over it,
+    * the equidepth/pareto bounded-prefix pattern.
+    */
+  def decileLift(s: SparkSession, d: String): DataFrame = {
+    val bucketed = decileCache.getOrElseUpdate((s, d), {
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ranked = graft.operators.AssignIds.byOrder(
+        spend, Seq(col("cents").desc, col("o_custkey")), "rn")
+      val n = broadcast(spend.groupBy().agg(count(lit(1)).as("N")))
+      ranked.crossJoin(n)
+        .selectExpr("cents", "CAST((rn - 1) * 10 div N AS INT) AS decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+        .persist()
+    })
+    val cum = bucketed.select(col("decile").as("dk"))
+      .join(broadcast(bucketed), col("decile") <= col("dk"))
+      .groupBy(col("dk")).agg(sum(col("cents")).as("cum_cents"))
+    val tot = broadcast(bucketed.agg(sum(col("cents")).as("total")))
+    bucketed.join(broadcast(cum), col("decile") === col("dk")).crossJoin(tot)
+      .selectExpr("decile", "n_customers", "cents",
+        "(cents * 10000) div total AS share_bp",
+        "(cum_cents * 10000) div total AS cum_share_bp")
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "column_profile" -> columnProfile,
+    "decile_lift" -> decileLift,
     "dpp_join" -> dppJoin,
     "corr_agg" -> corrAgg,
     "table_checksum" -> tableChecksum,
@@ -849,6 +925,53 @@ object Analytics {
   private val ToksNE = Shared.ToksNE
 
   val oracleSql: Map[String, String] = Map(
+    "column_profile" ->
+      """WITH o AS (SELECT o_custkey,
+        |  epoch_ms(o_orderdate) AS o_orderdate_n, o_orderkey,
+        |  o_orderpriority, o_orderstatus,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_n
+        |FROM orders)
+        |SELECT 'o_custkey' AS col_name, count(*)::BIGINT AS n_rows,
+        |  count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS n_nulls,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+        |  min(o_custkey)::VARCHAR AS min_v, max(o_custkey)::VARCHAR AS max_v
+        |FROM o
+        |UNION ALL SELECT 'o_orderdate', count(*),
+        |  count(*) FILTER (WHERE o_orderdate_n IS NULL),
+        |  count(DISTINCT o_orderdate_n),
+        |  min(o_orderdate_n)::VARCHAR, max(o_orderdate_n)::VARCHAR FROM o
+        |UNION ALL SELECT 'o_orderkey', count(*),
+        |  count(*) FILTER (WHERE o_orderkey IS NULL),
+        |  count(DISTINCT o_orderkey),
+        |  min(o_orderkey)::VARCHAR, max(o_orderkey)::VARCHAR FROM o
+        |UNION ALL SELECT 'o_orderpriority', count(*),
+        |  count(*) FILTER (WHERE o_orderpriority IS NULL),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM o
+        |UNION ALL SELECT 'o_orderstatus', count(*),
+        |  count(*) FILTER (WHERE o_orderstatus IS NULL),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM o
+        |UNION ALL SELECT 'o_totalprice', count(*),
+        |  count(*) FILTER (WHERE o_totalprice_n IS NULL),
+        |  count(DISTINCT o_totalprice_n),
+        |  min(o_totalprice_n)::VARCHAR, max(o_totalprice_n)::VARCHAR FROM o
+        |ORDER BY col_name""".stripMargin,
+    "decile_lift" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER
+        |        (ORDER BY cents DESC, o_custkey) AS rn,
+        |        count(*) OVER () AS n FROM spend),
+        |b AS (SELECT ((rn - 1) * 10 // n)::INT AS decile,
+        |        count(*)::BIGINT AS n_customers, sum(cents)::BIGINT AS cents
+        |      FROM r GROUP BY 1)
+        |SELECT decile, n_customers, cents,
+        |  ((cents * 10000) // sum(cents) OVER ())::BIGINT AS share_bp,
+        |  ((sum(cents) OVER (ORDER BY decile) * 10000)
+        |    // sum(cents) OVER ())::BIGINT AS cum_share_bp
+        |FROM b ORDER BY decile""".stripMargin,
     "mad_stats" ->
       """WITH x AS (SELECT o_orderstatus AS st,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

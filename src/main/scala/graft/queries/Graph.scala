@@ -117,10 +117,104 @@ object Graph {
       .orderBy(col("s1"))
   }
 
+  /** Orders with more distinct parts than this are dropped from
+    * co-purchase pair generation — the basket-size analog of
+    * [[ProjectionHubCap]] (a k-part order emits k(k−1)/2 edges; a
+    * single pathological mega-basket must not quadratically dominate).
+    * No-op at TPC-H scale (≤7 lines per order) but declared, and
+    * mirrored in the oracle.
+    */
+  private val BasketCap = 64
+
+  private val copurchaseCache = new graft.DfCache("graph.copurchase")
+  private val orientedCache = new graft.DfCache("graph.oriented")
+
+  /** Distinct part–part co-purchase edge list (u < v: parts appearing
+    * together in at least one order). Materialized graph artifact like
+    * [[edgeTable]]: extracted once from the fact table, read by every
+    * co-occurrence job. Built by the same bucket machinery as the dedup
+    * family — group by order, explode ordered pairs from the sorted
+    * in-row list ([[graft.operators.Dedup.pairsOf]]) — never a
+    * fact-table self-join.
+    */
+  def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    copurchaseCache.getOrElseUpdate((s, d), {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_list(col("pk"))).as("pks"))
+        .filter(size(col("pks")) > 1 && size(col("pks")) <= BasketCap)
+        .select(explode(graft.operators.Dedup.pairsOf(col("pks"), Int.MaxValue)).as("p"))
+        .select(col("p.id1").as("u"), col("p.id2").as("v"))
+        .distinct()
+        .persist()
+    })
+
+  /** Degree-oriented edge list of the co-purchase graph: each edge
+    * directed from its (degree, id)-smaller endpoint to the larger, as
+    * `(deg, id)` structs so array sort order IS orientation order. The
+    * orientation bounds every out-degree by O(√m) — the invariant that
+    * makes distributed triangle counting O(m^1.5) instead of Σdeg²
+    * (Suri & Vassilvitskii, WWW'11). Persisted artifact: both the
+    * wedge side and the closing side of [[triangleCount]] read it.
+    */
+  def orientedEdges(s: SparkSession, d: String): DataFrame =
+    orientedCache.getOrElseUpdate((s, d), {
+      val e = copurchaseEdges(s, d)
+      val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(uFirst, struct(col("du").as("deg"), col("u").as("id")))
+            .otherwise(struct(col("dv").as("deg"), col("v").as("id"))).as("a"),
+          when(uFirst, struct(col("dv").as("deg"), col("v").as("id")))
+            .otherwise(struct(col("du").as("deg"), col("u").as("id"))).as("b"))
+        .persist()
+    })
+
+  /** Global triangle census of the part co-purchase graph — node/edge/
+    * wedge/triangle counts and the global clustering coefficient
+    * (3·triangles/wedges, exact integer ppm). The MapReduce-classic
+    * formulation: wedges are generated only from each node's ORIENTED
+    * out-neighborhood (grouped sorted list + [[graft.operators.Dedup
+    * .pairsOf]] — out-degree is O(√m) under degree orientation, so the
+    * explode is the algorithm's optimal O(m^1.5) bound, robust to hub
+    * nodes that would make naive Σdeg² wedge generation explode), then
+    * closed against the oriented edge set with one LEFT SEMI hash join.
+    * Every count is exact; the wedge denominator Σ deg(deg−1)/2 comes
+    * from the degree table, not from materialized wedges.
+    */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    val o = orientedEdges(s, d)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val wedges = o.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("bs"))
+      .filter(size(col("bs")) > 1)
+      .select(explode(graft.operators.Dedup.pairsOf(col("bs"), Int.MaxValue)).as("w"))
+      .select(col("w.id1.id").as("x"), col("w.id2.id").as("y"))
+    val closing = o.select(col("a.id").as("x"), col("b.id").as("y"))
+    val nTri = wedges.join(closing, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeWedge = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val nEdge = e.agg(count(lit(1)).as("n_edges"))
+    nodeWedge.crossJoin(broadcast(nEdge)).crossJoin(broadcast(nTri))
+      .selectExpr("n_nodes", "n_edges", "n_wedges", "n_triangles",
+        """CASE WHEN n_wedges = 0 THEN 0
+          |  ELSE (3 * n_triangles * 1000000) div n_wedges END AS gcc_ppm"""
+          .stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerank,
     "degree_histogram" -> degreeHistogram,
     "cosupply_neighbors" -> cosupplyNeighbors,
+    "triangle_count" -> triangleCount,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -167,5 +261,33 @@ object Graph {
         |r AS (SELECT *, row_number() OVER
         |        (PARTITION BY s1 ORDER BY jac_bp DESC, s2) AS rn FROM j)
         |SELECT s1, s2, common, jac_bp FROM r WHERE rn = 1 ORDER BY s1""".stripMargin,
+    "triangle_count" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |okc AS (SELECT ok FROM lp GROUP BY ok
+        |        HAVING count(*) > 1 AND count(*) <= 64),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM lp a JOIN okc USING (ok) JOIN lp b USING (ok)
+        |      WHERE a.pk < b.pk),
+        |deg AS (SELECT n, count(*)::BIGINT AS deg FROM
+        |          (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS x,
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS y,
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN du.deg ELSE dv.deg END AS xd,
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS yd
+        |      FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |w AS (SELECT o1.y AS x, o2.y AS y
+        |      FROM o o1 JOIN o o2
+        |        ON o1.x = o2.x AND (o1.yd, o1.y) < (o2.yd, o2.y)),
+        |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM w
+        |        WHERE EXISTS (SELECT 1 FROM o WHERE o.x = w.x AND o.y = w.y)),
+        |nw AS (SELECT count(*)::BIGINT AS n_nodes,
+        |         sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges FROM deg),
+        |ec AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges = 0 THEN 0
+        |    ELSE (3 * n_triangles * 1000000) // n_wedges END AS gcc_ppm
+        |FROM nw, ec, tri""".stripMargin,
   )
 }

@@ -247,6 +247,52 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("decile_lift: buckets and shares match a driver-side reference") {
+    val per = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }.toSeq
+    val ranked = per.sortBy { case (ck, c) => (-c, ck) }
+    val n = ranked.size
+    val total = ranked.map(_._2).sum
+    val expect = ranked.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / n } // (rn-1)*10 div N
+      .map { case (d, xs) => d.toInt -> (xs.size.toLong, xs.map(_._1._2).sum) }
+    val rows = graft.queries.Analytics.decileLift(spark, sf0001).collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (nc, cents) = expect(r.getInt(0))
+      assert(r.getLong(1) == nc, s"decile ${r.getInt(0)} count")
+      assert(r.getLong(2) == cents, s"decile ${r.getInt(0)} cents")
+      assert(r.getLong(3) == cents * 10000L / total)
+    }
+    // cumulative share telescopes monotonically to exactly 10000 bp
+    val cums = rows.map(_.getLong(4)).toSeq
+    assert(cums == cums.sorted && cums.last == 10000L)
+  }
+
+  test("decile_lift plan: the rank is distributed (no single-partition sort/window)") {
+    val plan = graft.queries.Analytics.decileLift(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(800))
+  }
+
+  test("column_profile: per-column stats match per-column recomputation") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val rows = graft.queries.Analytics.columnProfile(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("o_custkey", "o_orderdate",
+      "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    val nRows = o.count()
+    rows.foreach { r => assert(r.getLong(1) == nRows) }
+    val ck = rows.find(_.getString(0) == "o_custkey").get
+    assert(ck.getLong(2) == 0L)
+    assert(ck.getLong(3) == o.select("o_custkey").distinct().count())
+    assert(ck.getString(4).toLong == o.agg(org.apache.spark.sql.functions
+      .min("o_custkey")).head().getLong(0))
+    val st = rows.find(_.getString(0) == "o_orderstatus").get
+    assert(st.getLong(3) == o.select("o_orderstatus").distinct().count())
+  }
+
   private implicit class BoolOps(val a: Boolean) {
     def ==>(b: Boolean): Boolean = !a || b
   }

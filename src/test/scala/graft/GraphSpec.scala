@@ -91,4 +91,35 @@ class GraphSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got == expect)
   }
+
+  test("triangle_count equals a driver-side brute-force census") {
+    val lp = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = lp.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted.toIndexedSeq)
+      .filter(b => b.length > 1 && b.length <= 64)
+    val edges = baskets.flatMap(b =>
+      for (i <- b.indices; j <- i + 1 until b.length) yield (b(i), b(j))).toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val wedges = adj.values.map { s => val d = s.size.toLong; d * (d - 1) / 2 }.sum
+    // each triangle is counted once per edge by the common-neighbor scan
+    val tri = edges.toSeq.map { case (u, v) => (adj(u) & adj(v)).size.toLong }.sum / 3
+    val row = graft.queries.Graph.triangleCount(spark, sf0001).head()
+    assert(tri > 0, "test corpus must actually contain triangles")
+    assert(row.getLong(0) == adj.size.toLong)
+    assert(row.getLong(1) == edges.size.toLong)
+    assert(row.getLong(2) == wedges)
+    assert(row.getLong(3) == tri)
+    assert(row.getLong(4) == 3 * tri * 1000000L / wedges)
+  }
+
+  test("triangle_count plan: no cartesian product, no data-sized window") {
+    val plan = graft.queries.Graph.triangleCount(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("WindowExec"), plan.take(800))
+  }
 }
