@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Core.queries ++ graft.queries.Pipeline.queries ++
       graft.queries.Relational.queries ++ graft.queries.Analytics.queries ++
       graft.queries.Curation.queries ++ graft.queries.Journey.queries ++
-      graft.queries.Quality.queries ++ graft.queries.Graph.queries
+      graft.queries.Quality.queries ++ graft.queries.Graph.queries ++
+      graft.queries.Insights.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.Core.oracleSql ++ graft.queries.Pipeline.oracleSql ++
       graft.queries.Relational.oracleSql ++ graft.queries.Analytics.oracleSql ++
       graft.queries.Curation.oracleSql ++ graft.queries.Journey.oracleSql ++
-      graft.queries.Quality.oracleSql ++ graft.queries.Graph.oracleSql
+      graft.queries.Quality.oracleSql ++ graft.queries.Graph.oracleSql ++
+      graft.queries.Insights.oracleSql
 }
