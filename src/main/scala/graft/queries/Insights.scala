@@ -115,13 +115,120 @@ object Insights {
           .stripMargin)
   }
 
+  /** Per-column Shannon entropy of the orders table — the information
+    * content companion to column_profile (low entropy flags constant /
+    * near-constant columns; entropy == log2(n) flags keys). Values are
+    * normalized to the repo's parity currencies and stringified, stacked
+    * to (col_name, val) rows, counted exactly, then folded with
+    * H = (ln N − Σ c·ln c / N) / ln 2 — all counting is exact integers;
+    * doubles appear only in the final fixed expression tree at 6 dp
+    * (after the /N the summation-order wobble of Σ c·ln c is ~1e-11,
+    * three orders below the rounding step). Two hash aggregates, both
+    * map-side combinable; the 6× stack multiplication is the same
+    * exact-profiling trade column_profile documents.
+    */
+  def entropyProfile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).selectExpr(
+      "CAST(o_custkey AS STRING) AS c1",
+      "CAST(unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS STRING) AS c2",
+      "CAST(o_orderkey AS STRING) AS c3",
+      "o_orderpriority AS c4", "o_orderstatus AS c5",
+      "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING) AS c6")
+    o.select(expr("stack(6, 'o_custkey', c1, 'o_orderdate', c2, " +
+        "'o_orderkey', c3, 'o_orderpriority', c4, 'o_orderstatus', c5, " +
+        "'o_totalprice', c6) AS (col_name, val)"))
+      .groupBy(col("col_name"), col("val")).agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("c")).as("n_vals"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclnc"))
+      .selectExpr("col_name", "n_vals", "n_distinct",
+        "round((ln(CAST(n_vals AS DOUBLE)) - sclnc / CAST(n_vals AS DOUBLE))" +
+          " / ln(2.0D), 6) AS entropy_6dp")
+      .orderBy(col("col_name"))
+  }
+
+  /** Lag-1 and lag-7 autocorrelation of daily order revenue — the
+    * seasonality screen run before any forecasting model (a high lag-7
+    * value means weekly cycle). The daily series is one hash aggregate
+    * (bounded by distinct days, constant in data size at fixed history);
+    * each lag is an equi-self-join on shifted day — co-partitioned,
+    * never a window over the raw fact table — and the Pearson term uses
+    * the exact-decimal moment sums + one fixed double tree that corr_agg
+    * pinned (the two queries must stay formula-identical).
+    */
+  def autocorrDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+        .as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    def at(lag: Long): DataFrame = {
+      val j = daily.select(col("day"), col("cents").as("x"))
+        .join(daily.select((col("day") - lag).as("day"), col("cents").as("y")),
+          "day")
+      val dx = col("x").cast("decimal(38,0)")
+      val dy = col("y").cast("decimal(38,0)")
+      val g = j.agg(count(lit(1)).as("n"),
+        sum(dx).cast("decimal(38,0)").as("sx"),
+        sum(dy).cast("decimal(38,0)").as("sy"),
+        sum(dx * dx).cast("decimal(38,0)").as("sxx"),
+        sum(dy * dy).cast("decimal(38,0)").as("syy"),
+        sum(dx * dy).cast("decimal(38,0)").as("sxy"))
+      val n = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val cov = n * dbl("sxy") - dbl("sx") * dbl("sy")
+      val vx = n * dbl("sxx") - dbl("sx") * dbl("sx")
+      val vy = n * dbl("syy") - dbl("sy") * dbl("sy")
+      g.select(lit(lag).as("lag"), col("n"),
+        round(cov / (sqrt(vx) * sqrt(vy)), 6).as("acf"))
+    }
+    at(1L).union(at(7L)).orderBy(col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "entropy_profile" -> entropyProfile,
+    "autocorr_daily" -> autocorrDaily,
     "assoc_rules" -> assocRules,
     "ohlc_bars" -> ohlcBars,
     "ab_chisq" -> abChisq,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "entropy_profile" ->
+      """WITH o AS (SELECT CAST(o_custkey AS VARCHAR) AS c1,
+        |    CAST(epoch_ms(o_orderdate) AS VARCHAR) AS c2,
+        |    CAST(o_orderkey AS VARCHAR) AS c3,
+        |    o_orderpriority AS c4, o_orderstatus AS c5,
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS c6
+        |  FROM orders),
+        |l AS (SELECT 'o_custkey' AS col_name, c1 AS val FROM o
+        |  UNION ALL SELECT 'o_orderdate', c2 FROM o
+        |  UNION ALL SELECT 'o_orderkey', c3 FROM o
+        |  UNION ALL SELECT 'o_orderpriority', c4 FROM o
+        |  UNION ALL SELECT 'o_orderstatus', c5 FROM o
+        |  UNION ALL SELECT 'o_totalprice', c6 FROM o),
+        |g AS (SELECT col_name, val, count(*)::BIGINT AS c FROM l GROUP BY 1, 2)
+        |SELECT col_name, sum(c)::BIGINT AS n_vals, count(*)::BIGINT AS n_distinct,
+        |  round((ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE)
+        |        / ln(2.0), 6) AS entropy_6dp
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "autocorr_daily" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT lg.lag AS lag, a.cents AS x, b.cents AS y
+        |      FROM (VALUES (1), (7)) lg(lag)
+        |      JOIN daily a ON true JOIN daily b ON b.day = a.day + lg.lag),
+        |g AS (SELECT lag, count(*)::BIGINT AS n,
+        |        sum(x)::DECIMAL(38,0) AS sx, sum(y)::DECIMAL(38,0) AS sy,
+        |        sum(x::DECIMAL(38,0) * x)::DECIMAL(38,0) AS sxx,
+        |        sum(y::DECIMAL(38,0) * y)::DECIMAL(38,0) AS syy,
+        |        sum(x::DECIMAL(38,0) * y)::DECIMAL(38,0) AS sxy
+        |      FROM p GROUP BY 1)
+        |SELECT lag::BIGINT AS lag, n,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |       * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS acf
+        |FROM g ORDER BY lag""".stripMargin,
     "assoc_rules" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |bk AS (SELECT ok FROM lp GROUP BY ok

@@ -95,6 +95,49 @@ object Pipeline {
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
 
+  /** Exact all-pairs set-similarity join (shingle Jaccard >= 0.5) over
+    * the FULL corpus — the prefix-filtering (AllPairs/PPJoin) exact
+    * algorithm, complementing the LSH family on the other side of the
+    * recall/cost trade: LSH is O(candidates) with recall < 1; this is
+    * exact with candidates bounded by the prefix theorem. Each set's
+    * shingle hashes are ordered by GLOBAL ascending frequency
+    * (rarest-first — the total order that makes prefixes small AND
+    * selective); a pair with Jaccard >= t must share an element in both
+    * (|s| - ceil(t*|s|) + 1)-prefixes, so the candidate join runs only
+    * over prefix postings, with the size-compatibility filter
+    * (2*min >= max for t=0.5) pruning further. Verification is the same
+    * native sorted-merge intersect the LSH verify stage uses — the two
+    * paths share one Jaccard definition and the bounded ngram_jaccard
+    * twin pins both. No O(n^2) stage anywhere: postings of a prefix
+    * hash are short BECAUSE the order is rarest-first.
+    */
+  def setsimJoin(s: SparkSession, d: String): DataFrame = {
+    val sets = Dedup.shingleHashSets(docs(s, d))
+    val post = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = post.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val pref = post.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("n"), col("h")))).as("oh"))
+      .select(col("doc_id"), size(col("oh")).as("sz"),
+        explode(expr("slice(oh, 1, size(oh) div 2 + 1)")).as("p"))
+      .select(col("p.h").as("h"), col("doc_id"), col("sz"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Brute-force cosine top-20 for query vector vec_id=0 (the exact
     * baseline; the LSH-bucketed scale path is dedup_embedding).
     */
@@ -672,6 +715,7 @@ object Pipeline {
     "dedup_near" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
+    "setsim_join" -> setsimJoin,
     "embedding_topk" -> embeddingTopk,
     "embedding_topk_ivf" -> embeddingTopkIvf,
     "embedding_neardup" -> embeddingNearDup,
@@ -830,6 +874,21 @@ object Pipeline {
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
          |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
          |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents WHERE doc_id < 500)
+         |  WHERE len(ts) >= 3)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // the UNBOUNDED exact twin: the oracle is the plain all-pairs
+    // formulation (fine at oracle SF); the Spark side must produce the
+    // identical result through prefix-filtered candidates
+    "setsim_join" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+         |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents)
          |  WHERE len(ts) >= 3)
          |SELECT id1, id2, jaccard FROM (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,

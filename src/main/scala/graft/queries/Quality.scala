@@ -255,6 +255,30 @@ object Quality {
         col("tf"))
       .orderBy(col("tok"), col("doc_id"))
 
+  /** Exact phrase retrieval ("join part filter") through the positional
+    * inverted index — the consumer of [[positionalIndex]]'s structure:
+    * three posting streams aligned by (doc_id, normalized position) with
+    * two co-partitioned equi-joins (all three shuffles are on the same
+    * (doc_id, p) key, so at scale the exchanges reuse one partitioning),
+    * then one count per document. This is index-based retrieval — the
+    * full-text `contains` scan never runs, which is the point at 100 TB:
+    * the posting streams for three terms are minuscule next to the
+    * corpus. Occurrence positions are 1-based like the index's.
+    */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val pos = docs(s, d).select(col("doc_id"),
+      posexplode(Dedup.tokensNE(col("text"))).as(Seq("pos0", "tok")))
+    def postings(w: String, off: Int) = pos.filter(col("tok") === w)
+      .select(col("doc_id"), (col("pos0") - off).as("p"))
+    postings("join", 0)
+      .join(postings("part", 1), Seq("doc_id", "p"))
+      .join(postings("filter", 2), Seq("doc_id", "p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("p")) + 1).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- bigram language-model continuations ------------------------------
 
   /** Top-3 continuations per token by corpus bigram count (the greedy
@@ -390,6 +414,7 @@ object Quality {
     "doc_surprisal" -> docSurprisal,
     "corpus_stats" -> corpusStats,
     "positional_index" -> positionalIndex,
+    "phrase_search" -> phraseSearch,
     "bigram_lm_topk" -> bigramLmTopk,
     "typo_pairs" -> typoPairs,
     "token_count_bpe" -> tokenCountBpe,
@@ -501,6 +526,16 @@ object Quality {
          |  count(*)::BIGINT AS tf
          |FROM t WHERE tok IN ('spark', 'query')
          |GROUP BY tok, doc_id ORDER BY tok, doc_id""".stripMargin,
+    "phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksNE) AS tok,
+         |             generate_subscripts($ToksNE, 1) AS pos FROM documents),
+         |p1 AS (SELECT doc_id, pos AS p FROM t WHERE tok = 'join'),
+         |p2 AS (SELECT doc_id, pos - 1 AS p FROM t WHERE tok = 'part'),
+         |p3 AS (SELECT doc_id, pos - 2 AS p FROM t WHERE tok = 'filter')
+         |SELECT doc_id, count(*)::BIGINT AS n_hits,
+         |  min(p)::BIGINT AS first_pos
+         |FROM p1 JOIN p2 USING (doc_id, p) JOIN p3 USING (doc_id, p)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bigram_lm_topk" ->
       s"""WITH d AS (SELECT ts, len(ts) AS l
          |           FROM (SELECT $ToksNE AS ts FROM documents) WHERE len(ts) >= 2),

@@ -82,4 +82,57 @@ class InsightsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(6) - chi2) < 1e-6)
     assert(xA > 0 && xA < nA, "test corpus must have a non-degenerate contingency")
   }
+
+  test("entropy_profile: entropies match a driver-side recomputation") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(o_custkey AS STRING) AS c1",
+        "CAST(unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS STRING) AS c2",
+        "CAST(o_orderkey AS STRING) AS c3", "o_orderpriority AS c4",
+        "o_orderstatus AS c5",
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING) AS c6")
+      .collect()
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val rows = graft.queries.Insights.entropyProfile(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == cols)
+    cols.zipWithIndex.foreach { case (name, i) =>
+      val vals = o.map(_.getString(i))
+      val counts = vals.groupBy(identity).values.map(_.size.toLong).toSeq
+      val n = vals.length.toDouble
+      val h = counts.map { c => -(c / n) * (math.log(c / n) / math.log(2)) }.sum
+      val r = rows.find(_.getString(0) == name).get
+      assert(r.getLong(1) == vals.length.toLong)
+      assert(r.getLong(2) == counts.size.toLong)
+      assert(math.abs(r.getDouble(3) - h) < 1e-5, s"$name: ${r.getDouble(3)} vs $h")
+    }
+    // the key column's entropy is exactly log2(n)
+    val key = rows.find(_.getString(0) == "o_orderkey").get
+    assert(math.abs(key.getDouble(3) - math.log(key.getLong(1).toDouble) / math.log(2)) < 1e-5)
+  }
+
+  test("autocorr_daily: both lags match a driver-side Pearson recomputation") {
+    val daily = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    def pearson(lag: Long): (Long, Double) = {
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d + lag).map(y => (x.toDouble, y.toDouble)) }
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      (pairs.length.toLong,
+        (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    }
+    val rows = graft.queries.Insights.autocorrDaily(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 7L))
+    rows.foreach { r =>
+      val (n, acf) = pearson(r.getLong(0))
+      assert(r.getLong(1) == n && n > 100)
+      assert(math.abs(r.getDouble(2) - acf) < 1e-5)
+    }
+  }
 }

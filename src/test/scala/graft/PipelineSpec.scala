@@ -353,4 +353,23 @@ class PipelineSpec extends SparkSuite {
       .map(_.getLong(0)).sorted.toSeq
     assert(gotHashes == expectHashes)
   }
+
+  test("setsim_join: prefix-filtered exact join equals the all-pairs formulation") {
+    // at sf0.001 every doc_id < 500, so the bounded all-pairs twin IS the
+    // full-corpus answer — the prefix-filtered candidate path must land on
+    // the identical pair set and jaccard values
+    val exact = graft.queries.Pipeline.ngramJaccard(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = graft.queries.Pipeline.setsimJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "test corpus must contain qualifying pairs")
+    assert(got == exact)
+  }
+
+  test("setsim_join plan: no cartesian product (candidates come from prefix postings)") {
+    val plan = graft.queries.Pipeline.setsimJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }

@@ -176,4 +176,26 @@ class QualitySpec extends SparkSuite {
     val r = Quality.hllMerge(spark, sf0001).head()
     assert(r.getBoolean(1), "estimate outside the 5% contract")
   }
+
+  test("phrase_search: index-join hits equal a naive sliding-window text scan") {
+    val phrase = Array("join", "part", "filter")
+    val expect = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split("[ \t\n\r]").filter(_.nonEmpty)
+        val hits = toks.sliding(3).zipWithIndex
+          .filter { case (w, _) => w.length == 3 && w.sameElements(phrase) }
+          .map(_._2).toSeq
+        r.getLong(0) -> hits
+      }
+      .filter(_._2.nonEmpty).toMap
+    val rows = graft.queries.Quality.phraseSearch(spark, sf0001).collect()
+    assert(rows.nonEmpty, "test corpus must contain the phrase")
+    assert(rows.map(_.getLong(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val hits = expect(r.getLong(0))
+      assert(r.getLong(1) == hits.length.toLong)
+      assert(r.getLong(2) == hits.min + 1L, "first_pos is 1-based")
+    }
+  }
 }
