@@ -184,7 +184,110 @@ object Insights {
     at(1L).union(at(7L)).orderBy(col("lag"))
   }
 
+  /** Declarative data-quality battery (the Deequ/`CHECK`-constraint
+    * posture): seven named expectations over orders/lineitem/customer —
+    * not-null, single- and composite-key uniqueness, two referential-
+    * integrity checks, accepted values, a value range — each reported as
+    * (check, n_checked, n_violations, passed). The five intra-table
+    * checks fold into ONE conditional aggregate per table (no
+    * per-check passes); the two FK checks are left-anti hash joins (the
+    * plan that stays shuffle-bounded at 100 TB — never a NOT IN that
+    * plans as a nested loop). The composite-key row deliberately FAILS
+    * on the driver testdata (lineitem carries duplicate
+    * (l_orderkey, l_linenumber) pairs) — a battery that can only pass
+    * verifies nothing.
+    */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val ordersAgg = o.agg(count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("v_vals"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_range"))
+      .selectExpr(
+        "stack(4, 'orders.o_custkey not_null', n, v_null," +
+          " 'orders.o_orderkey unique', n, v_uniq," +
+          " 'orders.o_orderstatus accepted_values', n, v_vals," +
+          " 'orders.o_totalprice positive', n, v_range)" +
+          " AS (check_name, n_checked, n_violations)")
+    val liAgg = li.agg(count(lit(1)).as("n"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_ck"))
+      .selectExpr("stack(1, 'lineitem.(l_orderkey,l_linenumber) unique', n, v_ck)" +
+        " AS (check_name, n_checked, n_violations)")
+    def fk(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+        name: String): DataFrame = {
+      val nAll = fact.agg(count(lit(1)).as("n_checked"))
+      val orphans = fact.join(dim.select(col(dimKey).as(factKey)).distinct(),
+          Seq(factKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      nAll.crossJoin(orphans)
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+    }
+    val fkCust = fk(o, "o_custkey", Tables.customer(s, d), "c_custkey",
+      "orders.o_custkey fk customer")
+    val fkOrd = fk(li, "l_orderkey", o, "o_orderkey",
+      "lineitem.l_orderkey fk orders")
+    ordersAgg.unionByName(liAgg).unionByName(fkCust).unionByName(fkOrd)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  /** Daily active-and-cumulative user counts — the growth dashboard's
+    * running-distinct series. The naive formulation (count(DISTINCT)
+    * over an unbounded preceding window) re-scans history per day and
+    * cannot scale; the one-pass identity is: a user contributes to the
+    * cumulative count from their FIRST day — so one aggregate computes
+    * each user's first day, a second counts new users per day, and the
+    * running total is a broadcast theta-self-join over the ≤(history
+    * days) rows (the decile_lift/pareto bounded-prefix pattern — no
+    * SinglePartition window over anything data-sized).
+    */
+  def cumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Sessions.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+    val dau = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val newPerDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val base = dau.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), col("n_active"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .persist()
+    val cum = base.select(col("day").as("dk"))
+      .join(broadcast(base.select(col("day"), col("n_new"))), col("day") <= col("dk"))
+      .groupBy(col("dk")).agg(sum(col("n_new")).as("cum_users"))
+    base.join(broadcast(cum), col("day") === col("dk"))
+      .select(col("day"), col("n_active"), col("n_new"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Per-event-type dwell time — milliseconds until the same user's next
+    * event (the engagement metric behind time-spent attribution): one
+    * lead() over the per-user (ts, event_id) order — a KEYED window,
+    * partition-parallel at any scale — then exact integer aggregates per
+    * type (avg as sum div n; never double division).
+    */
+  def dwellTimes(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    graft.streaming.Sessions.events(s, d)
+      .select(col("user_id"), col("event_type").as("etype"),
+        col("ts_ms"), col("event_id"))
+      .withColumn("dwell_ms", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+      .filter(col("dwell_ms").isNotNull)
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("dwell_ms")).as("sum_ms"),
+        max(col("dwell_ms")).as("max_ms"))
+      .selectExpr("etype", "n", "sum_ms div n AS avg_ms", "max_ms")
+      .orderBy(col("etype"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> dqChecks,
+    "cumulative_users" -> cumulativeUsers,
+    "dwell_times" -> dwellTimes,
     "entropy_profile" -> entropyProfile,
     "autocorr_daily" -> autocorrDaily,
     "assoc_rules" -> assocRules,
@@ -193,6 +296,55 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dq_checks" ->
+      """WITH oc AS (SELECT count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS v_null,
+        |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_uniq,
+        |    count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))::BIGINT AS v_vals,
+        |    count(*) FILTER (WHERE o_totalprice <= 0)::BIGINT AS v_range
+        |  FROM orders),
+        |lc AS (SELECT count(*)::BIGINT AS n,
+        |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT AS v_ck
+        |  FROM lineitem),
+        |fk1 AS (SELECT (SELECT count(*) FROM orders)::BIGINT AS n,
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT AS v),
+        |fk2 AS (SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n,
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS v),
+        |u AS (
+        |  SELECT 'orders.o_custkey not_null' AS check_name, n AS n_checked,
+        |    v_null AS n_violations FROM oc
+        |  UNION ALL SELECT 'orders.o_orderkey unique', n, v_uniq FROM oc
+        |  UNION ALL SELECT 'orders.o_orderstatus accepted_values', n, v_vals FROM oc
+        |  UNION ALL SELECT 'orders.o_totalprice positive', n, v_range FROM oc
+        |  UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber) unique', n, v_ck FROM lc
+        |  UNION ALL SELECT 'orders.o_custkey fk customer', n, v FROM fk1
+        |  UNION ALL SELECT 'lineitem.l_orderkey fk orders', n, v FROM fk2)
+        |SELECT check_name, n_checked, n_violations,
+        |  n_violations = 0 AS passed
+        |FROM u ORDER BY check_name""".stripMargin,
+    "cumulative_users" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS n_active
+        |        FROM ev GROUP BY 1),
+        |fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+        |npd AS (SELECT day, count(*)::BIGINT AS n_new FROM fs GROUP BY 1)
+        |SELECT d.day, d.n_active, coalesce(n.n_new, 0)::BIGINT AS n_new,
+        |  sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day)::BIGINT AS cum_users
+        |FROM dau d LEFT JOIN npd n ON d.day = n.day
+        |ORDER BY d.day""".stripMargin,
+    "dwell_times" ->
+      """WITH ev AS (SELECT user_id, event_type AS etype, event_id,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |l AS (SELECT etype, lead(ts_ms) OVER
+        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) - ts_ms AS dwell_ms
+        |      FROM ev)
+        |SELECT etype, count(*)::BIGINT AS n,
+        |  (sum(dwell_ms) // count(*))::BIGINT AS avg_ms,
+        |  max(dwell_ms)::BIGINT AS max_ms
+        |FROM l WHERE dwell_ms IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "entropy_profile" ->
       """WITH o AS (SELECT CAST(o_custkey AS VARCHAR) AS c1,
         |    CAST(epoch_ms(o_orderdate) AS VARCHAR) AS c2,

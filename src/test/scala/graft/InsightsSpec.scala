@@ -83,6 +83,75 @@ class InsightsSpec extends SparkSuite {
     assert(xA > 0 && xA < nA, "test corpus must have a non-degenerate contingency")
   }
 
+  test("dq_checks: every battery row matches an independent recomputation") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+    val nO = o.count(); val nL = li.count()
+    val expect = Map(
+      "orders.o_custkey not_null" ->
+        (nO, o.filter(col("o_custkey").isNull).count()),
+      "orders.o_orderkey unique" ->
+        (nO, nO - o.select("o_orderkey").distinct().count()),
+      "orders.o_orderstatus accepted_values" ->
+        (nO, o.filter(!col("o_orderstatus").isin("O", "F", "P")).count()),
+      "orders.o_totalprice positive" ->
+        (nO, o.filter(col("o_totalprice") <= 0).count()),
+      "lineitem.(l_orderkey,l_linenumber) unique" ->
+        (nL, nL - li.select("l_orderkey", "l_linenumber").distinct().count()),
+      "orders.o_custkey fk customer" ->
+        (nO, o.join(cust, o("o_custkey") === cust("c_custkey"), "left_anti").count()),
+      "lineitem.l_orderkey fk orders" ->
+        (nL, li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()))
+    val rows = graft.queries.Insights.dqChecks(spark, sf0001).collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, v) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) == (n, v), r.getString(0))
+      assert(r.getBoolean(3) == (v == 0L))
+    }
+    // the battery must contain at least one real failure on this data
+    // (the documented duplicate composite keys) and one pass
+    assert(rows.exists(!_.getBoolean(3)) && rows.exists(_.getBoolean(3)))
+  }
+
+  test("cumulative_users: first-seen identity equals naive running distinct") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .selectExpr("user_id", "ts_ms div 86400000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ev.map(_._2).distinct.sorted
+    val rows = graft.queries.Insights.cumulativeUsers(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == days.toSeq)
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val active = ev.filter(_._2 == day).map(_._1).distinct.length.toLong
+      // the naive definition the one-pass identity must reproduce
+      val cum = ev.filter(_._2 <= day).map(_._1).distinct.length.toLong
+      val firstSeen = ev.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      val nNew = firstSeen.count(_._2 == day).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (active, nNew, cum), s"day $day")
+    }
+  }
+
+  test("dwell_times: per-type aggregates match a driver-side lead recomputation") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "ts_ms", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val dwells = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._4))
+      s.zip(s.tail).map { case (a, b) => (a._2, b._3 - a._3) }
+    }.toSeq
+    val rows = graft.queries.Insights.dwellTimes(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = dwells.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.sum / g.length)
+      assert(r.getLong(3) == g.max)
+    }
+    assert(rows.map(_.getLong(1)).sum == dwells.length.toLong)
+  }
+
   test("entropy_profile: entropies match a driver-side recomputation") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("CAST(o_custkey AS STRING) AS c1",
