@@ -252,6 +252,34 @@ object Journey {
     * fixed expression round(n/total, 6) on both engines. Sequence-mining
     * primitive for behavioral modeling; one window shuffle + one agg.
     */
+  /** First- and last-touch purchase attribution — which event type gets
+    * credit for each purchase (the marketing-analytics staple): one
+    * KEYED window pass per user computes both the first and the most
+    * recent non-purchase event type strictly before each event
+    * (first/last with ignoreNulls over the preceding-rows frame — both
+    * models from the SAME frame, one WindowExec), then purchases are
+    * counted per (model, touch). Partition-parallel at any scale; a
+    * purchase with no preceding touch credits 'none' rather than being
+    * dropped (the honest direct-traffic row).
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val base = ev(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+    def agg(c: String, model: String) = base
+      .groupBy(coalesce(col(c), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .select(lit(model).as("model"), col("touch"), col("n_purchases"))
+    agg("ft", "first_touch").unionByName(agg("lt", "last_touch"))
+      .orderBy(col("model"), col("touch"))
+  }
+
   def transitionMatrix(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
     val steps = ev(s, d)
@@ -403,11 +431,33 @@ object Journey {
     "merge_upsert" -> mergeUpsert,
     "scd2_build" -> scd2Build,
     "transition_matrix" -> transitionMatrix,
+    "attribution" -> attribution,
     "event_paths" -> eventPaths,
     "locf_fill" -> locfFill,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |t AS (SELECT event_type,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM ev),
+        |p AS (SELECT * FROM t WHERE event_type = 'purchase')
+        |SELECT model, touch, n_purchases FROM (
+        |  SELECT 'first_touch' AS model, coalesce(ft, 'none') AS touch,
+        |    count(*)::BIGINT AS n_purchases FROM p GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last_touch', coalesce(lt, 'none'), count(*)::BIGINT
+        |  FROM p GROUP BY 2)
+        |ORDER BY model, touch""".stripMargin,
     "ewma_features" ->
       """WITH RECURSIVE ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -172,4 +172,24 @@ class JourneySpec extends SparkSuite {
     assert(rows.filter(_._1 == "insert").forall(_._2 == "N"))
     assert(rows.filter(_._1 == "keep").forall(r => r._2 != "U" && r._2 != "N"))
   }
+
+  test("attribution: first/last-touch credits match a driver-side replay") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "ts_ms", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val credits = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._4))
+      s.zipWithIndex.collect { case ((_, "purchase", _, _), i) =>
+        val touches = s.take(i).map(_._2).filter(_ != "purchase")
+        (touches.headOption.getOrElse("none"), touches.lastOption.getOrElse("none"))
+      }
+    }
+    val expect =
+      credits.groupBy(_._1).map { case (t, v) => ("first_touch", t) -> v.size.toLong } ++
+        credits.groupBy(_._2).map { case (t, v) => ("last_touch", t) -> v.size.toLong }
+    val rows = graft.queries.Journey.attribution(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == expect)
+    assert(rows.keys.map(_._1).toSet == Set("first_touch", "last_touch"))
+  }
 }
