@@ -126,6 +126,13 @@ object Graph {
     */
   private val BasketCap = 64
 
+  /** Edge-count ceiling for broadcasting the closing edge set in
+    * [[triangleCount]] (16 B a row ⇒ ~320 MB at the limit); larger
+    * graphs fall back to the shuffle semi-join. Measured count, never a
+    * blind hint — the PageRank.BroadcastNodeLimit pattern.
+    */
+  private val BroadcastEdgeLimit = 20000000L
+
   private val copurchaseCache = new graft.DfCache("graph.copurchase")
   private val orientedCache = new graft.DfCache("graph.oriented")
 
@@ -197,8 +204,15 @@ object Graph {
       .filter(size(col("bs")) > 1)
       .select(explode(graft.operators.Dedup.pairsOf(col("bs"), Int.MaxValue)).as("w"))
       .select(col("w.id1.id").as("x"), col("w.id2.id").as("y"))
+    // the wedge stream is the big side by construction (O(m^1.5) vs m),
+    // so shuffling it for the closing join would dominate the query:
+    // broadcast the edge set while it fits (two longs a row — the gate
+    // mirrors PageRank.BroadcastNodeLimit's measured-count pattern) and
+    // fall back to the shuffle join beyond that
     val closing = o.select(col("a.id").as("x"), col("b.id").as("y"))
-    val nTri = wedges.join(closing, Seq("x", "y"), "left_semi")
+    val closingSide =
+      if (e.count() <= BroadcastEdgeLimit) broadcast(closing) else closing
+    val nTri = wedges.join(closingSide, Seq("x", "y"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val nodeWedge = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))

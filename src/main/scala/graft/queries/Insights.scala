@@ -284,7 +284,77 @@ object Insights {
       .orderBy(col("etype"))
   }
 
+  /** Rolling 7-day active users per day (the WAU curve) — the
+    * distinct-count-over-sliding-window problem. The scalable identity:
+    * distinct (user, day) pairs each EXPAND to the ≤7 window days they
+    * contribute to (`explode(sequence(day, day+6))` — map-side, ×7,
+    * linear), then one exact distinct aggregate per window day; output
+    * restricted to days that exist. Never a count(DISTINCT) window
+    * re-scanning 7 days of history per day, which at 100 TB reads every
+    * event seven times through a sort.
+    */
+  def rollingActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = graft.streaming.Sessions.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day")).distinct()
+      .persist()
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau_7d"))
+    ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau_7d"))
+      .orderBy(col("day"))
+  }
+
+  /** Benford first-digit screen over order amounts (the forensic-
+    * accounting anomaly test): observed leading-digit shares of the
+    * cents column against the Benford expectation
+    * round(log10(1+1/d)·10⁴) bp. Counting is one hash aggregate on the
+    * leading character; the expectation is a 9-value constant expression
+    * identical in both engines (margins to the rounding boundary are
+    * ~1e-2 bp, twelve orders above double noise).
+    */
+  def benfordTest(s: SparkSession, d: String): DataFrame = {
+    val total = broadcast(Tables.orders(s, d).agg(count(lit(1)).as("n_total")))
+    Tables.orders(s, d)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(total)
+      .selectExpr("digit", "n", "n * 10000 div n_total AS obs_bp",
+        "CAST(round(ln(1.0D + 1.0D / CAST(digit AS DOUBLE)) / ln(10.0D)" +
+          " * 10000) AS BIGINT) AS exp_bp")
+      .orderBy(col("digit"))
+  }
+
+  /** Day-of-week revenue seasonality index — average order value per
+    * weekday against the overall average, in basis points (the direct
+    * companion to autocorr_daily's lag-7 signal). Weekday comes from
+    * pure epoch-day arithmetic ((day+4) mod 7, 0=Sunday — no date
+    * formatting parity risk); the index divides the two FLOOR integer
+    * averages, a declared exact-integer contract. One aggregate plus a
+    * broadcast scalar.
+    */
+  def weekdayIndex(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      expr("(unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 + 4) % 7")
+        .as("dow"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val overall = broadcast(o.agg(
+      expr("sum(cents) div count(1)").as("avg_all")))
+    o.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .crossJoin(overall)
+      .selectExpr("dow", "n_orders", "cents",
+        "cents div n_orders AS avg_cents",
+        "(cents div n_orders) * 10000 div avg_all AS index_bp")
+      .orderBy(col("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_active_users" -> rollingActiveUsers,
+    "benford_test" -> benfordTest,
+    "weekday_index" -> weekdayIndex,
     "dq_checks" -> dqChecks,
     "cumulative_users" -> cumulativeUsers,
     "dwell_times" -> dwellTimes,
@@ -296,6 +366,31 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |x AS (SELECT user_id, day + i AS wday FROM ud, range(7) t(i)),
+        |wau AS (SELECT wday, count(DISTINCT user_id)::BIGINT AS wau_7d
+        |        FROM x GROUP BY 1),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau_7d
+        |FROM dau d JOIN wau w ON w.wday = d.day ORDER BY d.day""".stripMargin,
+    "benford_test" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+        |n AS (SELECT count(*)::BIGINT AS N FROM c)
+        |SELECT digit, count(*)::BIGINT AS n,
+        |  (count(*) * 10000) // max(nn.N) AS obs_bp,
+        |  CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 10000) AS BIGINT) AS exp_bp
+        |FROM c, n nn GROUP BY digit ORDER BY digit""".stripMargin,
+    "weekday_index" ->
+      """WITH o AS (SELECT (epoch_ms(o_orderdate) // 86400000 + 4) % 7 AS dow,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |t AS (SELECT sum(cents) // count(*) AS avg_all FROM o)
+        |SELECT dow, count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS cents,
+        |  (sum(cents) // count(*))::BIGINT AS avg_cents,
+        |  ((sum(cents) // count(*)) * 10000 // max(t.avg_all))::BIGINT AS index_bp
+        |FROM o, t GROUP BY dow ORDER BY dow""".stripMargin,
     "dq_checks" ->
       """WITH oc AS (SELECT count(*)::BIGINT AS n,
         |    count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS v_null,

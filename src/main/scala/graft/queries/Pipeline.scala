@@ -112,7 +112,12 @@ object Pipeline {
     * hash are short BECAUSE the order is rarest-first.
     */
   def setsimJoin(s: SparkSession, d: String): DataFrame = {
-    val sets = Dedup.shingleHashSets(docs(s, d))
+    // persisted because each feeds MULTIPLE join sides below (sets: both
+    // verify probes; pref: both halves of the candidate self-join) — the
+    // first formulation recomputed the tokenize+shingle+frequency
+    // pipeline once per reference (~5x the whole query's honest cost;
+    // both tables are O(corpus postings), far smaller than the text)
+    val sets = Dedup.shingleHashSets(docs(s, d)).persist()
     val post = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val freq = post.groupBy(col("h")).agg(count(lit(1)).as("n"))
     val pref = post.join(freq, "h")
@@ -121,6 +126,7 @@ object Pipeline {
       .select(col("doc_id"), size(col("oh")).as("sz"),
         explode(expr("slice(oh, 1, size(oh) div 2 + 1)")).as("p"))
       .select(col("p.h").as("h"), col("doc_id"), col("sz"))
+      .persist()
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))

@@ -83,6 +83,57 @@ class InsightsSpec extends SparkSuite {
     assert(xA > 0 && xA < nA, "test corpus must have a non-degenerate contingency")
   }
 
+  test("rolling_active_users: WAU equals naive 7-day window distinct") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .selectExpr("user_id", "ts_ms div 86400000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val rows = graft.queries.Insights.rollingActiveUsers(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == ev.map(_._2).distinct.sorted.toSeq)
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val dau = ev.filter(_._2 == day).map(_._1).distinct.length.toLong
+      val wau = ev.filter(e => e._2 >= day - 6 && e._2 <= day)
+        .map(_._1).distinct.length.toLong
+      assert((r.getLong(1), r.getLong(2)) == (dau, wau), s"day $day")
+    }
+    // the window must actually widen somewhere, or the test proves nothing
+    assert(rows.exists(r => r.getLong(2) > r.getLong(1)))
+  }
+
+  test("benford_test: digit counts and expectation constants recompute") {
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(_.getLong(0))
+    val byDigit = cents.groupBy(_.toString.head.asDigit).view.mapValues(_.length.toLong)
+    val rows = graft.queries.Insights.benfordTest(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == byDigit.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getLong(1) == byDigit(d))
+      assert(r.getLong(2) == byDigit(d) * 10000L / cents.length)
+      assert(r.getLong(3) ==
+        math.round(math.log(1.0 + 1.0 / d) / math.log(10.0) * 10000))
+    }
+    assert(math.abs(rows.map(_.getLong(3)).sum - 10000L) <= 5L,
+      "Benford expectations must sum to ~10000 bp")
+  }
+
+  test("weekday_index: per-weekday aggregates and index recompute") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => ((r.getLong(0) + 4) % 7, r.getLong(1)))
+    val avgAll = o.map(_._2).sum / o.length
+    val rows = graft.queries.Insights.weekdayIndex(spark, sf0001).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val g = o.filter(_._1 == r.getLong(0)).map(_._2)
+      assert(r.getLong(1) == g.length.toLong && r.getLong(2) == g.sum)
+      assert(r.getLong(3) == g.sum / g.length)
+      assert(r.getLong(4) == (g.sum / g.length) * 10000L / avgAll)
+    }
+  }
+
   test("dq_checks: every battery row matches an independent recomputation") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
