@@ -100,12 +100,18 @@ object Graph {
     val sp = edgeTable(s, d).filter(col("src") < PartOffset)
       .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
     val deg = sp.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-    val half = sp.groupBy(col("pk"))
+    // both directions come from ONE pass over the exploded ordered pairs
+    // (a second explode of the 2-element direction array) — a
+    // union(half, half.swapped) would re-run the whole grouped-explode
+    // pipeline for the swapped side, doubling the query's dominant cost
+    val pairs = sp.groupBy(col("pk"))
       .agg(sort_array(collect_list(col("sk"))).as("sks"))
       .filter(size(col("sks")) > 1 && size(col("sks")) <= ProjectionHubCap)
       .select(explode(graft.operators.Dedup.pairsOf(col("sks"), Int.MaxValue)).as("p"))
-      .select(col("p.id1").as("s1"), col("p.id2").as("s2"))
-    val pairs = half.union(half.select(col("s2").as("s1"), col("s1").as("s2")))
+      .select(explode(array(
+        struct(col("p.id1").as("s1"), col("p.id2").as("s2")),
+        struct(col("p.id2").as("s1"), col("p.id1").as("s2")))).as("q"))
+      .select(col("q.s1").as("s1"), col("q.s2").as("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
     val scored = pairs
       .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
@@ -126,10 +132,11 @@ object Graph {
     */
   private val BasketCap = 64
 
-  /** Edge-count ceiling for broadcasting the closing edge set in
-    * [[triangleCount]] (16 B a row ⇒ ~320 MB at the limit); larger
-    * graphs fall back to the shuffle semi-join. Measured count, never a
-    * blind hint — the PageRank.BroadcastNodeLimit pattern.
+  /** Edge-count ceiling for broadcasting [[triangleCount]]'s out-
+    * adjacency table (exactly one long per edge ⇒ ~160 MB at the
+    * limit); larger graphs fall back to shuffle joins on node id.
+    * Measured count, never a blind hint — the
+    * PageRank.BroadcastNodeLimit pattern.
     */
   private val BroadcastEdgeLimit = 20000000L
 
@@ -184,36 +191,38 @@ object Graph {
 
   /** Global triangle census of the part co-purchase graph — node/edge/
     * wedge/triangle counts and the global clustering coefficient
-    * (3·triangles/wedges, exact integer ppm). The MapReduce-classic
-    * formulation: wedges are generated only from each node's ORIENTED
-    * out-neighborhood (grouped sorted list + [[graft.operators.Dedup
-    * .pairsOf]] — out-degree is O(√m) under degree orientation, so the
-    * explode is the algorithm's optimal O(m^1.5) bound, robust to hub
-    * nodes that would make naive Σdeg² wedge generation explode), then
-    * closed against the oriented edge set with one LEFT SEMI hash join.
-    * Every count is exact; the wedge denominator Σ deg(deg−1)/2 comes
-    * from the degree table, not from materialized wedges.
+    * (3·triangles/wedges, exact integer ppm). The "forward"/edge-
+    * iterator formulation under degree orientation: every triangle has
+    * exactly one node with two out-edges, so
+    * triangles = Σ over oriented edges (x,y) of |N⁺(x) ∩ N⁺(y)| — the
+    * per-edge intersect runs in the native sorted-merge
+    * [[graft.functions.SketchExprs.sortedIntersectCount]] loop over the
+    * id-sorted out-adjacency arrays. Degree orientation bounds both
+    * array lengths by O(√m), giving the O(m^1.5) optimum WITHOUT ever
+    * materializing the wedge stream (the first formulation exploded 41M
+    * wedge rows at sf0.1 and spent the query allocating them). The
+    * whole adjacency table is exactly m longs, so below
+    * [[BroadcastEdgeLimit]] it broadcasts to both probe sides and the
+    * census is one exchange-free pass over the edge list; larger graphs
+    * fall back to two shuffle joins on node id. Every count is exact;
+    * the wedge denominator Σ deg(deg−1)/2 comes from the degree table.
     */
   def triangleCount(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
     val o = orientedEdges(s, d)
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val wedges = o.groupBy(col("a"))
-      .agg(sort_array(collect_list(col("b"))).as("bs"))
-      .filter(size(col("bs")) > 1)
-      .select(explode(graft.operators.Dedup.pairsOf(col("bs"), Int.MaxValue)).as("w"))
-      .select(col("w.id1.id").as("x"), col("w.id2.id").as("y"))
-    // the wedge stream is the big side by construction (O(m^1.5) vs m),
-    // so shuffling it for the closing join would dominate the query:
-    // broadcast the edge set while it fits (two longs a row — the gate
-    // mirrors PageRank.BroadcastNodeLimit's measured-count pattern) and
-    // fall back to the shuffle join beyond that
-    val closing = o.select(col("a.id").as("x"), col("b.id").as("y"))
-    val closingSide =
-      if (e.count() <= BroadcastEdgeLimit) broadcast(closing) else closing
-    val nTri = wedges.join(closingSide, Seq("x", "y"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    val oe = o.select(col("a.id").as("x"), col("b.id").as("y"))
+    val adj = oe.groupBy(col("x")).agg(sort_array(collect_list(col("y"))).as("ys"))
+    val small = e.count() <= BroadcastEdgeLimit
+    def side(df: DataFrame) = if (small) broadcast(df) else df
+    val nTri = oe
+      .join(side(adj.select(col("x"), col("ys").as("xs"))), Seq("x"))
+      .join(side(adj.select(col("x").as("y"), col("ys").as("ys2"))), Seq("y"), "left")
+      .select(when(col("ys2").isNull, lit(0L))
+        .otherwise(graft.functions.SketchExprs
+          .sortedIntersectCount(col("xs"), col("ys2")).cast("long")).as("t"))
+      .agg(sum(col("t")).as("n_triangles"))
     val nodeWedge = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
     val nEdge = e.agg(count(lit(1)).as("n_edges"))

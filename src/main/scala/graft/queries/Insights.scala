@@ -36,8 +36,13 @@ object Insights {
     * TakeOrderedAndProject — the driver never sees an unbounded result.
     */
   def assocRules(s: SparkSession, d: String): DataFrame = {
+    // persisted: the distinct (order, part) table feeds three consumers
+    // (pair explode, item supports, basket total) and is itself a
+    // shuffle — recomputing it per reference would triple the query's
+    // base cost
     val lp = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .persist()
     val pairs = lp.groupBy(col("ok"))
       .agg(sort_array(collect_list(col("pk"))).as("pks"))
       .filter(size(col("pks")) > 1 && size(col("pks")) <= BasketCap)
