@@ -100,22 +100,30 @@ object Graph {
     val sp = edgeTable(s, d).filter(col("src") < PartOffset)
       .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
     val deg = sp.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-    // both directions come from ONE pass over the exploded ordered pairs
-    // (a second explode of the 2-element direction array) — a
-    // union(half, half.swapped) would re-run the whole grouped-explode
-    // pipeline for the swapped side, doubling the query's dominant cost
-    val pairs = sp.groupBy(col("pk"))
+    // ordered (u<v) pairs are counted FIRST — the exploded pair stream,
+    // the query's dominant volume, shuffles once at half width — and
+    // only the aggregated (u, v, common) table is then symmetrized, via
+    // a map-side explode of the 2-element direction array (single
+    // evaluation; a union of the unaggregated stream shuffled 2x the
+    // rows, and union(half, half.swapped) re-ran the whole pipeline)
+    val ordered = sp.groupBy(col("pk"))
       .agg(sort_array(collect_list(col("sk"))).as("sks"))
       .filter(size(col("sks")) > 1 && size(col("sks")) <= ProjectionHubCap)
       .select(explode(graft.operators.Dedup.pairsOf(col("sks"), Int.MaxValue)).as("p"))
+      .groupBy(col("p.id1").as("u"), col("p.id2").as("v"))
+      .agg(count(lit(1)).as("common"))
+    val pairs = ordered
       .select(explode(array(
-        struct(col("p.id1").as("s1"), col("p.id2").as("s2")),
-        struct(col("p.id2").as("s1"), col("p.id1").as("s2")))).as("q"))
-      .select(col("q.s1").as("s1"), col("q.s2").as("s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
+        struct(col("u").as("s1"), col("v").as("s2"), col("common")),
+        struct(col("v").as("s1"), col("u").as("s2"), col("common")))).as("q"))
+      .select(col("q.s1").as("s1"), col("q.s2").as("s2"), col("q.common").as("common"))
+    // the degree table is dimension-sized (one row per supplier) while
+    // the pair table is data-sized: broadcast MUST pick deg. AQE's
+    // size estimate at small SF picks the pair side (the tf_idf lesson),
+    // so the hint is explicit.
     val scored = pairs
-      .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
-      .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
+      .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), "s2")
       .withColumn("jac_bp", expr("(common * 10000) div (d1 + d2 - common)"))
       .select(col("s1"), col("s2"), col("common"), col("jac_bp"))
     graft.plans.TopKPerGroup(scored, Seq("s1"),

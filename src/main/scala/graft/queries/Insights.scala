@@ -162,10 +162,9 @@ object Insights {
     * pinned (the two queries must stay formula-identical).
     */
   def autocorrDaily(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.orders(s, d)
-      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
-        .as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    // the same cached daily artifact trend_7d reads — the four
+    // self-join branches below would otherwise each re-aggregate orders
+    val daily = dailyRevenue(s, d)
     def at(lag: Long): DataFrame = {
       val j = daily.select(col("day"), col("cents").as("x"))
         .join(daily.select((col("day") - lag).as("day"), col("cents").as("y")),
@@ -356,7 +355,64 @@ object Insights {
       .orderBy(col("dow"))
   }
 
+  private val dailyCache = new graft.DfCache("insights.daily")
+
+  private def dailyRevenue(s: SparkSession, d: String): DataFrame =
+    dailyCache.getOrElseUpdate((s, d), {
+      Tables.orders(s, d)
+        .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+          .as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .persist()
+    })
+
+  /** Centered 7-day moving-average trend + residual of daily revenue —
+    * the decomposition step before any seasonality claim (weekday_index
+    * and autocorr_daily read the residual story). The daily series is
+    * bounded by calendar days, so the centered window runs as a
+    * broadcast VALUE-range theta-self-join over it (|day−d| ≤ 3 — day
+    * gaps shrink the window honestly) with exact floor-average cents;
+    * no global window, no second scan of the fact table (the daily
+    * table is the same cached artifact all three time-series queries
+    * share).
+    */
+  def trend7d(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyRevenue(s, d)
+    val tr = daily.select(col("day").as("dk"))
+      .join(broadcast(daily), abs(col("day") - col("dk")) <= 3)
+      .groupBy(col("dk"))
+      .agg(expr("sum(cents) div count(1)").as("trend_cents"))
+    daily.join(broadcast(tr), col("day") === col("dk"))
+      .selectExpr("day", "cents", "trend_cents",
+        "cents - trend_cents AS residual_cents")
+      .orderBy(col("day"))
+  }
+
+  /** Rank-uniformizing quantile transform of customer spend — the
+    * leakage-free ML preprocessing step (sklearn's QuantileTransformer
+    * shape): each customer's total spend mapped to its empirical
+    * quantile in exact basis points, `(rn−1)·10⁴ div (N−1)` under the
+    * total (cents desc, custkey) order. The global rank is the
+    * DISTRIBUTED [[graft.operators.AssignIds.byOrder]] range exchange —
+    * never a SinglePartition window — and N is a broadcast scalar; ties
+    * in spend break deterministically on custkey, the declared contract
+    * both engines share.
+    */
+  def quantileTransform(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val ranked = graft.operators.AssignIds.byOrder(
+      spend, Seq(col("cents").desc, col("o_custkey")), "rn")
+    val n = broadcast(spend.groupBy().agg(count(lit(1)).as("n_total")))
+    ranked.crossJoin(n)
+      .selectExpr("o_custkey", "cents",
+        "(rn - 1) * 10000 div (n_total - 1) AS q_bp")
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "trend_7d" -> trend7d,
+    "quantile_transform" -> quantileTransform,
     "rolling_active_users" -> rollingActiveUsers,
     "benford_test" -> benfordTest,
     "weekday_index" -> weekdayIndex,
@@ -371,6 +427,26 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "trend_7d" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, cents,
+        |  (sum(cents) OVER w // count(*) OVER w)::BIGINT AS trend_cents,
+        |  (cents - sum(cents) OVER w // count(*) OVER w)::BIGINT AS residual_cents
+        |FROM daily
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY day""".stripMargin,
+    "quantile_transform" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, cents,
+        |        row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+        |        count(*) OVER () AS n_total FROM spend)
+        |SELECT o_custkey, cents,
+        |  ((rn - 1) * 10000 // (n_total - 1))::BIGINT AS q_bp
+        |FROM r ORDER BY o_custkey""".stripMargin,
     "rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
         |  FROM events),

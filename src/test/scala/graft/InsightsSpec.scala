@@ -134,6 +134,48 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("trend_7d: centered value-range average matches a driver-side window") {
+    val daily = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val rows = graft.queries.Insights.trend7d(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == daily.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val win = daily.filter { case (d2, _) => math.abs(d2 - day) <= 3 }.values
+      val trend = win.sum / win.size
+      assert(r.getLong(1) == daily(day))
+      assert(r.getLong(2) == trend, s"day $day")
+      assert(r.getLong(3) == daily(day) - trend)
+    }
+  }
+
+  test("quantile_transform: ranks are uniform bp under the declared tie-break") {
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }.toSeq
+    val ranked = spend.sortBy { case (ck, c) => (-c, ck) }.zipWithIndex
+      .map { case ((ck, c), i) => ck -> (c, i.toLong * 10000L / (spend.size - 1)) }
+      .toMap
+    val rows = graft.queries.Insights.quantileTransform(spark, sf0001).collect()
+    assert(rows.length == spend.size)
+    rows.foreach { r =>
+      val (c, q) = ranked(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2)) == (c, q), s"cust ${r.getLong(0)}")
+    }
+    // endpoints hit exactly 0 and 10000 bp
+    assert(rows.map(_.getLong(2)).min == 0L && rows.map(_.getLong(2)).max == 10000L)
+  }
+
+  test("quantile_transform plan: the rank is distributed (no window)") {
+    val plan = graft.queries.Insights.quantileTransform(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(800))
+  }
+
   test("dq_checks: every battery row matches an independent recomputation") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
