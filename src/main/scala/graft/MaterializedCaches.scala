@@ -21,6 +21,8 @@ final class DfCache(val name: String) {
   def getOrElseUpdate(key: (SparkSession, String), compute: => DataFrame): DataFrame =
     m.getOrElseUpdate(key, compute)
 
+  private[graft] def dfs: Seq[DataFrame] = m.values.toSeq
+
   /** Unpersist every cached block and drop all entries (incl. the strong
     * SparkSession references).
     */
@@ -42,4 +44,9 @@ object MaterializedCaches {
   def invalidateAll(): Unit = all.values.foreach(_.clear())
 
   private[graft] def registered: Seq[String] = all.keys.toSeq.sorted
+
+  /** Every DataFrame currently held by any [[DfCache]] — the protected
+    * set for the bench's between-queries storage janitor.
+    */
+  private[graft] def allDfs: Seq[DataFrame] = all.values.flatMap(_.dfs).toSeq
 }

@@ -85,4 +85,16 @@ object Bridge {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Ids of the RDDs that back a cached DataFrame's InMemoryRelations
+    * (the storage blocks `persist()` actually holds). Used by the bench
+    * janitor to tell long-lived materialized artifacts apart from
+    * per-query temporary persists; building the id list runs no job
+    * (`cachedColumnBuffers` is lazy RDD construction).
+    */
+  def cachedRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder.cachedColumnBuffers.id
+    }
 }
