@@ -207,6 +207,64 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document surprisal under the corpus BIGRAM model — the
+    * conditional complement of [[docSurprisal]]'s unigram scoring (the
+    * fluency signal quality filters actually want: a doc of common
+    * words in impossible ORDER scores high here, not there).
+    * P(w2|w1) = c(w1,w2)/c(w1,·) over bigram slots; each bigram's
+    * log-prob is rounded ONCE to integer micro-nats (the docSurprisal
+    * convention — the only double is one ln per distinct bigram) and
+    * doc scores are exact integer sums. The bigram LM table is
+    * vocabulary²-bounded, hence the broadcast probe; the occurrence
+    * stream is persisted within the query (it feeds the two LM
+    * aggregates and the probe — the setsim_join lesson).
+    */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("l"))
+      .filter(col("l") >= 2)
+    val b = t.select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), col("l") - 1), slice(col("ts"), lit(2), col("l") - 1),
+        (a, bb) => struct(a.as("w1"), bb.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
+    val c12 = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = b.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lp = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c12").cast("double") / col("c1")) * 1000000)
+          .cast("long").as("lp_micro"))
+    b.join(broadcast(lp), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_micro"))).as("surprisal_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer fertility per language — average learned-BPE subwords per
+    * word in exact basis points (the tokenizer-health metric every
+    * multilingual pipeline tracks: high fertility = the vocabulary
+    * under-serves that language, inflating sequence lengths and cost).
+    * One explode of the pre-tokenizer's alpha runs joined against the
+    * broadcast (vocabulary-sized) word→subword-count table — the same
+    * encoder table the oracle reads from the bpe_word_tokens dump.
+    */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    val wt = docs(s, d).select(
+        explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("word"))
+      .distinct()
+      .select(col("word"), graft.functions.Bpe.countSubwords(col("word"), merges)
+        .as("n_tokens"))
+    docs(s, d).select(col("lang"),
+        explode(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("word"))
+      .join(broadcast(wt), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tokens")).as("n_subwords"))
+      .selectExpr("lang", "n_words", "n_subwords",
+        "n_subwords * 10000 div n_words AS fertility_bp")
+      .orderBy(col("lang"))
+  }
+
   // --- one-pass dataset card -------------------------------------------
 
   /** The corpus "dataset card" numbers in ONE scan: doc/char/token
@@ -412,6 +470,8 @@ object Quality {
     "neardup_knn" -> neardupKnn,
     "contamination_check" -> contaminationCheck,
     "doc_surprisal" -> docSurprisal,
+    "bigram_surprisal" -> bigramSurprisal,
+    "bpe_fertility" -> bpeFertility,
     "corpus_stats" -> corpusStats,
     "positional_index" -> positionalIndex,
     "phrase_search" -> phraseSearch,
@@ -509,6 +569,30 @@ object Quality {
          |SELECT t.doc_id, count(*)::BIGINT AS n_tok,
          |  (-sum(lp.lp_micro))::BIGINT AS surprisal_micro
          |FROM t JOIN lp USING (tok) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "bigram_surprisal" ->
+      s"""WITH d0 AS (SELECT doc_id, ts, len(ts) AS l
+         |            FROM (SELECT doc_id, $ToksNE AS ts FROM documents)
+         |            WHERE len(ts) >= 2),
+         |b AS (SELECT doc_id, unnest(ts[1:l-1]) AS w1, unnest(ts[2:l]) AS w2
+         |      FROM d0),
+         |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM b GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM b GROUP BY 1),
+         |lp AS (SELECT w1, w2,
+         |         CAST(round(ln(c12::DOUBLE / c1) * 1000000) AS BIGINT) AS lp_micro
+         |       FROM c12 JOIN c1 USING (w1))
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  (-sum(lp_micro))::BIGINT AS surprisal_micro
+         |FROM b JOIN lp USING (w1, w2) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "bpe_fertility" ->
+      """WITH w AS (SELECT lang,
+        |    unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word FROM documents),
+        |wt AS (SELECT word, n_tokens
+        |       FROM read_parquet('{OUT}/bpe_word_tokens/*.parquet'))
+        |SELECT lang, count(*)::BIGINT AS n_words,
+        |  sum(wt.n_tokens)::BIGINT AS n_subwords,
+        |  ((sum(wt.n_tokens) * 10000) // count(*))::BIGINT AS fertility_bp
+        |FROM w JOIN wt USING (word)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_stats" ->
       s"""SELECT count(*)::BIGINT AS n_docs,
          |  count(DISTINCT lang)::BIGINT AS n_langs,

@@ -177,6 +177,50 @@ class QualitySpec extends SparkSuite {
     assert(r.getBoolean(1), "estimate outside the 5% contract")
   }
 
+  test("bigram_surprisal: micro-nat scores match a driver-side bigram LM") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[ \t\n\r]").filter(_.nonEmpty)))
+    val bigrams = docs.map { case (id, ts) =>
+      id -> ts.sliding(2).collect { case Array(a, b) => (a, b) }.toSeq
+    }.filter(_._2.nonEmpty)
+    val c12 = bigrams.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+    val c1 = bigrams.flatMap(_._2).groupBy(_._1).view.mapValues(_.size.toLong)
+    val lp = c12.map { case (bg, c) =>
+      bg -> math.round(math.log(c.toDouble / c1(bg._1)) * 1000000.0) }.toMap
+    val expect = bigrams.map { case (id, bs) =>
+      id -> ((bs.length.toLong, -bs.map(lp).sum)) }.toMap
+    val rows = graft.queries.Quality.bigramSurprisal(spark, sf0001).collect()
+    assert(rows.length == expect.size && rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == expect(r.getLong(0)), s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("bpe_fertility: per-language totals recompute through the reference encoder") {
+    val merges = graft.queries.Quality.bpeMerges(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wordRe = "[A-Za-z]+".r
+    val expect = docs.flatMap { case (lang, t) =>
+      wordRe.findAllIn(t).map(w => (lang, w)) }
+      .groupBy(_._1).map { case (lang, ws) =>
+        val sub = ws.map { case (_, w) =>
+          BpeRef.encodeInOrder(w, merges).length.toLong }.sum
+        lang -> (ws.length.toLong, sub)
+      }
+    val rows = graft.queries.Quality.bpeFertility(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == expect.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (nw, ns) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) == (nw, ns), r.getString(0))
+      assert(r.getLong(3) == ns * 10000L / nw)
+      assert(r.getLong(3) >= 10000L, "fertility is at least one subword per word")
+    }
+  }
+
   test("phrase_search: index-join hits equal a naive sliding-window text scan") {
     val phrase = Array("join", "part", "filter")
     val expect = spark.read.parquet(s"$sf0001/documents.parquet")
