@@ -1,0 +1,84 @@
+package graft
+
+/** Repo-wide physical-plan invariants over EVERY declared query — the
+  * scale-discipline gate: a future query (or a Spark planner change)
+  * that introduces an unbounded cartesian stage should fail CI, not
+  * surface as a 100 TB incident. Plans are built at sf0.001; building a
+  * plan is cheap and runs no data jobs for almost all queries (the
+  * known exceptions run small driver jobs: AssignIds' zipWithIndex,
+  * triangle_count's broadcast gate count).
+  */
+class PlanInvariantsSpec extends SparkSuite {
+
+  /** Queries whose plan legitimately contains a nested-loop stage, each
+    * with the reason it is bounded by DECLARATION (constant-size side —
+    * a one-row scalar, a <=32-row bucket table, or the documented
+    * bounded oracle-twin id slice). Additions require the same written
+    * justification.
+    */
+  private val boundedNestedLoop: Map[String, String] = Map(
+    "ngram_jaccard" -> "doc_id<500 bounded twin, theta self-join by declaration",
+    "ngram_containment" -> "doc_id<500 bounded twin",
+    "neardup_knn" -> "bounded twin scaffold (doc_id<500)",
+    "simhash_hamming" -> "bounded exact pair twin",
+    "embedding_cosine_pairs" -> "bounded exact pair twin",
+    "dedup_clusters" -> "bounded ngram pair input (doc_id<500)",
+    "dedup_clusters_star" -> "bounded ngram pair input (doc_id<500)",
+    "dedup_kept" -> "bounded ngram pair input (doc_id<500)",
+    "scalar_subquery" -> "one-row scalar threshold join",
+    "pareto_front" -> "<=32-row bucket-prefix broadcast theta-join",
+    "equidepth_histogram" -> "<=16-row bucket boundary broadcast join",
+    "decile_lift" -> "<=10-row decile prefix broadcast theta-join",
+    "cumulative_users" -> "bounded day-count prefix broadcast theta-join",
+    "trend_7d" -> "bounded day-count value-range broadcast theta-join",
+    "overlap_join" -> "range-bucketed interval join; residual theta on bucket",
+    "range_join" -> "range-bucketed join; residual theta on bucket",
+    "asof_nearest" -> "bucketed as-of; residual theta on bucket",
+    "weighted_sample" -> "one-row scalar threshold",
+    "token_budget_sample" -> "one-row running-budget scalar",
+    "embedding_topk" -> "one-row query-vector broadcast",
+    "embedding_topk_ivf" -> "<=nprobe-row centroid set broadcast",
+    "embedding_neardup" -> "hyperplane-LSH bucket join; scalar hyperplanes",
+    "typo_pairs" -> "one-row scalar (vocab-size) broadcast",
+    "contamination_check" -> "one-row scalar corpus-size broadcast",
+    "assoc_rules" -> "one-row basket-total scalar broadcast",
+    "benford_test" -> "one-row row-count scalar broadcast",
+    "bigram_pmi" -> "one-row corpus-total scalar broadcast",
+    "bm25" -> "one-row corpus-stats scalar broadcast",
+    "cross_join_dims" -> "THE declared cross-join operator; both sides dimension tables",
+    "doc_surprisal" -> "one-row corpus-total scalar broadcast",
+    "dq_checks" -> "one-row check aggregate x one-row orphan count crosses",
+    "funnel" -> "one-row per-stage count scalar crosses",
+    "hll_merge" -> "one-row exact x one-row merged-estimate cross",
+    "psi_drift" -> "one-row period-total scalar broadcast",
+    "quantile_transform" -> "one-row N scalar broadcast",
+    "skew_join" -> "bounded literal salt-range side by declaration",
+    "tf_idf" -> "one-row corpus-size scalar broadcast",
+    "token_allocation" -> "one-row budget scalar broadcast",
+    "triangle_count" -> "three one-row census aggregates crossed",
+    "vocab_idf" -> "one-row corpus-size scalar broadcast",
+    "weekday_index" -> "one-row overall-average scalar broadcast",
+  )
+
+  test("no declared query plans an unbounded cartesian stage") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf0001).queryExecution.executedPlan.toString
+        catch { case e: Exception => s"PLAN-BUILD-FAILED: $e" }
+      val nested = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (plan.startsWith("PLAN-BUILD-FAILED"))
+        offenders += s"$name: ${plan.take(200)}"
+      else if (nested && !boundedNestedLoop.contains(name))
+        offenders += s"$name: nested-loop stage without declared bound"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("every allowlisted bounded nested-loop query still exists") {
+    val declared = SparkEntry.queries.keySet
+    val stale = boundedNestedLoop.keys.filterNot(declared.contains)
+    assert(stale.isEmpty, s"allowlist entries for undeclared queries: $stale")
+  }
+}
