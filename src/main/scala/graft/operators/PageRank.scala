@@ -64,8 +64,16 @@ object PageRank {
     */
   val BroadcastNodeLimit = 5000000L
 
+  /** `seed`: None = standard PageRank (uniform 15% jump to every node);
+    * Some(v) = PERSONALIZED PageRank — all initial mass and all restart
+    * mass concentrate on `v`, so ranks measure proximity to the seed
+    * (random walk with restart). Same integer lattice, same iteration
+    * mechanics; total mass is bounded by one node's worth (≤ scale), so
+    * the overflow notches are if anything conservative.
+    */
   def run(edges: DataFrame, iters: Int, checkpointEvery: Int = 8,
-      validate: Boolean = true, scale: Long = Scale): DataFrame = {
+      validate: Boolean = true, scale: Long = Scale,
+      seed: Option[Long] = None): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(checkpointEvery >= 1)
     require(scale >= 1000000L, "scale below 1e6 leaves too little rank resolution")
@@ -105,7 +113,14 @@ object PageRank {
     }
     val small = nNodes <= BroadcastNodeLimit
     var chk: Option[DataFrame] = None
-    var r = deg.select(col("src").as("node"), lit(eff).as("r"))
+    val jumpCol = seed match {
+      case None => lit(jump)
+      case Some(sd) => when(col("dst") === sd, jump).otherwise(0L)
+    }
+    var r = deg.select(col("src").as("node"), (seed match {
+      case None => lit(eff)
+      case Some(sd) => when(col("src") === sd, eff).otherwise(0L)
+    }).as("r"))
     try {
       for (i <- 1 to iters) {
         val ranks = r.withColumnRenamed("node", "src")
@@ -114,7 +129,7 @@ object PageRank {
           .groupBy(col("dst"))
           .agg(sum(col("contrib")).as("c"))
           .select(col("dst").as("node"),
-            (lit(jump) + expr("(85 * c) div 100")).as("r"))
+            (jumpCol + expr("(85 * c) div 100")).as("r"))
         // the FINAL round always checkpoints: the returned frame must not
         // depend on e2/deg, which the finally below unpersists before the
         // caller ever executes the (lazy) result. The eager checkpoint

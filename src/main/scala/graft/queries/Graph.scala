@@ -62,6 +62,29 @@ object Graph {
       .limit(100)
   }
 
+  /** Personalized PageRank from the graph's most-connected node — the
+    * "related items" neighborhood query (random walk with restart):
+    * restart mass concentrates on the hub seed, so ranks measure
+    * proximity to it, not global centrality. Seed selection is
+    * deterministic (max degree, then min node id — one driver-side
+    * lookup against the small degree table, the triangle-gate pattern);
+    * the walk itself is [[PageRank.run]]'s integer lattice with the
+    * seeded jump vector, exchange-free per round under the broadcast
+    * gate. Top-20 by rank with the total tie-break.
+    */
+  def pprTopk(s: SparkSession, d: String): DataFrame = {
+    val edges = edgeTable(s, d)
+    val seed = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src")).limit(1).head().getLong(0)
+    PageRank.run(edges, iters = 3, validate = false, seed = Some(seed))
+      .select(
+        when(col("node") >= PartOffset, lit("part")).otherwise(lit("supplier")).as("kind"),
+        when(col("node") >= PartOffset, col("node") - PartOffset).otherwise(col("node")).as("id"),
+        col("r").as("rank"))
+      .orderBy(col("rank").desc, col("kind"), col("id"))
+      .limit(20)
+  }
+
   /** Degree histogram of the supplier↔part graph ([[edgeTable]]) — the
     * profiling query run before choosing any graph algorithm's strategy
     * (skew, broadcast thresholds, expected wedge counts). Two hash
@@ -243,6 +266,7 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerank,
+    "ppr_topk" -> pprTopk,
     "degree_histogram" -> degreeHistogram,
     "cosupply_neighbors" -> cosupplyNeighbors,
     "triangle_count" -> triangleCount,
@@ -271,6 +295,37 @@ object Graph {
         |  CASE WHEN node >= 1099511627776 THEN node - 1099511627776 ELSE node END AS id,
         |  r AS rank
         |FROM r3 ORDER BY rank DESC, kind, id LIMIT 100""".stripMargin,
+    "ppr_topk" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT sk AS src, pk + 1099511627776 AS dst FROM e0
+        |      UNION ALL SELECT pk + 1099511627776, sk FROM e0),
+        |deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+        |sd AS (SELECT src AS seed FROM deg ORDER BY d DESC, src LIMIT 1),
+        |p0 AS (SELECT src AS node,
+        |         (CASE WHEN src = (SELECT seed FROM sd)
+        |               THEN 1000000000000 ELSE 0 END)::BIGINT AS r FROM deg),
+        |p1 AS (SELECT e.dst AS node,
+        |         (CASE WHEN e.dst = (SELECT seed FROM sd)
+        |               THEN 150000000000 ELSE 0 END
+        |          + (85 * sum(p0.r // deg.d)) // 100)::BIGINT AS r
+        |       FROM e JOIN p0 ON e.src = p0.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |p2 AS (SELECT e.dst AS node,
+        |         (CASE WHEN e.dst = (SELECT seed FROM sd)
+        |               THEN 150000000000 ELSE 0 END
+        |          + (85 * sum(p1.r // deg.d)) // 100)::BIGINT AS r
+        |       FROM e JOIN p1 ON e.src = p1.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |p3 AS (SELECT e.dst AS node,
+        |         (CASE WHEN e.dst = (SELECT seed FROM sd)
+        |               THEN 150000000000 ELSE 0 END
+        |          + (85 * sum(p2.r // deg.d)) // 100)::BIGINT AS r
+        |       FROM e JOIN p2 ON e.src = p2.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst)
+        |SELECT CASE WHEN node >= 1099511627776 THEN 'part' ELSE 'supplier' END AS kind,
+        |  CASE WHEN node >= 1099511627776 THEN node - 1099511627776 ELSE node END AS id,
+        |  r AS rank
+        |FROM p3 ORDER BY rank DESC, kind, id LIMIT 20""".stripMargin,
     "degree_histogram" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
         |e AS (SELECT sk AS src, pk + 1099511627776 AS dst FROM e0

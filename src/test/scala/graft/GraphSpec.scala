@@ -92,6 +92,32 @@ class GraphSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("ppr_topk equals a driver-side seeded integer walk") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1) + (1L << 40)))
+    val edges = li ++ li.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seed = deg.toSeq.minBy { case (n, d2) => (-d2, n) }._1
+    val scale = 1000000000000L
+    var r: Map[Long, Long] = deg.keys.map(n => n -> (if (n == seed) scale else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s2, d2) => contrib(d2) += r(s2) / deg(s2) }
+      r = deg.keys.map { n =>
+        n -> ((if (n == seed) 15L * scale / 100L else 0L) + 85L * contrib(n) / 100L)
+      }.toMap
+    }
+    def kind(n: Long) = if (n >= (1L << 40)) "part" else "supplier"
+    def id(n: Long) = if (n >= (1L << 40)) n - (1L << 40) else n
+    val expect = r.toSeq.sortBy { case (n, rk) => (-rk, kind(n), id(n)) }.take(20)
+      .map { case (n, rk) => (kind(n), id(n), rk) }
+    val got = graft.queries.Graph.pprTopk(spark, sf0001).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got.head._3 > got.last._3, "ranks must decay from the seed")
+    assert(got == expect)
+  }
+
   test("triangle_count equals a driver-side brute-force census") {
     val lp = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
