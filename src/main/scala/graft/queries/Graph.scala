@@ -85,6 +85,31 @@ object Graph {
       .limit(20)
   }
 
+  /** BFS hop-distance distribution from the hub seed — the reach/
+    * diameter profile of the supplier↔part graph (how many nodes sit
+    * 1, 2, 3, 4 hops from the most-connected node). The third iterative
+    * kernel shape after PageRank (mass flow) and star contraction
+    * (label collapse): frontier expansion with MIN-aggregation — each
+    * round joins the current distance table to the edge list and keeps
+    * the per-node minimum hop. The distance table is node-sized (never
+    * path-sized — the naive path-enumerating recursion explodes
+    * combinatorially in dense graphs; the oracle's recursive CTE relies
+    * on UNION-distinct for the same reason). Four rounds, fixed.
+    */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val edges = edgeTable(s, d)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val seed = deg.orderBy(col("dg").desc, col("src")).limit(1).head().getLong(0)
+    var dist = deg.filter(col("src") === seed)
+      .select(col("src").as("node"), lit(0L).as("hop"))
+    for (_ <- 1 to 4) {
+      val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
+      dist = dist.union(nxt).groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    }
+    dist.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes")).orderBy(col("hop"))
+  }
+
   /** Degree histogram of the supplier↔part graph ([[edgeTable]]) — the
     * profiling query run before choosing any graph algorithm's strategy
     * (skew, broadcast thresholds, expected wedge counts). Two hash
@@ -267,6 +292,7 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank" -> pagerank,
     "ppr_topk" -> pprTopk,
+    "bfs_hops" -> bfsHops,
     "degree_histogram" -> degreeHistogram,
     "cosupply_neighbors" -> cosupplyNeighbors,
     "triangle_count" -> triangleCount,
@@ -326,6 +352,21 @@ object Graph {
         |  CASE WHEN node >= 1099511627776 THEN node - 1099511627776 ELSE node END AS id,
         |  r AS rank
         |FROM p3 ORDER BY rank DESC, kind, id LIMIT 20""".stripMargin,
+    "bfs_hops" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |        FROM lineitem),
+        |e AS (SELECT sk AS src, pk + 1099511627776 AS dst FROM e0
+        |      UNION ALL SELECT pk + 1099511627776, sk FROM e0),
+        |deg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY 1),
+        |sd AS (SELECT src AS seed FROM deg ORDER BY d DESC, src LIMIT 1),
+        |b AS (
+        |  SELECT (SELECT seed FROM sd) AS node, 0::BIGINT AS hop
+        |  UNION
+        |  SELECT e.dst, b.hop + 1 FROM b JOIN e ON e.src = b.node
+        |  WHERE b.hop < 4)
+        |SELECT hop, count(*)::BIGINT AS n_nodes
+        |FROM (SELECT node, min(hop) AS hop FROM b GROUP BY node)
+        |GROUP BY hop ORDER BY hop""".stripMargin,
     "degree_histogram" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
         |e AS (SELECT sk AS src, pk + 1099511627776 AS dst FROM e0

@@ -118,6 +118,28 @@ class GraphSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("bfs_hops equals a driver-side breadth-first search") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1) + (1L << 40)))
+    val edges = li ++ li.map { case (a, b) => (b, a) }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seed = deg.toSeq.minBy { case (n, d2) => (-d2, n) }._1
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1L to 4L) {
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(dist(_) = h)
+    }
+    val expect = dist.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = graft.queries.Graph.bfsHops(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.keySet.contains(1L) && got(0L) == 1L, "seed at hop 0, neighbors at 1")
+  }
+
   test("triangle_count equals a driver-side brute-force census") {
     val lp = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
