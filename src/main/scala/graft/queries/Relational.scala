@@ -376,7 +376,76 @@ object Relational {
         expr("bit_xor(l_orderkey)").as("bxor"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q3 shape (shipping-priority top-k, adapted to this schema's
+    * columns): unshipped BUILDING-segment orders ranked by line revenue.
+    * The canonical selective-fact/fact join: both date filters PUSH DOWN
+    * to the parquet scans (plan-guarded), the two shuffles key on
+    * o_custkey then o_orderkey, and the top-10 plans as
+    * TakeOrderedAndProject — never a global sort of the join output.
+    * Revenue is exact integer cents, rounded once per line.
+    */
+  def q3Topk(s: SparkSession, d: String): DataFrame = {
+    val cutoff = 836179200000L // 1996-07-01 in epoch ms
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      .filter(col("o_date_ms") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_date_ms"))
+    val li = Tables.lineitem(s, d)
+      .filter(unix_millis(col("l_shipdate").cast("timestamp")) > cutoff)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_date_ms"))
+      .agg(sum(col("rev_c")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): revenue per nation in one
+    * region and year where the supplying supplier sits in the ordering
+    * customer's nation — the six-way star/fact join every optimizer
+    * paper benchmarks. Join discipline at scale: the region→nation
+    * chain BROADCASTS (always tiny), customer⋈orders shuffles on
+    * custkey, ⋈lineitem on orderkey, and the supplier join carries the
+    * extra s_nationkey = c_nationkey locality condition; AQE picks the
+    * supplier side's strategy from measured sizes (dimension-sized at
+    * test SF, data-sized at extreme SF — a blind hint would be wrong at
+    * one end). Exact integer cents.
+    */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val lo = 820454400000L // 1996-01-01 epoch ms
+    val hi = 852076800000L // 1997-01-01 epoch ms
+    val nat = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      .filter(col("o_date_ms") >= lo && col("o_date_ms") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long").as("rev_c"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_c")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_topk" -> q3Topk,
+    "q5_region_revenue" -> q5RegionRevenue,
     "except_intersect_all" -> exceptIntersectAll,
     "date_arith" -> dateArith,
     "bitwise_agg" -> bitwiseAgg,
@@ -404,6 +473,30 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q3_topk" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS revenue_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND epoch_ms(o_orderdate) < 836179200000
+        |  AND epoch_ms(l_shipdate) > 836179200000
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS revenue_cents
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND epoch_ms(o_orderdate) >= 820454400000
+        |  AND epoch_ms(o_orderdate) < 852076800000
+        |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "except_intersect_all" ->
       """WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45),
         |     b AS (SELECT p_partkey AS k FROM part)

@@ -185,4 +185,59 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got.size == 21 && got.values.forall(_ == 5000L), got.toString)
     spark.sql("DROP TABLE IF EXISTS stream_wc")
   }
+
+  test("q3_topk plan: filters pushed to scans, top-10 is a TakeOrdered") {
+    val qe = graft.queries.Relational.q3Topk(spark, sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    // the segment literal must reach the customer scan as a pushed filter
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan.take(2000))
+    val rows = graft.queries.Relational.q3Topk(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // descending by revenue with the declared tie-break
+    val revs = rows.map(_.getLong(2)).toSeq
+    assert(revs == revs.sortBy(-_))
+  }
+
+  test("q5_region_revenue: plan has no cartesian stage and matches a driver recompute") {
+    val plan = graft.queries.Relational.q5RegionRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // independent recompute of the six-way join on collected rows
+    def t(n: String) = spark.read.parquet(s"$sf0001/$n.parquet")
+    def gl(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+      case l: Long => l; case n2: Int => n2.toLong
+      case other => sys.error(s"unexpected key type $other")
+    }
+    val reg = t("region").filter(org.apache.spark.sql.functions.col("r_name") === "ASIA")
+    val na = t("nation")
+    val asiaNations = na.join(reg, na("n_regionkey") === reg("r_regionkey"))
+      .select("n_nationkey", "n_name").collect()
+      .map(r => gl(r, 0) -> r.getString(1)).toMap
+    val cust = t("customer").select("c_custkey", "c_nationkey").collect()
+      .map(r => gl(r, 0) -> gl(r, 1)).toMap
+    val sup = t("supplier").select("s_suppkey", "s_nationkey").collect()
+      .map(r => gl(r, 0) -> gl(r, 1)).toMap
+    val ord = t("orders")
+      .selectExpr("o_orderkey", "o_custkey",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ms").collect()
+      .filter(r => r.getLong(2) >= 820454400000L && r.getLong(2) < 852076800000L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    t("lineitem").selectExpr("l_orderkey", "l_suppkey",
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rc")
+      .collect().foreach { r =>
+        for {
+          ck <- ord.get(r.getLong(0))
+          nk = cust(ck)
+          name <- asiaNations.get(nk)
+          sk <- sup.get(r.getLong(1)) if sk == nk
+        } expect(name) += r.getLong(2)
+      }
+    val got = graft.queries.Relational.q5RegionRevenue(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect.toMap)
+    assert(got.nonEmpty, "the ASIA/1996 slice must be non-empty at sf0.001")
+  }
 }
