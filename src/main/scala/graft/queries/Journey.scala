@@ -267,16 +267,23 @@ object Journey {
       .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = when(col("event_type") =!= "purchase", col("event_type"))
-    val base = ev(s, d)
-      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
-      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
-      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+    ev(s, d)
+      // both window expressions in ONE projection: chained withColumns
+      // interleave a Project computing the shared CASE input, which
+      // blocks CollapseWindow and plans two Window passes
+      .select(col("event_type"),
+        first(touch, ignoreNulls = true).over(w).as("ft"),
+        last(touch, ignoreNulls = true).over(w).as("lt"))
       .filter(col("event_type") === "purchase")
-    def agg(c: String, model: String) = base
-      .groupBy(coalesce(col(c), lit("none")).as("touch"))
+      // both models fan out map-side from the one windowed pass — a
+      // union of two aggregates re-plans the window per branch
+      .select(explode(array(
+        struct(lit("first_touch").as("model"),
+          coalesce(col("ft"), lit("none")).as("touch")),
+        struct(lit("last_touch").as("model"),
+          coalesce(col("lt"), lit("none")).as("touch")))).as("mt"))
+      .groupBy(col("mt.model").as("model"), col("mt.touch").as("touch"))
       .agg(count(lit(1)).as("n_purchases"))
-      .select(lit(model).as("model"), col("touch"), col("n_purchases"))
-    agg("ft", "first_touch").unionByName(agg("lt", "last_touch"))
       .orderBy(col("model"), col("touch"))
   }
 

@@ -468,4 +468,33 @@ class ScaleSpec extends SparkSuite {
     assert(!lf.contains("Join"), lf.take(800))
     assert("Exchange hashpartitioning".r.findAllIn(lf).size == 1, lf.take(800))
   }
+
+  test("plan guards: round-6 batch keeps the scale shape") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    // attribution: BOTH credit models come from ONE window pass
+    assert("Window ".r.findAllIn(planOf("attribution")).size == 1,
+      planOf("attribution").take(1200))
+    // dwell_times: one keyed window, no join
+    val dw = planOf("dwell_times")
+    assert("Window ".r.findAllIn(dw).size == 1 && !dw.contains("Join"), dw.take(800))
+    // the distinct-window eliminations: NO window operator anywhere
+    for (q <- Seq("cumulative_users", "rolling_active_users", "trend_7d",
+        "quantile_transform", "decile_lift")) {
+      assert(!planOf(q).contains("Window"), s"$q: ${planOf(q).take(800)}")
+    }
+    // triangle_count: adjacency rides broadcast joins below the gate;
+    // the census scalars cross as one-row broadcasts — no shuffle of
+    // any wedge-sized stream exists because none is materialized
+    val tc = planOf("triangle_count")
+    assert(tc.contains("BroadcastHashJoin"), tc.take(1200))
+    // cosupply: the dimension-sized degree table broadcasts on BOTH
+    // probe joins (the AQE small-SF misestimate is overridden)
+    assert("BroadcastHashJoin".r.findAllIn(planOf("cosupply_neighbors")).size >= 2,
+      planOf("cosupply_neighbors").take(1500))
+    // ohlc_bars / benford_test / weekday_index: single-aggregate shapes
+    for (q <- Seq("ohlc_bars", "benford_test", "weekday_index")) {
+      assert(!planOf(q).contains("WindowExec"), s"$q: ${planOf(q).take(600)}")
+    }
+  }
 }
