@@ -405,4 +405,67 @@ class StreamingSpec extends SparkSuite {
     assert(landed.count() == expected)
     assert(landed.distinct().count() == expected)
   }
+
+  test("streaming ingest gate: LSH-incremental foreachBatch admits only novel docs across batches") {
+    // The 100 TB ingest-gate story end-to-end in streaming form: each
+    // micro-batch of incoming documents is LSH-probed against the
+    // CURRENT admitted corpus (Dedup.minhashIncremental — O(batch)
+    // bucket lookups, never old-vs-old), survivors append to the
+    // corpus, and a near-dup of a doc admitted in an EARLIER batch must
+    // be rejected — the corpus the gate probes has to grow.
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("gate-corpus").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("gate-in")
+    def tokens(seed: String): String = (1 to 60).map(j => s"${seed}_$j").mkString(" ")
+    def nearDup(src: String): String =
+      src.split(" ").dropRight(2).mkString(" ") + " changed tail"
+    val base = (0L until 8L).map(i => (i, tokens(s"w$i")))
+    base.toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val novel1 = tokens("fresh1"); val novel2 = tokens("fresh2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stage(n: Int, rows: Seq[(Long, String)]): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory(s"gate-b$n")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.resolve("w").toString)
+      val it = java.nio.file.Files.list(scratch.resolve("w")).iterator()
+      var copied = false
+      while (it.hasNext && !copied) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, streamDir.resolve(f"batch-$n%03d.parquet"))
+          copied = true
+        }
+      }
+      assert(copied)
+    }
+    val q = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val corpus = batch.sparkSession.read.parquet(corpusDir)
+          val dupIds = graft.operators.Dedup.minhashIncremental(batch.toDF(), corpus)
+            .select("new_id").distinct().collect().map(_.getLong(0))
+          batch.filter(!col("doc_id").isin(dupIds.toSeq: _*))
+            .write.mode("append").parquet(corpusDir)
+        }
+        ()
+      }
+      .start()
+    try {
+      stage(1, Seq((100L, nearDup(base(3)._2)), (101L, novel1)))
+      q.processAllAvailable()
+      // 200 duplicates a doc admitted in batch 1 — the gate must see it
+      stage(2, Seq((200L, nearDup(novel1)), (201L, novel2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 8L).toSet ++ Set(101L, 201L),
+      s"admitted=$ids — near-dups 100 (of base 3) and 200 (of batch-1's 101) must be rejected")
+  }
 }
