@@ -102,10 +102,21 @@ object Graph {
     val seed = deg.orderBy(col("dg").desc, col("src")).limit(1).head().getLong(0)
     var dist = deg.filter(col("src") === seed)
       .select(col("src").as("node"), lit(0L).as("hop"))
+    // each round references dist TWICE (frontier join + union), so the
+    // un-truncated plan doubles per round — 2^4 re-evaluations by round
+    // four (measured 8.9 s; the connectedComponents lesson). The
+    // node-sized distance table eager-localCheckpoints every round and
+    // the previous round's blocks are released.
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to 4) {
       val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
-      dist = dist.union(nxt).groupBy(col("node")).agg(min(col("hop")).as("hop"))
+      val updated = dist.union(nxt)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+      prev.foreach(org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+      prev = Some(updated)
+      dist = updated
     }
     dist.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes")).orderBy(col("hop"))
   }
