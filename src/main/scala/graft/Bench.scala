@@ -57,7 +57,12 @@ object Bench {
     // so the two samples of any one query are minutes apart: round-5's
     // back-to-back samples let a single multi-second host burst inflate
     // both samples of a contiguous alphabetical window of queries.
+    // dev-only isolation filter (the driver sets no SPARK_GRAFT_ONLY):
+    // SPARK_GRAFT_ONLY=pagerank,ppr_topk times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // storage janitor: a query is free to persist() its own reused
     // intermediates (setsim_join's prefix tables, assoc_rules' pair
     // base, ...), but across ~180 queries x 2 passes those temporaries

@@ -106,10 +106,14 @@ object Graph {
     // un-truncated plan doubles per round — 2^4 re-evaluations by round
     // four (measured 8.9 s; the connectedComponents lesson). The
     // node-sized distance table eager-localCheckpoints every round and
-    // the previous round's blocks are released.
+    // the previous round's blocks are released; below the measured
+    // PageRank broadcast gate it also rides a broadcast into the
+    // frontier join, so the cached edge list never re-shuffles.
+    val small = deg.count() <= graft.operators.PageRank.BroadcastNodeLimit
     var prev: Option[DataFrame] = None
     for (_ <- 1 to 4) {
-      val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
+      val distSrc = dist.withColumnRenamed("node", "src")
+      val nxt = edges.join(if (small) broadcast(distSrc) else distSrc, "src")
         .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
       val updated = dist.union(nxt)
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
