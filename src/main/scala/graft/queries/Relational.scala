@@ -443,9 +443,39 @@ object Relational {
       .orderBy(col("revenue_cents").desc, col("n_name"))
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    * revenue lost to returns in one quarter, with nation context. The
+    * third classic: selective fact filter (returnflag) on the BIG side,
+    * quarter filter on orders, customer enrichment, broadcast nation
+    * dim, TakeOrdered top-20. Exact integer cents.
+    */
+  def q10Returns(s: SparkSession, d: String): DataFrame = {
+    val lo = 820454400000L // 1996-01-01 epoch ms
+    val hi = 828316800000L // 1996-04-01 epoch ms
+    val ord = Tables.orders(s, d)
+      .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      .filter(col("o_date_ms") >= lo && col("o_date_ms") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev_c")).as("lost_cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_topk" -> q3Topk,
     "q5_region_revenue" -> q5RegionRevenue,
+    "q10_returns" -> q10Returns,
     "except_intersect_all" -> exceptIntersectAll,
     "date_arith" -> dateArith,
     "bitwise_agg" -> bitwiseAgg,
@@ -497,6 +527,18 @@ object Relational {
         |  AND epoch_ms(o_orderdate) >= 820454400000
         |  AND epoch_ms(o_orderdate) < 852076800000
         |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS lost_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND epoch_ms(o_orderdate) >= 820454400000
+        |  AND epoch_ms(o_orderdate) < 828316800000
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin,
     "except_intersect_all" ->
       """WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45),
         |     b AS (SELECT p_partkey AS k FROM part)

@@ -240,4 +240,20 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got == expect.toMap)
     assert(got.nonEmpty, "the ASIA/1996 slice must be non-empty at sf0.001")
   }
+
+  test("q10_returns plan: pre-aggregation sits BELOW the customer join, top-20 is TakeOrdered") {
+    val df = graft.queries.Relational.q10Returns(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the revenue aggregate keys on o_custkey and must appear INSIDE the
+    // join tree (enriching 600k line rows with customer names first
+    // would carry the wide columns through the big shuffle)
+    assert(plan.contains("Aggregate [o_custkey"), plan.take(1500))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), phys.take(600))
+    assert(phys.contains("EqualTo(l_returnflag,R)"), phys.take(2500))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getLong(3)).toSeq
+    assert(revs == revs.sortBy(-_))
+  }
 }
