@@ -410,7 +410,67 @@ object Insights {
       .orderBy(col("o_custkey"))
   }
 
+  /** View→purchase conversion-latency histogram (hours) — the funnel's
+    * TIME dimension (the funnel query reports who converts; this
+    * reports how long it takes). First view and first at-or-after-view
+    * purchase per user via two co-partitioned min-aggregates on
+    * user_id, delta bucketed to hours; output is bounded by the
+    * latency range.
+    */
+  def conversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.Sessions.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("view_ms"))
+    ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts_ms") >= col("view_ms"))
+      .groupBy(col("user_id"), col("view_ms"))
+      .agg(min(col("ts_ms")).as("purchase_ms"))
+      .selectExpr("(purchase_ms - view_ms) div 3600000 AS lag_hours")
+      .groupBy(col("lag_hours")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("lag_hours"))
+  }
+
+  /** Robust anomaly screen over the decomposed daily-revenue series:
+    * days whose trend residual sits more than 2 MADs from the median
+    * residual (the outlier rule that survives the outliers themselves —
+    * a mean/stddev screen is dragged by the very anomalies it hunts).
+    * Reuses trend_7d's broadcast value-range trend; both medians are
+    * exact order statistics through the DISTRIBUTED AssignIds rank
+    * (never a SinglePartition window), each reduced to a one-row
+    * broadcast scalar. All arithmetic exact integer cents.
+    */
+  def anomalyDays(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyRevenue(s, d)
+    val tr = daily.select(col("day").as("dk"))
+      .join(broadcast(daily), abs(col("day") - col("dk")) <= 3)
+      .groupBy(col("dk"))
+      .agg(expr("sum(cents) div count(1)").as("trend_cents"))
+    val res = daily.join(broadcast(tr), col("day") === col("dk"))
+      .select(col("day"), col("cents"), col("trend_cents"),
+        (col("cents") - col("trend_cents")).as("residual_cents"))
+      .persist()
+    def medianOf(df: DataFrame, c: String, as: String): DataFrame = {
+      val vs = df.select(col(c).as("v"))
+      val ranked = graft.operators.AssignIds.byOrder(vs, Seq(col("v")), "rn")
+      val n = vs.count()
+      broadcast(ranked.filter(col("rn") === lit((n + 1) / 2))
+        .select(col("v").as(as)))
+    }
+    val med = medianOf(res, "residual_cents", "med")
+    val dev = res.crossJoin(med)
+      .select(abs(col("residual_cents") - col("med")).as("dv"))
+    val mad = medianOf(dev, "dv", "mad")
+    res.crossJoin(med).crossJoin(mad)
+      .filter(abs(col("residual_cents") - col("med")) > lit(2L) * col("mad"))
+      .select(col("day"), col("cents"), col("trend_cents"), col("residual_cents"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conversion_lag" -> conversionLag,
+    "anomaly_days" -> anomalyDays,
     "trend_7d" -> trend7d,
     "quantile_transform" -> quantileTransform,
     "rolling_active_users" -> rollingActiveUsers,
@@ -427,6 +487,36 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "conversion_lag" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS view_ms FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, v.view_ms, min(e.ts_ms) AS purchase_ms
+        |      FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts_ms >= v.view_ms
+        |      GROUP BY 1, 2)
+        |SELECT (purchase_ms - view_ms) // 3600000 AS lag_hours,
+        |  count(*)::BIGINT AS n_users
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "anomaly_days" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT a.day, a.cents,
+        |        (SELECT sum(b.cents) // count(*) FROM daily b
+        |         WHERE abs(b.day - a.day) <= 3) AS trend_cents FROM daily a),
+        |r AS (SELECT day, cents, trend_cents,
+        |        cents - trend_cents AS res FROM t),
+        |r1 AS (SELECT res, row_number() OVER (ORDER BY res) AS rn,
+        |         count(*) OVER () AS n FROM r),
+        |m AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN res END) AS med FROM r1),
+        |dv AS (SELECT abs(res - (SELECT med FROM m)) AS dev FROM r),
+        |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+        |         count(*) OVER () AS n FROM dv),
+        |md AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad FROM r2)
+        |SELECT day, cents, trend_cents::BIGINT AS trend_cents,
+        |  res::BIGINT AS residual_cents
+        |FROM r, m, md WHERE abs(res - med) > 2 * mad ORDER BY day""".stripMargin,
     "trend_7d" ->
       """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents

@@ -176,6 +176,45 @@ class InsightsSpec extends SparkSuite {
     assert(!plan.contains("WindowExec"), plan.take(800))
   }
 
+  test("conversion_lag: histogram matches a driver-side funnel replay") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "ts_ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).values.flatMap { g =>
+      val views = g.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val v = views.min
+        val ps = g.filter(e => e._2 == "purchase" && e._3 >= v).map(_._3)
+        if (ps.isEmpty) None else Some((ps.min - v) / 3600000L)
+      }
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = graft.queries.Insights.conversionLag(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == expect && rows.nonEmpty)
+  }
+
+  test("anomaly_days: flagged days equal the driver-side MAD rule") {
+    val daily = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    def medAt(vs: Seq[Long]): Long = vs.sorted.apply(((vs.size + 1) / 2 - 1).toInt)
+    val res = daily.map { case (day, c) =>
+      val win = daily.filter { case (d2, _) => math.abs(d2 - day) <= 3 }.values
+      (day, c, win.sum / win.size)
+    }.toSeq.map { case (day, c, t) => (day, c, t, c - t) }
+    val med = medAt(res.map(_._4))
+    val mad = medAt(res.map(r => math.abs(r._4 - med)))
+    val expect = res.filter(r => math.abs(r._4 - med) > 2 * mad)
+      .map(r => (r._1, r._2, r._3, r._4)).sortBy(_._1)
+    val got = graft.queries.Insights.anomalyDays(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(mad > 0, "the corpus must have residual spread for the rule to mean anything")
+  }
+
   test("dq_checks: every battery row matches an independent recomputation") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")

@@ -58,6 +58,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "triangle_count" -> "three one-row census aggregates crossed",
     "vocab_idf" -> "one-row corpus-size scalar broadcast",
     "weekday_index" -> "one-row overall-average scalar broadcast",
+    "anomaly_days" -> "one-row median/MAD scalar broadcasts",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
