@@ -406,7 +406,7 @@ object Insights {
     val n = broadcast(spend.groupBy().agg(count(lit(1)).as("n_total")))
     ranked.crossJoin(n)
       .selectExpr("o_custkey", "cents",
-        "(rn - 1) * 10000 div (n_total - 1) AS q_bp")
+        "(rn - 1) * 10000 div greatest(n_total - 1, 1) AS q_bp")
       .orderBy(col("o_custkey"))
   }
 
@@ -535,7 +535,7 @@ object Insights {
         |        row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
         |        count(*) OVER () AS n_total FROM spend)
         |SELECT o_custkey, cents,
-        |  ((rn - 1) * 10000 // (n_total - 1))::BIGINT AS q_bp
+        |  ((rn - 1) * 10000 // greatest(n_total - 1, 1))::BIGINT AS q_bp
         |FROM r ORDER BY o_custkey""".stripMargin,
     "rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
