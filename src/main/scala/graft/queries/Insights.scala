@@ -6,11 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Commerce/product-analytics insight queries — the reporting layer a
   * data team runs ON TOP of the relational core: market-basket
-  * association rules, time-bucket OHLC downsampling, and A/B contingency
-  * testing. All outputs are exact integers (cents / basis points) except
-  * the chi-square statistic, which follows the repo convention of ONE
-  * fixed double expression tree rounded to a declared precision
-  * (psi_drift's pattern).
+  * association rules, OHLC downsampling, A/B contingency testing,
+  * column/entropy profiling, the data-quality expectation battery,
+  * growth series (DAU/WAU/cumulative via distinct-window-elimination
+  * identities), decile lift and quantile transforms on the distributed
+  * rank, trend decomposition with a MAD anomaly screen, Benford and
+  * weekday forensics, dwell and conversion-latency behavioral metrics.
+  * All outputs are exact integers (cents / basis points / epoch-ms)
+  * except declared statistics (chi-square, entropy), which follow the
+  * repo convention of ONE fixed double expression tree rounded to a
+  * stated precision (psi_drift's pattern). The daily-revenue table is a
+  * shared cached artifact ([[dailyRevenue]]) read by the three
+  * time-series queries.
   */
 object Insights {
 
@@ -357,7 +364,7 @@ object Insights {
 
   private val dailyCache = new graft.DfCache("insights.daily")
 
-  private def dailyRevenue(s: SparkSession, d: String): DataFrame =
+  private[graft] def dailyRevenue(s: SparkSession, d: String): DataFrame =
     dailyCache.getOrElseUpdate((s, d), {
       Tables.orders(s, d)
         .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
