@@ -21,6 +21,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * 54-byte header format) stands in for JPEG/H.264; a production
   * deployment swaps [[BmpCodec]] for a JNI/JavaCV decoder behind the same
   * [[MediaCodec]] seam without touching the plumbing.
+  *
+  * `mapPartitions` here is the JVM analog of `mapInPandas` for a Python
+  * decoder fleet: same batch shape (iterator-in/iterator-out per
+  * partition), same per-task init amortization. pyspark is not available
+  * to this library in the build container, so the Python variant is a
+  * deploy-time swap at the same seam, not a code-path this repo can
+  * exercise.
   */
 object Multimodal {
 
