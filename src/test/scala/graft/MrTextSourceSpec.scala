@@ -57,6 +57,17 @@ class MrTextSourceSpec extends SparkSuite {
     assert(plan.contains("BatchScan") && plan.contains("[part#")
       && !plan.contains("key#"), plan.take(600))
   }
+
+  test("mrtext: a malformed line fails loudly with the file named, never silent garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("mrtext-bad")
+    java.nio.file.Files.write(dir.resolve("result-0.txt"),
+      "ok: 1\nno separator here\n".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-mrtext").load(dir.toString).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("malformed mrtext line") || msg.contains("result-0.txt"), msg.take(400))
+  }
 }
 
 /** Test-only window onto [[graft.sources.MrTextSource.openedFiles]]
