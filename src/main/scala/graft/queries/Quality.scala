@@ -38,7 +38,14 @@ object Quality {
     * until the final presentation ORDER BY — at 100 TB this is two
     * shuffles on keys that never concentrate (doc_id is unique).
     */
-  def qualityFilters(s: SparkSession, d: String): DataFrame = {
+  def qualityFilters(s: SparkSession, d: String): DataFrame =
+    qualityFlags(s, d).orderBy(col("doc_id"))
+
+  /** [[qualityFilters]] without the presentation sort — the per-doc flag
+    * frame consumers join against ([[sourceMixReport]]); a global sort
+    * below a join would be wasted work Catalyst cannot always remove.
+    */
+  private def qualityFlags(s: SparkSession, d: String): DataFrame = {
     val g = docs(s, d)
       .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -55,10 +62,33 @@ object Quality {
     val okRep = lit(5L) * col("maxc") < col("n")
     val okUniq = lit(10L) * col("n_uniq") >= col("n")
     p.select(col("doc_id"), col("n"), col("n_uniq"), col("maxc"),
-        okLen.as("ok_len"), okWordlen.as("ok_wordlen"), okStop.as("ok_stop"),
-        okRep.as("ok_rep"), okUniq.as("ok_uniq"),
-        (okLen && okWordlen && okStop && okRep && okUniq).as("kept"))
-      .orderBy(col("doc_id"))
+      okLen.as("ok_len"), okWordlen.as("ok_wordlen"), okStop.as("ok_stop"),
+      okRep.as("ok_rep"), okUniq.as("ok_uniq"),
+      (okLen && okWordlen && okStop && okRep && okUniq).as("kept"))
+  }
+
+  /** Per-SOURCE dataset card — the table that decides source mixing
+    * weights in corpus assembly: document and token volume, exact-dup
+    * incidence, and the Gopher-battery keep rate per source. One join of
+    * the per-doc flag frame ([[qualityFlags]] — no interposed sort)
+    * against the source column, one aggregate; token-less documents
+    * count as docs with kept=false (LEFT join + coalesce — a source of
+    * empty docs must look bad, not invisible). Exact integers
+    * throughout; keep rate in basis points.
+    */
+  def sourceMixReport(s: SparkSession, d: String): DataFrame = {
+    val q = qualityFlags(s, d).select(col("doc_id"), col("n"), col("kept"))
+    docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      .join(q, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n"), lit(0L))).as("total_tokens"),
+        sum(when(coalesce(col("kept"), lit(false)), 1L).otherwise(0L)).as("n_kept"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+      .selectExpr("source", "n_docs", "total_tokens",
+        "total_tokens div n_docs AS mean_tokens",
+        "n_kept", "n_kept * 10000 div n_docs AS kept_bp", "n_dup_docs")
+      .orderBy(col("source"))
   }
 
   // --- per-document n-gram repetition ----------------------------------
@@ -465,6 +495,7 @@ object Quality {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_filters" -> qualityFilters,
+    "source_mix_report" -> sourceMixReport,
     "repetition_ngram" -> repetitionNgram,
     "hll_merge" -> hllMerge,
     "neardup_knn" -> neardupKnn,
@@ -483,14 +514,38 @@ object Quality {
 
   private val ToksNE = Shared.ToksNE
 
+  /** The Gopher-battery per-doc CTE block (t, g, p), single-sourced so
+    * the quality_filters and source_mix_report oracles can never drift
+    * from each other (the Spark side shares [[qualityFlags]] the same
+    * way).
+    */
+  private val QualityBatteryCte =
+    s"""t AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
+       |g AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+       |p AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_uniq,
+       |        max(c)::BIGINT AS maxc, sum(length(tok) * c)::BIGINT AS sum_len,
+       |        coalesce(sum(c) FILTER (WHERE tok IN ('a', 'the')), 0)::BIGINT AS n_stop
+       |      FROM g GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "source_mix_report" ->
+      s"""WITH $QualityBatteryCte,
+         |qf AS (SELECT doc_id, n,
+         |         ((n BETWEEN 5 AND 100000)
+         |          AND (10 * sum_len >= 30 * n AND 10 * sum_len <= 100 * n)
+         |          AND (50 * n_stop >= n) AND (5 * maxc < n)
+         |          AND (10 * n_uniq >= n)) AS kept FROM p)
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  sum(coalesce(qf.n, 0))::BIGINT AS total_tokens,
+         |  (sum(coalesce(qf.n, 0)) // count(*))::BIGINT AS mean_tokens,
+         |  count(*) FILTER (WHERE coalesce(qf.kept, false))::BIGINT AS n_kept,
+         |  (count(*) FILTER (WHERE coalesce(qf.kept, false)) * 10000
+         |    // count(*))::BIGINT AS kept_bp,
+         |  (count(*) - count(DISTINCT d.text))::BIGINT AS n_dup_docs
+         |FROM documents d LEFT JOIN qf USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "quality_filters" ->
-      s"""WITH t AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
-         |g AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
-         |p AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_uniq,
-         |        max(c)::BIGINT AS maxc, sum(length(tok) * c)::BIGINT AS sum_len,
-         |        coalesce(sum(c) FILTER (WHERE tok IN ('a', 'the')), 0)::BIGINT AS n_stop
-         |      FROM g GROUP BY 1)
+      s"""WITH $QualityBatteryCte
          |SELECT doc_id, n, n_uniq, maxc,
          |  (n BETWEEN 5 AND 100000) AS ok_len,
          |  (10 * sum_len >= 30 * n AND 10 * sum_len <= 100 * n) AS ok_wordlen,

@@ -34,6 +34,32 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("source_mix_report: per-source card matches a recomputation from quality_filters") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val flags = Quality.qualityFilters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(9))).toMap
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val fs = ds.map(d => flags.get(d._1))
+      src -> (ds.length.toLong,
+        fs.flatMap(_.map(_._1)).sum,
+        fs.count(_.exists(_._2)).toLong,
+        ds.length.toLong - ds.map(_._3).distinct.length)
+    }
+    val rows = Quality.sourceMixReport(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == expect.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (nd, tt, nk, dup) = expect(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == tt, r.getString(0))
+      assert(r.getLong(3) == tt / nd)
+      assert(r.getLong(4) == nk && r.getLong(5) == nk * 10000L / nd)
+      assert(r.getLong(6) == dup)
+    }
+    // the report must account for every document exactly once
+    assert(rows.map(_.getLong(1)).sum == docs.length.toLong)
+  }
+
   test("repetition_ngram: the reported bigram is the true per-doc argmax") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
