@@ -84,10 +84,13 @@ object Bench {
     }
     def pass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      val dt = (System.nanoTime() - t0) / 1e9
-      sweepTemporaries()
-      dt
+      // sweep in finally: a FAILING query must also release its persisted
+      // temporaries, or they tax every subsequent query's memory/GC —
+      // exactly the cross-query contamination the janitor exists to stop.
+      // The clock is read INSIDE the try so the sweep stays untimed.
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+      finally sweepTemporaries()
     }
     val pass1 = names.map { case (_, fn) => pass(fn) }
     val pass2 = names.map { case (_, fn) => pass(fn) }
@@ -103,6 +106,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Trailing SHORT summary: the driver captures only the LAST 2000
+    // chars of stdout, and the per-query line above is ~4.5 KB with the
+    // total at its head — so in six rounds the driver never parsed a
+    // bench number ("parsed": null in BENCH_r01-r06). Only a trailing
+    // line well under 2000 chars can ever land inside the tail window.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"slowest5":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

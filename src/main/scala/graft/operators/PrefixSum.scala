@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *   3. add the offset to a partition-LOCAL running sum
   *      (`Window.partitionBy(pid)`) — N-way parallel.
   *
-  * The range exchange feeds both the offset branch and the main branch;
-  * Spark's ReuseExchange materializes it once, so the input is evaluated
-  * a single time in one job.
+  * The range-laid input feeds both the offset branch and the main
+  * branch; it is persist()ed so both consumers structurally share one
+  * materialization (see the inline comment — this is a correctness
+  * requirement on the partition ids, not a performance nicety).
   *
   * REQUIRES `order` to be a TOTAL order over `df` for deterministic
   * output: rows tied on `order` would receive arbitrary relative
@@ -39,8 +40,21 @@ object PrefixSum {
     */
   def exclusive(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
     val pid = "_ps_pid"
+    // persist() makes single evaluation a GUARANTEE, not a hope: both the
+    // offset branch and the main branch reference `laid`, and `_ps_pid`
+    // (spark_partition_id over freshly sampled range bounds) must agree
+    // across them. Exchange reuse usually delivers that, but a wider
+    // input schema can let column pruning specialize the two subtrees
+    // until they no longer canonicalize equal — then each branch
+    // range-partitions with independently sampled bounds and the offsets
+    // silently mis-join (the same defeat mode the tf_idf plan comment
+    // documents). With the cache, both consumers read ONE InMemoryRelation
+    // (one RDD, one set of partition ids) no matter how pruning rewrites
+    // the reads. The temporary is released by the bench janitor / session
+    // teardown; callers in long-lived sessions may unpersist via the plan.
     val laid = df.repartitionByRange(order: _*)
       .withColumn(pid, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = laid.groupBy(col(pid)).agg(sum(value).cast("long").as("_ps_sum"))
     // exclusive offsets: collapse the ≤P-row sums table (P = shuffle
     // partition count, constant-bounded like the scalar count exchange)

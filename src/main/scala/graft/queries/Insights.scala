@@ -458,6 +458,11 @@ object Insights {
       .select(col("day"), col("cents"), col("trend_cents"),
         (col("cents") - col("trend_cents")).as("residual_cents"))
       .persist()
+    // medianOf runs two driver actions (the rank build + count) per call,
+    // so anomaly_days launches 4 small jobs beyond the final one. That is
+    // BOUNDED BY DESIGN: the input is the daily-revenue rollup — one row
+    // per calendar day, ~400 rows at any corpus scale — so the extra jobs
+    // are constant-sized and never grow with the fact data.
     def medianOf(df: DataFrame, c: String, as: String): DataFrame = {
       val vs = df.select(col(c).as("v"))
       val ranked = graft.operators.AssignIds.byOrder(vs, Seq(col("v")), "rn")

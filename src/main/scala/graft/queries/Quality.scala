@@ -420,10 +420,12 @@ object Quality {
       .join(postings.as("b"), Seq("variant"))
       .filter(col("a.w") < col("b.w"))
       .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
+    // compute levenshtein ONCE as a projected column and filter on that —
+    // filter-then-select re-evaluated the O(|w1|·|w2|) DP per row twice
     cand
-      .filter(levenshtein(col("w1"), col("w2")) <= 1)
       .select(col("w1"), col("w2"),
         levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
       .orderBy(col("w1"), col("w2"))
   }
 

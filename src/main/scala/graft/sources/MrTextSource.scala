@@ -123,7 +123,16 @@ private[sources] class MrTextScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    // Fail loudly like the built-in sources do: listFiles() returns null
+    // for a nonexistent, non-directory, or unlistable path, and mapping
+    // that to "0 rows" silently swallows typos and — because this reader
+    // is java.io local-FS only, unlike the Hadoop-FS sink paths used
+    // elsewhere — any hdfs:// or s3:// URI a user might reasonably pass.
+    require(dir.isDirectory,
+      s"graft-mrtext path is not a listable local directory: $path " +
+        "(the reader is local-filesystem-only; remote URIs are not supported)")
+    val files = Option(dir.listFiles()).getOrElse(
+      throw new IllegalArgumentException(s"cannot list graft-mrtext dir: $path"))
     files.toSeq
       .flatMap(f => MrTextSource.partOf(f.getName).map(p => (p, f.getPath)))
       .filter { case (p, _) => keep(p) }

@@ -200,10 +200,20 @@ class CurationSpec extends SparkSuite {
       .exists(_.contains("partial_collect_list"))),
       "a SinglePartition exchange fed by anything but the per-partition " +
         "sums fold is the global-funnel anti-pattern:\n" + plan.take(1200))
-    val liveRange = finalPlan.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning(doc_id") && !l.contains("ReusedExchange"))
-    assert(liveRange == 1,
-      s"expected exactly one live range exchange, got $liveRange:\n${finalPlan.take(1500)}")
-    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(1500))
+    // PrefixSum now persist()s the range layout (single evaluation is a
+    // CORRECTNESS requirement on _ps_pid — see the operator comment).
+    // The guard is structural, not textual: both consumers of the layout
+    // must resolve to InMemoryRelations sharing ONE CachedRDDBuilder —
+    // one physical materialization of the range shuffle, no possibility
+    // of independently sampled bounds.
+    assert(plan.contains("InMemoryTableScan"), plan.take(1500))
+    val builders = q.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+        if r.output.exists(_.name == "_ps_pid") => r.cacheBuilder
+    }
+    assert(builders.size == 2,
+      s"both PrefixSum branches must read the cached layout, got ${builders.size}")
+    assert(builders.map(System.identityHashCode).toSet.size == 1,
+      "the two branches must share ONE physical cache build")
   }
 }

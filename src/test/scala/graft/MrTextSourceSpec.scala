@@ -58,6 +58,17 @@ class MrTextSourceSpec extends SparkSuite {
       && !plan.contains("key#"), plan.take(600))
   }
 
+  test("mrtext: a nonexistent path fails loudly at plan time, never an empty result") {
+    // pre-fix behavior: File.listFiles() null → 0 rows, silently
+    // swallowing typos and unsupported remote URIs (hdfs://, s3://)
+    val e = intercept[Exception] {
+      spark.read.format("graft-mrtext").load("/no/such/dir-mrtext").count()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("not a listable local directory"), chain(e).take(400))
+  }
+
   test("mrtext: a malformed line fails loudly with the file named, never silent garbage") {
     val dir = java.nio.file.Files.createTempDirectory("mrtext-bad")
     java.nio.file.Files.write(dir.resolve("result-0.txt"),
