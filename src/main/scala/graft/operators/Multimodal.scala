@@ -43,12 +43,29 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
       n_frames: Int, frame_samples: Seq[Int])
 
-  /** Decoder seam. `decode` is invoked once per record on an executor;
-    * implementations are constructed once per partition.
+  /** Typed metadata for an audio payload: container size, PCM format
+    * fields, and the derived sample count / integer-ms duration a
+    * downstream resampler or frame-window featurizer consumes.
     */
-  trait MediaCodec extends Serializable {
-    def decode(in: MediaIn): MediaMeta
+  case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
+      channels: Int, n_samples: Long, duration_ms: Long)
+
+  /** Decoder seam, generic in the metadata it yields. `decode` is
+    * invoked once per record on an executor; implementations are
+    * constructed once per partition (that is where a production decoder
+    * amortizes native-lib / model-weight init). [[MediaCodec]] is the
+    * image/video instance, [[WavCodec]] the audio one — two formats
+    * through ONE seam is the point: the plumbing (schema, partitioning,
+    * batch shape) never changes when the codec does.
+    */
+  trait MediaDecoder[M] extends Serializable {
+    def decode(in: MediaIn): M
   }
+
+  /** Image/video decoder seam (the original name, kept for the BMP
+    * instance and its spec surface).
+    */
+  trait MediaCodec extends MediaDecoder[MediaMeta]
 
   /** Minimal real BMP writer: one complete 24-bpp bottom-up BMP file
     * (14-byte file header + 40-byte BITMAPINFOHEADER + 4-byte-padded
@@ -115,6 +132,89 @@ object Multimodal {
     }
   }
 
+  /** Minimal real RIFF/WAVE writer: "RIFF" size "WAVE", a 16-byte PCM
+    * "fmt " subchunk, an arbitrary skippable "LIST" subchunk (planted so
+    * the reader must WALK chunks, not assume a fixed layout), then the
+    * "data" subchunk with 16-bit PCM samples. All sizes kept even, so no
+    * RIFF pad bytes arise. The reader ([[WavCodec]]) never sees these
+    * arguments — only the bytes.
+    */
+  object WavFile {
+    def size(channels: Int, nSamples: Long, listBytes: Int): Long =
+      12L + 24L + (8L + listBytes) + 8L + nSamples * channels * 2
+
+    def build(sampleRate: Int, channels: Int, nSamples: Int, listBytes: Int,
+        seed: Long): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0 && nSamples >= 0 && listBytes % 2 == 0)
+      val dataSize = nSamples * channels * 2
+      val total = size(channels, nSamples.toLong, listBytes).toInt
+      val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort)  // block align
+        .putShort(16)                      // bits per sample
+      b.put("LIST".getBytes("US-ASCII")).putInt(listBytes)
+      var i = 0
+      while (i < listBytes) { b.put(((seed + i) & 0xFF).toByte); i += 1 }
+      b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var s = 0
+      while (s < nSamples * channels) {
+        b.putShort(((seed * 31 + s * 7) & 0x7FFF).toShort); s += 1
+      }
+      b.array()
+    }
+  }
+
+  /** Real pure-JVM RIFF/WAVE decoder: validates the RIFF/WAVE magic and
+    * declared size, then walks subchunks — reading "fmt " (PCM only) and
+    * "data", skipping anything else by its declared length — and derives
+    * sample count and integer-ms duration. Malformed bytes throw, same
+    * contract as [[BmpCodec]]: a decode stage fails loudly, never
+    * fabricates metadata.
+    */
+  final class WavCodec extends MediaDecoder[AudioMeta] {
+    override def decode(in: MediaIn): AudioMeta = {
+      val bytes = in.media
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      require(bytes.length >= 44, s"doc ${in.doc_id}: truncated payload (${bytes.length} B)")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        s"doc ${in.doc_id}: bad RIFF/WAVE magic")
+      require(bb.getInt(4) == bytes.length - 8,
+        s"doc ${in.doc_id}: RIFF size ${bb.getInt(4)} != payload ${bytes.length - 8}")
+      var off = 12
+      var sampleRate = -1; var channels = -1; var bits = -1
+      var dataSize = -1L
+      while (off + 8 <= bytes.length) {
+        val id = ascii(off, 4)
+        val sz = bb.getInt(off + 4)
+        require(sz >= 0 && off + 8 + sz <= bytes.length,
+          s"doc ${in.doc_id}: chunk '$id' size $sz overruns payload at offset $off")
+        id match {
+          case "fmt " =>
+            require(sz >= 16 && bb.getShort(off + 8) == 1,
+              s"doc ${in.doc_id}: not integer PCM")
+            channels = bb.getShort(off + 10)
+            sampleRate = bb.getInt(off + 12)
+            bits = bb.getShort(off + 22)
+          case "data" => dataSize = sz.toLong
+          case _ => () // unknown chunk: skip by declared length
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      require(sampleRate > 0 && channels > 0 && bits == 16,
+        s"doc ${in.doc_id}: missing/unsupported fmt chunk ($sampleRate Hz, $channels ch, $bits bit)")
+      require(dataSize >= 0, s"doc ${in.doc_id}: missing data chunk")
+      val nSamples = dataSize / (channels * (bits / 8))
+      AudioMeta(in.doc_id, bytes.length.toLong, sampleRate, channels,
+        nSamples, Math.floorDiv(nSamples * 1000L, sampleRate))
+    }
+  }
+
   /** Deterministic media table derived from documents — the testdata
     * ships no true media column, so each doc gets a planted multi-frame
     * BMP container whose geometry is a fixed function of the text's byte
@@ -152,6 +252,38 @@ object Multimodal {
     import spark.implicits._
     payloads(spark, docs).mapPartitions { it =>
       val codec: MediaCodec = new BmpCodec // real: heavy init amortized here
+      it.map(codec.decode)
+    }
+  }
+
+  /** Deterministic audio table: each doc gets a real PCM WAV whose
+    * format fields are a fixed function of the text's byte length
+    * (8/16/44.1 kHz, mono/stereo, 100-499 samples, plus a 0-18-byte
+    * skippable LIST chunk so the reader must chunk-walk). Same
+    * builder/reader independence as [[payloads]]: the codec recovers
+    * everything from the bytes alone.
+    */
+  def audioPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaIn] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), octet_length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val nl = n.toLong
+        val sr = (nl % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+        val ch = 1 + (nl % 2).toInt
+        val ns = 100 + ((nl * 7) % 400).toInt
+        val lb = ((nl % 10) * 2).toInt
+        MediaIn(id, WavFile.build(sr, ch, ns, lb, id * 17 + nl))
+      }
+  }
+
+  /** Audio metadata for every payload — same partition-amortized decode
+    * shape as [[decodeMeta]], different codec behind the same seam.
+    */
+  def decodeAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    audioPayloads(spark, docs).mapPartitions { it =>
+      val codec: MediaDecoder[AudioMeta] = new WavCodec
       it.map(codec.decode)
     }
   }

@@ -504,6 +504,15 @@ object Pipeline {
         col("fi").cast("int").as("frame_idx"))
       .orderBy(col("doc_id"), col("sample_ord"))
 
+  /** Audio metadata via the same per-partition codec seam as
+    * [[multimodalMeta]] but a second real container format (RIFF/WAVE
+    * with a planted skippable chunk) — the codec seam generalizing
+    * beyond one format is the claim under test.
+    */
+  def multimodalAudio(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
   /** Pair list -> one row per cluster: representative (min id), member
     * count, dropped count (members minus the kept rep — summing it gives
     * `docs_kept = n_docs - sum(n_dropped)` for the whole corpus), and the
@@ -738,6 +747,7 @@ object Pipeline {
     "events_json" -> eventsJson,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_audio" -> multimodalAudio,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
     "asof_forward" -> asofForward,
@@ -1100,6 +1110,18 @@ object Pipeline {
         |  w::INT AS width, h::INT AS height, f::INT AS n_frames,
         |  concat('0,', f // 2, ',', f - 1) AS frame_samples
         |FROM g ORDER BY doc_id""".stripMargin,
+    // same builder/reader independence as multimodal_meta: the oracle
+    // re-derives what the WAV BUILDER planted from the text length; the
+    // Spark side gets there only by chunk-walking the RIFF bytes
+    "multimodal_audio" ->
+      """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |p AS (SELECT doc_id,
+        |    CASE n % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+        |    1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns, (n % 10) * 2 AS lb FROM g)
+        |SELECT doc_id, (52 + lb + ns * ch * 2)::BIGINT AS n_bytes,
+        |  sr::INT AS sample_rate, ch::INT AS channels, ns::BIGINT AS n_samples,
+        |  (ns * 1000 // sr)::BIGINT AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 
   /** quality_score oracle (also the scored input of curated_sample).

@@ -262,6 +262,42 @@ class PipelineSpec extends SparkSuite {
       codec.decode(MediaIn(4L, f ++ f.take(60))))
   }
 
+  test("multimodal audio codec: metadata comes from chunk-walking real RIFF bytes") {
+    import Multimodal.{MediaIn, WavCodec, WavFile}
+    val codec = new WavCodec
+    // handcrafted file with known format: recovered from the bytes alone,
+    // and the planted LIST chunk between fmt and data must be SKIPPED by
+    // its declared length (a fixed-layout parser would misread data)
+    val a = codec.decode(MediaIn(1L, WavFile.build(16000, 2, 250, 10, seed = 5L)))
+    assert(a.sample_rate == 16000 && a.channels == 2 && a.n_samples == 250L)
+    assert(a.n_bytes == WavFile.size(2, 250, 10))
+    assert(a.duration_ms == 250L * 1000 / 16000)
+    // zero-length LIST chunk also fine
+    val b = codec.decode(MediaIn(2L, WavFile.build(8000, 1, 100, 0, seed = 1L)))
+    assert(b.sample_rate == 8000 && b.channels == 1 && b.duration_ms == 12L)
+    // corrupted magic must throw, not fabricate metadata
+    val bad = WavFile.build(8000, 1, 100, 0, 0L); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](codec.decode(MediaIn(3L, bad)))
+    // a chunk whose declared size overruns the payload throws
+    val over = WavFile.build(8000, 1, 100, 0, 0L)
+    java.nio.ByteBuffer.wrap(over).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(48, 1 << 20) // inflate the data chunk's declared size (data header at 44 when lb=0)
+    intercept[IllegalArgumentException](codec.decode(MediaIn(4L, over)))
+    // declared RIFF size disagreeing with the payload length throws
+    val trunc = WavFile.build(8000, 1, 100, 0, 0L).dropRight(2)
+    intercept[IllegalArgumentException](codec.decode(MediaIn(5L, trunc)))
+  }
+
+  test("multimodal audio pipeline: planted format round-trips through the byte decode") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcd")).toDF("doc_id", "text") // 4 bytes
+    val m = Multimodal.decodeAudio(spark, docs).collect().head
+    // n=4: sr by 4%3=1 -> 16000, ch=1+4%2=1, ns=100+(4*7)%400=128, lb=(4%10)*2=8
+    assert(m.doc_id == 7L && m.sample_rate == 16000 && m.channels == 1)
+    assert(m.n_samples == 128L && m.n_bytes == Multimodal.WavFile.size(1, 128, 8))
+    assert(m.duration_ms == 128L * 1000 / 16000)
+  }
+
   test("multimodal pipeline: planted geometry round-trips through the byte decode") {
     import spark.implicits._
     val docs = Seq((7L, "abcd")).toDF("doc_id", "text") // 4 bytes
