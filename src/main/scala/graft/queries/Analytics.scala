@@ -207,11 +207,14 @@ object Analytics {
     * TopKPerGroup heap operator — per-doc term selection with no
     * per-group sort at any scale. Term frequency and document frequency
     * come from ONE occurrence explode + (doc,tok) aggregate evaluated
-    * once: the dfreq branch keeps a no-op reference to the `tf` count
-    * so column pruning cannot specialize its subtree (a pruned branch
-    * is no longer canonically equal to the scored branch, which defeats
-    * AQE's exchange reuse and re-runs the whole tokenize+aggregate
-    * pipeline — measured 2x the scan work). idf joins back as an
+    * once: `tf` is persist()ed so its two consumers (the scored branch
+    * and the dfreq rollup) structurally share one materialization —
+    * round 6 kept a no-op column reference to preserve canonical
+    * equality for AQE exchange reuse instead, but that coupling is
+    * fragile under pruning and was the round-7 profile's suspect (the
+    * same lesson as PrefixSum: when two branches MUST see one
+    * evaluation, say so with storage, not plan-shape hope). The
+    * temporary is swept by the bench janitor. idf joins back as an
     * EXPLICIT broadcast: dfreq is vocabulary-sized (sublinear in the
     * corpus — partial aggregation collapses it map-side) while tf is
     * data-sized; left to its size estimates at sf0.01 AQE broadcast the
@@ -222,8 +225,8 @@ object Analytics {
     val occ = docs.select(col("doc_id"),
       explode(filter(TextFns.tokens(col("text")), t => length(t) > 0)).as("tok"))
     val tf = occ.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.filter(col("tf") > 0) // no-op: keeps the subtree identical
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .persist()
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf"),

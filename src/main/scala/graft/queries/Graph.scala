@@ -41,6 +41,50 @@ object Graph {
         .persist()
     })
 
+  private val degreeCache = new graft.DfCache("graph.degrees")
+
+  /** Out-degree table of [[edgeTable]] — the same extracted-once
+    * artifact posture: ppr_topk, bfs_hops and degree_histogram all
+    * consume node degrees, and each rebuilding the aggregate meant the
+    * cached edge list was re-scanned per query (~0.5-1 s of repeated
+    * setup across the graph batch). Node-sized, persisted alongside the
+    * edges it profiles.
+    */
+  def degreeTable(s: SparkSession, d: String): DataFrame =
+    degreeCache.getOrElseUpdate((s, d),
+      edgeTable(s, d).groupBy(col("src")).agg(count(lit(1)).as("dg")).persist())
+
+  private val prEdgeCache = new graft.DfCache("graph.prEdges")
+
+  /** Degree-pre-joined, dst-partitioned edge table — the per-run setup
+    * [[PageRank.run]] otherwise rebuilds (one full edge shuffle + two
+    * persists) for EACH of pagerank and ppr_topk. Extracted once like
+    * [[edgeTable]]; passed to the operator as caller-owned `prebuilt`
+    * artifacts so runs start at round 1.
+    */
+  def prArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val deg = degreeTable(s, d).select(col("src"), col("dg").as("d"))
+    (deg, prEdgeCache.getOrElseUpdate((s, d),
+      edgeTable(s, d).join(deg, "src")
+        .select(col("src"), col("dst"), col("d"))
+        .repartition(col("dst")).persist()))
+  }
+
+  private val hubSeeds =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Long)]
+
+  /** (hub seed, node count) — the two driver-side scalars every seeded
+    * graph query needs: the deterministic max-degree/min-id seed and the
+    * node count for the broadcast gate. One small job over the cached
+    * degree table, run once per (session, dir) instead of per query.
+    */
+  def hubSeedAndNodes(s: SparkSession, d: String): (Long, Long) =
+    hubSeeds.getOrElseUpdate((s, d), {
+      val deg = degreeTable(s, d)
+      val seed = deg.orderBy(col("dg").desc, col("src")).limit(1).head().getLong(0)
+      (seed, deg.count())
+    })
+
   /** Supplier/part centrality: 3 PageRank rounds over the undirected
     * bipartite supplier↔part graph induced by lineitem ([[edgeTable]]),
     * BIGINT fixed-point — see [[PageRank]] for the arithmetic and
@@ -53,7 +97,8 @@ object Graph {
     // validate=false: the edge-table union IS the symmetrization proof —
     // every dst appears as a src by construction, so the dangling scan
     // is waste
-    PageRank.run(edgeTable(s, d), iters = 3, validate = false)
+    PageRank.run(edgeTable(s, d), iters = 3, validate = false,
+        prebuilt = Some(prArtifacts(s, d)))
       .select(
         when(col("node") >= PartOffset, lit("part")).otherwise(lit("supplier")).as("kind"),
         when(col("node") >= PartOffset, col("node") - PartOffset).otherwise(col("node")).as("id"),
@@ -74,9 +119,9 @@ object Graph {
     */
   def pprTopk(s: SparkSession, d: String): DataFrame = {
     val edges = edgeTable(s, d)
-    val seed = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      .orderBy(col("dg").desc, col("src")).limit(1).head().getLong(0)
-    PageRank.run(edges, iters = 3, validate = false, seed = Some(seed))
+    val (seed, _) = hubSeedAndNodes(s, d)
+    PageRank.run(edges, iters = 3, validate = false, seed = Some(seed),
+        prebuilt = Some(prArtifacts(s, d)))
       .select(
         when(col("node") >= PartOffset, lit("part")).otherwise(lit("supplier")).as("kind"),
         when(col("node") >= PartOffset, col("node") - PartOffset).otherwise(col("node")).as("id"),
@@ -98,9 +143,8 @@ object Graph {
     */
   def bfsHops(s: SparkSession, d: String): DataFrame = {
     val edges = edgeTable(s, d)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-    val seed = deg.orderBy(col("dg").desc, col("src")).limit(1).head().getLong(0)
-    var dist = deg.filter(col("src") === seed)
+    val (seed, nNodes) = hubSeedAndNodes(s, d)
+    var dist = degreeTable(s, d).filter(col("src") === seed)
       .select(col("src").as("node"), lit(0L).as("hop"))
     // each round references dist TWICE (frontier join + union), so the
     // un-truncated plan doubles per round — 2^4 re-evaluations by round
@@ -109,7 +153,7 @@ object Graph {
     // the previous round's blocks are released; below the measured
     // PageRank broadcast gate it also rides a broadcast into the
     // frontier join, so the cached edge list never re-shuffles.
-    val small = deg.count() <= graft.operators.PageRank.BroadcastNodeLimit
+    val small = nNodes <= graft.operators.PageRank.BroadcastNodeLimit
     var prev: Option[DataFrame] = None
     for (_ <- 1 to 4) {
       val distSrc = dist.withColumnRenamed("node", "src")
@@ -131,9 +175,8 @@ object Graph {
     * aggregates; output is bounded by the distinct-degree count.
     */
   def degreeHistogram(s: SparkSession, d: String): DataFrame =
-    edgeTable(s, d)
-      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    degreeTable(s, d)
+      .groupBy(col("dg").as("deg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("deg"))
 
   /** Parts supplied by more suppliers than this are dropped from pair
