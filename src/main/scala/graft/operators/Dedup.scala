@@ -149,6 +149,30 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
   }
 
+  /** The (doc_id, band, bh) LSH band-key table for a corpus — the
+    * materialized bucket artifact both the symmetric and the incremental
+    * candidate joins probe. Declared as a dumpable query so the DuckDB
+    * oracle can recompute band COLLISIONS from it independently (the
+    * simhash_signatures pattern: the hash itself is not SQL-expressible,
+    * the join semantics over it are).
+    */
+  def minhashBandKeys(docs: DataFrame): DataFrame =
+    bandKeys(minhashSignatures(docs))
+
+  /** The candidate stage of [[minhashIncremental]] alone — (new_id,
+    * old_id) band collisions before the exact-Jaccard verify — so the
+    * asymmetric probe's join semantics are oracle-pinnable via the band
+    * dump.
+    */
+  def minhashIncrementalCandidates(newDocs: DataFrame, oldDocs: DataFrame): DataFrame = {
+    val bNew = bandKeys(minhashSignatures(newDocs)).select(
+      col("doc_id").as("new_id"), col("band"), col("bh"))
+    val bOld = bandKeys(minhashSignatures(oldDocs)).select(
+      col("doc_id").as("old_id"), col("band"), col("bh"))
+    bNew.join(bOld, Seq("band", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+  }
+
   private def candidatesFrom(sigs: DataFrame, starBucketThreshold: Int): DataFrame = {
     tuneBucketAgg(sigs)
     bandKeys(sigs)

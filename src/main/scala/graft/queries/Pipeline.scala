@@ -227,6 +227,42 @@ object Pipeline {
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
     Dedup.simhashes(docs(s, d)).orderBy(col("doc_id"))
 
+  /** Full-corpus MinHash LSH band-key table (doc_id, band, bh) — the
+    * bucket artifact dedup_near's candidate join and the incremental
+    * ingest gate both probe, declared so the driver dumps it and the
+    * collision twins below can recompute the joins in DuckDB. Rows-only
+    * in the driver gate (the xxhash64 band hash is not
+    * DuckDB-expressible); the signatures beneath it are pinned by the
+    * LSH==brute-force spec.
+    */
+  def minhashBands(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashBandKeys(docs(s, d))
+      .orderBy(col("doc_id"), col("band"))
+
+  /** Exact twin of dedup_near's CANDIDATE stage: the distinct (id1 <
+    * id2) pairs sharing at least one LSH band — Spark runs its own
+    * bucket machinery (one groupBy + in-row pair explode, never an
+    * all-pairs join); DuckDB independently self-joins the dumped
+    * [[minhashBands]] table on (band, bh). With the verify stage already
+    * pinned by ngram_jaccard's exact-Jaccard oracle, this closes the
+    * last unpinned link in the dedup_near chain: signatures (spec) →
+    * candidates (this) → verify (ngram_jaccard).
+    */
+  def minhashBandCollisions(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(docs(s, d)).orderBy(col("id1"), col("id2"))
+
+  /** Same closure for the incremental gate: the asymmetric new-probes-old
+    * band collisions (odd ids = incoming batch, even = corpus, as in
+    * [[dedupIncrementalNear]]), recomputed by DuckDB as a parity-filtered
+    * join over the same dump.
+    */
+  def minhashIncrementalCollisions(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.minhashIncrementalCandidates(
+        all.filter(col("doc_id") % 2 === 1), all.filter(col("doc_id") % 2 === 0))
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   /** Bounded exact-hamming twin of dedup_simhash's verify stage (the
     * ngram_jaccard pattern): all (id1 < id2) pairs of the doc_id < 500
     * slice with `bit_count(xor)` distance <= 16 — computed independently
@@ -728,6 +764,9 @@ object Pipeline {
     // (dedupMinhash; a second "dedup_minhash" alias ran the suite's most
     // expensive computation twice per bench run — one canonical name)
     "dedup_near" -> dedupMinhash,
+    "minhash_bands" -> minhashBands,
+    "minhash_band_collisions" -> minhashBandCollisions,
+    "minhash_incremental_collisions" -> minhashIncrementalCollisions,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "setsim_join" -> setsimJoin,
@@ -866,6 +905,24 @@ object Pipeline {
     // dedup_minhash / dedup_simhash / embedding_neardup: LSH — rows-only
     // (their verify stages are oracle-pinned by the bounded twins below
     // plus ngram_jaccard).
+    // band-collision twins: DuckDB recomputes the candidate joins from
+    // the dumped minhash_bands artifact (which itself stays rows-only —
+    // the xxhash64 band hash is not SQL-expressible, the joins over it
+    // are)
+    "minhash_band_collisions" ->
+      """WITH b AS (SELECT doc_id, band, bh
+        |           FROM read_parquet('{OUT}/minhash_bands/*.parquet'))
+        |SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+        |FROM b a JOIN b c USING (band, bh)
+        |WHERE a.doc_id < c.doc_id
+        |ORDER BY id1, id2""".stripMargin,
+    "minhash_incremental_collisions" ->
+      """WITH b AS (SELECT doc_id, band, bh
+        |           FROM read_parquet('{OUT}/minhash_bands/*.parquet'))
+        |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |FROM b n JOIN b o USING (band, bh)
+        |WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+        |ORDER BY new_id, old_id""".stripMargin,
     "simhash_hamming" ->
       """WITH s AS (SELECT doc_id, simhash
         |           FROM read_parquet('{OUT}/simhash_signatures/*.parquet')

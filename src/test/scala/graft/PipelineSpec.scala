@@ -262,6 +262,25 @@ class PipelineSpec extends SparkSuite {
       codec.decode(MediaIn(4L, f ++ f.take(60))))
   }
 
+  test("band-collision twins bound their verified queries: pairs survive only from candidates") {
+    // dedup_near = candidates ∩ (jaccard >= 0.5); the twin IS the
+    // candidate set, so every verified pair must appear in it — and the
+    // incremental gate likewise in its parity-filtered twin. This pins
+    // the declared twins to the queries they stand oracle for.
+    val cand = Pipeline.minhashBandCollisions(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Pipeline.dedupMinhash(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(cand), s"verified pairs not within candidates: ${pairs -- cand}")
+    val icand = Pipeline.minhashIncrementalCollisions(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ipairs = Pipeline.dedupIncrementalNear(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ipairs.subsetOf(icand), s"incremental pairs not within candidates: ${ipairs -- icand}")
+    // and the parity contract of the incremental twin holds
+    icand.foreach { case (n, o) => assert(n % 2 == 1 && o % 2 == 0) }
+  }
+
   test("multimodal audio codec: metadata comes from chunk-walking real RIFF bytes") {
     import Multimodal.{MediaIn, WavCodec, WavFile}
     val codec = new WavCodec
