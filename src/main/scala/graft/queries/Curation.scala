@@ -83,6 +83,66 @@ object Curation {
       .orderBy(col("window_id"))
   }
 
+  // --- deterministic corpus shuffle -------------------------------------
+
+  /** Seed of the declared training epoch; a new epoch = a new seed. */
+  private val ShuffleSeed = 42L
+
+  /** Seeded deterministic shuffle key — a Lehmer/MINSTD scatter
+    * ((doc_id + seed) * 48271 mod 2^31-1) chosen over xxhash64 because
+    * BOTH engines compute it identically in plain BIGINT arithmetic (the
+    * oracle discipline; a Spark-private hash would leave the ORDER
+    * unpinnable). No overflow until doc_id ~1.9e14 even under ANSI.
+    * Collisions across doc_ids are possible (mod 2^31-1), so every
+    * consumer totals the order with a doc_id tie-break.
+    */
+  private def shuffleKey: org.apache.spark.sql.Column =
+    (col("doc_id") + lit(ShuffleSeed)) * lit(48271L) % lit(2147483647L)
+
+  /** The deterministic corpus shuffle between curation and packing — the
+    * standard pretraining step every data-order ablation depends on:
+    * reproducible global sequence positions (1-based, contiguous) in
+    * seeded-hash order. The global numbering is [[AssignIds.byOrder]]'s
+    * distributed rank (range layout + per-partition zipWithIndex), never
+    * a single-partition window; a 100 TB corpus shuffles in one range
+    * exchange.
+    */
+  def trainingOrder(s: SparkSession, d: String): DataFrame = {
+    val keyed = docs(s, d).select(col("doc_id"), col("n_chars"))
+      .withColumn("shuffle_key", shuffleKey)
+    graft.operators.AssignIds.byOrder(
+        keyed, Seq(col("shuffle_key"), col("doc_id")), "seq_id")
+      .select(col("seq_id"), col("doc_id"), col("shuffle_key"), col("n_chars"))
+      .orderBy(col("seq_id"))
+  }
+
+  /** [[chunkWindows]] consuming the SHUFFLED layout — the chunk pass as
+    * it actually runs in training (curate → shuffle → pack/chunk): the
+    * same distributed PrefixSum cuts 4096-char windows straight through
+    * doc boundaries, but corpus order is [[shuffleKey]]'s epoch
+    * permutation (single-sourced with [[trainingOrder]], so the declared
+    * order and its consumer cannot drift). min/max_doc profile window
+    * membership — under a shuffled order there is no "first" doc.
+    */
+  def trainingChunks(s: SparkSession, d: String): DataFrame = {
+    val W = 4096L
+    val dd = docs(s, d).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("sk", shuffleKey)
+    graft.operators.PrefixSum.exclusive(
+        dd, Seq(col("sk"), col("doc_id")), col("n_chars"), "off")
+      .select(col("doc_id"), col("n_chars"), col("off"),
+        explode(sequence(expr(s"off div $W"),
+          expr(s"(off + n_chars - 1) div $W"))).as("window_id"))
+      .withColumn("chars_in",
+        least(col("window_id") * W + W, col("off") + col("n_chars"))
+          - greatest(col("window_id") * W, col("off")))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars_in")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("window_id"))
+  }
+
   // --- PII redaction ----------------------------------------------------
 
   // private[graft]: CurationSpec audits residual patterns with the SAME
@@ -414,6 +474,8 @@ object Curation {
     "token_allocation" -> ((s, d) => tokenAllocation(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "chunk_windows" -> chunkWindows,
+    "training_order" -> trainingOrder,
+    "training_chunks" -> trainingChunks,
     "pii_scrub" -> piiScrub,
     "stratified_sample" -> stratifiedSample,
     "bm25" -> bm25,
@@ -479,6 +541,29 @@ object Curation {
         |  sum(least(window_id * 4096 + 4096, off + n_chars)
         |      - greatest(window_id * 4096, off))::BIGINT AS n_chars,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e GROUP BY window_id ORDER BY window_id""".stripMargin,
+    "training_order" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    ((doc_id + 42) * 48271) % 2147483647 AS shuffle_key
+        |  FROM documents)
+        |SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS seq_id,
+        |  doc_id, shuffle_key::BIGINT AS shuffle_key, n_chars
+        |FROM k ORDER BY seq_id""".stripMargin,
+    "training_chunks" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    ((doc_id + 42) * 48271) % 2147483647 AS sk
+        |  FROM documents WHERE n_chars > 0),
+        |d AS (SELECT doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM k),
+        |e AS (SELECT doc_id, n_chars, off,
+        |    unnest(generate_series(off // 4096, (off + n_chars - 1) // 4096))::BIGINT AS window_id
+        |  FROM d)
+        |SELECT window_id, count(*)::BIGINT AS n_docs,
+        |  sum(least(window_id * 4096 + 4096, off + n_chars)
+        |      - greatest(window_id * 4096, off))::BIGINT AS n_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM e GROUP BY window_id ORDER BY window_id""".stripMargin,
     "pii_scrub" ->
       """WITH a AS (

@@ -166,6 +166,30 @@ class CurationSpec extends SparkSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("training_order: a reproducible permutation that actually scatters; chunks conserve chars") {
+    val ord = Curation.trainingOrder(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // contiguous 1-based sequence over exactly the corpus doc ids
+    assert(ord.map(_._1).toSeq == (1L to ord.length.toLong))
+    val docIds = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ord.map(_._2).toSet == docIds && ord.length == docIds.size)
+    // the epoch permutation must SCATTER, not echo doc_id order
+    assert(ord.count { case (seq, id) => seq == id } < ord.length / 10,
+      "shuffle left most docs at their original position")
+    // two evaluations agree bit-for-bit (reproducibility is the point)
+    val again = Curation.trainingOrder(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ord.sameElements(again))
+    // the shuffled chunk pass conserves chars, full windows throughout
+    val rows = Curation.trainingChunks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val totalChars = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("n_chars") > 0).agg(sum("n_chars")).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == totalChars)
+    rows.init.foreach { w => assert(w._2 == 4096L, s"window ${w._1} not full") }
+  }
+
   test("chunk_windows: full windows, conserved chars, distributed prefix (one range exchange, reused)") {
     val q = Curation.chunkWindows(spark, sf0001)
     val rows = q.collect().map(r =>
