@@ -70,6 +70,17 @@ object SketchExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Nearest centroid of an `array<long>` vector against a constant
+    * centroid table: struct(dist: bigint, cid: int) — exact integer
+    * squared L2, ties to the smaller cid, the whole k×dims argmin as ONE
+    * generated loop. The HOF spelling (k zip_with/aggregate folds under
+    * array_min) allocates k intermediate arrays per row and interprets
+    * every lambda step — measured ~17 s for 2 Lloyd rounds over 5k×64
+    * vectors at k=8 vs sub-second generated.
+    */
+  def nearestCentroid(vec: Column, cents: Array[Array[Long]]): Column =
+    Bridge.column(NearestCentroidExpr(Bridge.expression(vec), cents))
+
   /** Occurrences of `needle` in an `array<string>` column — term
     * frequency in one generated loop. The HOF spelling
     * `size(filter(ts, x -> x = t))` interprets the lambda per element
@@ -136,6 +147,81 @@ case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long], p: 
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** struct(dist, cid) of the nearest row of `cents` (flattened k×dims
+  * longs) to the input `array<long>` vector — exact integer squared L2,
+  * (dist, cid) lexicographic tie-break. The centroid table rides along
+  * as one reference object; dims is pinned by the table, and a vector of
+  * any other length fails loudly at eval.
+  */
+case class NearestCentroidExpr(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression with RequiresArrayOf {
+  require(cents.nonEmpty && cents.forall(_.length == cents(0).length))
+  private def k = cents.length
+  private def dims = cents(0).length
+  // flattened row-major for the generated inner loop (and one reference
+  // object instead of k)
+  private lazy val flat: Array[Long] = cents.flatten
+  override protected def requiredElementType: DataType = LongType
+  override protected def typedChildren: Seq[Expression] = Seq(child)
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    require(arr.numElements() == dims,
+      s"nearestCentroid: vector has ${arr.numElements()} dims, centroids $dims")
+    var bestD = Long.MaxValue
+    var bestC = -1
+    var c = 0
+    while (c < k) {
+      var d = 0L
+      var i = 0
+      while (i < dims) {
+        val diff = arr.getLong(i) - flat(c * dims + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestD, bestC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("ncCents", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      s"""
+         |if ($in.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "nearestCentroid: vector has " + $in.numElements() + " dims, centroids $dims");
+         |}
+         |long $bestD = Long.MAX_VALUE;
+         |int $bestC = -1;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    long $diff = $in.getLong($i) - $fRef[$c * $dims + $i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $bestC = $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$bestD, $bestC});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
     copy(child = newChild)
 }
 

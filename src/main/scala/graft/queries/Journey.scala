@@ -387,11 +387,12 @@ object Journey {
       val cents = r.getLong(3)
       val e = st match {
         case None => cents
-        // floorDiv, not /: the DuckDB oracle's `//` floors while JVM `/`
-        // truncates toward zero — identical on the current all-positive
-        // values, silently divergent the day an events generator adds
-        // refunds/negative cents. Match the oracle for ALL inputs.
-        case Some(prev) => Math.floorDiv(cents + prev, 2)
+        // JVM `/` matches the oracle's `//` for ALL inputs, negatives
+        // included: DuckDB's integer `//` TRUNCATES toward zero just
+        // like JVM integer division (measured: SELECT (-5)//2 = -2; the
+        // floor behavior applies only to FLOAT operands). floorDiv here
+        // would silently diverge on negative cents.
+        case Some(prev) => (cents + prev) / 2
       }
       (e, org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), cents, e))
     }.orderBy(col("event_id"))

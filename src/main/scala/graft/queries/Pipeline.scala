@@ -210,6 +210,50 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Trained k-means model per (session, dir) — the coarse-quantizer
+    * training run ([[graft.operators.Kmeans]]): 2 Lloyd rounds at k=8
+    * over the integer-micro lattice, cached like the BPE merge table
+    * (trained once, shipped to every consumer).
+    */
+  private val kmeansCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Long]]]()
+
+  def kmeansModel(s: SparkSession, d: String): Array[Array[Long]] =
+    kmeansCache.getOrElseUpdate((s, d),
+      graft.operators.Kmeans.train(Tables.embeddings(s, d), k = 8, iters = 2))
+
+  /** The trained coarse-quantizer centroids, one row per (cluster, dim)
+    * in integer micros — the REAL k-means behind what embedding_topk_ivf
+    * models with shipped labels. The DuckDB oracle re-runs both unrolled
+    * Lloyd rounds from the raw embeddings (init, two assignment passes,
+    * two floor-average updates with the empty-cluster coalesce) and must
+    * land on the identical lattice.
+    */
+  def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the PRODUCING query: it deliberately re-runs training (the
+    // sessionize/dedup_near convention — the build cost is measured by
+    // the producer, consumers read the warmed artifact), refreshing the
+    // cache for kmeans_assign
+    val model = graft.operators.Kmeans.train(Tables.embeddings(s, d), k = 8, iters = 2)
+    kmeansCache.put((s, d), model)
+    model.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (v, dim) => (cid, dim, v) }
+    }.toSeq.toDF("cluster_id", "dim", "c_micro")
+      .orderBy(col("cluster_id"), col("dim"))
+  }
+
+  /** Every vector's cell under the TRAINED quantizer (the index-build
+    * assignment pass): nearest final centroid by exact integer squared
+    * L2, cluster-id tie-break, distance reported in micro^2.
+    */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    graft.operators.Kmeans.quantized(Tables.embeddings(s, d))
+      .select(col("vec_id"), graft.operators.Kmeans.nearest(kmeansModel(s, d)).as("nc"))
+      .select(col("vec_id"), col("nc.cid").cast("long").as("cluster_id"),
+        col("nc.dist").as("dist_micro2"))
+      .orderBy(col("vec_id"))
+
   /** LSH-bucketed embedding near-dup pairs (approximate recall, exact
     * cosine verify).
     */
@@ -625,6 +669,7 @@ object Pipeline {
     minhashPairTable(s, d).count()
     ngramJaccardPairs(s, d).count()
     ccLabels(s, d).count()
+    kmeansModel(s, d)
     ()
   }
 
@@ -772,6 +817,8 @@ object Pipeline {
     "setsim_join" -> setsimJoin,
     "embedding_topk" -> embeddingTopk,
     "embedding_topk_ivf" -> embeddingTopkIvf,
+    "kmeans_centroids" -> kmeansCentroids,
+    "kmeans_assign" -> kmeansAssign,
     "embedding_neardup" -> embeddingNearDup,
     "simhash_signatures" -> simhashSignatures,
     "simhash_hamming" -> simhashHamming,
@@ -842,6 +889,47 @@ object Pipeline {
     * verbatim by dedup_clusters_star — the two CC algorithms must
     * produce identical clusters.
     */
+  /** The unrolled 2-round Lloyd's training chain both kmeans oracles
+    * share (a def — the oracleSql map initializes first). Mirrors
+    * [[graft.operators.Kmeans.train]] exactly: integer-micro lattice,
+    * lowest-vec_id init, (dist, cid) tie-break, floor-average update,
+    * empty clusters keeping the previous centroid via the scaffold
+    * coalesce. Dims are 1-based here (DuckDB list indexing); outputs
+    * convert to the 0-based Spark convention.
+    */
+  private def KmeansTrainCte: String =
+    """e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+      |  FROM embeddings),
+      |i0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT cid, t.i AS dim, cv[t.i] AS c
+      |  FROM i0 CROSS JOIN range(1, 65) t(i)),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+      |  FROM e CROSS JOIN c0 c GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |u1 AS (SELECT a.cid, t.i AS dim, sum(e.v[t.i]) // count(*) AS c
+      |  FROM a1 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT c0.cid, c0.dim, coalesce(u1.c, c0.c) AS c
+      |  FROM c0 LEFT JOIN u1 USING (cid, dim)),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+      |  FROM e CROSS JOIN c1 c GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |u2 AS (SELECT a.cid, t.i AS dim, sum(e.v[t.i]) // count(*) AS c
+      |  FROM a2 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+      |  GROUP BY 1, 2),
+      |c2 AS (SELECT c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
+      |  FROM c1 LEFT JOIN u2 USING (cid, dim))""".stripMargin
+
   private def DedupClustersOracle: String =
     s"""WITH RECURSIVE
        |$JaccardPairsCte,
@@ -905,6 +993,19 @@ object Pipeline {
     // dedup_minhash / dedup_simhash / embedding_neardup: LSH — rows-only
     // (their verify stages are oracle-pinned by the bounded twins below
     // plus ngram_jaccard).
+    "kmeans_centroids" ->
+      s"""WITH $KmeansTrainCte
+        |SELECT cid::INT AS cluster_id, (dim - 1)::INT AS dim, c::BIGINT AS c_micro
+        |FROM c2 ORDER BY cluster_id, dim""".stripMargin,
+    "kmeans_assign" ->
+      s"""WITH $KmeansTrainCte,
+        |d3 AS (SELECT e.vec_id, c.cid,
+        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+        |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+        |SELECT vec_id, cid::BIGINT AS cluster_id, dist::BIGINT AS dist_micro2
+        |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // band-collision twins: DuckDB recomputes the candidate joins from
     // the dumped minhash_bands artifact (which itself stays rows-only —
     // the xxhash64 band hash is not SQL-expressible, the joins over it
