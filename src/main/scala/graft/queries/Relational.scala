@@ -472,8 +472,56 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): one selective scan-and-
+    * sum with EVERY predicate pushed to the parquet reader — the purest
+    * pushdown/pruning showcase (year band on shipdate, discount band,
+    * quantity cap; two columns read, six in the table). At 100 TB this
+    * query is I/O-bound by exactly the bytes the scan admits, which is
+    * why the plan guard in RelationalSpec asserts PushedFilters reaches
+    * the scan. Revenue in exact integer cents, rounded once per line.
+    */
+  def q6Forecast(s: SparkSession, d: String): DataFrame = {
+    // the date band compares the RAW timestamp_ntz column to NTZ
+    // literals — the usual unix_millis(cast(...)) wrapper would demote
+    // the predicate to a post-scan DataFilter (expressions never push);
+    // on the bare column all five predicates reach PushedFilters
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+        .cast("long")).as("revenue_cents"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity clears a threshold, enriched with the customer — the
+    * classic aggregate-filtered SEMI-JOIN: the HAVING aggregate runs
+    * FIRST on (orderkey) alone (map-side combinable, no wide columns),
+    * and only the surviving handful of keys joins back to orders and
+    * customer. The naive shape (join everything, then aggregate) drags
+    * customer names through the big shuffle — the Q10 lesson, inverted.
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("price_cents"), col("total_qty").cast("long").as("total_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_topk" -> q3Topk,
+    "q6_forecast" -> q6Forecast,
+    "q18_large_orders" -> q18LargeOrders,
     "q5_region_revenue" -> q5RegionRevenue,
     "q10_returns" -> q10Returns,
     "except_intersect_all" -> exceptIntersectAll,
@@ -503,6 +551,23 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))::BIGINT
+        |    AS revenue_cents
+        |FROM lineitem
+        |WHERE epoch_ms(l_shipdate) >= 820454400000
+        |  AND epoch_ms(l_shipdate) < 852076800000
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin,
     "q3_topk" ->
       """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
         |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)

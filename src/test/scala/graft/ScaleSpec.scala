@@ -265,6 +265,17 @@ class ScaleSpec extends SparkSuite {
     assert(rj.contains("BroadcastHashJoin"), rj.take(800))
     val wc = planOf("wordcount")
     assert(wc.contains("ReadSchema: struct<text:string>"), wc.take(800))
+    // q6: ALL five predicates reach the scan — including the date band,
+    // which compares the raw timestamp_ntz column (an expression-wrapped
+    // date predicate silently demotes to a post-scan filter)
+    val q6 = planOf("q6_forecast")
+    val pushed = "PushedFilters: \\[[^\\]]*".r.findFirstIn(q6).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate") &&
+      pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThan(l_quantity"), q6.take(900))
+    assert(q6.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), "q6 column pruning lost")
   }
 
   test("plan guards: subqueries decorrelate to joins, never nested loops") {
