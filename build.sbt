@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW, not via sbt's logger:
+// the driver parses Bench's one-line JSON from the captured stdout tail,
+// and the logger's "[info] " prefix made every line unparseable JSON
+// ("parsed": null in BENCH_r01-r07 even after the line itself fit).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
