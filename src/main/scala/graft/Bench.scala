@@ -15,50 +15,68 @@ object Bench {
     // The tiny dedup slice compiles the heavy generated-code families
     // (shingling, MinHash/SimHash exprs, bucket aggregation) — measured
     // ~1.5 s of pure JIT otherwise attributed to the first LSH query.
-    try {
+    // Each artifact warms in ITS OWN try: round 8's single shared try
+    // aborted at the first failure (a testdata schema drift broke the
+    // session table) and silently un-warmed everything after it, so
+    // graph/LSH queries paid cold artifact-build cost inside their timed
+    // runs (cosupply_neighbors 4.2 s -> 35.3 s). One stderr line per
+    // failed warm names the corruption for the next bench reader.
+    def warm(name: String)(build: => Any): Unit =
+      try { build; () } catch {
+        case e: Throwable => System.err.println(
+          s"[bench] warmup '$name' FAILED (its consumers run cold): " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    warm("jvm_parquet") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
+    }
+    warm("dedup_jit") {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
       graft.operators.Dedup.minhash(docs).count()
       graft.operators.Dedup.simhash(docs).count()
-      // materialized inputs built once per run (production posture:
-      // session table, IVF coarse quantizer and pair lists are
-      // precomputed artifacts every consumer reads; their BUILD cost is
-      // measured by the producing queries — sessionize, dedup_near,
-      // ngram_jaccard — which deliberately bypass the caches)
+    }
+    // materialized inputs built once per run (production posture:
+    // session table, IVF coarse quantizer and pair lists are
+    // precomputed artifacts every consumer reads; their BUILD cost is
+    // measured by the producing queries — sessionize, dedup_near,
+    // ngram_jaccard — which deliberately bypass the caches)
+    warm("materialized_inputs") {
       graft.queries.Pipeline.warmMaterializedInputs(spark, sfDir)
-      // JIT the iterative-graph path (join/agg/checkpoint round trip) on
-      // a 3-node toy graph — same rationale as the dedup warmup above
+    }
+    // JIT the iterative-graph path (join/agg/checkpoint round trip) on
+    // a 3-node toy graph — same rationale as the dedup warmup above
+    warm("pagerank_jit") {
       val toy = spark.range(3).selectExpr("id AS src", "(id + 1) % 3 AS dst")
       graft.operators.PageRank.run(
         toy.union(toy.selectExpr("dst AS src", "src AS dst")), 2).count()
-      // the supplier<->part edge list is a materialized graph artifact
-      // (extracted once, read by every graph job) — built untimed like
-      // the session/centroid/pair tables above
-      graft.queries.Graph.edgeTable(spark, sfDir).count()
-      // the degree table and the (hub seed, node count) scalars are the
-      // same extracted-once artifacts — profiled once, read by ppr/bfs/
-      // degree-histogram; the queries measure their algorithm, not the
-      // shared profiling job
-      graft.queries.Graph.hubSeedAndNodes(spark, sfDir)
-      graft.queries.Graph.prArtifacts(spark, sfDir)._2.count()
-      // the co-purchase edge list + its degree orientation are the same
-      // kind of extracted-once artifact; triangle_count measures the
-      // wedge generation + closing join, not the edge extraction
-      graft.queries.Graph.orientedEdges(spark, sfDir).count()
-      // the BPE merge table is a trained artifact (the tokenizer is
-      // trained once and shipped to every job); the budget queries
-      // measure ENCODING, not training
-      graft.queries.Quality.bpeMerges(spark, sfDir)
-      // the month-partitioned orders table is an ingest-job artifact
-      // (written once, read by every consumer); dpp_join measures the
-      // pruned read, not the write
-      graft.sources.Layout.partitionedOrders(spark, sfDir)
-      // the daily-revenue rollup is the same kind of shared artifact —
-      // three time-series queries read it; they measure their analysis,
-      // not the rollup build
-      graft.queries.Insights.dailyRevenue(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    }
+    // the supplier<->part edge list is a materialized graph artifact
+    // (extracted once, read by every graph job) — built untimed like
+    // the session/centroid/pair tables above
+    warm("edge_table") { graft.queries.Graph.edgeTable(spark, sfDir).count() }
+    // the degree table and the (hub seed, node count) scalars are the
+    // same extracted-once artifacts — profiled once, read by ppr/bfs/
+    // degree-histogram; the queries measure their algorithm, not the
+    // shared profiling job
+    warm("hub_seed") { graft.queries.Graph.hubSeedAndNodes(spark, sfDir) }
+    warm("pr_artifacts") { graft.queries.Graph.prArtifacts(spark, sfDir)._2.count() }
+    // the co-purchase edge list + its degree orientation are the same
+    // kind of extracted-once artifact; triangle_count measures the
+    // wedge generation + closing join, not the edge extraction
+    warm("oriented_edges") { graft.queries.Graph.orientedEdges(spark, sfDir).count() }
+    // the BPE merge table is a trained artifact (the tokenizer is
+    // trained once and shipped to every job); the budget queries
+    // measure ENCODING, not training
+    warm("bpe_merges") { graft.queries.Quality.bpeMerges(spark, sfDir) }
+    // the month-partitioned orders table is an ingest-job artifact
+    // (written once, read by every consumer); dpp_join measures the
+    // pruned read, not the write
+    warm("partitioned_orders") { graft.sources.Layout.partitionedOrders(spark, sfDir) }
+    // the daily-revenue rollup is the same kind of shared artifact —
+    // three time-series queries read it; they measure their analysis,
+    // not the rollup build
+    warm("daily_revenue") { graft.queries.Insights.dailyRevenue(spark, sfDir).count() }
     // min-of-2 per query: the bench runs on a shared host, and round-4's
     // driver pass burned a review cycle on load ghosts (trivial queries
     // 3-5x inflated). Two timed passes and the min make the number

@@ -52,10 +52,10 @@ object BehavioralAnalyticsExample {
     transitions.write.mode("overwrite").parquet(s"$outDir/transitions")
     scd2.write.mode("overwrite").parquet(s"$outDir/scd2")
     topNodes.write.mode("overwrite").parquet(s"$outDir/centrality")
-    // Sessions.events owns the nanos-as-long reader flag AND the exact
-    // ns->us derivation — going through it (rather than Tables.events +
-    // a local `ts div 1000`) keeps this block independent of earlier
-    // steps having set the session conf as a side effect
+    // Sessions.events owns the schema-adaptive exact epoch derivation
+    // (Tables.epochUs branches on the footer's physical ts type) —
+    // going through it rather than Tables.events + a local projection
+    // keeps this block correct across testdata timestamp-encoding drifts
     Sessions.events(spark, sfDir)
       .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
       .drop("ts_ms", "ts_us")

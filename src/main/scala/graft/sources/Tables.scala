@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver testdata layout
   * (`<sfDir>/<name>.parquet`, TESTDATA.md).
@@ -12,6 +14,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Exact integer epoch-microseconds for a time column, adaptive to
+    * whatever physical type the CURRENT parquet footer resolves to.
+    * Upstream writers change timestamp encodings between regenerations
+    * (the round-8 testdata refresh flipped `events.ts` from
+    * timestamp[ns] to timestamp[us], which took out every events query
+    * at analysis time) — so every raw-time consumer derives its integer
+    * epoch columns through here, making the next drift a one-branch fix
+    * instead of a table-wide outage.
+    *
+    *  - `LongType`: the legacy TIMESTAMP(NANOS) footer read raw via
+    *    `spark.sql.legacy.parquet.nanosAsLong` → integer `div` (floor),
+    *    exact; never double math (1.7e18 ns exceeds a double's 53-bit
+    *    mantissa).
+    *  - `TimestampType`/`TimestampNTZType`: native reads of
+    *    timestamp[us]/[ms] footers → `unix_micros`, exact by
+    *    construction. The NTZ→LTZ cast is exact because the session
+    *    time zone is pinned to UTC (build.sbt javaOptions); DuckDB's
+    *    `epoch_us(ts)` on the same file agrees bit-for-bit.
+    */
+  def epochUs(colName: String, dt: DataType): Column = dt match {
+    case LongType          => expr(s"$colName div 1000")
+    case TimestampType     => unix_micros(col(colName))
+    case TimestampNTZType  => unix_micros(col(colName).cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"unsupported physical type for time column '$colName': $other " +
+        "(expected raw int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+  }
+
+  /** Exact integer epoch-milliseconds; same contract as [[epochUs]]. */
+  def epochMs(colName: String, dt: DataType): Column = dt match {
+    case LongType          => expr(s"$colName div 1000000")
+    case TimestampType     => unix_millis(col(colName))
+    case TimestampNTZType  => unix_millis(col(colName).cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"unsupported physical type for time column '$colName': $other " +
+        "(expected raw int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")

@@ -9,25 +9,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Sessionization over the `events` table — batch (gaps-and-islands and
   * native `session_window`) plus a streaming variant with watermarking.
   *
-  * The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects by default; we read it as raw nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and derive exact integer
-  * epoch columns with `div` (floor) — bit-identical to DuckDB's
-  * truncating ns->us/ms conversion (verified empirically).
+  * The events parquet's physical `ts` encoding is NOT stable across
+  * testdata regenerations: it has shipped as TIMESTAMP(NANOS) (readable
+  * only as raw longs via `spark.sql.legacy.parquet.nanosAsLong`) and as
+  * timestamp[us] (read natively as TIMESTAMP_NTZ). [[events]] therefore
+  * derives the exact integer `ts_ms`/`ts_us` columns adaptively from
+  * the footer's resolved type via [[graft.sources.Tables.epochMs]] /
+  * `epochUs` — every batch and streaming consumer reads time ONLY
+  * through those derived columns, so an encoding drift lands in one
+  * helper, not in 30+ queries.
   */
 object Sessions {
 
   val GapMs = 1800000L // 30 minutes
 
-  /** events with exact epoch-derived time columns (ns -> ms/us via
-    * integer division; never double math — 1.7e18 ns does not fit a
-    * double's 53-bit mantissa).
+  /** events with exact epoch-derived time columns, adaptive to the
+    * current footer's physical `ts` type (see [[Tables.epochUs]]; all
+    * integer math, never doubles).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // kept so the legacy TIMESTAMP(NANOS) footer shape still reads (as
+    // raw longs) if a future regeneration reverts; a no-op for us/ms
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(spark, sfDir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts_us", expr("ts div 1000"))
+    val df = Tables.events(spark, sfDir)
+    val dt = df.schema("ts").dataType
+    df.withColumn("ts_ms", Tables.epochMs("ts", dt))
+      .withColumn("ts_us", Tables.epochUs("ts", dt))
   }
 
   /** Batch gaps-and-islands: a new session starts when the gap from the
@@ -186,7 +193,7 @@ object Sessions {
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
     val ev = tuned.parquet(streamDir)
       .select(col("user_id").as[Long], col("event_type").as[String],
-        expr("ts div 1000000").as[Long])
+        Tables.epochMs("ts", schema("ts").dataType).as[Long])
 
     // at EQUAL timestamps the earlier funnel stage must run first (the
     // batch funnel's >= comparisons are inclusive, so a view and click
@@ -233,7 +240,7 @@ object Sessions {
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user"),
           col("event_id").as(s"${pfx}_id"),
-          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_ts"))
+          timestamp_micros(Tables.epochUs("ts", schema("ts").dataType)).as(s"${pfx}_ts"))
         .withWatermark(s"${pfx}_ts", "1 hour")
     side("view", "v").join(side("purchase", "p"),
       col("v_user") === col("p_user") &&
@@ -263,7 +270,7 @@ object Sessions {
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user"),
           col("event_id").as(s"${pfx}_id"),
-          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_ts"))
+          timestamp_micros(Tables.epochUs("ts", schema("ts").dataType)).as(s"${pfx}_ts"))
         .withWatermark(s"${pfx}_ts", "1 hour")
     side("view", "v").join(side("purchase", "p"),
       col("v_user") === col("p_user") &&
@@ -291,7 +298,7 @@ object Sessions {
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user"),
           col("event_id").as(s"${pfx}_id"),
-          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_ts"))
+          timestamp_micros(Tables.epochUs("ts", schema("ts").dataType)).as(s"${pfx}_ts"))
         .withWatermark(s"${pfx}_ts", "1 hour")
     side("view", "v").join(side("purchase", "p"),
       col("v_user") === col("p_user") &&
@@ -315,7 +322,7 @@ object Sessions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.events(spark, sfDir).schema
     spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tstamp", timestamp_micros(Tables.epochUs("ts", schema("ts").dataType)))
       .withWatermark("tstamp", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
       .select(col("event_id"), col("user_id"), col("event_type"))
@@ -333,7 +340,7 @@ object Sessions {
     spark.readStream
       .schema(schema)
       .parquet(streamDir)
-      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tstamp", timestamp_micros(Tables.epochUs("ts", schema("ts").dataType)))
       .withWatermark("tstamp", "1 hour")
       .groupBy(session_window(col("tstamp"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))

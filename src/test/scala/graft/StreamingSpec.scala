@@ -343,16 +343,26 @@ class StreamingSpec extends SparkSuite {
     val sentinelUser = 999999999L
     try {
       q.processAllAvailable()
-      // sentinel: one event 10 days past the corpus max (ts is raw nanos
-      // under nanosAsLong; a plain-int64 parquet column reads identically)
-      val maxNs = Sessions.events(spark, sf0001).agg(max(col("ts"))).collect().head.getLong(0)
+      // sentinel: one event 10 days past the corpus max, written in
+      // whatever physical ts type the current footer resolves to (raw
+      // int64 nanos rounds 1-7, TIMESTAMP_NTZ micros round 8+) so the
+      // copied part-file matches the stream's schema
+      val tsDt = graft.sources.Tables.events(spark, sf0001).schema("ts").dataType
+      val maxUs = Sessions.events(spark, sf0001).agg(max(col("ts_us"))).collect().head.getLong(0)
+      val sentinelUs = maxUs + 10L * 24 * 3600 * 1000000L
+      val sentinelTs = tsDt match {
+        case org.apache.spark.sql.types.LongType => lit(sentinelUs * 1000L)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          timestamp_micros(lit(sentinelUs)).cast(org.apache.spark.sql.types.TimestampNTZType)
+        case _ => timestamp_micros(lit(sentinelUs))
+      }
       // the file source lists flat files only: write the one-row sentinel
       // to a scratch dir and copy its part-file into the stream dir
       val scratch = java.nio.file.Files.createTempDirectory("graft-golden-sentinel")
       Sessions.events(spark, sf0001).limit(1)
         .drop("ts_ms", "ts_us")
         .withColumn("user_id", lit(sentinelUser))
-        .withColumn("ts", lit(maxNs + 10L * 24 * 3600 * 1000000000L))
+        .withColumn("ts", sentinelTs)
         .coalesce(1)
         .write.mode("overwrite").parquet(scratch.resolve("w").toString)
       val part = java.nio.file.Files.list(scratch.resolve("w")).iterator()
