@@ -12,8 +12,34 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * pushdown; nothing is cached or collected at this layer.
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // let legacy TIMESTAMP(NANOS) footers resolve (as raw int64 nanos)
+    // instead of failing the vectorized reader — set HERE, not only in
+    // Sessions, so the resolved type of a drifted footer is the same in
+    // every session regardless of which query ran first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Normalize a drifted raw-nanos time column back to a proper
+    * timestamp; a no-op (and therefore plan-neutral — pushdown and
+    * pruning untouched) for the native timestamp[us]/[ms] footer shapes
+    * current testdata ships. Only `events.ts` keeps its raw long shape
+    * (Sessions owns that derivation); the date-dimension columns here
+    * are consumed as timestamps by dozens of queries, so a nanos
+    * regeneration must degrade to a correct post-scan conversion, not
+    * a table-wide analysis failure.
+    */
+  private def timeNormalized(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        // the only long-resolving parquet time shape is TIMESTAMP(NANOS)
+        // under nanosAsLong; exact integer ns -> us, then a native micros
+        // timestamp
+        case LongType => d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case _ => d
+      }
+    }
 
   /** Exact integer epoch-microseconds for a time column, adaptive to
     * whatever physical type the CURRENT parquet footer resolves to.
@@ -58,8 +84,10 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    timeNormalized(apply(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    timeNormalized(apply(spark, dir, "lineitem"), "l_shipdate")
   def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
