@@ -67,6 +67,43 @@ class SchemaDriftSpec extends SparkSuite {
     }
   }
 
+  test("non-time column types stay within what their consumer families handle") {
+    // loose FAMILY checks, not exact pins: a benign widening (int32 ->
+    // int64, float -> double) should not fail the suite, but a category
+    // flip (value double -> string, props string -> struct) must fail
+    // HERE with the column named rather than deep inside 20 queries
+    def integral(dt: DataType) = dt == LongType || dt == IntegerType ||
+      dt == ShortType || dt == ByteType
+    def numeric(dt: DataType) = integral(dt) || dt == DoubleType ||
+      dt == FloatType || dt.isInstanceOf[DecimalType]
+    val families: Seq[(String, String, DataType => Boolean, String)] = Seq(
+      ("events", "event_id", integral, "integral"),
+      ("events", "user_id", integral, "integral"),
+      ("events", "event_type", _ == StringType, "string"),
+      ("events", "value", numeric, "numeric"),
+      ("events", "props", _ == StringType, "string"),
+      ("documents", "doc_id", integral, "integral"),
+      ("documents", "text", _ == StringType, "string"),
+      ("documents", "lang", _ == StringType, "string"),
+      ("documents", "source", _ == StringType, "string"),
+      ("documents", "n_chars", integral, "integral"),
+      ("embeddings", "vec_id", integral, "integral"),
+      ("embeddings", "label", integral, "integral"),
+      ("orders", "o_orderkey", integral, "integral"),
+      ("orders", "o_custkey", integral, "integral"),
+      ("orders", "o_totalprice", numeric, "numeric"),
+      ("lineitem", "l_orderkey", integral, "integral"),
+      ("lineitem", "l_quantity", numeric, "numeric"),
+      ("lineitem", "l_extendedprice", numeric, "numeric"),
+      ("lineitem", "l_discount", numeric, "numeric"),
+      ("customer", "c_custkey", integral, "integral"),
+      ("customer", "c_acctbal", numeric, "numeric"))
+    families.foreach { case (table, c, ok, family) =>
+      val dt = Tables(spark, sf0001, table).schema(c).dataType
+      assert(ok(dt), s"$table.$c drifted out of the $family family: $dt")
+    }
+  }
+
   test("embeddings element type is float (ANN kernels assume 4-byte lanes)") {
     val dt = Tables.embeddings(spark, sf0001).schema("embedding").dataType
     assert(dt == ArrayType(FloatType, containsNull = true)
