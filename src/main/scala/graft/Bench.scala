@@ -1,5 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-artifact warmup isolation (BenchWarmSpec): round 8's single
+  * shared try aborted at the first failure and silently un-warmed every
+  * artifact after it, corrupting the round's perf signal (cold
+  * `orientedEdges` inflated cosupply_neighbors 4.2 s -> 35.3 s). One
+  * failed build must never stop the next, and each failure prints one
+  * stderr line naming itself so the bench reader can attribute any
+  * cold-cost contamination.
+  */
+object BenchWarm {
+  def each(name: String)(build: => Any): Unit =
+    try { build; () } catch {
+      case e: Throwable => System.err.println(
+        s"[bench] warmup '$name' FAILED (its consumers run cold): " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,18 +33,9 @@ object Bench {
     // The tiny dedup slice compiles the heavy generated-code families
     // (shingling, MinHash/SimHash exprs, bucket aggregation) — measured
     // ~1.5 s of pure JIT otherwise attributed to the first LSH query.
-    // Each artifact warms in ITS OWN try: round 8's single shared try
-    // aborted at the first failure (a testdata schema drift broke the
-    // session table) and silently un-warmed everything after it, so
-    // graph/LSH queries paid cold artifact-build cost inside their timed
-    // runs (cosupply_neighbors 4.2 s -> 35.3 s). One stderr line per
-    // failed warm names the corruption for the next bench reader.
-    def warm(name: String)(build: => Any): Unit =
-      try { build; () } catch {
-        case e: Throwable => System.err.println(
-          s"[bench] warmup '$name' FAILED (its consumers run cold): " +
-            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-      }
+    // Each artifact warms in ITS OWN try (BenchWarm.each, spec-gated) —
+    // see the rationale on BenchWarm above.
+    def warm(name: String)(build: => Any): Unit = BenchWarm.each(name)(build)
     warm("jvm_parquet") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
