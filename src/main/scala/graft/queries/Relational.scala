@@ -518,8 +518,234 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q4 shape (order-priority checking): per-priority counts of
+    * one quarter's orders having at least one LATE lineitem (shipped
+    * more than 60 days after the order date — this schema has no
+    * commit/receipt dates, so lateness is ship-vs-order lag). The EXISTS
+    * plans as a LEFT SEMI hash join on o_orderkey with the lag
+    * inequality as the join residual: the fact table is never
+    * row-amplified (a plain inner join would multiply each order by its
+    * matching lines and need a re-distinct), and the semi join
+    * short-circuits per key. The quarter filter lands on the orders
+    * scan, so the semi join's build side is already one quarter.
+    */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val lo = 820454400000L // 1996-01-01 epoch ms
+    val hi = 828316800000L // 1996-04-01 epoch ms
+    val lagMs = 60L * 86400000L
+    val ord = Tables.orders(s, d)
+      .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      .filter(col("o_date_ms") >= lo && col("o_date_ms") < hi)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_date_ms"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("ship_ms") > col("o_date_ms") + lagMs,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): two stacked
+    * aggregations — orders per customer (LEFT join so zero-order
+    * customers survive as count 0), then customers per order count.
+    * The classic double-aggregation: the first groupBy keys on
+    * c_custkey (co-partitioned with the join), the second is a
+    * near-trivial shuffle over at most max-orders-per-customer distinct
+    * keys. The status filter rides the join condition, not a WHERE —
+    * a WHERE after a left join would silently turn it inner.
+    */
+  def q13CustDist(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") =!= "P")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 shape (promotion effect): share of one month's revenue
+    * from PROMO-type parts, in exact integer basis points (cross-
+    * multiplied integer division — never a float percentage). One
+    * conditional aggregate after the partkey join; the month filter
+    * pushes to the lineitem scan so the join's probe side is one month
+    * of lines. Part is mid-sized (scales with SF, unlike nation/region)
+    * — no blind broadcast hint; AQE picks the strategy from measured
+    * sizes.
+    */
+  def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val lo = 820454400000L // 1996-01-01 epoch ms
+    val hi = 823132800000L // 1996-02-01 epoch ms
+    val li = Tables.lineitem(s, d)
+      .withColumn("ship_ms", unix_millis(col("l_shipdate").cast("timestamp")))
+      .filter(col("ship_ms") >= lo && col("ship_ms") < hi)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    li.join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("rev_c")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("10000 * promo_cents div total_cents").as("promo_bp"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): each supplier's quarter revenue,
+    * filtered to the maximum via a broadcast one-row aggregate (the
+    * scalar-subquery MAX). The per-supplier aggregate subtree appears
+    * under both the join side and the max side — exchange reuse
+    * materializes its shuffle once (supplier-sized, tiny at any SF
+    * relative to the fact scan that feeds it). Ties (several suppliers
+    * at the max) all surface, ordered by key — same semantics as the
+    * spec's HAVING rev = (SELECT max...).
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val lo = 820454400000L // 1996-01-01 epoch ms
+    val hi = 828316800000L // 1996-04-01 epoch ms
+    val rev = Tables.lineitem(s, d)
+      .withColumn("ship_ms", unix_millis(col("l_shipdate").cast("timestamp")))
+      .filter(col("ship_ms") >= lo && col("ship_ms") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")).as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("m"))
+    Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top), col("total_rev") === col("m"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    * count per (brand, type, size) over the observed part↔supplier
+    * pairs (lineitem stands in for partsupp in this schema), excluding
+    * one brand, one type, and flagged suppliers (negative balance, the
+    * complaints stand-in) via NOT IN → LEFT ANTI hash join (s_suppkey
+    * is non-null, so the NOT-IN NULL trap doesn't bite). The pair
+    * distinct runs FIRST as its own hash aggregate on (partkey,
+    * suppkey) — map-side combinable, collapsing the fact table to the
+    * pair universe before any join; count(DISTINCT) then dedups only
+    * pair-level rows.
+    */
+  def q16PartsSupplier(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val flagged = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pt = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    pairs.join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): revenue from lines
+    * whose quantity is below 20% of their part's average, for one
+    * brand+type. The per-part average is the classic correlated
+    * aggregate, decorrelated by hand into a map-side-combinable groupBy
+    * on l_partkey joined back to the fact — and the 0.2·avg comparison
+    * is CROSS-MULTIPLIED into exact integers (5·qty·n < sum_qty;
+    * quantities are integral), so no float-average ulp can flip a
+    * boundary row in either engine. The brand filter reduces part
+    * before its join; the avg aggregate runs over the full fact (its
+    * semantics require all lines of each part), but joins only the
+    * filtered parts' keys.
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    val avgT = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("n"))
+    val pt = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#7" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .join(avgT, col("l_partkey") === col("pk"))
+      .filter(lit(5L) * col("qty") * col("n") < col("sq"))
+      .agg(sum(col("price_c")).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+      .select(col("total_cents"), col("n_lines"),
+        expr("total_cents div 7").as("avg_yearly_cents"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): one
+    * equi-join on partkey carrying an OR-of-conjunctions residual that
+    * references BOTH sides (brand/size from part, quantity from
+    * lineitem) — the canonical disjunction test. The join stays a hash
+    * equi-join (the OR is a post-join filter, not a join condition
+    * degradation to nested-loop), and Catalyst still pushes the
+    * single-side implications it can prove. Exact integer cents.
+    */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    val pt = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("qty").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+          col("qty").between(10, 20)) ||
+        (col("p_brand") === "Brand#21" && col("p_size").between(1, 35) &&
+          col("qty").between(20, 30)))
+      .agg(sum(col("rev_c")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers with
+    * above-average balance and NO recent order (nothing since
+    * 2001-01-01 — this schema has no phone prefixes, and at this data's
+    * order density "never ordered at all" is empty, so recency is the
+    * dormancy predicate), rolled up per nation. Two classic pieces: the
+    * average is an exact integer cents threshold (sum div count over
+    * positive balances) broadcast as a one-row aggregate, and the NOT
+    * EXISTS plans as a LEFT ANTI hash join against the date-filtered
+    * orders — the anti side is pre-shrunk by the pushed date predicate
+    * before it ever shuffles.
+    */
+  def q22NoRecentOrders(s: SparkSession, d: String): DataFrame = {
+    val cutoff = 978307200000L // 2001-01-01 epoch ms
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val avgBal = cust.filter(col("bal_c") > 0)
+      .agg(expr("sum(bal_c) div count(*)").as("ab"))
+    val recent = Tables.orders(s, d)
+      .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      .filter(col("o_date_ms") >= cutoff)
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgBal)).filter(col("bal_c") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_topk" -> q3Topk,
+    "q4_order_priority" -> q4OrderPriority,
+    "q13_custdist" -> q13CustDist,
+    "q14_promo" -> q14Promo,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_parts_supplier" -> q16PartsSupplier,
+    "q17_small_qty" -> q17SmallQty,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q22_no_recent_orders" -> q22NoRecentOrders,
     "q6_forecast" -> q6Forecast,
     "q18_large_orders" -> q18LargeOrders,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -551,6 +777,89 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_late
+        |FROM orders
+        |WHERE epoch_ms(o_orderdate) >= 820454400000
+        |  AND epoch_ms(o_orderdate) < 828316800000
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + 5184000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*)::BIGINT AS custdist
+        |FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo" ->
+      """SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)::BIGINT AS promo_cents,
+        |  sum(rev_c)::BIGINT AS total_cents,
+        |  (10000 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+        |     // sum(rev_c))::BIGINT AS promo_bp
+        |FROM (SELECT l_partkey,
+        |        CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev_c
+        |      FROM lineitem
+        |      WHERE epoch_ms(l_shipdate) >= 820454400000
+        |        AND epoch_ms(l_shipdate) < 823132800000) l
+        |JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |        AS BIGINT))::BIGINT AS total_rev
+        |  FROM lineitem
+        |  WHERE epoch_ms(l_shipdate) >= 820454400000
+        |    AND epoch_ms(l_shipdate) < 828316800000
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty" ->
+      """WITH agg AS (SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sq,
+        |               count(*)::BIGINT AS n
+        |             FROM lineitem GROUP BY 1)
+        |SELECT sum(price_c)::BIGINT AS total_cents, count(*)::BIGINT AS n_lines,
+        |  (sum(price_c) // 7)::BIGINT AS avg_yearly_cents
+        |FROM (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem) l
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN agg ON l_partkey = pk
+        |WHERE p_brand = 'Brand#7' AND p_type = 'SMALL' AND 5 * qty * n < sq""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT))::BIGINT AS revenue_cents,
+        |  count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_no_recent_orders" ->
+      """WITH avg_bal AS (
+        |  SELECT (sum(CAST(round(c_acctbal * 100) AS BIGINT)) // count(*))::BIGINT AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*)::BIGINT AS numcust,
+        |  sum(bal_c)::BIGINT AS totacctbal_cents
+        |FROM (SELECT c_custkey, c_nationkey,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer) c
+        |WHERE bal_c > (SELECT ab FROM avg_bal)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND epoch_ms(o_orderdate) >= 978307200000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_forecast" ->
       """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))::BIGINT
         |    AS revenue_cents

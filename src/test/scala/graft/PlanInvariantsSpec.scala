@@ -59,6 +59,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "vocab_idf" -> "one-row corpus-size scalar broadcast",
     "weekday_index" -> "one-row overall-average scalar broadcast",
     "anomaly_days" -> "one-row median/MAD scalar broadcasts",
+    "q22_no_recent_orders" -> "one-row average-balance scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

@@ -241,6 +241,142 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got.nonEmpty, "the ASIA/1996 slice must be non-empty at sf0.001")
   }
 
+  test("q4/q13/q14/q17/q19/q22 match independent driver recomputes") {
+    def t(n: String) = spark.read.parquet(s"$sf0001/$n.parquet")
+    def ms(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.selectExpr(s"*", s"unix_millis(CAST($c AS TIMESTAMP)) AS __ms")
+    val R = graft.queries.Relational
+
+    // q4: late-order priority counts
+    val ord4 = ms(t("orders"), "o_orderdate")
+      .selectExpr("o_orderkey", "o_orderpriority", "__ms").collect()
+      .filter(r => r.getLong(2) >= 820454400000L && r.getLong(2) < 828316800000L)
+    val shipByOk = ms(t("lineitem"), "l_shipdate")
+      .selectExpr("l_orderkey", "__ms").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.toSeq.map(_.getLong(1)) }
+    val expect4 = ord4
+      .filter(r => shipByOk.getOrElse(r.getLong(0), Seq.empty[Long])
+        .exists(_ > r.getLong(2) + 60L * 86400000L))
+      .groupBy(_.getString(1)).map { case (k, rs) => k -> rs.length.toLong }
+    val got4 = R.q4OrderPriority(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got4 == expect4 && got4.nonEmpty)
+    // the EXISTS must plan as a semi join — no row amplification
+    assert(R.q4OrderPriority(spark, sf0001).queryExecution.optimizedPlan
+      .toString.contains("LeftSemi"))
+
+    // q13: order-count distribution (status filter inside the left join)
+    val nOrd = t("orders").collect()
+      .filter(_.getString(2) != "P").groupBy(_.getLong(1))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    val expect13 = t("customer").collect().map(r => nOrd.getOrElse(r.getLong(0), 0L))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got13 = R.q13CustDist(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got13 == expect13)
+
+    // q14: promo share, exact cents + integer bp
+    val ptype = t("part").collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val li14 = ms(t("lineitem"), "l_shipdate")
+      .selectExpr("l_partkey",
+        "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rc",
+        "__ms").collect()
+      .filter(r => r.getLong(2) >= 820454400000L && r.getLong(2) < 823132800000L)
+    val total = li14.map(_.getLong(1)).sum
+    val promo = li14.filter(r => ptype(r.getLong(0)) == "PROMO").map(_.getLong(1)).sum
+    val got14 = R.q14Promo(spark, sf0001).collect().head
+    assert((got14.getLong(0), got14.getLong(1), got14.getLong(2)) ==
+      ((promo, total, Math.floorDiv(10000L * promo, total))))
+
+    // q17: small-quantity revenue with the cross-multiplied 0.2*avg
+    val li17 = t("lineitem").selectExpr("l_partkey",
+      "CAST(l_quantity AS BIGINT) AS q",
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc").collect()
+    val perPart = li17.groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> ((rs.map(_.getLong(1)).sum, rs.length.toLong)) }
+    val smallParts = t("part").collect()
+      .filter(r => r.getString(2) == "Brand#7" && r.getString(3) == "SMALL")
+      .map(_.getLong(0)).toSet
+    val kept17 = li17.filter { r =>
+      val (sq, n) = perPart(r.getLong(0))
+      smallParts(r.getLong(0)) && 5L * r.getLong(1) * n < sq
+    }
+    val got17 = R.q17SmallQty(spark, sf0001).collect().head
+    assert(got17.getLong(1) == kept17.length.toLong)
+    if (kept17.nonEmpty)
+      assert(got17.getLong(0) == kept17.map(_.getLong(2)).sum)
+
+    // q19: disjunctive predicate revenue
+    val pinfo = t("part").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getInt(4)))).toMap
+    val kept19 = t("lineitem").selectExpr("l_partkey",
+      "CAST(l_quantity AS BIGINT) AS q",
+      "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rc")
+      .collect().filter { r =>
+        val (b, sz) = pinfo(r.getLong(0)); val q = r.getLong(1)
+        (b == "Brand#1" && sz >= 1 && sz <= 15 && q >= 1 && q <= 11) ||
+        (b == "Brand#12" && sz >= 1 && sz <= 25 && q >= 10 && q <= 20) ||
+        (b == "Brand#21" && sz >= 1 && sz <= 35 && q >= 20 && q <= 30)
+      }
+    val got19 = R.q19Disjunctive(spark, sf0001).collect().head
+    assert(got19.getLong(1) == kept19.length.toLong)
+    if (kept19.nonEmpty) assert(got19.getLong(0) == kept19.map(_.getLong(2)).sum)
+
+    // q22: dormant above-average customers per nation; anti join in plan
+    val cust = t("customer").selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT)",
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bc").collect()
+    val pos = cust.map(_.getLong(2)).filter(_ > 0)
+    val ab = Math.floorDiv(pos.sum, pos.length.toLong)
+    val recent = ms(t("orders"), "o_orderdate").selectExpr("o_custkey", "__ms")
+      .collect().filter(_.getLong(1) >= 978307200000L).map(_.getLong(0)).toSet
+    val expect22 = cust
+      .filter(r => r.getLong(2) > ab && !recent(r.getLong(0)))
+      .groupBy(_.getLong(1))
+      .map { case (k, rs) => k -> ((rs.length.toLong, rs.map(_.getLong(2)).sum)) }
+    val got22 = R.q22NoRecentOrders(spark, sf0001).collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got22 == expect22)
+    assert(R.q22NoRecentOrders(spark, sf0001).queryExecution.optimizedPlan
+      .toString.contains("LeftAnti"))
+  }
+
+  test("q15/q16: top-supplier ties and the distinct-supplier anti join") {
+    val R = graft.queries.Relational
+    def t(n: String) = spark.read.parquet(s"$sf0001/$n.parquet")
+    def ms(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.selectExpr(s"*", s"unix_millis(CAST($c AS TIMESTAMP)) AS __ms")
+
+    // q15: every returned supplier carries exactly the global max revenue
+    val rev = ms(t("lineitem"), "l_shipdate").selectExpr("l_suppkey",
+      "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rc",
+      "__ms").collect()
+      .filter(r => r.getLong(2) >= 820454400000L && r.getLong(2) < 828316800000L)
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).sum }
+    val got15 = R.q15TopSupplier(spark, sf0001).collect()
+    assert(got15.nonEmpty)
+    val m = rev.values.max
+    assert(got15.forall(_.getLong(2) == m))
+    assert(got15.map(_.getLong(0)).toSet == rev.filter(_._2 == m).keySet)
+
+    // q16: anti join in plan; counts match a driver recompute
+    val df16 = R.q16PartsSupplier(spark, sf0001)
+    assert(df16.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+    val flagged = t("supplier").collect()
+      .filter(_.getDouble(3) < 0).map(_.getLong(0)).toSet
+    val pinfo = t("part").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3), r.getInt(4)))).toMap
+    val expect16 = t("lineitem").select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .filter { case (pk, sk) =>
+        val (b, ty, _) = pinfo(pk); !flagged(sk) && b != "Brand#5" && ty != "PROMO" }
+      .groupBy { case (pk, _) => pinfo(pk) }
+      .map { case (k, ps) => k -> ps.map(_._2).distinct.length.toLong }
+    val got16 = df16.collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2))) -> r.getLong(3)).toMap
+    assert(got16 == expect16)
+  }
+
   test("q10_returns plan: pre-aggregation sits BELOW the customer join, top-20 is TakeOrdered") {
     val df = graft.queries.Relational.q10Returns(spark, sf0001)
     val plan = df.queryExecution.optimizedPlan.toString
