@@ -29,6 +29,21 @@ object Pipeline {
   /** Exact dedup by content hash. */
   def dedupExact(s: SparkSession, d: String): DataFrame = Dedup.exact(docs(s, d))
 
+  /** Duplicate-cluster size histogram — the one-glance dedup report a
+    * curation run publishes (how much of the corpus is singleton vs
+    * templated mass duplication). Rolls [[Dedup.exact]]'s per-hash
+    * cluster table up by size: two stacked hash aggregates, the second
+    * over at most max-cluster-size distinct keys. n_docs = size ×
+    * clusters reconciles against corpus row count by construction.
+    */
+  def dedupClusterSizes(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d))
+      .groupBy(col("n_copies").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** The verified near-dup pair list, computed once per (session, sfDir)
     * and persisted — the same materialized-shared-input posture as
     * Sessions.sessionTable: in a production curation run the pair list
@@ -805,6 +820,7 @@ object Pipeline {
     "dedup_kept" -> dedupKept,
     "duplicate_spans" -> duplicateSpans,
     "dedup_exact" -> dedupExact,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
     // SURVEY.md §2 tier C name for the MinHash/LSH near-dup operator
     // (dedupMinhash; a second "dedup_minhash" alias ran the suite's most
     // expensive computation twice per bench run — one canonical name)
@@ -978,6 +994,12 @@ object Pipeline {
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id,
         |  count(*)::BIGINT AS n_copies
         | FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
+    "dedup_cluster_sizes" ->
+      """WITH c AS (SELECT sha256(text) AS h, count(*)::BIGINT AS cluster_size
+        |           FROM documents GROUP BY 1)
+        |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+        |  (cluster_size * count(*))::BIGINT AS n_docs
+        |FROM c GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     "duplicate_spans" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),

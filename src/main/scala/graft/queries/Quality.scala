@@ -493,6 +493,86 @@ object Quality {
       .orderBy(col("word"))
   }
 
+  // --- corpus-law diagnostics -------------------------------------------
+
+  /** Zipf's-law fit of the corpus rank-frequency curve: OLS slope and
+    * intercept of ln(count) over ln(rank) — the one-number vocabulary
+    * health check (natural corpora sit near slope −1; a synthetic or
+    * template-heavy corpus drifts toward 0). Ranks are assigned by the
+    * distributed [[graft.operators.AssignIds]] numbering (count desc,
+    * token asc — deterministic under ties), never a single-partition
+    * window: the vocabulary of a 100 TB corpus is itself a big table.
+    * Each token contributes integer micro-nat ln values (one rounded
+    * ln per token, the doc_surprisal convention), the moment sums are
+    * exact BIGINTs, and the only doubles are ONE fixed final
+    * expression tree per output column — identical IEEE op order in
+    * both engines. (At extreme vocabularies the micro-nat moment sums
+    * would move to DECIMAL(38,0) — the stats_agg note applies.)
+    */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val v = docs(s, d)
+      .select(explode(Dedup.tokensNE(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.AssignIds.byOrder(
+      v, Seq(col("c").desc, col("tok")), "rank")
+    ranked
+      .select(col("c"),
+        round(log(col("rank").cast("double")) * 1000000).cast("long").as("lr"),
+        round(log(col("c").cast("double")) * 1000000).cast("long").as("lc"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("lr")).as("sx"), sum(col("lc")).as("sy"),
+        sum(col("lr") * col("lr")).as("sxx"),
+        sum(col("lr") * col("lc")).as("sxy"))
+      .selectExpr("n_vocab", "n_tokens",
+        """round((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          | / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_micro""".stripMargin,
+        """round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+          | / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept_micro""".stripMargin)
+  }
+
+  /** χ² feature selection of (token, language) associations — the
+    * classifier-feature ranking step of a corpus pipeline: for every
+    * observed (lang, token) pair, the chi-square statistic of the 2×2
+    * doc-level presence contingency (docs of that lang containing the
+    * token vs the three complements). All four cell counts and the
+    * cross-product difference a·e − b·c are exact BIGINTs (the
+    * cancellation-sensitive part; at extreme corpus sizes it moves to
+    * DECIMAL — the outlier_zscore lesson), and χ² itself is one fixed
+    * double tree at 6 dp. Presence is per-doc DISTINCT (array_distinct
+    * before the explode — χ² over raw token occurrences would let one
+    * spammy doc dominate). Degenerate margins (a token in every doc, a
+    * single-language corpus) are filtered on exact integers — their χ²
+    * is 0/0. Plan shape: one doc-level explode aggregate on (tok,
+    * lang); the token margin derives from it by a second small
+    * aggregate; language margins and N ride broadcasts.
+    */
+  def featureChi2(s: SparkSession, d: String): DataFrame = {
+    val pres = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(Dedup.tokensNE(col("text")))).as("tok"))
+    val a = pres.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("a"))
+    val tTok = a.groupBy(col("tok")).agg(sum(col("a")).as("t"))
+    val lLang = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("ldocs"))
+    val nTot = docs(s, d).agg(count(lit(1)).as("n"))
+    a.join(tTok, "tok")
+      .join(broadcast(lLang), "lang")
+      .crossJoin(broadcast(nTot))
+      .filter(col("t") > 0 && col("t") < col("n") &&
+        col("ldocs") > 0 && col("ldocs") < col("n"))
+      .selectExpr("lang", "tok", "a",
+        "a * (n - t - ldocs + a) - (t - a) * (ldocs - a) AS diff",
+        "t", "ldocs", "n")
+      .selectExpr("lang", "tok", "a AS n_docs",
+        """round(CAST(n AS DOUBLE) * CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+          | / (CAST(t AS DOUBLE) * CAST(n - t AS DOUBLE)
+          |    * CAST(ldocs AS DOUBLE) * CAST(n - ldocs AS DOUBLE)), 6) AS chi2""".stripMargin)
+      .orderBy(col("lang"), col("tok"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -512,6 +592,8 @@ object Quality {
     "typo_pairs" -> typoPairs,
     "token_count_bpe" -> tokenCountBpe,
     "bpe_word_tokens" -> bpeWordTokens,
+    "zipf_fit" -> zipfFit,
+    "feature_chi2" -> featureChi2,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -617,6 +699,45 @@ object Quality {
          |SELECT b.doc_id, b.n_sh, coalesce(m.n_matched, 0)::BIGINT AS n_matched,
          |  (5 * coalesce(m.n_matched, 0) >= b.n_sh) AS contaminated
          |FROM base b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
+         |v AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),
+         |r AS (SELECT tok, c,
+         |        row_number() OVER (ORDER BY c DESC, tok) AS rank FROM v),
+         |m AS (SELECT c,
+         |        CAST(round(ln(rank::DOUBLE) * 1000000) AS BIGINT) AS lr,
+         |        CAST(round(ln(c::DOUBLE) * 1000000) AS BIGINT) AS lc FROM r),
+         |a AS (SELECT count(*)::BIGINT AS n_vocab, sum(c)::BIGINT AS n_tokens,
+         |        sum(lr)::BIGINT AS sx, sum(lc)::BIGINT AS sy,
+         |        sum(lr * lr)::BIGINT AS sxx, sum(lr * lc)::BIGINT AS sxy
+         |      FROM m)
+         |SELECT n_vocab, n_tokens,
+         |  round((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_micro,
+         |  round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+         |   / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept_micro
+         |FROM a""".stripMargin,
+    "feature_chi2" ->
+      s"""WITH pres AS (SELECT DISTINCT doc_id, lang, unnest($ToksNE) AS tok
+         |              FROM documents),
+         |a AS (SELECT tok, lang, count(*)::BIGINT AS a FROM pres GROUP BY 1, 2),
+         |tt AS (SELECT tok, sum(a)::BIGINT AS t FROM a GROUP BY 1),
+         |ll AS (SELECT lang, count(*)::BIGINT AS ldocs FROM documents GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |x AS (SELECT lang, tok, a,
+         |        (a * (n - t - ldocs + a) - (t - a) * (ldocs - a))::BIGINT AS diff,
+         |        t, ldocs, n
+         |      FROM a JOIN tt USING (tok) JOIN ll USING (lang) CROSS JOIN nn
+         |      WHERE t > 0 AND t < n AND ldocs > 0 AND ldocs < n)
+         |SELECT lang, tok, a AS n_docs,
+         |  round(CAST(n AS DOUBLE) * CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+         |   / (CAST(t AS DOUBLE) * CAST(n - t AS DOUBLE)
+         |      * CAST(ldocs AS DOUBLE) * CAST(n - ldocs AS DOUBLE)), 6) AS chi2
+         |FROM x ORDER BY lang, tok""".stripMargin,
     "doc_surprisal" ->
       s"""WITH t AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
          |v AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),

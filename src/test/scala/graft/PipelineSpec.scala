@@ -20,6 +20,18 @@ class PipelineSpec extends SparkSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("dedup_cluster_sizes: histogram equals a driver recompute and reconciles to row count") {
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val expect = texts.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => sz -> cs.size.toLong }
+    val rows = Pipeline.dedupClusterSizes(spark, sf0001).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    assert(rows.map(_.getLong(2)).sum == texts.length.toLong,
+      "n_docs must reconcile to the corpus row count")
+  }
+
   test("minhash LSH finds exactly the brute-force jaccard>=0.5 pairs (planted data)") {
     import spark.implicits._
     val sets = Dedup.shingleSets(graft.sources.Tables.documents(spark, sf0001))

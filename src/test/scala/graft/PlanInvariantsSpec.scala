@@ -60,6 +60,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "weekday_index" -> "one-row overall-average scalar broadcast",
     "anomaly_days" -> "one-row median/MAD scalar broadcasts",
     "q22_no_recent_orders" -> "one-row average-balance scalar broadcast",
+    "feature_chi2" -> "one-row corpus-count scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

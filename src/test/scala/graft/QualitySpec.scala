@@ -247,6 +247,57 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("zipf_fit: OLS over micro-nat ln(rank)/ln(count) matches a driver recompute") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split("[ \t\n\r]")).filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((_, c), i) => (i + 1L, c) }
+    val m = ranked.map { case (rank, c) =>
+      (Math.round(math.log(rank.toDouble) * 1000000),
+        Math.round(math.log(c.toDouble) * 1000000)) }
+    val n = m.length.toLong
+    val (sx, sy) = (m.map(_._1).sum, m.map(_._2).sum)
+    val sxx = m.map(p => p._1 * p._1).sum
+    val sxy = m.map(p => p._1 * p._2).sum
+    val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) / den
+    val intercept = (sy.toDouble * sxx.toDouble - sx.toDouble * sxy.toDouble) / den
+    val r = graft.queries.Quality.zipfFit(spark, sf0001).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == counts.values.sum)
+    assert(math.abs(r.getDouble(2) - slope) < 1e-5, s"${r.getDouble(2)} vs $slope")
+    assert(math.abs(r.getDouble(3) - intercept) < 1e-5)
+    assert(r.getDouble(2) < 0, "rank-frequency slope must be negative")
+  }
+
+  test("feature_chi2: 2x2 presence contingency matches a driver recompute") {
+    val rows0 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+    val n = rows0.length.toLong
+    val byLang = rows0.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length.toLong }
+    val pres = rows0.flatMap { r =>
+      r.getString(2).split("[ \t\n\r]").filter(_.nonEmpty).distinct
+        .map(t => (r.getString(1), t)) }
+    val a = pres.groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val tTok = pres.groupBy(_._2).map { case (t, o) => t -> o.length.toLong }
+    val got = graft.queries.Quality.featureChi2(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (lang, tok) = (r.getString(0), r.getString(1))
+      val av = a((lang, tok)); val t = tTok(tok); val l = byLang(lang)
+      assert(r.getLong(2) == av)
+      val diff = av * (n - t - l + av) - (t - av) * (l - av)
+      val chi2 = n.toDouble * diff.toDouble * diff.toDouble /
+        (t.toDouble * (n - t).toDouble * l.toDouble * (n - l).toDouble)
+      assert(math.abs(r.getDouble(3) - chi2) < 1e-5, s"$lang/$tok")
+    }
+    // every kept margin is non-degenerate; degenerate ones are filtered
+    val expectKeys = a.keys.filter { case (lang, tok) =>
+      val t = tTok(tok); val l = byLang(lang); t > 0 && t < n && l > 0 && l < n }
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == expectKeys.toSet)
+  }
+
   test("phrase_search: index-join hits equal a naive sliding-window text scan") {
     val phrase = Array("join", "part", "filter")
     val expect = spark.read.parquet(s"$sf0001/documents.parquet")
