@@ -736,8 +736,124 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    * two nations per ship year — supplier nation on one side of the
+    * fact, customer nation (through orders) on the other. Both nation
+    * filters are applied to the DIMENSION tables before their joins
+    * (supplier and customer shrink ~12.5× before touching the fact);
+    * the directional-pair OR is the only post-join residual. Year from
+    * the ship date; exact integer cents.
+    */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("int").as("l_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev_c")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's revenue in one product type, per order year, in EXACT
+    * integer basis points (the conditional-sum / total-sum cross-
+    * multiplied division — a float share would drift in the last ulp
+    * across partitionings). The part-type filter prunes the part side
+    * before the fact join; the region→nation chain broadcasts onto
+    * customer; the supplier nation arrives as a broadcast dimension
+    * and feeds the CASE, not a filter — all rows of the region/type
+    * slice stay in the denominator.
+    */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val supNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custRegion = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d).as("cn")
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_2", col("rev_c")).otherwise(0L))
+          .as("nation_cents"),
+        sum(col("rev_c")).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        expr("10000 * nation_cents div total_cents").as("share_bp"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit per supplier nation
+    * and order year, with unit cost modeled as 10% of the part's
+    * retail price (this schema has no partsupp.supplycost; the proxy
+    * keeps the classic revenue-minus-cost aggregate shape). Profit is
+    * exact integer cents per line — revenue cents minus qty × cost
+    * cents — summed; the per-line subtraction never goes through
+    * doubles. Join order: part and supplier dimensions reduce/annotate
+    * the fact before the orderkey shuffle joins orders for the year.
+    */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 10).cast("long").as("cost_c"))
+    val supNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("rev_c"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), col("o_year"))
+      .agg(sum(col("rev_c") - col("qty") * col("cost_c")).as("profit_cents"))
+      .orderBy(col("supp_nation"), col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_topk" -> q3Topk,
+    "q7_volume" -> q7Volume,
+    "q8_market_share" -> q8MarketShare,
+    "q9_profit" -> q9Profit,
     "q4_order_priority" -> q4OrderPriority,
     "q13_custdist" -> q13CustDist,
     "q14_promo" -> q14Promo,
@@ -777,6 +893,48 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate)::INT AS l_year,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH rev AS (
+        |  SELECT year(o_orderdate)::INT AS o_year,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rc,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |    JOIN region ON cn.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+        |SELECT o_year,
+        |  sum(CASE WHEN supp_nation = 'NATION_2' THEN rc ELSE 0 END)::BIGINT AS nation_cents,
+        |  sum(rc)::BIGINT AS total_cents,
+        |  (10000 * sum(CASE WHEN supp_nation = 'NATION_2' THEN rc ELSE 0 END)
+        |     // sum(rc))::BIGINT AS share_bp
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT sn.n_name AS supp_nation, year(o_orderdate)::INT AS o_year,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |    - CAST(l_quantity AS BIGINT)
+        |      * CAST(round(p_retailprice * 10) AS BIGINT))::BIGINT AS profit_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late
         |FROM orders

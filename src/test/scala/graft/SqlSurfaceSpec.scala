@@ -377,6 +377,71 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got16 == expect16)
   }
 
+  test("q7/q8/q9 star shapes match driver recomputes") {
+    val R = graft.queries.Relational
+    def t(n: String) = spark.read.parquet(s"$sf0001/$n.parquet")
+    val natName = t("nation").collect()
+      .map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val supNat = t("supplier").collect()
+      .map(r => r.getLong(0) -> natName(r.getInt(2).toLong)).toMap
+    val custNat = t("customer").collect()
+      .map(r => r.getLong(0) -> natName(r.getInt(2).toLong)).toMap
+    val ordOf = t("orders").selectExpr("o_orderkey", "o_custkey",
+      "CAST(year(o_orderdate) AS INT) AS y").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val li = t("lineitem").selectExpr("l_orderkey", "l_partkey", "l_suppkey",
+      "CAST(l_quantity AS BIGINT) AS q", "CAST(year(l_shipdate) AS INT) AS ly",
+      "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rc")
+      .collect()
+
+    // q7: directional two-nation volume by ship year
+    val expect7 = li.flatMap { r =>
+      val sn = supNat(r.getLong(2))
+      val cn = custNat(ordOf(r.getLong(0))._1)
+      if ((sn == "NATION_1" && cn == "NATION_2") ||
+          (sn == "NATION_2" && cn == "NATION_1"))
+        Some(((sn, cn, r.getInt(4)), r.getLong(5)))
+      else None
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val got7 = R.q7Volume(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2))) -> r.getLong(3)).toMap
+    assert(got7 == expect7)
+    // the two-nation slice is empty at sf0.001 (10 suppliers over 25
+    // nations); non-emptiness is asserted at sf0.01 where the oracle
+    // gate also runs
+    if (expect7.isEmpty)
+      assert(R.q7Volume(spark, sf001).limit(1).count() == 1L)
+
+    // q8: share numerator/denominator and the exact-bp division
+    val econParts = t("part").collect()
+      .filter(_.getString(3) == "ECONOMY").map(_.getLong(0)).toSet
+    val asiaNat = t("nation").collect().filter(_.getInt(2) == 2)
+      .map(_.getInt(0).toLong).toSet // ASIA is r_regionkey 2
+    val custAsia = t("customer").collect()
+      .filter(r => asiaNat(r.getInt(2).toLong)).map(_.getLong(0)).toSet
+    val slice = li.filter(r => econParts(r.getLong(1)) &&
+      custAsia(ordOf(r.getLong(0))._1))
+    val expect8 = slice.groupBy(r => ordOf(r.getLong(0))._2).map { case (y, rs) =>
+      val tot = rs.map(_.getLong(5)).sum
+      val nat = rs.filter(r => supNat(r.getLong(2)) == "NATION_2").map(_.getLong(5)).sum
+      y -> ((nat, tot, Math.floorDiv(10000L * nat, tot)))
+    }
+    val got8 = R.q8MarketShare(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got8 == expect8 && got8.nonEmpty)
+
+    // q9: profit with the 10%-of-retail cost proxy, exact cents
+    val costOf = t("part").collect()
+      .map(r => r.getLong(0) -> Math.round(r.getDouble(5) * 10)).toMap
+    val expect9 = li.map { r =>
+      ((supNat(r.getLong(2)), ordOf(r.getLong(0))._2),
+        r.getLong(5) - r.getLong(3) * costOf(r.getLong(1)))
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val got9 = R.q9Profit(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getInt(1))) -> r.getLong(2)).toMap
+    assert(got9 == expect9 && got9.nonEmpty)
+  }
+
   test("q10_returns plan: pre-aggregation sits BELOW the customer join, top-20 is TakeOrdered") {
     val df = graft.queries.Relational.q10Returns(spark, sf0001)
     val plan = df.queryExecution.optimizedPlan.toString
