@@ -15,7 +15,8 @@ run / fork := true
 // the driver parses Bench's one-line JSON from the captured stdout tail,
 // and the logger's "[info] " prefix made every line unparseable JSON
 // ("parsed": null in BENCH_r01-r07 even after the line itself fit).
-outputStrategy := Some(StdoutOutput)
+// Scoped to run (ADVICE round 8): test logs keep the logger prefixes.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

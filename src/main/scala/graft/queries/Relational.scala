@@ -746,7 +746,7 @@ object Relational {
     */
   def q7Volume(s: SparkSession, d: String): DataFrame = {
     val nat = Tables.nation(s, d)
-      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .filter(col("n_name").isin("NATION_18", "NATION_19"))
       .select(col("n_nationkey"), col("n_name"))
     val sup = Tables.supplier(s, d)
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -764,8 +764,8 @@ object Relational {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(
-        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(sum(col("rev_c")).as("revenue_cents"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
@@ -903,8 +903,8 @@ object Relational {
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
-        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q8_market_share" ->
       """WITH rev AS (
