@@ -469,7 +469,31 @@ object Curation {
       .orderBy(col("key").desc, col("doc_id"))
       .limit(20)
 
+  /** Deterministic span corruption (the T5/denoising-objective data
+    * transform): token position i of doc D is masked iff
+    * (D + i) % 7 == 0 — a pure-arithmetic rule, so the corruption is
+    * reproducible across engines, runs, and partitionings (a seeded
+    * RNG would be none of those). Consecutive masked positions form
+    * the corrupted spans. Map-only: one indexed transform over each
+    * doc's token array; the masked text is re-joined with single
+    * spaces (the corpus delimiter). Spark's transform index is
+    * 0-based; the DuckDB twin drives a 1-based range with i-1 —
+    * pinned by the oracle hash.
+    */
+  def spanMasking(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"),
+        expr("""transform(ts, (t, i) ->
+                 CASE WHEN (doc_id + i) % 7 = 0 THEN '<mask>' ELSE t END)""")
+          .as("ms"))
+      .select(col("doc_id"), col("n_tok"),
+        size(filter(col("ms"), t => t === "<mask>")).cast("long").as("n_masked"),
+        concat_ws(" ", col("ms")).as("masked_text"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "span_masking" -> spanMasking,
     "weighted_sample" -> weightedSample,
     "token_allocation" -> ((s, d) => tokenAllocation(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -495,6 +519,17 @@ object Curation {
   private val ToksNE = Shared.ToksNE
 
   def oracleSql: Map[String, String] = Map(
+    "span_masking" ->
+      s"""WITH t AS (SELECT doc_id, ${Shared.ToksNE} AS ts FROM documents),
+         |m AS (SELECT doc_id, len(ts)::BIGINT AS n_tok,
+         |        list_transform(range(1, len(ts) + 1),
+         |          i -> CASE WHEN (doc_id + i - 1) % 7 = 0
+         |               THEN '<mask>' ELSE ts[i] END) AS ms
+         |      FROM t)
+         |SELECT doc_id, n_tok,
+         |  len(list_filter(ms, x -> x = '<mask>'))::BIGINT AS n_masked,
+         |  coalesce(array_to_string(ms, ' '), '') AS masked_text
+         |FROM m ORDER BY doc_id""".stripMargin,
     "weighted_sample" ->
       """WITH x AS (SELECT doc_id, n_chars,
         |    ((((doc_id % 2147483647) * 2654435761) % 1000000007) + 1)::DOUBLE

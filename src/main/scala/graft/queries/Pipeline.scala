@@ -225,6 +225,24 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Recall@20 of the IVF probe against the exact brute-force scan —
+    * the index-quality contract every ANN deployment publishes (an
+    * index that silently drops true neighbors is worse than no index).
+    * One LEFT SEMI join of the two declared top-k lists; recall in
+    * exact integer basis points. The oracle recomputes the overlap
+    * from this Verify run's own dumps of both sides ({OUT}
+    * substitution — the bpe_word_tokens pattern), so the contract is
+    * checked against what was actually produced, not a re-derivation.
+    */
+  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = embeddingTopk(s, d).select(col("vec_id"))
+    val ivf = embeddingTopkIvf(s, d).select(col("vec_id").as("v2"))
+    exact.join(ivf, col("vec_id") === col("v2"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(20L).as("k"), col("n_hit"),
+        expr("10000 * n_hit div 20").as("recall_bp"))
+  }
+
   /** Trained k-means model per (session, dir) — the coarse-quantizer
     * training run ([[graft.operators.Kmeans]]): 2 Lloyd rounds at k=8
     * over the integer-micro lattice, cached like the BPE merge table
@@ -832,6 +850,7 @@ object Pipeline {
     "ngram_jaccard" -> ngramJaccard,
     "setsim_join" -> setsimJoin,
     "embedding_topk" -> embeddingTopk,
+    "ivf_recall" -> ivfRecall,
     "embedding_topk_ivf" -> embeddingTopkIvf,
     "kmeans_centroids" -> kmeansCentroids,
     "kmeans_assign" -> kmeansAssign,
@@ -1000,6 +1019,11 @@ object Pipeline {
         |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
         |  (cluster_size * count(*))::BIGINT AS n_docs
         |FROM c GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    "ivf_recall" ->
+      """SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
+        |  (10000 * count(*) // 20)::BIGINT AS recall_bp
+        |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
+        |JOIN read_parquet('{OUT}/embedding_topk_ivf/*.parquet') i USING (vec_id)""".stripMargin,
     "duplicate_spans" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),

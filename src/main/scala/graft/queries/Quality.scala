@@ -573,6 +573,27 @@ object Quality {
       .orderBy(col("lang"), col("tok"))
   }
 
+  /** Top-5 character trigrams per language — the classic n-gram
+    * language-ID feature table (what lang_id's heuristic would be
+    * trained from at scale). Word-interior trigrams only (words ≥ 3
+    * chars), counted in one hash aggregate; the per-language top-5
+    * rides the heap-based TopKPerGroup operator, never a per-group
+    * sort — the trigram table of a 100 TB multilingual corpus is
+    * large, and only k rows per language survive.
+    */
+  def charNgramProfile(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d)
+      .select(col("lang"), explode(Dedup.tokensNE(col("text"))).as("w"))
+      .filter(length(col("w")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(w) - 2), i -> substring(w, i, 3))")).as("tri"))
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+    graft.plans.TopKPerGroup(counts, Seq("lang"),
+        Seq(col("c").desc, col("tri").asc), k = 5)
+      .select(col("lang"), col("tri"), col("c"))
+      .orderBy(col("lang"), col("c").desc, col("tri"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -594,6 +615,7 @@ object Quality {
     "bpe_word_tokens" -> bpeWordTokens,
     "zipf_fit" -> zipfFit,
     "feature_chi2" -> featureChi2,
+    "char_ngram_profile" -> charNgramProfile,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -699,6 +721,17 @@ object Quality {
          |SELECT b.doc_id, b.n_sh, coalesce(m.n_matched, 0)::BIGINT AS n_matched,
          |  (5 * coalesce(m.n_matched, 0) >= b.n_sh) AS contaminated
          |FROM base b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "char_ngram_profile" ->
+      s"""WITH w AS (SELECT lang, unnest($ToksNE) AS w FROM documents),
+         |t AS (SELECT lang, unnest(list_transform(range(1, length(w) - 1),
+         |        i -> substr(w, i, 3))) AS tri
+         |      FROM w WHERE length(w) >= 3),
+         |c AS (SELECT lang, tri, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+         |r AS (SELECT lang, tri, c,
+         |        row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri) AS rn
+         |      FROM c)
+         |SELECT lang, tri, c FROM r WHERE rn <= 5
+         |ORDER BY lang, c DESC, tri""".stripMargin,
     "zipf_fit" ->
       s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
          |v AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),

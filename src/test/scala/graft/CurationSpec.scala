@@ -240,4 +240,25 @@ class CurationSpec extends SparkSuite {
     assert(builders.map(System.identityHashCode).toSet.size == 1,
       "the two branches must share ONE physical cache build")
   }
+
+  test("span_masking: deterministic (doc_id + pos) % 7 rule matches a driver recompute") {
+    val expect = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val id = r.getLong(0)
+        val ts = r.getString(1).split("[ \t\n\r]").filter(_.nonEmpty)
+        val ms = ts.zipWithIndex.map { case (t, i) =>
+          if ((id + i) % 7 == 0) "<mask>" else t }
+        id -> ((ts.length.toLong, ms.count(_ == "<mask>").toLong, ms.mkString(" ")))
+      }.toMap
+    val got = graft.queries.Curation.spanMasking(spark, sf0001).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (n, m, txt) = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((n, m, txt)),
+        s"doc ${r.getLong(0)}")
+    }
+    // masking is a pure function of (doc_id, position): rerun is identical
+    val again = graft.queries.Curation.spanMasking(spark, sf0001).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

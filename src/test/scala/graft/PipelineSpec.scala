@@ -20,6 +20,18 @@ class PipelineSpec extends SparkSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("ivf_recall: overlap of the declared exact and IVF top-20 lists, in exact bp") {
+    val exact = Pipeline.embeddingTopk(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val ivf = Pipeline.embeddingTopkIvf(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val r = Pipeline.ivfRecall(spark, sf0001).collect().head
+    val hits = (exact & ivf).size.toLong
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == hits)
+    assert(r.getLong(2) == 10000L * hits / 20L)
+    assert(hits >= 10L,
+      s"IVF at nprobe=3 should keep most of the true top-20; got $hits/20")
+  }
+
   test("dedup_cluster_sizes: histogram equals a driver recompute and reconciles to row count") {
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("text").collect().map(_.getString(0))

@@ -61,6 +61,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "anomaly_days" -> "one-row median/MAD scalar broadcasts",
     "q22_no_recent_orders" -> "one-row average-balance scalar broadcast",
     "feature_chi2" -> "one-row corpus-count scalar broadcast",
+    "ivf_recall" -> "composes embedding_topk/_ivf's one-row query-vector broadcasts",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

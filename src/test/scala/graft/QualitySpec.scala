@@ -298,6 +298,23 @@ class QualitySpec extends SparkSuite {
     assert(got.map(r => (r.getString(0), r.getString(1))).toSet == expectKeys.toSet)
   }
 
+  test("char_ngram_profile: per-language top-5 trigrams match a driver recompute") {
+    val rows0 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "text").collect()
+    val counts = rows0.flatMap { r =>
+      r.getString(1).split("[ \t\n\r]").filter(_.length >= 3)
+        .flatMap(w => (0 to w.length - 3).map(i => (r.getString(0), w.substring(i, i + 3))))
+    }.groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val expect = counts.groupBy(_._1._1).flatMap { case (lang, m) =>
+      m.toSeq.map { case ((_, tri), c) => (tri, c) }
+        .sortBy { case (tri, c) => (-c, tri) }.take(5)
+        .map { case (tri, c) => (lang, tri, c) }
+    }.toSet
+    val got = graft.queries.Quality.charNgramProfile(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("phrase_search: index-join hits equal a naive sliding-window text scan") {
     val phrase = Array("join", "part", "filter")
     val expect = spark.read.parquet(s"$sf0001/documents.parquet")
