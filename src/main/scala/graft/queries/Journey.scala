@@ -432,9 +432,68 @@ object Journey {
       .orderBy(col("k"))
   }
 
+  // --- maintenance identities -------------------------------------------
+
+  /** Incremental view maintenance of a grouped aggregate: the base
+    * period's aggregate and the delta period's aggregate are MERGED
+    * (full outer on the group key, counters summed) instead of
+    * re-aggregating raw history — the identity every incremental
+    * pipeline relies on to fold a day's partition into a year-to-date
+    * rollup without re-reading the year. The oracle is the full
+    * recompute over all rows, so the hash gate IS the merge-equals-
+    * recompute proof. At 100 TB the base side is a materialized
+    * artifact (group-key-sized), the delta scan is one pushed-down
+    * date partition, and the merge join is aggregate-sized — the raw
+    * history is never touched.
+    */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val cutoff = 978307200000L // 2001-01-01: the "new batch" boundary
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def aggOf(df: DataFrame) = df.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val base = aggOf(o.filter(col("ms") < cutoff))
+      .select(col("prio").as("bp"), col("n").as("bn"), col("c").as("bc"))
+    val delta = aggOf(o.filter(col("ms") >= cutoff))
+      .select(col("prio").as("dp"), col("n").as("dn"), col("c").as("dc"))
+    base.join(delta, col("bp") === col("dp"), "full_outer")
+      .select(coalesce(col("bp"), col("dp")).as("o_orderpriority"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Aggregation-tree reuse: the monthly rollup derived FROM the daily
+    * aggregate (sum of sums), not from raw rows — the vertical
+    * complement of [[incrementalAgg]]'s horizontal merge. The oracle
+    * computes monthly directly from the raw table; hash equality is
+    * the rollup-reuse identity (sum is decomposable — the reason
+    * aggregation trees exist). At 100 TB the daily table is ~5 orders
+    * of magnitude smaller than raw: deriving months, quarters, and
+    * years from it is the difference between scanning gigabytes and
+    * scanning the lake.
+    */
+  def rollupReuse(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("prio"), col("day"), col("ym"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    daily.groupBy(col("prio"), col("ym"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("total_cents"))
+      .select(col("prio").as("o_orderpriority"), col("ym").cast("int").as("ym"),
+        col("n_orders"), col("total_cents"))
+      .orderBy(col("o_orderpriority"), col("ym"))
+  }
+
   // --- registration -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_agg" -> incrementalAgg,
+    "rollup_reuse" -> rollupReuse,
     "snapshot_diff" -> snapshotDiff,
     "ewma_features" -> ewmaFeatures,
     "funnel" -> funnel,
@@ -449,6 +508,19 @@ object Journey {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the full recompute over ALL rows: hash equality proves the
+    // base+delta merge reproduces it exactly
+    "incremental_agg" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // monthly direct from raw: hash equality proves the daily->monthly
+    // rollup reuse (sum-of-sums) is exact
+    "rollup_reuse" ->
+      """SELECT o_orderpriority, (year(o_orderdate) * 100 + month(o_orderdate))::INT AS ym,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, ym""".stripMargin,
     "attribution" ->
       """WITH ev AS (SELECT user_id, event_type, event_id,
         |    epoch_ms(ts) AS ts_ms FROM events),

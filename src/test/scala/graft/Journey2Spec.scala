@@ -119,6 +119,31 @@ class Journey2Spec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), plan.take(900))
   }
 
+  test("incremental_agg / rollup_reuse: maintenance identities equal direct recomputes") {
+    val ords = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderpriority",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ms",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym")
+      .collect()
+    // merge(base<cutoff, delta>=cutoff) == aggregate over everything
+    val expectAll = ords.groupBy(_.getString(0)).map { case (p, rs) =>
+      p -> ((rs.length.toLong, rs.map(_.getLong(2)).sum)) }
+    val gotInc = graft.queries.Journey.incrementalAgg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotInc == expectAll)
+    // the two branches partition history: every order is in exactly one
+    val cutoff = 978307200000L
+    assert(ords.count(_.getLong(1) < cutoff) + ords.count(_.getLong(1) >= cutoff)
+      == ords.length)
+    // monthly-from-daily == monthly-from-raw
+    val expectYm = ords.groupBy(r => (r.getString(0), r.getInt(3)))
+      .map { case (k, rs) => k -> ((rs.length.toLong, rs.map(_.getLong(2)).sum)) }
+    val gotYm = graft.queries.Journey.rollupReuse(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getInt(1))) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(gotYm == expectYm)
+  }
+
   test("token_allocation: exact budget conservation and monotone allocations") {
     val rows = graft.queries.Curation.tokenAllocation(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
