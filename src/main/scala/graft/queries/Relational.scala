@@ -849,8 +849,94 @@ object Relational {
       .orderBy(col("supp_nation"), col("o_year"))
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part observed in
+    * the fact table, the EUROPE supplier with the LOWEST account
+    * balance (the supplycost stand-in), first 100 parts. The classic
+    * correlated-min, decorrelated by hand: candidate (part, supplier)
+    * pairs collapse to the distinct pair universe first (the q16
+    * lesson), the region chain broadcasts onto supplier, the per-part
+    * min is a map-combinable aggregate joined back on (pk, min), and
+    * balance ties resolve to the smallest suppkey — bare "the min row"
+    * is tie-nondeterministic and can't be oracle-gated.
+    */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"),
+        round(col("s_acctbal") * 100).cast("long").as("bal_c"))
+    val cand = ps.join(eu, col("sk") === col("s_suppkey"))
+    val m = cand.groupBy(col("pk").as("mpk")).agg(min(col("bal_c")).as("mb"))
+    cand.join(m, col("pk") === col("mpk") && col("bal_c") === col("mb"))
+      .groupBy(col("pk").as("p_partkey"))
+      .agg(min(col("s_suppkey")).as("s_suppkey"), min(col("bal_c")).as("bal_cents"))
+      .orderBy(col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose observed inventory
+    * value clears a fraction of the GLOBAL total — the
+    * aggregate-vs-global-scalar HAVING. Value is exact integer cents
+    * (qty × retail cents per line, summed); the threshold comparison
+    * is cross-multiplied (2000·val > total, i.e. share > 0.05%)
+    * against a broadcast one-row total, so no float share exists
+    * anywhere. The per-part aggregate runs once and feeds both the
+    * total and the filter.
+    */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      .join(Tables.part(s, d).select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("retail_c")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty") * col("retail_c")).as("val_cents"))
+    val tot = v.agg(sum(col("val_cents")).as("tot"))
+    v.join(broadcast(tot))
+      .filter(lit(2000L) * col("val_cents") > col("tot"))
+      .select(col("pk").as("p_partkey"), col("val_cents"))
+      .orderBy(col("val_cents").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q20 shape (concentrated-volume suppliers): nations' counts
+    * of suppliers that carry MORE THAN 20% of some part's total volume
+    * — the nested-aggregate semi-join chain (pair volume → part volume
+    * → concentration filter → supplier semi-join). The pair aggregate
+    * is computed ONCE and persisted within the query (it feeds both
+    * the per-part total and the concentration join — the
+    * bigram_surprisal single-evaluation posture); the concentration
+    * test is cross-multiplied exact integers (5·q > tq). Only distinct
+    * qualifying suppkeys travel to the supplier semi-join.
+    */
+  def q20VolumeSupplier(s: SparkSession, d: String): DataFrame = {
+    val pairq = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .persist()
+    val pq = pairq.groupBy(col("pk").as("ppk")).agg(sum(col("q")).as("tq"))
+    val conc = pairq.join(pq, col("pk") === col("ppk"))
+      .filter(lit(5L) * col("q") > col("tq"))
+      .select(col("sk")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(conc, col("s_suppkey") === col("sk"), "left_semi")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_topk" -> q3Topk,
+    "q2_min_cost" -> q2MinCost,
+    "q11_important_stock" -> q11ImportantStock,
+    "q20_volume_supplier" -> q20VolumeSupplier,
     "q7_volume" -> q7Volume,
     "q8_market_share" -> q8MarketShare,
     "q9_profit" -> q9Profit,
@@ -893,6 +979,35 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q2_min_cost" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |eu AS (SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+        |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |         JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |cand AS (SELECT pk, s_suppkey, bal_c FROM ps JOIN eu ON sk = s_suppkey),
+        |m AS (SELECT pk, min(bal_c) AS mb FROM cand GROUP BY 1)
+        |SELECT c.pk AS p_partkey, min(c.s_suppkey)::BIGINT AS s_suppkey,
+        |  min(c.bal_c)::BIGINT AS bal_cents
+        |FROM cand c JOIN m ON c.pk = m.pk AND c.bal_c = m.mb
+        |GROUP BY 1 ORDER BY 1 LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS BIGINT)
+        |        * CAST(round(p_retailprice * 100) AS BIGINT))::BIGINT AS val_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |t AS (SELECT sum(val_cents)::BIGINT AS tot FROM v)
+        |SELECT pk AS p_partkey, val_cents FROM v CROSS JOIN t
+        |WHERE 2000 * val_cents > tot ORDER BY val_cents DESC, pk""".stripMargin,
+    "q20_volume_supplier" ->
+      """WITH pairq AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |pq AS (SELECT pk, sum(q)::BIGINT AS tq FROM pairq GROUP BY 1),
+        |conc AS (SELECT DISTINCT sk FROM pairq JOIN pq USING (pk) WHERE 5 * q > tq)
+        |SELECT n_name, count(*)::BIGINT AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT sk FROM conc)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q7_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  year(l_shipdate)::INT AS l_year,

@@ -62,6 +62,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "q22_no_recent_orders" -> "one-row average-balance scalar broadcast",
     "feature_chi2" -> "one-row corpus-count scalar broadcast",
     "ivf_recall" -> "composes embedding_topk/_ivf's one-row query-vector broadcasts",
+    "q11_important_stock" -> "one-row global-total scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

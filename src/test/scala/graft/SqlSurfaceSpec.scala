@@ -440,6 +440,57 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got9 == expect9 && got9.nonEmpty)
   }
 
+  test("q2/q11/q20 nested-aggregate shapes match driver recomputes") {
+    val R = graft.queries.Relational
+    def t(n: String) = spark.read.parquet(s"$sf0001/$n.parquet")
+    val li = t("lineitem").selectExpr("l_partkey", "l_suppkey",
+      "CAST(l_quantity AS BIGINT) AS q").collect()
+
+    // q2: per-part min-balance EUROPE supplier, smallest suppkey on ties
+    val euNat = t("nation").collect().filter(_.getInt(2) == 3) // EUROPE rk=3
+      .map(_.getInt(0).toLong).toSet
+    val euSup = t("supplier").collect()
+      .filter(r => euNat(r.getInt(2).toLong))
+      .map(r => r.getLong(0) -> Math.round(r.getDouble(3) * 100)).toMap
+    val pairs = li.map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expect2 = pairs.filter(p => euSup.contains(p._2))
+      .groupBy(_._1).map { case (pk, ps) =>
+        val mb = ps.map(p => euSup(p._2)).min
+        pk -> ((ps.filter(p => euSup(p._2) == mb).map(_._2).min, mb))
+      }.toSeq.sortBy(_._1).take(100)
+    val got2 = R.q2MinCost(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toSeq
+    assert(got2 == expect2 && got2.nonEmpty)
+
+    // q11: global-share threshold on exact value cents
+    val retail = t("part").collect()
+      .map(r => r.getLong(0) -> Math.round(r.getDouble(5) * 100)).toMap
+    val vals = li.groupBy(_.getLong(0)).map { case (pk, rs) =>
+      pk -> rs.map(r => r.getLong(2) * retail(pk)).sum }
+    val tot = vals.values.sum
+    val expect11 = vals.filter { case (_, v) => 2000L * v > tot }
+      .toSeq.sortBy { case (pk, v) => (-v, pk) }
+    val got11 = R.q11ImportantStock(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got11 == expect11 && got11.nonEmpty)
+
+    // q20: concentration semi-join (5*pair > part total)
+    val pairQ = li.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val partQ = pairQ.groupBy(_._1._1).map { case (pk, m) => pk -> m.values.sum }
+    val concSk = pairQ.filter { case ((pk, _), q) => 5L * q > partQ(pk) }
+      .keys.map(_._2).toSet
+    val natName = t("nation").collect()
+      .map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val expect20 = t("supplier").collect()
+      .filter(r => concSk(r.getLong(0)))
+      .groupBy(r => natName(r.getInt(2).toLong))
+      .map { case (n, rs) => n -> rs.length.toLong }
+    val got20 = R.q20VolumeSupplier(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got20 == expect20 && got20.nonEmpty)
+  }
+
   test("q10_returns plan: pre-aggregation sits BELOW the customer join, top-20 is TakeOrdered") {
     val df = graft.queries.Relational.q10Returns(spark, sf0001)
     val plan = df.queryExecution.optimizedPlan.toString
