@@ -349,4 +349,55 @@ object Sessions {
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"))
   }
+
+  /** Streaming incremental-view maintenance — the foreachBatch
+    * counterpart of the batch `incremental_agg` identity: each
+    * micro-batch's per-type aggregate (count + exact cents) MERGES
+    * into a maintained target table instead of re-aggregating history.
+    * The source checkpoint guarantees each input file contributes
+    * exactly once across stop/restart, so the maintained table
+    * converges to the batch aggregate over everything ever ingested —
+    * pinned by StreamingSpec across a two-phase restart.
+    *
+    * The merge here is read-merge-overwrite on a parquet dir, with a
+    * `localCheckpoint` materializing the merged result BEFORE the
+    * overwrite (reading and overwriting the same path in one lazy plan
+    * is undefined). At 100 TB the target is a transactional keyed sink
+    * (the merge_upsert shape) — the maintenance algebra is identical.
+    */
+  def streamingIncrementalAgg(spark: SparkSession, sfDir: String,
+      streamDir: String, targetDir: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = Tables.events(spark, sfDir).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+          .select(col("event_type").as("dt"), col("n").as("dn"), col("c").as("dc"))
+        val base =
+          try spark.read.parquet(targetDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              new org.apache.spark.sql.types.StructType()
+                .add("event_type", "string").add("n_events", "long")
+                .add("cents", "long"))
+          }
+        val merged = base.join(delta, col("event_type") === col("dt"), "full_outer")
+          .select(coalesce(col("event_type"), col("dt")).as("event_type"),
+            (coalesce(col("n_events"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("cents"))
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(targetDir)
+        ()
+      }
+      .start()
+  }
 }

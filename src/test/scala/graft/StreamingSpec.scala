@@ -83,6 +83,41 @@ class StreamingSpec extends SparkSuite {
       "replayed phase-1 ids must be dropped by state restored from the checkpoint")
   }
 
+  test("streaming incremental-agg maintenance converges to the batch aggregate across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivm")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val target = base.resolve("tgt").toString
+    val ckpt = base.resolve("ck").toString
+    val ev = Sessions.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("ts"), col("user_id"),
+        col("value"), col("props"))
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val q = Sessions.streamingIncrementalAgg(spark, sf0001,
+        streamDir.toString, target, ckpt)
+      q.awaitTermination()
+    }
+    stageFlat(ev.filter(col("event_id") % 2 === 0), "p1.parquet")
+    runOnce()
+    stageFlat(ev.filter(col("event_id") % 2 === 1), "p2.parquet")
+    runOnce() // restart from the same checkpoint: p1 must NOT re-merge
+    val got = spark.read.parquet(target).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = Sessions.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect,
+      "maintained table must equal the batch aggregate over all ingested events")
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-state")
     java.nio.file.Files.copy(
