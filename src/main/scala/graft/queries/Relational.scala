@@ -530,12 +530,14 @@ object Relational {
     * scan, so the semi join's build side is already one quarter.
     */
   def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
-    val lo = 820454400000L // 1996-01-01 epoch ms
-    val hi = 828316800000L // 1996-04-01 epoch ms
     val lagMs = 60L * 86400000L
+    // raw-column band: comparing the NTZ column to NTZ literals reaches
+    // PushedFilters (the q6 lesson) — the unix_millis-derived twin is a
+    // post-scan filter and reads the whole fact at 100 TB
     val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
       .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
-      .filter(col("o_date_ms") >= lo && col("o_date_ms") < hi)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_date_ms"))
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"),
@@ -580,11 +582,12 @@ object Relational {
     * sizes.
     */
   def q14Promo(s: SparkSession, d: String): DataFrame = {
-    val lo = 820454400000L // 1996-01-01 epoch ms
-    val hi = 823132800000L // 1996-02-01 epoch ms
+    // raw-column month band -> PushedFilters (q6 lesson): one month is
+    // ~1% of a 100 TB fact; the pushed band prunes row groups, the
+    // derived-ms twin would scan everything
     val li = Tables.lineitem(s, d)
-      .withColumn("ship_ms", unix_millis(col("l_shipdate").cast("timestamp")))
-      .filter(col("ship_ms") >= lo && col("ship_ms") < hi)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-02-01 00:00:00'"))
       .select(col("l_partkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
           .cast("long").as("rev_c"))
@@ -608,11 +611,10 @@ object Relational {
     * spec's HAVING rev = (SELECT max...).
     */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
-    val lo = 820454400000L // 1996-01-01 epoch ms
-    val hi = 828316800000L // 1996-04-01 epoch ms
+    // raw-column quarter band -> PushedFilters (q6 lesson)
     val rev = Tables.lineitem(s, d)
-      .withColumn("ship_ms", unix_millis(col("l_shipdate").cast("timestamp")))
-      .filter(col("ship_ms") >= lo && col("ship_ms") < hi)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
       .groupBy(col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
         .cast("long")).as("total_rev"))
@@ -719,15 +721,15 @@ object Relational {
     * before it ever shuffles.
     */
   def q22NoRecentOrders(s: SparkSession, d: String): DataFrame = {
-    val cutoff = 978307200000L // 2001-01-01 epoch ms
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal") * 100).cast("long").as("bal_c"))
     val avgBal = cust.filter(col("bal_c") > 0)
       .agg(expr("sum(bal_c) div count(*)").as("ab"))
+    // raw-column recency filter -> PushedFilters (q6 lesson): the anti
+    // side shrinks at the scan, before it ever shuffles
     val recent = Tables.orders(s, d)
-      .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
-      .filter(col("o_date_ms") >= cutoff)
+      .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '2001-01-01 00:00:00'"))
       .select(col("o_custkey"))
     cust.join(broadcast(avgBal)).filter(col("bal_c") > col("ab"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")

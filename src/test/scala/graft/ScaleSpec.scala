@@ -282,6 +282,21 @@ class ScaleSpec extends SparkSuite {
       pushed.contains("LessThan(l_quantity"), q6.take(900))
     assert(q6.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
       "l_discount:double,l_shipdate:timestamp_ntz>"), "q6 column pruning lost")
+    // the round-9 TPC-H batch follows the same raw-column-band rule:
+    // q14's month band and q22's recency filter must reach their scans
+    val q14 = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+      planOf("q14_promo")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    val pushed14 = "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate[^\\]]*".r
+      .findFirstIn(q14).getOrElse("")
+    assert(pushed14.contains("LessThan(l_shipdate"), q14.take(1200))
+    val q22 = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+      planOf("q22_no_recent_orders")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+      .findFirstIn(q22).isDefined, q22.take(1500))
   }
 
   test("plan guards: subqueries decorrelate to joins, never nested loops") {
