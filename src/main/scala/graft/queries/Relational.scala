@@ -385,15 +385,16 @@ object Relational {
     * Revenue is exact integer cents, rounded once per line.
     */
   def q3Topk(s: SparkSession, d: String): DataFrame = {
-    val cutoff = 836179200000L // 1996-07-01 in epoch ms
     val cust = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    // raw-column date cutoffs -> PushedFilters on BOTH fact scans (the
+    // q6 lesson; the derived-ms twins were post-scan filters)
     val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
       .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
-      .filter(col("o_date_ms") < cutoff)
       .select(col("o_orderkey"), col("o_custkey"), col("o_date_ms"))
     val li = Tables.lineitem(s, d)
-      .filter(unix_millis(col("l_shipdate").cast("timestamp")) > cutoff)
+      .filter(col("l_shipdate") > expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
           .cast("long").as("rev_c"))
@@ -417,8 +418,6 @@ object Relational {
     * one end). Exact integer cents.
     */
   def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
-    val lo = 820454400000L // 1996-01-01 epoch ms
-    val hi = 852076800000L // 1997-01-01 epoch ms
     val nat = Tables.nation(s, d)
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
@@ -426,9 +425,10 @@ object Relational {
     val cust = Tables.customer(s, d)
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    // raw-column year band -> PushedFilters (q6 lesson)
     val ord = Tables.orders(s, d)
-      .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
-      .filter(col("o_date_ms") >= lo && col("o_date_ms") < hi)
+      .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
       round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
@@ -450,11 +450,10 @@ object Relational {
     * dim, TakeOrdered top-20. Exact integer cents.
     */
   def q10Returns(s: SparkSession, d: String): DataFrame = {
-    val lo = 820454400000L // 1996-01-01 epoch ms
-    val hi = 828316800000L // 1996-04-01 epoch ms
+    // raw-column quarter band -> PushedFilters (q6 lesson)
     val ord = Tables.orders(s, d)
-      .withColumn("o_date_ms", unix_millis(col("o_orderdate").cast("timestamp")))
-      .filter(col("o_date_ms") >= lo && col("o_date_ms") < hi)
+      .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
