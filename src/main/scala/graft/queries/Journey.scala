@@ -447,15 +447,17 @@ object Journey {
     * history is never touched.
     */
   def incrementalAgg(s: SparkSession, d: String): DataFrame = {
-    val cutoff = 978307200000L // 2001-01-01: the "new batch" boundary
+    // raw-column boundary -> PushedFilters on both branch scans (q6
+    // lesson); 2001-01-01 is the "new batch" cutoff
+    val cut = expr("TIMESTAMP_NTZ '2001-01-01 00:00:00'")
     val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
-      unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+      col("o_orderdate"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     def aggOf(df: DataFrame) = df.groupBy(col("prio"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
-    val base = aggOf(o.filter(col("ms") < cutoff))
+    val base = aggOf(o.filter(col("o_orderdate") < cut))
       .select(col("prio").as("bp"), col("n").as("bn"), col("c").as("bc"))
-    val delta = aggOf(o.filter(col("ms") >= cutoff))
+    val delta = aggOf(o.filter(col("o_orderdate") >= cut))
       .select(col("prio").as("dp"), col("n").as("dn"), col("c").as("dc"))
     base.join(delta, col("bp") === col("dp"), "full_outer")
       .select(coalesce(col("bp"), col("dp")).as("o_orderpriority"),
