@@ -244,6 +244,40 @@ object Journey {
       .orderBy(col("cust"), col("ver"))
   }
 
+  /** Temporal (as-of) lookup against the SCD2 dimension [[scd2Build]]
+    * derives — the standard warehouse pattern: each lineitem joins the
+    * ordering customer's status version VALID AT its ship day, and the
+    * result is the (order status × as-of status) drift matrix. The
+    * join is an EQUI-join on the dimension key with the interval
+    * predicate as residual — per-key version counts are small (bounded
+    * by status changes), so this is dimension-lookup-shaped at any
+    * fact scale; never an interval cross join. A LEFT join keeps
+    * before-history facts (this data ships ~half its lines before the
+    * order date — independent synthetic draws) as an explicit 'none'
+    * class, so the output reconciles to the fact row count exactly.
+    */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2Build(s, d)
+      .select(col("cust").as("vc"), col("st").as("vst"),
+        col("from_day"), col("to_day"))
+    val facts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("ship_day"))
+      .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+    facts.join(dim,
+        col("o_custkey") === col("vc") &&
+          col("ship_day") >= col("from_day") &&
+          (col("to_day").isNull || col("ship_day") < col("to_day")),
+        "left_outer")
+      .select(col("o_orderstatus"), coalesce(col("vst"), lit("none")).as("asof_st"))
+      .groupBy(col("o_orderstatus"), col("asof_st"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus"), col("asof_st"))
+  }
+
   // --- event transition matrix ------------------------------------------
 
   /** First-order Markov transition counts/probabilities between event
@@ -503,6 +537,7 @@ object Journey {
     "asof_nearest" -> asofNearest,
     "merge_upsert" -> mergeUpsert,
     "scd2_build" -> scd2Build,
+    "scd2_lookup" -> scd2Lookup,
     "transition_matrix" -> transitionMatrix,
     "attribution" -> attribution,
     "event_paths" -> eventPaths,
@@ -641,6 +676,31 @@ object Journey {
         |SELECT cust, ver, st, from_day,
         |  lead(from_day) OVER (PARTITION BY cust ORDER BY ver) AS to_day, n_orders
         |FROM v ORDER BY cust, ver""".stripMargin,
+    // shares scd2_build's CTE text verbatim (the Spark side shares
+    // scd2Build the same way — neither can drift alone)
+    "scd2_lookup" ->
+      """WITH o AS (SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day,
+        |    o_orderstatus AS st FROM orders),
+        |r AS (SELECT *, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM o WINDOW w AS (PARTITION BY cust ORDER BY day, ok)),
+        |v0 AS (SELECT *, sum(chg) OVER (PARTITION BY cust ORDER BY day, ok
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ver
+        |       FROM r),
+        |v AS (SELECT cust, ver, st, min(day)::BIGINT AS from_day
+        |      FROM v0 GROUP BY 1, 2, 3),
+        |scd AS (SELECT cust, st, from_day,
+        |          lead(from_day) OVER (PARTITION BY cust ORDER BY ver) AS to_day
+        |        FROM v),
+        |f AS (SELECT (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS ship_day,
+        |        o_custkey, o_orderstatus
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderstatus, coalesce(scd.st, 'none') AS asof_st,
+        |  count(*)::BIGINT AS n_lines
+        |FROM f LEFT JOIN scd ON o_custkey = cust
+        |  AND ship_day >= from_day AND (to_day IS NULL OR ship_day < to_day)
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, asof_st""".stripMargin,
     "transition_matrix" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
         |st AS (SELECT event_type AS cur,

@@ -144,6 +144,45 @@ class Journey2Spec extends SparkSuite {
     assert(gotYm == expectYm)
   }
 
+  test("scd2_lookup: as-of matches are unique per fact and reconcile to the fact count") {
+    val rows = graft.queries.Journey.scd2Lookup(spark, sf0001).collect()
+    val nLines = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nLines,
+      "LEFT as-of join must neither drop nor duplicate facts " +
+        "(intervals disjoint, before-history -> 'none')")
+    // driver recompute of the drift matrix
+    val ords = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS day", "o_orderstatus")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2).toLong, r.getString(3))))
+      .toMap
+    // per-customer status versions in (day, orderkey) order
+    val versions = ords.toSeq.groupBy(_._2._1).map { case (cust, os) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      os.sortBy { case (ok, (_, day, _)) => (day, ok) }
+        .foreach { case (_, (_, day, st)) =>
+          if (runs.isEmpty || runs.last._1 != st) runs += ((st, day))
+        }
+      cust -> runs.toSeq
+    }
+    val expect = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey",
+        "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS ship_day").collect()
+      .foreach { r =>
+        val (cust, _, ostatus) = ords(r.getLong(0))
+        val day = r.getInt(1).toLong
+        val vs = versions(cust)
+        val asof = vs.zipWithIndex.find { case ((_, from), i) =>
+          day >= from && (i == vs.length - 1 || day < vs(i + 1)._2) }
+          .map(_._1._1).getOrElse("none")
+        expect((ostatus, asof)) += 1L
+      }
+    val got = rows.map(r => ((r.getString(0), r.getString(1))) -> r.getLong(2)).toMap
+    assert(got == expect.toMap)
+  }
+
   test("token_allocation: exact budget conservation and monotone allocations") {
     val rows = graft.queries.Curation.tokenAllocation(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
