@@ -253,6 +253,28 @@ object MRAggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Exact integer weighted mean — input (weight, value-cents), buffer
+    * (Σw, Σw·x), finish Σw·x / Σw (floor; operands are non-negative
+    * here, where floor == truncate, so Scala `/` and DuckDB `//`
+    * agree). The partial-merge shape is what makes a typed Aggregator
+    * the right UDAF surface at scale: map-side combine runs `reduce`,
+    * the shuffle carries two longs per group, and `merge` folds
+    * partition buffers — unlike a mapGroups fold, which ships every
+    * row. Declared through the oracle gate as `weighted_avg_agg`.
+    */
+  class WeightedMeanCents extends Aggregator[(Long, Long), (Long, Long), Long] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
+      (b._1 + a._1, b._2 + a._1 * a._2)
+    override def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    override def finish(b: (Long, Long)): Long =
+      if (b._1 == 0L) 0L else b._2 / b._1
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Sum of long values parsed from the reference's string value domain
     * ("1" emits) — shows a reducer consuming the value, not just counting.
     */

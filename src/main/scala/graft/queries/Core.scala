@@ -68,6 +68,28 @@ object Core {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** The user-defined-reducer (UDAF) surface run through the oracle
+    * gate: quantity-weighted mean line price per return flag via the
+    * typed [[graft.operators.MRAggregators.WeightedMeanCents]]
+    * Aggregator — the reference's reducer hook (`mapreduce.h:6`)
+    * expressed so Catalyst runs it WITH partial aggregation (two longs
+    * per group cross the shuffle, not every row; the mapGroups
+    * formulation of the same fold ships the whole group).
+    */
+  def weightedAvgAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.operators.MRAggregators.WeightedMeanCents
+    li(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, q, c) => (q, c) }
+      .agg(agg.toColumn.name("wavg_cents"))
+      .toDF("l_returnflag", "wavg_cents")
+      .orderBy(col("l_returnflag"))
+  }
+
   /** TPC-H Q1-shape aggregate (arbitrary-reducer capability, A7-A9).
     * Money kept as exact integer cents; avg derived from exact ints.
     */
@@ -323,9 +345,15 @@ object Core {
     "dim_join" -> dimJoin,
     "part_stats" -> partStats,
     "window_funcs" -> windowFuncs,
+    "weighted_avg_agg" -> weightedAvgAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "weighted_avg_agg" ->
+      """SELECT l_returnflag,
+        |  (sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT))
+        |     // sum(CAST(l_quantity AS BIGINT)))::BIGINT AS wavg_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "wordcount" ->
       s"""SELECT token, count(*)::BIGINT AS cnt FROM ($TokSql) GROUP BY token ORDER BY token""",
     "wordcount_files" ->

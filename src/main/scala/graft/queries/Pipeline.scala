@@ -29,6 +29,30 @@ object Pipeline {
   /** Exact dedup by content hash. */
   def dedupExact(s: SparkSession, d: String): DataFrame = Dedup.exact(docs(s, d))
 
+  /** Quality-policy exact dedup: per duplicate cluster keep the
+    * HIGHEST-quality copy (ties to the smallest doc_id), not the
+    * smallest id — the policy real curation runs use when duplicates
+    * differ in extraction quality (same text hash here, but the policy
+    * machinery is what's declared: a deterministic max_by over a
+    * composite ordinal). Quality rides as exact integer micro-units of
+    * the declared 6-dp score, and the ordinal is a lexicographic
+    * STRUCT (the minmax_by lesson — a packed integer ordinal silently
+    * mis-orders once ids outgrow the packing). One hash-groupBy, same
+    * scale shape as [[dedupExact]].
+    */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"),
+        round(graft.functions.TextFns.qualityScore(col("text")) * 1000000)
+          .cast("long").as("q_micro"))
+      .groupBy(col("text_sha"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("q_micro"), (-col("doc_id")).as("nd"))).as("keep_doc_id"),
+        max(col("q_micro")).as("best_q_micro"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("text_sha"))
+
   /** Duplicate-cluster size histogram — the one-glance dedup report a
     * curation run publishes (how much of the corpus is singleton vs
     * templated mass duplication). Rolls [[Dedup.exact]]'s per-hash
@@ -839,6 +863,7 @@ object Pipeline {
     "duplicate_spans" -> duplicateSpans,
     "dedup_exact" -> dedupExact,
     "dedup_cluster_sizes" -> dedupClusterSizes,
+    "dedup_keep_best" -> dedupKeepBest,
     // SURVEY.md §2 tier C name for the MinHash/LSH near-dup operator
     // (dedupMinhash; a second "dedup_minhash" alias ran the suite's most
     // expensive computation twice per bench run — one canonical name)
@@ -1019,6 +1044,23 @@ object Pipeline {
         |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
         |  (cluster_size * count(*))::BIGINT AS n_docs
         |FROM c GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    // the quality expression is the quality_score oracle's, verbatim
+    // (both Spark sides share TextFns.qualityScore the same way)
+    "dedup_keep_best" ->
+      """WITH s AS (SELECT doc_id, sha256(text) AS text_sha,
+        |  CAST(round(round(
+        |    0.5 * least(1.0, len(string_split_regex(text, '[ \t\n\r]'))::DOUBLE / 100.0)
+        |    + 0.5 * (len(list_filter(string_split_regex(text, '[ \t\n\r]'),
+        |                   t -> t IN ('the','a','and','of','is','not')))::DOUBLE
+        |             / len(string_split_regex(text, '[ \t\n\r]'))::DOUBLE), 6)
+        |    * 1000000) AS BIGINT) AS q_micro
+        |  FROM documents),
+        |m AS (SELECT doc_id, text_sha, q_micro,
+        |        max(q_micro) OVER (PARTITION BY text_sha) AS mq FROM s)
+        |SELECT text_sha,
+        |  min(CASE WHEN q_micro = mq THEN doc_id END)::BIGINT AS keep_doc_id,
+        |  max(q_micro)::BIGINT AS best_q_micro, count(*)::BIGINT AS n_copies
+        |FROM m GROUP BY text_sha ORDER BY text_sha""".stripMargin,
     "ivf_recall" ->
       """SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp

@@ -20,6 +20,45 @@ class PipelineSpec extends SparkSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("dedup_keep_best: planted duplicates keep the highest-quality copy, ties to min id") {
+    import spark.implicits._
+    // documents-shaped fixture: three clusters — {1,2} and {3,4} are
+    // equal-quality duplicates (tie -> min id), {5} is a singleton
+    val tmp = java.nio.file.Files.createTempDirectory("graft-keepbest").toString
+    val loQ = "xx yy zz"
+    val hiQ = "the a of is xx"
+    Seq((1L, "aa bb cc", "en", "s", 8L), (2L, "aa bb cc", "en", "s", 8L),
+        (3L, loQ, "en", "s", loQ.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(Seq((4L, loQ, "en", "s", loQ.length.toLong),
+        (5L, hiQ, "en", "s", hiQ.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipeline.dedupKeepBest(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet // (keep_doc_id, n_copies)
+    assert(got == Set((1L, 2L), (3L, 2L), (5L, 1L)),
+      s"equal-quality tie -> min id; got $got")
+    // on the real corpus: one row per distinct text, and the kept id's
+    // quality equals the cluster max (recomputed in pure Scala)
+    def q(text: String): Long = {
+      val ts = text.split("[ \t\n\r]", -1)
+      val stop = ts.count(Set("the", "a", "and", "of", "is", "not"))
+      val v = 0.5 * math.min(1.0, ts.length.toDouble / 100.0) +
+        0.5 * (stop.toDouble / ts.length)
+      Math.round(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1000000)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Pipeline.dedupKeepBest(spark, sf0001).collect()
+    assert(rows.length == docs.values.toSeq.distinct.length)
+    rows.foreach { r =>
+      assert(q(docs(r.getLong(1))) == r.getLong(2),
+        s"kept doc ${r.getLong(1)} must carry the cluster-max quality")
+    }
+  }
+
   test("ivf_recall: overlap of the declared exact and IVF top-20 lists, in exact bp") {
     val exact = Pipeline.embeddingTopk(spark, sf0001).collect().map(_.getLong(0)).toSet
     val ivf = Pipeline.embeddingTopkIvf(spark, sf0001).collect().map(_.getLong(0)).toSet

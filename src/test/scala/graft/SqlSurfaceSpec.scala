@@ -186,6 +186,26 @@ class SqlSurfaceSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS stream_wc")
   }
 
+  test("weighted_avg_agg: typed Aggregator equals a driver fold and plans partial aggregation") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS c").collect()
+    val expect = li.groupBy(_.getString(0)).map { case (k, rs) =>
+      val sw = rs.map(_.getLong(1)).sum
+      val swx = rs.map(r => r.getLong(1) * r.getLong(2)).sum
+      k -> swx / sw
+    }
+    val df = graft.queries.Core.weightedAvgAgg(spark, sf0001)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // the Aggregator must run with map-side partial aggregation: two
+    // aggregate stages around the shuffle, never a whole-group ship
+    val plan = df.queryExecution.executedPlan.toString
+    assert("(?i)partial".r.findFirstIn(plan).isDefined,
+      "expected a partial aggregation stage:\n" + plan.take(1200))
+    assert(!plan.contains("MapGroups"), plan.take(1200))
+  }
+
   test("q3_topk plan: filters pushed to scans, top-10 is a TakeOrdered") {
     val qe = graft.queries.Relational.q3Topk(spark, sf0001).queryExecution
     val plan = qe.executedPlan.toString
