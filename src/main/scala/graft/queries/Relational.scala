@@ -550,6 +550,74 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q12 shape (shipping-mode priority; adapted — this schema has
+    * no l_shipmode or commit/receipt dates, so the lineitem-level class
+    * is `l_linestatus` and lateness is the q4 ship-vs-order lag): for
+    * one year of shipped lines that arrived LATE, count
+    * critical-priority (1-URGENT/2-HIGH) vs other orders per line
+    * class. One inner join on the order key with the year band pushed
+    * to the lineitem scan; the priority split is a single conditional
+    * aggregate, not a second pass over the join.
+    */
+  def q12Shipmode(s: SparkSession, d: String): DataFrame = {
+    val lagMs = 60L * 86400000L
+    // raw-column year band -> PushedFilters (the q6 lesson): one year of
+    // a 100 TB fact prunes row groups at the scan
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+      .select(col("l_orderkey"), col("l_linestatus"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("ship_ms") > col("o_date_ms") + lagMs)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting; adapted to the
+    * q4 lateness definition): for completed ('F') multi-supplier orders
+    * where EXACTLY ONE supplier shipped late, charge that supplier one
+    * wait. The textbook form is an inner join plus EXISTS plus NOT
+    * EXISTS — two extra self-correlations against the fact table. Here
+    * both probes collapse into ONE per-order aggregate (the distinct
+    * supplier set and the distinct late-supplier set), so the 100 TB
+    * fact shuffles once on l_orderkey instead of three times. The
+    * collect_set state is bounded by suppliers-per-order (≤7 lines in
+    * TPC-H), which also avoids the Expand (3×-rows) plan that two
+    * countDistincts in one aggregate would force. The supplier-name
+    * join runs after the aggregate, on at most one row per order.
+    */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val lagMs = 60L * 86400000L
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+    val per = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late_supp",
+        when(col("ship_ms") > col("o_date_ms") + lagMs, col("l_suppkey")))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("supps"),
+        collect_set(col("late_supp")).as("lates"))
+      .filter(size(col("supps")) >= 2 && size(col("lates")) === 1)
+      .select(col("lates").getItem(0).as("late_suppkey"))
+    per.join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        col("late_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** TPC-H Q13 shape (customer order-count distribution): two stacked
     * aggregations — orders per customer (LEFT join so zero-order
     * customers survive as count 0), then customers per order count.
@@ -942,6 +1010,8 @@ object Relational {
     "q8_market_share" -> q8MarketShare,
     "q9_profit" -> q9Profit,
     "q4_order_priority" -> q4OrderPriority,
+    "q12_shipmode" -> q12Shipmode,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
     "q13_custdist" -> q13CustDist,
     "q14_promo" -> q14Promo,
     "q15_top_supplier" -> q15TopSupplier,
@@ -1060,6 +1130,36 @@ object Relational {
         |              WHERE l_orderkey = o_orderkey
         |                AND epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + 5184000000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE epoch_ms(l_shipdate) >= 820454400000
+        |  AND epoch_ms(l_shipdate) < 852076800000
+        |  AND epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + 5184000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH per AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN epoch_ms(l_shipdate)
+        |                  > epoch_ms(o_orderdate) + 5184000000
+        |                  THEN l_suppkey END) AS n_late,
+        |         min(CASE WHEN epoch_ms(l_shipdate)
+        |                  > epoch_ms(o_orderdate) + 5184000000
+        |                  THEN l_suppkey END) AS late_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM per JOIN supplier ON late_suppkey = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "q13_custdist" ->
       """WITH c AS (
         |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
