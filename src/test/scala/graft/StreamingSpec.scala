@@ -513,4 +513,38 @@ class StreamingSpec extends SparkSuite {
     assert(ids == (0L until 8L).toSet ++ Set(101L, 201L),
       s"admitted=$ids — near-dups 100 (of base 3) and 200 (of batch-1's 101) must be rejected")
   }
+
+  test("stream-static enrichment join equals the batch join, exactly once per event") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    val q = Sessions.streamingEnrich(spark, sf0001, streamDir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_enrich").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_enrich").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // the profile covers every user in the batch history and the stream
+    // replays exactly that history, so the inner join drops nothing:
+    // one enriched row per event, values equal to the batch-side join
+    assert(got.length == got.map(_._1).distinct.length, "event_id emitted twice")
+    val ev = Sessions.events(spark, sf0001)
+    val batch = ev
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .join(ev.groupBy(col("user_id").as("p_user"))
+          .agg(count(lit(1)).as("lifetime_events"),
+            sum(round(col("value") * 100).cast("long")).as("lifetime_cents")),
+        col("user_id") === col("p_user"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("cents"), col("lifetime_events"), col("lifetime_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSet == batch.toSet,
+      s"stream/batch mismatch: ${got.toSet -- batch.toSet} | ${batch.toSet -- got.toSet}")
+    spark.sql("DROP TABLE IF EXISTS stream_enrich")
+  }
 }
