@@ -297,6 +297,14 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
       .findFirstIn(q22).isDefined, q22.take(1500))
+    // q12's one-year ship band is the same raw-NTZ-literal contract
+    val q12 = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+      planOf("q12_shipmode")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    val pushed12 = "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate[^\\]]*".r
+      .findFirstIn(q12).getOrElse("")
+    assert(pushed12.contains("LessThan(l_shipdate"), q12.take(1200))
   }
 
   test("plan guards: subqueries decorrelate to joins, never nested loops") {
