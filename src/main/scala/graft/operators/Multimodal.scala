@@ -287,4 +287,129 @@ object Multimodal {
       it.map(codec.decode)
     }
   }
+
+  /** One thumbnail pixel: 4×4 grid position plus the sampled BGR bytes
+    * (unsigned 0-255) — the output row of the resize stage.
+    */
+  case class ThumbPixel(doc_id: Long, px: Int, py: Int, b: Int, g: Int, r: Int)
+
+  /** Real pixel-level BMP transform: nearest-neighbor resample of frame 0
+    * to a fixed 4×4 RGB thumbnail. This is the RESIZE stage of a media
+    * pipeline (decodeMeta stops at metadata): the codec parses the frame-0
+    * header for (w, h), derives the 4-byte-padded stride, and samples the
+    * pixel ARRAY at floor-scaled source coordinates — the bytes are read
+    * from the payload, never recomputed from the builder's arithmetic.
+    * Rows follow the BMP's stored (bottom-up) row order; the thumbnail
+    * grid indexes storage rows directly, which is deterministic and what
+    * the oracle mirrors.
+    */
+  final class BmpThumbCodec {
+    def thumb(in: MediaIn): Seq[ThumbPixel] = {
+      val bytes = in.media
+      require(bytes.length >= 54, s"doc ${in.doc_id}: truncated payload (${bytes.length} B)")
+      require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        s"doc ${in.doc_id}: bad BMP magic")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getInt(18)
+      val h = bb.getInt(22)
+      require(w > 0 && h > 0 && bb.getShort(28) == 24,
+        s"doc ${in.doc_id}: unsupported BMP ${w}x$h")
+      val rb = (w * 3 + 3) / 4 * 4
+      require(bytes.length >= 54 + rb * h, s"doc ${in.doc_id}: truncated pixel data")
+      for (py <- 0 until 4; px <- 0 until 4) yield {
+        val sy = py * h / 4
+        val sx = px * w / 4
+        val base = 54 + sy * rb + sx * 3
+        ThumbPixel(in.doc_id, px, py,
+          bytes(base) & 0xFF, bytes(base + 1) & 0xFF, bytes(base + 2) & 0xFF)
+      }
+    }
+  }
+
+  /** 4×4 thumbnails for every payload — 16 rows per doc, produced by the
+    * same partition-amortized decode shape as [[decodeMeta]]. At 100 TB
+    * this is the canonical map-only media stage: no shuffle, output 48
+    * bytes per input image regardless of source size.
+    */
+  def thumbnails(spark: SparkSession, docs: DataFrame): Dataset[ThumbPixel] = {
+    import spark.implicits._
+    payloads(spark, docs).mapPartitions { it =>
+      val codec = new BmpThumbCodec
+      it.flatMap(codec.thumb)
+    }
+  }
+
+  /** One fixed-width audio analysis frame: 64 interleaved PCM samples
+    * (the last frame may be partial) with the exact integer energy
+    * Σ sample² — the feature a VAD / loudness / resampling stage
+    * consumes.
+    */
+  case class AudioFrame(doc_id: Long, frame_idx: Int, n_sam: Long, energy: Long)
+
+  /** Real sample-level WAV transform: chunk-walk to the data subchunk,
+    * read the little-endian 16-bit PCM stream, window it into 64-sample
+    * frames and report each frame's exact integer energy. This is the
+    * FRAME-SAMPLE stage of an audio pipeline ([[decodeAudio]] stops at
+    * metadata); the samples are decoded from the payload bytes, never
+    * recomputed from the builder's arithmetic.
+    */
+  final class WavFrameCodec {
+    val FrameLen = 64
+
+    def frames(in: MediaIn): Seq[AudioFrame] = {
+      val bytes = in.media
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      require(bytes.length >= 44, s"doc ${in.doc_id}: truncated payload (${bytes.length} B)")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        s"doc ${in.doc_id}: bad RIFF/WAVE magic")
+      var off = 12
+      var bits = -1
+      var dataOff = -1
+      var dataSize = -1
+      while (off + 8 <= bytes.length) {
+        val id = ascii(off, 4)
+        val sz = bb.getInt(off + 4)
+        require(sz >= 0 && off + 8 + sz <= bytes.length,
+          s"doc ${in.doc_id}: chunk '$id' size $sz overruns payload at offset $off")
+        id match {
+          case "fmt " =>
+            require(sz >= 16 && bb.getShort(off + 8) == 1,
+              s"doc ${in.doc_id}: not integer PCM")
+            bits = bb.getShort(off + 22)
+          case "data" => dataOff = off + 8; dataSize = sz
+          case _ => () // unknown chunk: skip by declared length
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      require(bits == 16, s"doc ${in.doc_id}: unsupported bit depth $bits")
+      require(dataOff >= 0, s"doc ${in.doc_id}: missing data chunk")
+      val total = dataSize / 2 // interleaved 16-bit samples
+      val nFrames = (total + FrameLen - 1) / FrameLen
+      (0 until nFrames).map { fi =>
+        val lo = fi * FrameLen
+        val hi = math.min(total, lo + FrameLen)
+        var s = lo
+        var energy = 0L
+        while (s < hi) {
+          val v = bb.getShort(dataOff + 2 * s).toLong
+          energy += v * v
+          s += 1
+        }
+        AudioFrame(in.doc_id, fi, (hi - lo).toLong, energy)
+      }
+    }
+  }
+
+  /** Frame-windowed energies for every audio payload — the map-only
+    * audio featurization stage (same 100 TB posture as [[thumbnails]]:
+    * no shuffle, bounded output per input second of audio).
+    */
+  def audioFrames(spark: SparkSession, docs: DataFrame): Dataset[AudioFrame] = {
+    import spark.implicits._
+    audioPayloads(spark, docs).mapPartitions { it =>
+      val codec = new WavFrameCodec
+      it.flatMap(codec.frames)
+    }
+  }
 }

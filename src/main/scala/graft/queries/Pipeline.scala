@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Kmeans, Multimodal, Pq}
 import graft.sources.Tables
 import graft.streaming.Sessions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -310,6 +310,250 @@ object Pipeline {
       .select(col("vec_id"), col("nc.cid").cast("long").as("cluster_id"),
         col("nc.dist").as("dist_micro2"))
       .orderBy(col("vec_id"))
+
+  /** Trained PQ codebooks per (session, dir) — M independent k-means
+    * runs over the sliced vectors, cached like [[kmeansModel]] (trained
+    * once, shipped to every encode/score consumer).
+    */
+  private val pqCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Array[Long]]]]()
+
+  def pqModel(s: SparkSession, d: String): Array[Array[Array[Long]]] =
+    pqCache.getOrElseUpdate((s, d), Pq.train(Tables.embeddings(s, d)))
+
+  /** The M=4 trained PQ codebooks, one row per (sub, cluster, dim) in
+    * integer micros — the quantization model behind [[embeddingTopkPq]].
+    * The DuckDB oracle re-runs all four unrolled per-subspace Lloyd
+    * trainings from the raw embeddings (the kmeans_centroids contract,
+    * ×M via a subspace-spec cross join) and must land on the identical
+    * lattice. Producer convention: deliberately re-trains and refreshes
+    * the cache (the kmeans_centroids pattern — the build cost is
+    * measured here, consumers read the warmed model).
+    */
+  def pqCodebooks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = Pq.train(Tables.embeddings(s, d))
+    pqCache.put((s, d), model)
+    model.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.flatMap { case (c, cid) =>
+        c.zipWithIndex.map { case (v, dim) => (sub, cid, dim, v) }
+      }
+    }.toSeq.toDF("sub", "cluster_id", "dim", "c_micro")
+      .orderBy(col("sub"), col("cluster_id"), col("dim"))
+  }
+
+  /** Every vector's M PQ codes (the index-build encode pass) in long
+    * form (vec_id, sub, code) for oracle inspection — the compact
+    * array-typed artifact the ADC scan reads is [[Pq.codesWide]], this
+    * is its posexplode.
+    */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    Pq.codesWide(Tables.embeddings(s, d), pqModel(s, d))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub"), col("code").cast("int").as("code"))
+      .orderBy(col("vec_id"), col("sub"))
+
+  /** PQ/ADC top-20 for query vec_id=0 by approximate squared L2: the
+    * query's M×k distance table is a broadcast literal and every corpus
+    * vector costs M table lookups on its codes — map-only scan +
+    * TakeOrderedAndProject, no shuffle, no join. The query re-derives
+    * the codes inline so it is self-contained; at 100 TB the
+    * [[Pq.codesWide]] table is the materialized index artifact and the
+    * scan reads ONLY it (4 bytes/vector), never the raw vectors — the
+    * 64× I/O reduction that is PQ's reason to exist. Exact-integer
+    * micro² end to end; oracle recomputes the ADC sum from this run's
+    * own codebook/code dumps ({OUT} substitution).
+    */
+  def embeddingTopkPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = pqModel(s, d)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
+    val dt = Pq.distTables(model, qv)
+    Pq.codesWide(emb, model)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Pq.adcScore(col("codes"), dt).as("adc_micro2"))
+      .orderBy(col("adc_micro2"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Recall@20 of the PQ/ADC scan against the EXACT squared-L2 top-20
+    * on the same integer lattice — the quality contract of the
+    * compressed index (the ivf_recall pattern for the PQ half). The
+    * exact side reuses the codegen'd argmin kernel at k=1 (the query
+    * vector as the only "centroid" — its dist field IS the exact
+    * distance).
+    */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray
+    val exact = Kmeans.quantized(emb)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.SketchExprs.nearestCentroid(col("v"), Array(qv))
+          .getField("dist").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"))
+    val pq = embeddingTopkPq(s, d).select(col("vec_id").as("v2"))
+    exact.join(pq, col("vec_id") === col("v2"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(20L).as("k"), col("n_hit"),
+        expr("10000 * n_hit div 20").as("recall_bp"))
+  }
+
+  /** The composed IVF-PQ query — both index halves together, each
+    * trained (the production ANN shape: Jégou et al.'s IVFADC): rank
+    * the TRAINED coarse cells ([[kmeansModel]]) by the query's exact
+    * integer L2 distance, keep nprobe=3, and ADC-score only vectors
+    * assigned to those cells. Cell ranking is 8 driver-side distances
+    * (the model is k×dims — already a driver object); the scan is
+    * map-only (assignment argmin + cell filter + M table lookups) into
+    * TakeOrderedAndProject — zero shuffle. At 100 TB the assignment and
+    * codes are the materialized index artifacts partitioned BY cell, so
+    * the probe reads nprobe/ncells of the 4-byte code column and
+    * nothing else — the combined ~500× scan reduction that makes
+    * billion-vector ANN serve from a cluster at all.
+    */
+  def ivfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 3
+    val emb = Tables.embeddings(s, d)
+    val model = kmeansModel(s, d)
+    val pq = pqModel(s, d)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
+    val probed = model.zipWithIndex.map { case (c, cid) =>
+      var dsum = 0L; var i = 0
+      while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
+      (dsum, cid)
+    }.sorted.take(nprobe).map(_._2)
+    val dt = Pq.distTables(pq, qv)
+    val q = Kmeans.quantized(emb).filter(col("vec_id") =!= 0)
+    q.select(col("vec_id"), col("v"),
+        Kmeans.nearest(model).getField("cid").as("cid"))
+      .filter(col("cid").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"),
+        Pq.adcScore(array((0 until Pq.M).map(m =>
+          graft.functions.SketchExprs
+            .nearestCentroid(slice(col("v"), m * Pq.SubDim + 1, Pq.SubDim), pq(m))
+            .getField("cid")): _*), dt).as("adc_micro2"))
+      .orderBy(col("adc_micro2"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Path of the MATERIALIZED cell-partitioned IVF-PQ index for `d` —
+    * the artifact [[ivfPqTopk]]'s scaladoc promises, made physical:
+    * one `cell=<cid>` directory per trained coarse cell holding only
+    * (vec_id, codes). Written once per JVM through
+    * [[graft.sources.Layout.writePartitioned]] (the partitionedOrders
+    * convention: the ingest job writes, every consumer reads back).
+    * At 100 TB this layout is why IVF probes are cheap: an unprobed
+    * cell's directory is never even LISTED into the scan.
+    */
+  private val pqIndexCache =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  def pqIndexPath(s: SparkSession, d: String): String =
+    pqIndexCache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+      val coarse = kmeansModel(s, d)
+      val pq = pqModel(s, d)
+      val idx = Kmeans.quantized(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          Kmeans.nearest(coarse).getField("cid").cast("int").as("cell"),
+          array((0 until Pq.M).map(m =>
+            graft.functions.SketchExprs
+              .nearestCentroid(slice(col("v"), m * Pq.SubDim + 1, Pq.SubDim), pq(m))
+              .getField("cid")): _*).as("codes"))
+      graft.sources.Layout.writePartitioned(idx, dir, "cell")
+      dir
+    })
+
+  /** [[ivfPqTopk]] served from the MATERIALIZED index: the probed-cell
+    * predicate lands in the scan's PartitionFilters (directory pruning,
+    * plan-guarded in PqSpec), so the 5 unprobed cells' files are never
+    * opened and the scan reads only (vec_id, codes) — the physical
+    * realization of "read nprobe/ncells of the 4-byte code column".
+    * Must return exactly [[ivfPqTopk]]'s rows (same oracle SQL).
+    */
+  def ivfPqPruned(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 3
+    val emb = Tables.embeddings(s, d)
+    val model = kmeansModel(s, d)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
+    val probed = model.zipWithIndex.map { case (c, cid) =>
+      var dsum = 0L; var i = 0
+      while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
+      (dsum, cid)
+    }.sorted.take(nprobe).map(_._2)
+    val dt = Pq.distTables(pqModel(s, d), qv)
+    s.read.parquet(pqIndexPath(s, d))
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Pq.adcScore(col("codes"), dt).as("adc_micro2"))
+      .orderBy(col("adc_micro2"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Per-cell health report of the trained coarse quantizer — the
+    * index-build diagnostic every ANN deployment publishes (cell
+    * balance drives probe cost; a degenerate mega-cell defeats the
+    * nprobe/ncells scan reduction): vectors per cell, floor-average
+    * assignment distance, and the majority shipped label with its
+    * purity in exact bp (how well the unsupervised cells recover the
+    * corpus's labeled structure). Two bounded hash aggregates + the
+    * TopKPerGroup argmax at k=1.
+    */
+  def kmeansProfile(s: SparkSession, d: String): DataFrame = {
+    val asg = kmeansAssign(s, d)
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+    val tot = asg.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist_micro2")).as("sd"))
+    val lab = asg.groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("lc"))
+    val top = graft.plans.TopKPerGroup(lab, Seq("cluster_id"),
+        Seq(col("lc").desc, col("label").asc), k = 1)
+      .select(col("cluster_id"), col("label").cast("int").as("top_label"), col("lc"))
+    tot.join(top, "cluster_id")
+      .select(col("cluster_id"), col("n_vecs"),
+        expr("sd div n_vecs").as("avg_dist_micro2"),
+        col("top_label"),
+        expr("10000 * lc div n_vecs").as("purity_bp"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    * corpus by the TRAINED k-means cells ([[kmeansModel]]) and drop any
+    * vector that has a within-cell neighbor with exact cosine ≥ 0.35
+    * (6-dp rounded, the embedding_cosine_pairs threshold) and a smaller
+    * vec_id — keep-lowest-id, the deterministic representative rule.
+    * The cluster equi-join bounds candidate pairs to O(Σ cell²) instead
+    * of all-pairs; at 100 TB k scales with the corpus (k ≈ √n keeps
+    * cells ~√n wide), which is exactly the SemDeDup recipe — the method
+    * trades the LSH families' hash buckets for learned cells, catching
+    * paraphrase-level duplicates surface hashes miss. Cell assignment
+    * is the map-only codegen argmin; the only shuffle is the equi-join
+    * on cluster_id.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val model = kmeansModel(s, d)
+    val cells = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      graft.functions.SketchExprs.nearestCentroid(
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")),
+        model).getField("cid").cast("long").as("cluster_id"))
+    val a = cells.select(col("cluster_id"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = cells.select(col("cluster_id"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(VectorFns.cosine(col("e1"), col("e2")), 6) >= 0.35)
+      .select(col("id2").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    cells.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("dup").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
 
   /** LSH-bucketed embedding near-dup pairs (approximate recall, exact
     * cosine verify).
@@ -650,6 +894,27 @@ object Pipeline {
     Multimodal.decodeAudio(s, docs(s, d)).toDF()
       .orderBy(col("doc_id"))
 
+  /** The RESIZE stage of the media pipeline: a real nearest-neighbor 4×4
+    * thumbnail sampled from each payload's decoded frame-0 pixel array
+    * ([[Multimodal.thumbnails]]) — the Spark side reads actual BMP
+    * bytes (header parse, stride arithmetic, pixel indexing); the oracle
+    * re-derives the same bytes from what the BUILDER planted, so the two
+    * meet only through the byte layout, like multimodal_meta.
+    */
+  def imageThumb(s: SparkSession, d: String): DataFrame =
+    Multimodal.thumbnails(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("py"), col("px"))
+
+  /** The FRAME-SAMPLE stage of the audio pipeline: 64-sample PCM frame
+    * energies decoded from each payload's data chunk
+    * ([[Multimodal.audioFrames]]) — chunk-walked, little-endian-read,
+    * exact integer Σ sample² per frame. Same builder/reader independence
+    * contract as [[imageThumb]].
+    */
+  def audioEnergy(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFrames(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Pair list -> one row per cluster: representative (min id), member
     * count, dropped count (members minus the kept rep — summing it gives
     * `docs_kept = n_docs - sum(n_dropped)` for the whole corpus), and the
@@ -727,6 +992,8 @@ object Pipeline {
     ngramJaccardPairs(s, d).count()
     ccLabels(s, d).count()
     kmeansModel(s, d)
+    pqModel(s, d)
+    pqIndexPath(s, d)
     ()
   }
 
@@ -879,6 +1146,14 @@ object Pipeline {
     "embedding_topk_ivf" -> embeddingTopkIvf,
     "kmeans_centroids" -> kmeansCentroids,
     "kmeans_assign" -> kmeansAssign,
+    "pq_codebooks" -> pqCodebooks,
+    "pq_codes" -> pqCodes,
+    "embedding_topk_pq" -> embeddingTopkPq,
+    "pq_recall" -> pqRecall,
+    "ivf_pq_topk" -> ivfPqTopk,
+    "ivf_pq_pruned" -> ivfPqPruned,
+    "kmeans_profile" -> kmeansProfile,
+    "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
     "simhash_signatures" -> simhashSignatures,
     "simhash_hamming" -> simhashHamming,
@@ -894,6 +1169,8 @@ object Pipeline {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
+    "image_thumb" -> imageThumb,
+    "audio_energy" -> audioEnergy,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
     "asof_forward" -> asofForward,
@@ -989,6 +1266,86 @@ object Pipeline {
       |  GROUP BY 1, 2),
       |c2 AS (SELECT c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
       |  FROM c1 LEFT JOIN u2 USING (cid, dim))""".stripMargin
+
+  /** The unrolled per-subspace Lloyd chain the PQ oracles share —
+    * [[KmeansTrainCte]] generalized with a `sub` dimension via a 4-row
+    * subspace spec: init is the same 8 lowest vec_ids (their subvectors),
+    * every distance/update carries `sub`, and the full 64-long vector is
+    * indexed at sub·16 + dim instead of sliced. Mirrors [[Pq.train]]'s
+    * M independent trainings exactly (k=8, 2 rounds, (dist, cid)
+    * tie-break, floor-average, empty-cluster coalesce).
+    */
+  private def PqTrainCte: String =
+    """subs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(sub)),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+      |  FROM embeddings),
+      |i0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT s.sub, i.cid, t.i AS dim, i.cv[s.sub * 16 + t.i] AS c
+      |  FROM i0 i CROSS JOIN subs s CROSS JOIN range(1, 17) t(i)),
+      |d1 AS (SELECT e.vec_id, c.sub, c.cid,
+      |    sum((e.v[c.sub * 16 + c.dim] - c.c) * (e.v[c.sub * 16 + c.dim] - c.c)) AS dist
+      |  FROM e CROSS JOIN c0 c GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |u1 AS (SELECT a.sub, a.cid, t.i AS dim,
+      |    sum(e.v[a.sub * 16 + t.i]) // count(*) AS c
+      |  FROM a1 a JOIN e USING (vec_id) CROSS JOIN range(1, 17) t(i)
+      |  GROUP BY 1, 2, 3),
+      |c1 AS (SELECT c0.sub, c0.cid, c0.dim, coalesce(u1.c, c0.c) AS c
+      |  FROM c0 LEFT JOIN u1 USING (sub, cid, dim)),
+      |d2 AS (SELECT e.vec_id, c.sub, c.cid,
+      |    sum((e.v[c.sub * 16 + c.dim] - c.c) * (e.v[c.sub * 16 + c.dim] - c.c)) AS dist
+      |  FROM e CROSS JOIN c1 c GROUP BY 1, 2, 3),
+      |a2 AS (SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |u2 AS (SELECT a.sub, a.cid, t.i AS dim,
+      |    sum(e.v[a.sub * 16 + t.i]) // count(*) AS c
+      |  FROM a2 a JOIN e USING (vec_id) CROSS JOIN range(1, 17) t(i)
+      |  GROUP BY 1, 2, 3),
+      |c2 AS (SELECT c1.sub, c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
+      |  FROM c1 LEFT JOIN u2 USING (sub, cid, dim))""".stripMargin
+
+  /** The composed IVF-PQ probe oracle (a def — oracleSql initializes
+    * first), shared verbatim by `ivf_pq_topk` (inline) and
+    * `ivf_pq_pruned` (materialized cell-partitioned index): the two
+    * layouts must be answer-identical. Trained assignment + probe from
+    * the unrolled Lloyd chain; ADC from this run's own dumps.
+    */
+  private def IvfPqOracle: String =
+    s"""WITH $KmeansTrainCte,
+       |d3 AS (SELECT e.vec_id, c.cid,
+       |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+       |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
+       |a3 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+       |  WHERE rn = 1),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |qc AS (SELECT c.cid, sum((c.c - q.v[c.dim]) * (c.c - q.v[c.dim])) AS d
+       |       FROM c2 c CROSS JOIN q GROUP BY 1),
+       |probe AS (SELECT cid FROM qc ORDER BY d, cid LIMIT 3),
+       |cand AS (SELECT a3.vec_id FROM a3 JOIN probe USING (cid)
+       |         WHERE a3.vec_id <> 0),
+       |cb AS (SELECT sub, cluster_id, dim, c_micro
+       |       FROM read_parquet('{OUT}/pq_codebooks/*.parquet')),
+       |dt AS (SELECT cb.sub, cb.cluster_id,
+       |    sum((cb.c_micro - q.v[cb.sub * 16 + cb.dim + 1])
+       |        * (cb.c_micro - q.v[cb.sub * 16 + cb.dim + 1])) AS d2
+       |  FROM cb CROSS JOIN q GROUP BY 1, 2),
+       |co AS (SELECT c.vec_id, c.sub, c.code
+       |       FROM read_parquet('{OUT}/pq_codes/*.parquet') c
+       |       JOIN cand USING (vec_id)),
+       |sc AS (SELECT co.vec_id, sum(dt.d2)::BIGINT AS adc
+       |       FROM co JOIN dt ON co.sub = dt.sub AND co.code = dt.cluster_id
+       |       GROUP BY 1)
+       |SELECT vec_id, adc AS adc_micro2 FROM sc
+       |ORDER BY adc, vec_id LIMIT 20""".stripMargin
 
   private def DedupClustersOracle: String =
     s"""WITH RECURSIVE
@@ -1094,9 +1451,107 @@ object Pipeline {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
         |SELECT vec_id, cid::BIGINT AS cluster_id, dist::BIGINT AS dist_micro2
         |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "pq_codebooks" ->
+      s"""WITH $PqTrainCte
+        |SELECT sub::INT AS sub, cid::INT AS cluster_id, (dim - 1)::INT AS dim,
+        |  c::BIGINT AS c_micro
+        |FROM c2 ORDER BY sub, cluster_id, dim""".stripMargin,
+    "pq_codes" ->
+      s"""WITH $PqTrainCte,
+        |d3 AS (SELECT e.vec_id, c.sub, c.cid,
+        |    sum((e.v[c.sub * 16 + c.dim] - c.c) * (e.v[c.sub * 16 + c.dim] - c.c)) AS dist
+        |  FROM e CROSS JOIN c2 c GROUP BY 1, 2, 3),
+        |a3 AS (SELECT vec_id, sub, cid,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d3)
+        |SELECT vec_id, sub::INT AS sub, cid::INT AS code
+        |FROM a3 WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    // ADC twins: the codebooks are independently re-trained above; the
+    // ADC sum and recall are recomputed from this run's own dumps ({OUT}
+    // substitution, the ivf_recall pattern) so the scoring contract is
+    // checked against what was actually produced
+    "embedding_topk_pq" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |      x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |cb AS (SELECT sub, cluster_id, dim, c_micro
+        |       FROM read_parquet('{OUT}/pq_codebooks/*.parquet')),
+        |dt AS (SELECT cb.sub, cb.cluster_id,
+        |    sum((cb.c_micro - q.v[cb.sub * 16 + cb.dim + 1])
+        |        * (cb.c_micro - q.v[cb.sub * 16 + cb.dim + 1])) AS d2
+        |  FROM cb, q GROUP BY 1, 2),
+        |c AS (SELECT vec_id, sub, code
+        |      FROM read_parquet('{OUT}/pq_codes/*.parquet') WHERE vec_id <> 0),
+        |sc AS (SELECT c.vec_id, sum(dt.d2)::BIGINT AS adc
+        |       FROM c JOIN dt ON c.sub = dt.sub AND c.code = dt.cluster_id
+        |       GROUP BY 1)
+        |SELECT vec_id, adc AS adc_micro2 FROM sc
+        |ORDER BY adc, vec_id LIMIT 20""".stripMargin,
+    "pq_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |ex AS (SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |      sum((e.v[t.i] - q.qv[t.i]) * (e.v[t.i] - q.qv[t.i])) AS dist
+        |    FROM e CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+        |    WHERE e.vec_id <> 0 GROUP BY 1)
+        |  ORDER BY dist, vec_id LIMIT 20),
+        |pq AS (SELECT vec_id FROM read_parquet('{OUT}/embedding_topk_pq/*.parquet'))
+        |SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
+        |  (10000 * count(*) // 20)::BIGINT AS recall_bp
+        |FROM ex JOIN pq USING (vec_id)""".stripMargin,
+    // identical oracle for the inline and materialized-index probes:
+    // the layout change must be answer-invariant
+    "ivf_pq_topk" -> IvfPqOracle,
+    "ivf_pq_pruned" -> IvfPqOracle,
+    "kmeans_profile" ->
+      s"""WITH $KmeansTrainCte,
+        |d3 AS (SELECT e.vec_id, c.cid,
+        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+        |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cid, dist FROM (
+        |    SELECT vec_id, cid, dist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+        |  WHERE rn = 1),
+        |j AS (SELECT a3.vec_id, a3.cid, a3.dist, b.label
+        |      FROM a3 JOIN embeddings b USING (vec_id)),
+        |tot AS (SELECT cid, count(*)::BIGINT AS n_vecs, sum(dist)::BIGINT AS sd
+        |        FROM j GROUP BY 1),
+        |lab AS (SELECT cid, label, count(*)::BIGINT AS lc FROM j GROUP BY 1, 2),
+        |top AS (SELECT cid, label AS top_label, lc FROM (
+        |    SELECT cid, label, lc,
+        |      row_number() OVER (PARTITION BY cid ORDER BY lc DESC, label) AS rn
+        |    FROM lab) WHERE rn = 1)
+        |SELECT t.cid::BIGINT AS cluster_id, t.n_vecs,
+        |  (t.sd // t.n_vecs)::BIGINT AS avg_dist_micro2,
+        |  top.top_label::INT AS top_label,
+        |  (10000 * top.lc // t.n_vecs)::BIGINT AS purity_bp
+        |FROM tot t JOIN top USING (cid) ORDER BY cluster_id""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $KmeansTrainCte,
+        |d3 AS (SELECT e.vec_id, c.cid,
+        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+        |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+        |  WHERE rn = 1),
+        |em AS (SELECT a.vec_id, a.cid, b.embedding
+        |       FROM asg a JOIN embeddings b USING (vec_id)),
+        |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (u,w) -> u+w)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (u,w) -> u+w))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (u,w) -> u+w))), 6) AS sim
+        |  FROM em x JOIN em y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |drp AS (SELECT DISTINCT id2 FROM p WHERE sim >= 0.35)
+        |SELECT a.vec_id, a.cid::BIGINT AS cluster_id,
+        |  (a.vec_id NOT IN (SELECT id2 FROM drp)) AS kept
+        |FROM asg a ORDER BY a.vec_id""".stripMargin,
     // band-collision twins: DuckDB recomputes the candidate joins from
     // the dumped minhash_bands artifact (which itself stays rows-only —
-    // the xxhash64 band hash is not SQL-expressible, the joins over it
+    // the xxhash64 band hash is not DuckDB-expressible, the joins over it
     // are)
     "minhash_band_collisions" ->
       """WITH b AS (SELECT doc_id, band, bh
@@ -1356,6 +1811,41 @@ object Pipeline {
         |  w::INT AS width, h::INT AS height, f::INT AS n_frames,
         |  concat('0,', f // 2, ',', f - 1) AS frame_samples
         |FROM g ORDER BY doc_id""".stripMargin,
+    // resize twin: the oracle re-derives the 4x4 nearest-neighbor sample
+    // from the builder's pixel arithmetic (byte at row sy, position p is
+    // (p + sy*31 + doc_id*31) mod 256 in frame 0); the Spark side gets
+    // the same bytes only by parsing the real BMP header and indexing
+    // the pixel array
+    "image_thumb" ->
+      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+        |    doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+        |  FROM geo CROSS JOIN range(0, 4) x(i) CROSS JOIN range(0, 4) y(i)),
+        |v AS (SELECT doc_id, px, py,
+        |    (px * w // 4) * 3 + (py * h // 4) * 31 + seed AS base
+        |  FROM grid)
+        |SELECT doc_id, px::INT AS px, py::INT AS py,
+        |  ((base + 0) % 256)::INT AS b, ((base + 1) % 256)::INT AS g,
+        |  ((base + 2) % 256)::INT AS r
+        |FROM v ORDER BY doc_id, py, px""".stripMargin,
+    // frame-energy twin: sample s of the planted PCM stream is
+    // (seed*31 + s*7) mod 32768 with seed = doc_id*17 + n; the oracle
+    // windows that arithmetic into 64-sample frames, the Spark side
+    // chunk-walks the RIFF bytes and squares what it reads
+    "audio_energy" ->
+      """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,
+        |    doc_id * 17 + n AS seed FROM g),
+        |t AS (SELECT doc_id, seed, ns * ch AS total FROM p),
+        |f AS (SELECT doc_id, seed, total,
+        |    unnest(range(0, (total + 63) // 64)) AS fi FROM t),
+        |sm AS (SELECT doc_id, fi, ((seed * 31 + s * 7) % 32768) AS v
+        |  FROM (SELECT doc_id, fi, seed,
+        |          unnest(range(fi * 64, least(total, fi * 64 + 64))) AS s FROM f))
+        |SELECT doc_id, fi::INT AS frame_idx, count(*)::BIGINT AS n_sam,
+        |  sum(v * v)::BIGINT AS energy
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
     // same builder/reader independence as multimodal_meta: the oracle
     // re-derives what the WAV BUILDER planted from the text length; the
     // Spark side gets there only by chunk-walking the RIFF bytes

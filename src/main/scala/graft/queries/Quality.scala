@@ -581,7 +581,13 @@ object Quality {
     * sort — the trigram table of a 100 TB multilingual corpus is
     * large, and only k rows per language survive.
     */
-  def charNgramProfile(s: SparkSession, d: String): DataFrame = {
+  /** The top-5-per-language trigram table without the presentation
+    * ordering — shared by [[charNgramProfile]] (the declared feature
+    * table) and [[langIdNgram]] (the classifier that consumes it), so
+    * the model the classifier scores against can never drift from the
+    * model the profile publishes.
+    */
+  private def ngramProfile(s: SparkSession, d: String): DataFrame = {
     val counts = docs(s, d)
       .select(col("lang"), explode(Dedup.tokensNE(col("text"))).as("w"))
       .filter(length(col("w")) >= 3)
@@ -591,7 +597,45 @@ object Quality {
     graft.plans.TopKPerGroup(counts, Seq("lang"),
         Seq(col("c").desc, col("tri").asc), k = 5)
       .select(col("lang"), col("tri"), col("c"))
-      .orderBy(col("lang"), col("c").desc, col("tri"))
+  }
+
+  def charNgramProfile(s: SparkSession, d: String): DataFrame =
+    ngramProfile(s, d).orderBy(col("lang"), col("c").desc, col("tri"))
+
+  /** The TRAINED n-gram language classifier [[charNgramProfile]] is the
+    * model for (closing the loop the profile's scaladoc promises): each
+    * doc scores every candidate language by how many of its word-interior
+    * trigram OCCURRENCES appear in that language's top-5 profile, and
+    * predicts the argmax (ties and the no-trigram case fall to the
+    * alphabetically first language — deterministic). Output is the
+    * per-doc evaluation row (actual, predicted, score, hit) — the
+    * confusion-matrix input a corpus-curation run aggregates.
+    *
+    * Scale shape: the profile is 5 rows × |langs| — broadcast; scoring
+    * is one map-side join + one (doc, lang) aggregate; the candidate
+    * fan-out is |langs| per doc (a broadcast nested loop over a tiny
+    * dimension); the argmax rides the TopKPerGroup heap at k=1. No
+    * all-corpus shuffle beyond the (doc_id, lang)-keyed count.
+    */
+  def langIdNgram(s: SparkSession, d: String): DataFrame = {
+    val prof = ngramProfile(s, d).select(col("lang").as("cand_lang"), col("tri"))
+    val docTris = docs(s, d)
+      .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("w"))
+      .filter(length(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(w) - 2), i -> substring(w, i, 3))")).as("tri"))
+    val scores = docTris.join(broadcast(prof), "tri")
+      .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("score"))
+    val langs = docs(s, d).select(col("lang").as("cand_lang")).distinct()
+    val full = docs(s, d).select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(langs))
+      .join(scores, Seq("doc_id", "cand_lang"), "left")
+      .na.fill(0L, Seq("score"))
+    graft.plans.TopKPerGroup(full, Seq("doc_id"),
+        Seq(col("score").desc, col("cand_lang").asc), k = 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"),
+        col("score"), (col("cand_lang") === col("lang")).as("correct"))
+      .orderBy(col("doc_id"))
   }
 
   // --- registration -----------------------------------------------------
@@ -616,6 +660,7 @@ object Quality {
     "zipf_fit" -> zipfFit,
     "feature_chi2" -> featureChi2,
     "char_ngram_profile" -> charNgramProfile,
+    "lang_id_ngram" -> langIdNgram,
   )
 
   private val ToksNE = Shared.ToksNE
@@ -732,6 +777,32 @@ object Quality {
          |      FROM c)
          |SELECT lang, tri, c FROM r WHERE rn <= 5
          |ORDER BY lang, c DESC, tri""".stripMargin,
+    "lang_id_ngram" ->
+      s"""WITH w AS (SELECT lang, unnest($ToksNE) AS w FROM documents),
+         |t AS (SELECT lang, unnest(list_transform(range(1, length(w) - 1),
+         |        i -> substr(w, i, 3))) AS tri
+         |      FROM w WHERE length(w) >= 3),
+         |c AS (SELECT lang, tri, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+         |prof AS (SELECT lang AS cand_lang, tri FROM (
+         |    SELECT lang, tri,
+         |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri) AS rn
+         |    FROM c) WHERE rn <= 5),
+         |dw AS (SELECT doc_id, unnest($ToksNE) AS w FROM documents),
+         |dt AS (SELECT doc_id, unnest(list_transform(range(1, length(w) - 1),
+         |        i -> substr(w, i, 3))) AS tri
+         |       FROM dw WHERE length(w) >= 3),
+         |sc AS (SELECT d.doc_id, p.cand_lang, count(*)::BIGINT AS score
+         |       FROM dt d JOIN prof p USING (tri) GROUP BY 1, 2),
+         |langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+         |f AS (SELECT d.doc_id, d.lang, l.cand_lang,
+         |        coalesce(sc.score, 0)::BIGINT AS score
+         |      FROM documents d CROSS JOIN langs l
+         |      LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cand_lang = l.cand_lang),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, cand_lang) AS rn FROM f)
+         |SELECT doc_id, lang, cand_lang AS pred_lang, score,
+         |  (cand_lang = lang) AS correct
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "zipf_fit" ->
       s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
          |v AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),

@@ -53,6 +53,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "psi_drift" -> "one-row period-total scalar broadcast",
     "quantile_transform" -> "one-row N scalar broadcast",
     "skew_join" -> "bounded literal salt-range side by declaration",
+    "lang_id_ngram" ->
+      "bounded language-dimension fan-out (distinct langs, ~5 rows) broadcast side",
     "tf_idf" -> "one-row corpus-size scalar broadcast",
     "token_allocation" -> "one-row budget scalar broadcast",
     "triangle_count" -> "three one-row census aggregates crossed",
