@@ -149,6 +149,37 @@ object Quality {
           .as("merged_within_5pct"))
   }
 
+  /** Sketch-based distinct-set INTERSECTION — the second mergeable-sketch
+    * identity ([[hllMerge]] is union): |A∩B| estimated by
+    * inclusion-exclusion over three HLL estimates (|A| + |B| − |A∪B|),
+    * never a distinct-join shuffle. This is how audience-overlap /
+    * cross-split-leakage counts stay O(sketch bytes) at 100 TB: per-type
+    * sketches are maintained incrementally (per-file, merged in
+    * O(shards)); the overlap of any two is three register reads.
+    * Inclusion-exclusion COMPOUNDS the three estimates' errors, so the
+    * published contract is looser than the union's (10% vs 5%) and the
+    * oracle row is the same shape as approx_distinct/hll_merge: the
+    * exact BIGINT plus the within-bounds flag, both engines computing
+    * the identical pair. Here: users who both viewed AND purchased.
+    */
+  def hllIntersect(s: SparkSession, d: String): DataFrame = {
+    val ev = Sessions.events(s, d).select(col("event_type"), col("user_id"))
+      .filter(col("event_type").isin("view", "purchase"))
+    val sk = ev.groupBy(col("event_type")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = sk.agg(
+      max(when(col("event_type") === "view", hll_sketch_estimate(col("sk")))).as("est_a"),
+      max(when(col("event_type") === "purchase", hll_sketch_estimate(col("sk")))).as("est_b"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"))
+    val exact = ev.filter(col("event_type") === "view").select(col("user_id")).distinct()
+      .join(ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct(),
+        "user_id")
+      .agg(count(lit(1)).as("n_exact"))
+    exact.crossJoin(est)
+      .select(col("n_exact"),
+        (abs(col("est_a") + col("est_b") - col("est_u") - col("n_exact")) * lit(10L)
+          <= col("n_exact")).as("intersect_within_10pct"))
+  }
+
   // --- k-nearest-neighbor doc graph ------------------------------------
 
   /** Top-3 most similar documents per document by exact shingle Jaccard
@@ -645,6 +676,7 @@ object Quality {
     "source_mix_report" -> sourceMixReport,
     "repetition_ngram" -> repetitionNgram,
     "hll_merge" -> hllMerge,
+    "hll_intersect" -> hllIntersect,
     "neardup_knn" -> neardupKnn,
     "contamination_check" -> contaminationCheck,
     "doc_surprisal" -> docSurprisal,
@@ -728,6 +760,11 @@ object Quality {
       """SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
         |  TRUE AS merged_within_5pct
         |FROM events""".stripMargin,
+    "hll_intersect" ->
+      """SELECT count(*)::BIGINT AS n_exact, TRUE AS intersect_within_10pct
+        |FROM (SELECT user_id FROM events WHERE event_type = 'view'
+        |      INTERSECT
+        |      SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
     "neardup_knn" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),

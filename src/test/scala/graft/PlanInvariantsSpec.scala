@@ -43,6 +43,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "contamination_check" -> "one-row scalar corpus-size broadcast",
     "assoc_rules" -> "one-row basket-total scalar broadcast",
     "benford_test" -> "one-row row-count scalar broadcast",
+    "hll_intersect" -> "one-row exact-count x one-row sketch-estimate join",
     "bigram_pmi" -> "one-row corpus-total scalar broadcast",
     "bm25" -> "one-row corpus-stats scalar broadcast",
     "cross_join_dims" -> "THE declared cross-join operator; both sides dimension tables",

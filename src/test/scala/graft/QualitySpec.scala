@@ -203,6 +203,18 @@ class QualitySpec extends SparkSuite {
     assert(r.getBoolean(1), "estimate outside the 5% contract")
   }
 
+  test("hll_intersect: inclusion-exclusion estimate lands inside the 10% contract") {
+    val ev = graft.streaming.Sessions.events(spark, sf0001)
+      .select(col("event_type"), col("user_id"))
+    // exact overlap by a plain driver-side set intersection
+    def users(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id")).collect().map(_.getLong(0)).toSet
+    val exact = (users("view") & users("purchase")).size.toLong
+    val r = Quality.hllIntersect(spark, sf0001).head()
+    assert(r.getLong(0) == exact, s"n_exact ${r.getLong(0)} != $exact")
+    assert(r.getBoolean(1), "inclusion-exclusion estimate outside the 10% contract")
+  }
+
   test("bigram_surprisal: micro-nat scores match a driver-side bigram LM") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
