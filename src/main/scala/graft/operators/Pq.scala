@@ -61,6 +61,23 @@ object Pq {
     Kmeans.quantized(emb).select(col("vec_id"),
       array((0 until M).map(m => codeOf(col("v"), model, m)): _*).as("codes"))
 
+  /** Encode-on-ingest — the streaming face of the index build: vectors
+    * arriving in a monitored directory are encoded against the SHIPPED
+    * trained codebooks (broadcast-literal model, the exact batch
+    * [[codesWide]] transform) in a STATELESS map-only stream — no
+    * watermark, no state, because PQ encode is per-row. This is how the
+    * index keeps up with 100 TB/day of new vectors: each micro-batch is
+    * embarrassingly parallel, and the sink appends into the
+    * cell-partitioned layout ([[graft.queries.Pipeline.pqIndexPath]])
+    * so probes see new data without a rebuild. `sfDir` supplies the
+    * schema (streaming reads require one up front).
+    */
+  def encodeStream(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      streamDir: String, model: Array[Array[Array[Long]]]): DataFrame = {
+    val schema = graft.sources.Tables.embeddings(spark, sfDir).schema
+    codesWide(spark.readStream.schema(schema).parquet(streamDir), model)
+  }
+
   /** The query's ADC lookup table: dt(m)(cid) = exact squared L2 between
     * the query's subvector m and codebook centroid cid, in micro².
     * M×K = 32 longs — computed on the driver, shipped as a literal.

@@ -182,6 +182,27 @@ class PqSpec extends SparkSuite {
     assert(dropped.nonEmpty, "no semantic duplicates found — threshold dead?")
   }
 
+  test("streaming PQ encode equals the batch encode pass on replay") {
+    val model = Pipeline.pqModel(spark, sf0001)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-pq-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "embeddings.parquet"),
+      streamDir.resolve("embeddings-000.parquet"))
+    val q = Pq.encodeStream(spark, sf0001, streamDir.toString, model)
+      .selectExpr("vec_id", "codes[0] c0", "codes[1] c1", "codes[2] c2", "codes[3] c3")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pq_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("pq_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    val batch = Pq.codesWide(graft.sources.Tables.embeddings(spark, sf0001), model)
+      .collect().map { r =>
+        val c = r.getSeq[Int](1); (r.getLong(0), c(0), c(1), c(2), c(3))
+      }.toSet
+    assert(streamed == batch)
+    spark.sql("DROP TABLE IF EXISTS pq_stream")
+  }
+
   test("image thumbnail samples the real frame-0 pixel bytes") {
     import Multimodal.{BmpFile, BmpThumbCodec, MediaIn}
     val codec = new BmpThumbCodec
