@@ -225,6 +225,49 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval — the lexical and dense rankings fused by
+    * reciprocal-rank fusion (Cormack et al. 2009, the standard RAG
+    * retrieval shape): [[bm25]]'s term scores rank one list, exact
+    * query-vector cosine ranks the other, and each doc's fused score is
+    * Σ 1/(60 + rank) over the lists it appears in — kept exact as
+    * integer parts-per-billion (`1e9 div (60+rank)`, absent list
+    * contributes 0) so the fusion is bit-stable and oracle-matchable.
+    *
+    * Scale shape: both global rankings ride the distributed
+    * [[graft.operators.AssignIds]] numbering (range exchange +
+    * per-partition sort — never a single-partition window over a
+    * corpus-sized list); the fusion itself is one keyed full-outer
+    * join; top-20 is TakeOrdered. At 100 TB the two rank tables are
+    * per-query intermediate artifacts of candidate size (the lexical
+    * list is already sparse — only docs containing a query term), and
+    * the dense side swaps to the IVF-PQ probe without touching the
+    * fusion.
+    */
+  def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    val lex = graft.operators.AssignIds.byOrder(bm25(s, d),
+        Seq(col("bm25").desc, col("doc_id").asc), "lex_rank")
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = graft.sources.Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val sims = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorFns.cosine(col("embedding"), col("q_emb")), 6)
+          .as("sim"))
+    val dense = graft.operators.AssignIds.byOrder(sims,
+        Seq(col("sim").desc, col("doc_id").asc), "vec_rank")
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppb",
+        coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + vec_rank)"), lit(0L)))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        col("rrf_ppb"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // --- bigram collocations (PMI) ------------------------------------------
 
   /** Bigram collocation mining: pointwise mutual information of adjacent
@@ -503,6 +546,7 @@ object Curation {
     "pii_scrub" -> piiScrub,
     "stratified_sample" -> stratifiedSample,
     "bm25" -> bm25,
+    "hybrid_search" -> hybridSearch,
     "bigram_pmi" -> bigramPmi,
     "ngram_containment" -> ngramContainment,
     "exists_subquery" -> existsSubquery,
@@ -517,6 +561,27 @@ object Curation {
 
   // parity-critical DuckDB fragments (ToksNE single-sourced in Shared)
   private val ToksNE = Shared.ToksNE
+
+  /** The BM25 scoring chain through the per-doc summed score (`bms`) —
+    * single-sourced so the `bm25` and `hybrid_search` oracles can never
+    * drift (a def: the oracleSql map initializes first).
+    */
+  private def Bm25Cte: String =
+    s"""d AS (SELECT doc_id, ts, len(ts)::BIGINT AS dl
+       |     FROM (SELECT doc_id, $ToksNE AS ts FROM documents)),
+       |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM d),
+       |q AS (SELECT unnest(['spark', 'vector']) AS term),
+       |tf AS (SELECT doc_id, dl, term,
+       |         len(list_filter(ts, x -> x = term))::BIGINT AS tf
+       |       FROM d, q),
+       |tfp AS (SELECT * FROM tf WHERE tf > 0),
+       |dft AS (SELECT term, count(*)::BIGINT AS dft FROM tfp GROUP BY term),
+       |sc AS (SELECT doc_id,
+       |         ln(1.0 + (n - dft + 0.5) / (dft + 0.5)) * (tf * 2.2)
+       |           / (tf + 1.2 * (0.25 + 0.75 * (dl / (sumdl::DOUBLE / n)))) AS sco
+       |       FROM tfp JOIN dft USING (term) CROSS JOIN st),
+       |bms AS (SELECT doc_id, round(sum(sco), 6) AS bm25
+       |        FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "span_masking" ->
@@ -626,21 +691,28 @@ object Curation {
         |    < CASE WHEN lang = 'en' THEN 20 ELSE 50 END)::BIGINT AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "bm25" ->
-      s"""WITH d AS (SELECT doc_id, ts, len(ts)::BIGINT AS dl
-         |           FROM (SELECT doc_id, $ToksNE AS ts FROM documents)),
-         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM d),
-         |q AS (SELECT unnest(['spark', 'vector']) AS term),
-         |tf AS (SELECT doc_id, dl, term,
-         |         len(list_filter(ts, x -> x = term))::BIGINT AS tf
-         |       FROM d, q),
-         |tfp AS (SELECT * FROM tf WHERE tf > 0),
-         |dft AS (SELECT term, count(*)::BIGINT AS dft FROM tfp GROUP BY term),
-         |sc AS (SELECT doc_id,
-         |         ln(1.0 + (n - dft + 0.5) / (dft + 0.5)) * (tf * 2.2)
-         |           / (tf + 1.2 * (0.25 + 0.75 * (dl / (sumdl::DOUBLE / n)))) AS sco
-         |       FROM tfp JOIN dft USING (term) CROSS JOIN st)
-         |SELECT doc_id, round(sum(sco), 6) AS bm25
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $Bm25Cte
+         |SELECT doc_id, bm25 FROM bms ORDER BY doc_id""".stripMargin,
+    "hybrid_search" ->
+      s"""WITH $Bm25Cte,
+         |lex AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bms),
+         |qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |sims AS (SELECT e.vec_id AS doc_id,
+         |    round(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * qe.q_emb[i]::DOUBLE), (a,b) -> a+b)
+         |      / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (a,b) -> a+b))
+         |         * sqrt(list_reduce(list_transform(range(1,65), i -> qe.q_emb[i]::DOUBLE * qe.q_emb[i]::DOUBLE), (a,b) -> a+b))), 6) AS sim
+         |  FROM embeddings e, qe WHERE e.vec_id <> 0),
+         |dense AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank FROM sims),
+         |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |        coalesce(l.lex_rank, 0)::BIGINT AS lex_rank,
+         |        coalesce(v.vec_rank, 0)::BIGINT AS vec_rank,
+         |        (coalesce(1000000000 // (60 + l.lex_rank), 0)
+         |         + coalesce(1000000000 // (60 + v.vec_rank), 0))::BIGINT AS rrf_ppb
+         |      FROM lex l FULL OUTER JOIN dense v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, lex_rank, vec_rank, rrf_ppb
+         |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
     "bigram_pmi" ->
       s"""WITH d AS (SELECT ts, len(ts) AS l
          |           FROM (SELECT $ToksNE AS ts FROM documents) WHERE len(ts) >= 2),

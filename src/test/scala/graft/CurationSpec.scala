@@ -8,6 +8,44 @@ import org.apache.spark.sql.functions._
   */
 class CurationSpec extends SparkSuite {
 
+  test("hybrid_search: RRF fusion of the two rankings matches a plain-Scala recompute") {
+    // lexical ranking from the declared bm25 scores (score parity is the
+    // bm25 oracle's job; THIS spec pins ranking + fusion)
+    val lexRank = Curation.bm25(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // dense ranking from an independent cosine recompute (the
+    // CosineSimExpr fold, then HALF_UP at 6 dp)
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = vecs.find(_._1 == 0L).get._2
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val denseRank = vecs.filter(_._1 != 0L).map { case (id, v) => (id, sim(v, qv)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    def rrf(r: Long) = if (r > 0) 1000000000L / (60L + r) else 0L
+    val fused = (lexRank.keySet ++ denseRank.keySet).toSeq.map { id =>
+      val l = lexRank.getOrElse(id, 0L)
+      val v = denseRank.getOrElse(id, 0L)
+      (id, l, v, rrf(l) + rrf(v))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+    val got = Curation.hybridSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == fused)
+    // both retrieval modes must actually contribute to the fused top-20
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
+  }
+
   test("pack_sequences conserves tokens and numbers bins contiguously per source") {
     val bins = Curation.packSequences(spark, sf001).cache()
     val perSource = bins.groupBy("source")
