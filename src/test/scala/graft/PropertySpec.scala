@@ -146,4 +146,54 @@ class PropertySpec extends AnyFunSuite {
     val ranks = Bpe.ranksOf(Array.empty[String])
     assert(Bpe.countText(UTF8String.fromString("a7!"), ranks) == 3L)
   }
+
+  // bounded integer-micro components (the embedding lattice posture)
+  private val microGen: Gen[Long] = Gen.choose(-2000000L, 2000000L)
+  private def vecGen(n: Int): Gen[Array[Long]] =
+    Gen.listOfN(n, microGen).map(_.toArray)
+
+  test("PQ ADC law: a quantization-error-free vector scores its exact distance") {
+    import graft.operators.Pq
+    val dims = Pq.M * Pq.SubDim
+    val cbGen: Gen[Array[Array[Array[Long]]]] =
+      Gen.listOfN(Pq.M, Gen.listOfN(Pq.K, vecGen(Pq.SubDim)).map(_.toArray))
+        .map(_.toArray)
+    // ADC approximates d(q, v) by d(q_m, centroid(code(v_m))) summed; when
+    // every subvector of v IS its chosen centroid the approximation must
+    // collapse to the exact squared L2 — the identity separating table
+    // lookup bugs from genuine quantization error
+    check("adc-exact")(Prop.forAll(cbGen, vecGen(dims),
+        Gen.listOfN(Pq.M, Gen.choose(0, Pq.K - 1)).map(_.toArray)) { (cb, q, codes) =>
+      val dt = Pq.distTables(cb, q)
+      val v = (0 until Pq.M).flatMap(m => cb(m)(codes(m))).toArray
+      val exact = q.indices.map(i => (q(i) - v(i)) * (q(i) - v(i))).sum
+      (0 until Pq.M).map(m => dt(m)(codes(m))).sum == exact
+    })
+  }
+
+  test("thumbnail law: resizing a 4x4 image is the identity on its pixel bytes") {
+    import graft.operators.Multimodal.{BmpFile, BmpThumbCodec, MediaIn}
+    val codec = new BmpThumbCodec
+    check("thumb-identity")(Prop.forAll(Gen.choose(0L, 1L << 40)) { seed =>
+      val bytes = BmpFile.build(4, 4, seed)
+      val rb = BmpFile.rowBytes(4) // 12: no padding at w=4, rows contiguous
+      codec.thumb(MediaIn(1L, bytes)).forall { p =>
+        val base = 54 + p.py * rb + p.px * 3
+        p.b == (bytes(base) & 0xFF) && p.g == (bytes(base + 1) & 0xFF) &&
+          p.r == (bytes(base + 2) & 0xFF)
+      }
+    })
+  }
+
+  test("RRF fusion is rank-monotone within a list (pure kernel)") {
+    // 1e9 div (60+rank) must be strictly decreasing over the rank range a
+    // corpus can produce (collisions would make fused order depend on the
+    // other list only) — strictness holds while (60+r)^2/1e9 < 1 gap, so
+    // assert it over the first 30k ranks and monotone (non-strict) beyond
+    def rrf(r: Long) = 1000000000L / (60L + r)
+    assert((1L until 30000L).forall(r => rrf(r) > rrf(r + 1)))
+    check("rrf-monotone")(Prop.forAll(Gen.choose(1L, 10000000L)) { r =>
+      rrf(r) >= rrf(r + 1)
+    })
+  }
 }
