@@ -94,6 +94,15 @@ class PqSpec extends SparkSuite {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("embedding_topk_pq plans zero exchanges (map scan into TakeOrdered)") {
+    // the declared scale contract: encode + ADC are per-row, top-k is
+    // TakeOrderedAndProject — nothing in the plan may shuffle
+    val plan = Pipeline.embeddingTopkPq(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
   test("ivf_pq_pruned: same answer as the inline probe, via directory pruning") {
     val inline = Pipeline.ivfPqTopk(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
