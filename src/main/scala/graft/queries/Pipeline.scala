@@ -596,6 +596,32 @@ object Pipeline {
   def minhashBandCollisions(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidates(docs(s, d)).orderBy(col("id1"), col("id2"))
 
+  /** Recall of the LSH candidate stage against the exact jaccard ≥ 0.5
+    * truth on the oracle-able slice — completing the recall-contract
+    * trio ([[ivfRecall]] for IVF, [[pqRecall]] for PQ): an approximate
+    * family without a published recall number is a silent-loss risk.
+    * Unlike those two this is not structurally 100%: a 16×4-band LSH
+    * catches a j=0.5 pair with p = 1−(1−j⁴)¹⁶ ≈ 0.64, so the number
+    * MEASURES how much of the true pair mass sits near the threshold
+    * (this corpus's true pairs are near-exact duplicates, so the
+    * measured recall is high — that is a property of the data, and
+    * exactly what the published row is for). One semi-join of two
+    * already-declared artifacts; oracle recomputes from this run's own
+    * dumps of both ({OUT}).
+    */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = ngramJaccardPairs(s, d).select(col("id1"), col("id2"))
+    val cand = Dedup.minhashCandidates(docs(s, d))
+      .select(col("id1").as("c1"), col("id2").as("c2"))
+    val caught = exact.join(cand,
+      col("id1") === col("c1") && col("id2") === col("c2"), "left_semi")
+    exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_true"), col("n_caught"),
+        when(col("n_true") === 0, lit(10000L))
+          .otherwise(expr("10000 * n_caught div n_true")).as("recall_bp"))
+  }
+
   /** Same closure for the incremental gate: the asymmetric new-probes-old
     * band collisions (odd ids = incoming batch, even = corpus, as in
     * [[dedupIncrementalNear]]), recomputed by DuckDB as a parity-filtered
@@ -1137,6 +1163,7 @@ object Pipeline {
     "dedup_near" -> dedupMinhash,
     "minhash_bands" -> minhashBands,
     "minhash_band_collisions" -> minhashBandCollisions,
+    "lsh_recall" -> lshRecall,
     "minhash_incremental_collisions" -> minhashIncrementalCollisions,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
@@ -1560,6 +1587,16 @@ object Pipeline {
         |FROM b a JOIN b c USING (band, bh)
         |WHERE a.doc_id < c.doc_id
         |ORDER BY id1, id2""".stripMargin,
+    "lsh_recall" ->
+      """WITH ex AS (SELECT id1, id2 FROM read_parquet('{OUT}/ngram_jaccard/*.parquet')),
+        |cd AS (SELECT id1, id2
+        |       FROM read_parquet('{OUT}/minhash_band_collisions/*.parquet')),
+        |ct AS (SELECT count(*)::BIGINT AS n_true FROM ex),
+        |cc AS (SELECT count(*)::BIGINT AS n_caught FROM ex JOIN cd USING (id1, id2))
+        |SELECT n_true, n_caught,
+        |  (CASE WHEN n_true = 0 THEN 10000
+        |        ELSE 10000 * n_caught // n_true END)::BIGINT AS recall_bp
+        |FROM ct, cc""".stripMargin,
     "minhash_incremental_collisions" ->
       """WITH b AS (SELECT doc_id, band, bh
         |           FROM read_parquet('{OUT}/minhash_bands/*.parquet'))

@@ -44,6 +44,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "assoc_rules" -> "one-row basket-total scalar broadcast",
     "benford_test" -> "one-row row-count scalar broadcast",
     "hll_intersect" -> "one-row exact-count x one-row sketch-estimate join",
+    "lsh_recall" ->
+      "bounded ngram pair input (doc_id<500) + one-row x one-row count join",
     "bigram_pmi" -> "one-row corpus-total scalar broadcast",
     "bm25" -> "one-row corpus-stats scalar broadcast",
     "cross_join_dims" -> "THE declared cross-join operator; both sides dimension tables",

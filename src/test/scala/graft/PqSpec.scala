@@ -140,6 +140,20 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("lsh_recall counts the caught exact pairs from the two declared artifacts") {
+    val exact = Pipeline.ngramJaccard(spark, sf0001)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Pipeline.minhashBandCollisions(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = exact.count(cand)
+    val r = Pipeline.lshRecall(spark, sf0001).head()
+    assert(r.getLong(0) == exact.size.toLong && r.getLong(1) == caught.toLong)
+    assert(r.getLong(2) ==
+      (if (exact.isEmpty) 10000L else 10000L * caught / exact.size))
+    assert(exact.nonEmpty, "no exact pairs — the recall row would be vacuous")
+  }
+
   test("pq_recall is internally consistent and non-trivial") {
     val r = Pipeline.pqRecall(spark, sf0001).collect()(0)
     val (k, nHit, bp) = (r.getLong(0), r.getLong(1), r.getLong(2))
