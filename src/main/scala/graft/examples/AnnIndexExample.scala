@@ -42,10 +42,10 @@ object AnnIndexExample {
     // 2. build: codes + cell, written once, partitioned by cell
     val index = Kmeans.quantized(emb).select(col("vec_id"),
       Kmeans.nearest(coarse).getField("cid").cast("int").as("cell"),
-      array((0 until Pq.M).map(m =>
+      Pq.packCodes(array((0 until Pq.M).map(m =>
         graft.functions.SketchExprs.nearestCentroid(
           slice(col("v"), m * Pq.SubDim + 1, Pq.SubDim), pq(m))
-          .getField("cid")): _*).as("codes"))
+          .getField("cid")): _*)).as("code32"))
     Layout.writePartitioned(index, indexDir, "cell")
 
     // 3. probe for query vec_id=0: cells ranked on the driver, ADC over
@@ -59,7 +59,7 @@ object AnnIndexExample {
     val topk = spark.read.parquet(indexDir)
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScore(col("codes"), dt).as("adc_micro2"))
+      .select(col("vec_id"), Pq.adcScorePacked(col("code32"), dt).as("adc_micro2"))
       .orderBy(col("adc_micro2"), col("vec_id"))
       .limit(20)
     val hits = topk.collect().map(_.getLong(0)).toSet

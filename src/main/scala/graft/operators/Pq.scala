@@ -61,6 +61,29 @@ object Pq {
     Kmeans.quantized(emb).select(col("vec_id"),
       array((0 until M).map(m => codeOf(col("v"), model, m)): _*).as("codes"))
 
+  /** The M=4 one-byte codes bit-packed into ONE int (code m in byte m,
+    * little-endian) — the physically-4-bytes-per-vector storage form of
+    * the materialized index. K ≤ 256 by construction (codes are bytes);
+    * the pack/unpack is two shifts in codegen, so the ADC scan pays
+    * nothing for the 4× storage reduction over `array<int>` (which
+    * additionally carries per-row array headers in parquet).
+    */
+  def packCodes(codes: Column): Column =
+    (0 until M).map(m => shiftleft(codes.getItem(m).cast("int"), 8 * m))
+      .reduce(_ bitwiseOR _)
+
+  /** ADC score over a packed `code32` column: Σ_m dt(m)((code32 >> 8m)
+    * & 0xFF) — same flattened-literal lookups as [[adcScore]], reading
+    * the 4-byte form directly.
+    */
+  def adcScorePacked(code32: Column, dt: Array[Array[Long]]): Column = {
+    val flat = typedLit(dt.flatten.toSeq)
+    (0 until M).map { m =>
+      element_at(flat,
+        (lit(m * K) + shiftright(code32, 8 * m).bitwiseAND(lit(0xFF))).cast("int") + 1)
+    }.reduce(_ + _)
+  }
+
   /** Encode-on-ingest — the streaming face of the index build: vectors
     * arriving in a monitored directory are encoded against the SHIPPED
     * trained codebooks (broadcast-literal model, the exact batch

@@ -445,7 +445,9 @@ object Pipeline {
   /** Path of the MATERIALIZED cell-partitioned IVF-PQ index for `d` —
     * the artifact [[ivfPqTopk]]'s scaladoc promises, made physical:
     * one `cell=<cid>` directory per trained coarse cell holding only
-    * (vec_id, codes). Written once per JVM through
+    * (vec_id, code32) — the M byte codes bit-packed into one int, so a
+    * vector's index entry is literally 4 bytes + id. Written once per
+    * JVM through
     * [[graft.sources.Layout.writePartitioned]] (the partitionedOrders
     * convention: the ingest job writes, every consumer reads back).
     * At 100 TB this layout is why IVF probes are cheap: an unprobed
@@ -462,10 +464,10 @@ object Pipeline {
       val idx = Kmeans.quantized(Tables.embeddings(s, d))
         .select(col("vec_id"),
           Kmeans.nearest(coarse).getField("cid").cast("int").as("cell"),
-          array((0 until Pq.M).map(m =>
+          Pq.packCodes(array((0 until Pq.M).map(m =>
             graft.functions.SketchExprs
               .nearestCentroid(slice(col("v"), m * Pq.SubDim + 1, Pq.SubDim), pq(m))
-              .getField("cid")): _*).as("codes"))
+              .getField("cid")): _*)).as("code32"))
       graft.sources.Layout.writePartitioned(idx, dir, "cell")
       dir
     })
@@ -492,7 +494,7 @@ object Pipeline {
     s.read.parquet(pqIndexPath(s, d))
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScore(col("codes"), dt).as("adc_micro2"))
+      .select(col("vec_id"), Pq.adcScorePacked(col("code32"), dt).as("adc_micro2"))
       .orderBy(col("adc_micro2"), col("vec_id"))
       .limit(20)
   }

@@ -113,6 +113,8 @@ class PqSpec extends SparkSuite {
     // unprobed cell's files are never opened), not as a post-scan filter
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), plan.take(1200))
+    // and the scan reads the 4-byte packed form, not raw vectors/arrays
+    assert(plan.contains("code32:int"), plan.take(1200))
   }
 
   test("kmeans_profile matches a plain-Scala per-cell recompute") {
