@@ -775,6 +775,25 @@ object Pipeline {
   def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextFns.fingerprintDf(docs(s, d), "doc_id", "text").orderBy(col("doc_id"))
 
+  /** Feature-hashing vectorizer (the hashing trick / sklearn
+    * HashingVectorizer): every token lands in bucket
+    * tokenHash31(t) mod 64 and the doc's sparse feature vector is the
+    * per-bucket term count, in COO form (doc_id, bucket, tf). Fixed-dim
+    * featurization with NO trained vocabulary — the map-only first step
+    * of cheap classifiers/clusterers at corpus scale (collision noise
+    * is the accepted trade; memory is O(dim), never O(vocab)). The
+    * per-token hash is the same mod-2^31 polynomial the fingerprint
+    * family already pins in both engines; one explode + one
+    * (doc, bucket) hash aggregate with map-side partials.
+    */
+  def hashedFeatures(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (TextFns.tokenHash31(col("t")) % 64).cast("int").as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("bucket"))
+
   /** Batch sessionization (gaps-and-islands). */
   def sessionize(s: SparkSession, d: String): DataFrame = Sessions.sessionize(s, d)
 
@@ -1191,6 +1210,7 @@ object Pipeline {
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
     "doc_fingerprint" -> docFingerprint,
+    "hashed_features" -> hashedFeatures,
     "sessionize" -> sessionize,
     "sessionize_incremental" -> ((s, d) => Sessions.sessionizeIncremental(s, d)),
     "session_window" -> sessionWindow,
@@ -1741,6 +1761,15 @@ object Pipeline {
          |                   (a, b) -> (a * 33 + b) % $M31)) AS hs
          |        FROM documents))
          | WHERE n >= 3 ORDER BY doc_id""".stripMargin,
+    "hashed_features" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    (list_reduce(list_prepend(5381::BIGINT,
+         |       list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+         |       (a, b) -> (a * 33 + b) % $M31) % 64)::INT AS bucket
+         |  FROM t)
+         |SELECT doc_id, bucket, count(*)::BIGINT AS tf
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     "sessionize" ->
       s"""WITH $IslandsCte
          |SELECT user_id, session_seq::BIGINT AS session_seq,

@@ -273,6 +273,23 @@ class PqSpec extends SparkSuite {
     intercept[IllegalArgumentException](codec.frames(MediaIn(4L, bad)))
   }
 
+  test("hashed_features: bucket counts match the scalar hashing-trick recompute") {
+    val M31 = 2147483648L
+    def bucket(t: String): Int =
+      (t.foldLeft(5381L)((a, c) => (a * 33 + c.toInt) % M31) % 64).toInt
+    val ref = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)
+          .map(t => (r.getLong(0), bucket(t)))
+      }
+      .groupBy(identity).map { case ((id, b), o) => (id, b, o.length.toLong) }
+      .toSet
+    val got = Pipeline.hashedFeatures(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == ref)
+  }
+
   test("lang_id_ngram: profile-vote argmax matches a plain-Scala recompute") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("lang"), col("text")).collect()
