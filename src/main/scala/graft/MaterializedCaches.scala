@@ -50,3 +50,35 @@ object MaterializedCaches {
     */
   private[graft] def allDfs: Seq[DataFrame] = all.values.flatMap(_.dfs).toSeq
 }
+
+/** JVM-lifetime registry of temporary on-disk artifacts (the materialized
+  * IVF-PQ index, the month-partitioned orders layout): [[create]] returns
+  * a fresh temp directory AND registers it for recursive deletion by a
+  * single shutdown hook, so repeated short-lived runs (tests, bench
+  * iterations, the verify driver) do not accumulate orphaned index
+  * directories in /tmp. `deleteOnExit` alone cannot do this — it deletes
+  * only empty directories and would need every future file pre-registered.
+  */
+object TempArtifacts {
+  private val dirs = TrieMap.empty[String, Unit]
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    dirs.keys.foreach { d =>
+      try {
+        val p = Path.of(d)
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      } catch { case _: Exception => () } // best-effort: never fail shutdown
+    }
+  }, "graft-temp-artifacts-cleanup"))
+
+  /** A fresh temp directory, registered for deletion at JVM exit. */
+  def create(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    dirs.put(d, ())
+    d
+  }
+}

@@ -21,14 +21,21 @@ import org.apache.spark.sql.functions._
   *
   * Known scale caveat (standard LSH behavior): a bucket holding k near-
   * identical members yields O(k^2) candidate pairs — inherent to "return
-  * the duplicate pairs" semantics. Each operator takes an OPT-IN
-  * `starBucketThreshold`: above it, a bucket emits hub-and-spoke pairs
-  * (k-1 rows) instead of all pairs. That caps the blow-up but weakens
-  * exactness — a pair is lost when the hub fails the downstream verify
-  * even though the pair itself would pass — so the default keeps exact
-  * all-pairs semantics. Pipelines that only need a representative per
-  * cluster should aggregate buckets instead (see [[Dedup.exact]]'s
-  * keep-min pattern).
+  * the duplicate pairs" semantics. The VERIFIED pair producers
+  * ([[minhash]]/[[minhashPairs]]) handle this LOSSLESSLY and ON BY
+  * DEFAULT via pivot pruning (see [[minhashPairsFrom]]): above
+  * `giantBucketThreshold` members, a bucket first exact-verifies every
+  * member against one hub pivot (k-1 Jaccard computations, not k²), then
+  * generates only the pairs the Jaccard-distance triangle inequality
+  * cannot rule out — the output pair set is provably identical to
+  * uncapped all-pairs (pinned by DedupSpec), while a FALSE pileup (a
+  * bucket whose members mostly aren't mutual near-dups — the common
+  * failure on real crawls) collapses from O(k²) verifications to O(k) +
+  * O(true pairs). The RAW candidate dump ([[minhashCandidates]]) keeps
+  * the older opt-in lossy star cap (`starBucketThreshold`), because raw
+  * candidates carry no Jaccard to prune on. Pipelines that only need a
+  * representative per cluster should aggregate buckets instead (see
+  * [[Dedup.exact]]'s keep-min pattern).
   */
 object Dedup {
 
@@ -201,11 +208,20 @@ object Dedup {
 
   /** Near-dup pairs: LSH candidates verified with exact Jaccard >= minJac
     * over the shingle-hash sets (two hash joins on doc_id — no n^2 stage;
-    * intersect is the native sorted-merge expression).
+    * intersect is the native sorted-merge expression). Giant buckets take
+    * the lossless pivot-pruned path (see [[minhashPairsFrom]]).
     */
   def minhash(docs: DataFrame, minJac: Double = 0.5,
-      starBucketThreshold: Int = Int.MaxValue): DataFrame =
-    minhashPairs(docs, minJac, starBucketThreshold).orderBy(col("id1"), col("id2"))
+      giantBucketThreshold: Int = DefaultGiantBucket): DataFrame =
+    minhashPairs(docs, minJac, giantBucketThreshold).orderBy(col("id1"), col("id2"))
+
+  /** [[minhash]] over a pre-built shingle-hash set table (see
+    * [[minhashPairsFrom]] for why consumers pass the corpus artifact).
+    */
+  def minhashFrom(hsets: DataFrame, minJac: Double = 0.5,
+      giantBucketThreshold: Int = DefaultGiantBucket): DataFrame =
+    minhashPairsFrom(hsets, minJac, giantBucketThreshold)
+      .orderBy(col("id1"), col("id2"))
 
   /** [[minhash]] without the deterministic output sort — the input for
     * consumers that immediately reshuffle (connected components,
@@ -244,9 +260,73 @@ object Dedup {
   }
 
   def minhashPairs(docs: DataFrame, minJac: Double = 0.5,
-      starBucketThreshold: Int = Int.MaxValue): DataFrame = {
-    val hsets = shingleHashSets(docs)
-    candidatesFrom(signaturesFrom(hsets), starBucketThreshold)
+      giantBucketThreshold: Int = DefaultGiantBucket): DataFrame =
+    minhashPairsFrom(shingleHashSets(docs), minJac, giantBucketThreshold)
+
+  /** Bucket-size bound above which the verified pair producers switch
+    * from all-pairs candidate explode to the lossless pivot-pruned path.
+    * 64 keeps the all-pairs explode under 2,016 candidates per bucket —
+    * cheap — while any pileup beyond it pays O(k) hub verifications
+    * instead of O(k²).
+    */
+  val DefaultGiantBucket = 64
+
+  /** [[minhashPairs]] over a pre-built (possibly persisted) shingle-hash
+    * set table — the production posture: the set table is the corpus
+    * artifact every dedup consumer (signatures, candidate verify, hub
+    * probes) reads, built once, not re-derived per stage.
+    *
+    * Buckets with <= `giantBucketThreshold` members explode all pairs
+    * (the classic path). Bigger buckets go through PIVOT PRUNING:
+    *
+    *  1. hub = smallest doc_id; compute exact J(hub, m) for every member
+    *     (k-1 sorted-merge intersects, not k²);
+    *  2. Jaccard distance d = 1-J is a metric, so for any members y, z:
+    *     d(y,z) >= |d(y,hub) - d(z,hub)|, i.e. a pair can only reach
+    *     J(y,z) >= minJac if |J(y,hub) - J(z,hub)| <= 1-minJac. Members
+    *     sort by J(hub,·) within the bucket row and only pairs inside
+    *     that sliding window are emitted as candidates;
+    *  3. every emitted candidate is still exact-verified like any other.
+    *
+    * The pruning is therefore LOSSLESS — the verified output equals the
+    * uncapped all-pairs output (DedupSpec pins set equality on the
+    * fixture) — while a false pileup (members collide in a band but are
+    * not mutual near-dups) collapses from O(k²) to O(k) verifications. A
+    * TRUE pileup of k mutual near-dups still emits O(k²) pairs: that is
+    * the declared output, not overhead. Residual bound: one bucket's
+    * members collect into one row (the existing collect_set posture), so
+    * a bucket beyond ~10M members would need a pre-shard stage first.
+    */
+  def minhashPairsFrom(hsets: DataFrame, minJac: Double = 0.5,
+      giantBucketThreshold: Int = DefaultGiantBucket): DataFrame = {
+    val sigs = signaturesFrom(hsets)
+    if (giantBucketThreshold == Int.MaxValue)
+      return verifyPairs(candidatesFrom(sigs, Int.MaxValue), hsets, minJac)
+    tuneBucketAgg(sigs)
+    // persisted split point (the q20_volume_supplier single-evaluation
+    // posture): the bucket aggregate feeds both the small-bucket explode
+    // and the giant-bucket hub probe; without the persist the whole
+    // scan->shingle->sign->band aggregate would run twice
+    val buckets = bandKeys(sigs)
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .persist()
+    val small = buckets.filter(size(col("ids")) <= giantBucketThreshold)
+      .select(explode(pairsOf(col("ids"), Int.MaxValue)).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+    val giant = pivotPrunedCandidates(
+      buckets.filter(size(col("ids")) > giantBucketThreshold), hsets, minJac)
+    verifyPairs(small.union(giant).distinct(), hsets, minJac)
+  }
+
+  /** Exact-Jaccard verification of candidate (id1, id2) pairs against the
+    * shingle-hash set table: two hash joins on doc_id, native sorted-merge
+    * intersect, filter at minJac. Shared by the all-pairs and pivot paths.
+    */
+  private def verifyPairs(cand: DataFrame, hsets: DataFrame,
+      minJac: Double): DataFrame =
+    cand
       .join(hsets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
       .join(hsets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
       .withColumn("inter",
@@ -255,6 +335,41 @@ object Dedup {
         (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
       .filter(col("jaccard") >= minJac)
       .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** The giant-bucket candidate generator of [[minhashPairsFrom]]: exact
+    * hub Jaccards, then the triangle-inequality window over the members
+    * sorted by J(hub,·). The window bound carries +1e-9 slack so double
+    * rounding can never prune a boundary pair (the final verify is exact,
+    * so over-inclusion is merely a few extra verifications).
+    *
+    * Input `giantBuckets`: (band, bh, ids) with ids sorted, size > thr.
+    */
+  private def pivotPrunedCandidates(giantBuckets: DataFrame, hsets: DataFrame,
+      minJac: Double): DataFrame = {
+    val window = lit(1.0 - minJac + 1e-9)
+    giantBuckets
+      .select(col("band"), col("bh"), element_at(col("ids"), 1).as("hub"),
+        explode(slice(col("ids"), lit(2), size(col("ids")))).as("m"))
+      .join(hsets.select(col("doc_id").as("hub"), col("hs").as("hsh")), "hub")
+      .join(hsets.select(col("doc_id").as("m"), col("hs").as("hsm")), "m")
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedIntersectCount(col("hsh"), col("hsm")))
+      .withColumn("jh", col("inter").cast("double") /
+        (size(col("hsh")) + size(col("hsm")) - col("inter")))
+      .groupBy(col("band"), col("bh"), col("hub"))
+      .agg(collect_list(struct(col("jh"), col("m"))).as("ms0"))
+      // the hub itself re-enters the member list at J = 1.0, so hub-spoke
+      // pairs fall out of the same window generator as spoke-spoke pairs
+      .select(sort_array(concat(col("ms0"),
+        array(struct(lit(1.0).as("jh"), col("hub").as("m"))))).as("ms"))
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(
+          filter(slice(col("ms"), i + 2, size(col("ms"))),
+            y => y.getField("jh") - x.getField("jh") <= window),
+          y => struct(
+            least(x.getField("m"), y.getField("m")).as("id1"),
+            greatest(x.getField("m"), y.getField("m")).as("id2")))))).as("p"))
+      .select(col("p.id1"), col("p.id2"))
   }
 
   /** Connected components over an undirected pair list (min-label

@@ -312,10 +312,16 @@ object Multimodal {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val w = bb.getInt(18)
       val h = bb.getInt(22)
-      require(w > 0 && h > 0 && bb.getShort(28) == 24,
+      // Dimension cap before deriving the stride: a corrupt header can
+      // declare w ~ 7e8, where w*3 and rb*h overflow Int and a naive
+      // bound check passes — 32768² at 24bpp already exceeds a 2 GiB
+      // byte array, so the cap rejects nothing a valid payload could
+      // hold (the WavFrameCodec per-chunk-overrun posture).
+      require(w > 0 && h > 0 && w <= 32768 && h <= 32768 && bb.getShort(28) == 24,
         s"doc ${in.doc_id}: unsupported BMP ${w}x$h")
       val rb = (w * 3 + 3) / 4 * 4
-      require(bytes.length >= 54 + rb * h, s"doc ${in.doc_id}: truncated pixel data")
+      require(bytes.length >= 54L + rb.toLong * h,
+        s"doc ${in.doc_id}: truncated pixel data")
       for (py <- 0 until 4; px <- 0 until 4) yield {
         val sy = py * h / 4
         val sx = px * w / 4

@@ -174,10 +174,19 @@ object Quality {
       .join(ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct(),
         "user_id")
       .agg(count(lit(1)).as("n_exact"))
+    // Degenerate-input guards (oracle parity): an event type absent from
+    // the fixture makes its max(when(...)) NULL — coalesce every estimate
+    // to 0 so the flag never goes NULL against the oracle's TRUE; and at
+    // n_exact = 0 the 10% relative band degenerates to exact equality, so
+    // publish the vacuous pass instead (lsh_recall's n_true = 0 posture).
+    val ea = coalesce(col("est_a"), lit(0L))
+    val eb = coalesce(col("est_b"), lit(0L))
+    val eu = coalesce(col("est_u"), lit(0L))
     exact.crossJoin(est)
       .select(col("n_exact"),
-        (abs(col("est_a") + col("est_b") - col("est_u") - col("n_exact")) * lit(10L)
-          <= col("n_exact")).as("intersect_within_10pct"))
+        when(col("n_exact") === 0, lit(true))
+          .otherwise(abs(ea + eb - eu - col("n_exact")) * lit(10L)
+            <= col("n_exact")).as("intersect_within_10pct"))
   }
 
   // --- k-nearest-neighbor doc graph ------------------------------------

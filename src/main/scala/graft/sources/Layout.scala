@@ -189,7 +189,7 @@ object Layout {
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
 
   private val partitionedOrdersCache =
-    new scala.collection.concurrent.TrieMap[String, String]()
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
 
   /** Path of the month-partitioned orders artifact for testdata dir `d`
     * — written once per JVM via [[writePartitioned]] (12 `omonth=<m>`
@@ -199,8 +199,8 @@ object Layout {
     * declared consumer exercising dynamic partition pruning over it.
     */
   def partitionedOrders(s: SparkSession, d: String): String =
-    partitionedOrdersCache.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-dpp-orders").toString
+    partitionedOrdersCache.getOrElseUpdate((s, d), {
+      val dir = graft.TempArtifacts.create("graft-dpp-orders")
       val o = Tables.orders(s, d).select(col("o_orderkey"),
         org.apache.spark.sql.functions.round(col("o_totalprice") * 100)
           .cast("long").as("cents"),

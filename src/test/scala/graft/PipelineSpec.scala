@@ -71,6 +71,22 @@ class PipelineSpec extends SparkSuite {
       s"IVF at nprobe=3 should keep most of the true top-20; got $hits/20")
   }
 
+  test("ivf_recall_curve: the cell-rank shortcut equals the real probe at every point") {
+    // the curve computes recall WITHOUT per-nprobe rescans, on the claim
+    // that an exact-top-20 member is in the IVF top-20 iff its cell is
+    // probed — pin that claim against the actual probe queries at both
+    // declared operating points, plus monotonicity and the exhaustive end
+    val curve = Pipeline.ivfRecallCurve(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val atDefault = Pipeline.ivfRecall(spark, sf0001).collect().head.getLong(1)
+    val atTuned = Pipeline.ivfRecallTuned(spark, sf0001).collect().head.getLong(1)
+    assert(curve(3L) == atDefault, s"curve@3=${curve(3L)} probe=$atDefault")
+    assert(curve(8L) == atTuned, s"curve@8=${curve(8L)} probe=$atTuned")
+    val byNprobe = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(byNprobe.sliding(2).forall(s => s.head <= s.last), s"not monotone: $byNprobe")
+    assert(byNprobe.last == 20L, "probing every cell must recover the exact top-20")
+  }
+
   test("dedup_cluster_sizes: histogram equals a driver recompute and reconciles to row count") {
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("text").collect().map(_.getString(0))

@@ -214,6 +214,27 @@ class ScaleSpec extends SparkSuite {
     assert(exact == 400L * 399L / 2L, s"got $exact")
   }
 
+  test("pivot-pruned giant-bucket path is LOSSLESS: verified pairs equal uncapped") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    def pairs(thr: Int) = graft.operators.Dedup.minhashPairs(docs, 0.5, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.nonEmpty)
+    // threshold 2 forces EVERY multi-member bucket through the pivot path:
+    // the triangle-inequality window may only drop pairs that provably
+    // fail the Jaccard threshold, so the verified output must be identical
+    assert(pairs(2) == uncapped)
+    // and the shipped default (engages only on real pileups) must too
+    assert(pairs(graft.operators.Dedup.DefaultGiantBucket) == uncapped)
+    // synthetic pileup: identical docs collide in every band; the pivot
+    // path must still return the full O(k^2) true-duplicate pair set
+    val pile = (0L until 100L).map(i => (i, "aa bb cc dd ee ff gg"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.minhashPairs(pile, 0.5, 8).count()
+    assert(got == 100L * 99L / 2L, s"got $got")
+  }
+
   test("seeded sampling is reproducible and approximately sized (training-split tooling)") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_linenumber")
     val a = li.sample(withReplacement = false, fraction = 0.1, seed = 42).collect().toSeq
