@@ -535,7 +535,70 @@ object Curation {
         concat_ws(" ", col("ms")).as("masked_text"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-scaled source-mixture weights (the multilingual/multi-
+    * source sampling rule of mT5/XLM-R: w_s ∝ p_s^α with α = 0.7, so
+    * low-resource sources are upsampled relative to their raw share).
+    * One hash aggregate for the per-source token counts, then the whole
+    * α-power normalization runs on ONE bounded row: the per-source
+    * shares collect into a source-sorted struct array (bounded by the
+    * number of sources — dimension scale at any corpus size) and the
+    * normalizer is a sequential left fold over that sorted array, so
+    * the double sum has ONE fixed evaluation order on any partitioning
+    * (the zipf_fit single-final-double-tree posture). Published in
+    * integer ppb; DuckDB re-runs the identical fold via list_reduce.
+    */
+  def mixtureTemperature(s: SparkSession, d: String): DataFrame = {
+    val ts = docs(s, d)
+      .select(col("source"), size(Dedup.tokensNE(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    ts.agg(
+        sort_array(collect_list(struct(col("source"), col("n_tokens")))).as("arr"),
+        sum(col("n_tokens")).as("tot"))
+      .withColumn("nums", transform(col("arr"), e =>
+        pow(e.getField("n_tokens").cast("double") / col("tot"), lit(0.7))))
+      .withColumn("den", aggregate(col("nums"), lit(0.0), (a, x) => a + x))
+      .select(explode(arrays_zip(col("arr"), col("nums"))).as("z"),
+        col("tot"), col("den"))
+      .select(col("z.arr.source").as("source"),
+        col("z.arr.n_tokens").as("n_tokens"),
+        round(lit(1e9) * col("z.arr.n_tokens") / col("tot")).cast("long")
+          .as("share_ppb"),
+        round(lit(1e9) * col("z.nums") / col("den")).cast("long")
+          .as("weight_ppb"))
+      .orderBy(col("source"))
+  }
+
+  /** Power-of-2 token-length histogram — the batching/bucketing report a
+    * training feed publishes before length-bucketed batch assembly
+    * (sequence packing efficiency is driven by this distribution).
+    * Bucket = floor(log2(n_tokens)) computed EXACTLY as the bit width of
+    * the integer count (length of the base-2 rendering minus one) — both
+    * engines render binary identically, where a double log2 can land on
+    * either side of an exact power. Zero-token docs take bucket -1 with
+    * a [0,0] range. One map-side-combinable aggregate over a map-only
+    * projection.
+    */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(size(Dedup.tokensNE(col("text"))).cast("long").as("nt"))
+      .select(col("nt"),
+        when(col("nt") === 0, lit(-1L))
+          .otherwise((length(bin(col("nt"))) - 1).cast("long")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(col("bucket"),
+        when(col("bucket") < 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+          .as("lo"),
+        when(col("bucket") < 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) + 1) - 1"))
+          .as("hi"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("bucket"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_temperature" -> mixtureTemperature,
+    "length_buckets" -> lengthBuckets,
     "span_masking" -> spanMasking,
     "weighted_sample" -> weightedSample,
     "token_allocation" -> ((s, d) => tokenAllocation(s, d)),
@@ -584,6 +647,33 @@ object Curation {
        |        FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "mixture_temperature" ->
+      s"""WITH ts AS (SELECT source, sum(len($ToksNE))::BIGINT AS n_tokens
+         |            FROM documents GROUP BY 1),
+         |p AS (SELECT list(struct_pack(source := source, n := n_tokens)
+         |               ORDER BY source) AS arr,
+         |             sum(n_tokens)::BIGINT AS tot FROM ts),
+         |n AS (SELECT arr, tot,
+         |        list_transform(arr, e -> pow(e.n::DOUBLE / tot, 0.7)) AS nums
+         |      FROM p),
+         |dn AS (SELECT arr, tot, nums,
+         |         list_reduce(nums, (a, b) -> a + b) AS den FROM n),
+         |u AS (SELECT unnest(arr) AS e, unnest(nums) AS num, tot, den FROM dn)
+         |SELECT e.source AS source, e.n AS n_tokens,
+         |  CAST(round(1e9 * e.n / tot) AS BIGINT) AS share_ppb,
+         |  CAST(round(1e9 * num / den) AS BIGINT) AS weight_ppb
+         |FROM u ORDER BY source""".stripMargin,
+    "length_buckets" ->
+      s"""WITH t AS (SELECT len($ToksNE)::BIGINT AS nt FROM documents),
+         |b AS (SELECT nt, CASE WHEN nt = 0 THEN -1
+         |                      ELSE length(bin(nt)) - 1 END::BIGINT AS bucket
+         |      FROM t)
+         |SELECT bucket,
+         |  (CASE WHEN bucket < 0 THEN 0 ELSE 1::BIGINT << bucket END)::BIGINT AS lo,
+         |  (CASE WHEN bucket < 0 THEN 0
+         |        ELSE (1::BIGINT << (bucket + 1)) - 1 END)::BIGINT AS hi,
+         |  count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "span_masking" ->
       s"""WITH t AS (SELECT doc_id, ${Shared.ToksNE} AS ts FROM documents),
          |m AS (SELECT doc_id, len(ts)::BIGINT AS n_tok,

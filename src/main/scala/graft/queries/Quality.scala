@@ -680,7 +680,39 @@ object Quality {
 
   // --- registration -----------------------------------------------------
 
+  /** Unigram-distribution drift between two corpus snapshots (even vs odd
+    * doc_id — the incremental-ingest split convention), reported as the
+    * top-20 tokens by |KL contribution|: the monitor a production feed
+    * runs per ingest batch to catch a source going off-distribution
+    * before it trains. KL(P_A‖P_B) with add-1 smoothing over the union
+    * vocabulary; each token's contribution p·ln(p/q) is computed from
+    * exact integer counts against two broadcast scalars and rounded ONCE
+    * to integer nano-nats (the docSurprisal micro-nat posture, three
+    * more digits because per-token contributions are ~1e-4), so the
+    * report is identical on any partitioning. One token hash-aggregate +
+    * a broadcast one-row total + TakeOrdered top-20 — two shuffles at
+    * any corpus size.
+    */
+  def tokenKlDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(graft.operators.Dedup.tokensNE(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+    val tot = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+      count(lit(1)).as("v"))
+    val p = (col("c_a") + 1).cast("double") / (col("n_a") + col("v"))
+    val q = (col("c_b") + 1).cast("double") / (col("n_b") + col("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        round(lit(1e9) * p * log(p / q)).cast("long").as("kl_contrib_nano"))
+      .orderBy(abs(col("kl_contrib_nano")).desc, col("tok"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_kl_drift" -> tokenKlDrift,
     "quality_filters" -> qualityFilters,
     "source_mix_report" -> sourceMixReport,
     "repetition_ngram" -> repetitionNgram,
@@ -720,6 +752,21 @@ object Quality {
        |      FROM g GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "token_kl_drift" ->
+      s"""WITH t AS (SELECT doc_id % 2 = 0 AS in_a, unnest($ToksNE) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok,
+         |        sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS c_a,
+         |        sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS c_b
+         |      FROM t GROUP BY 1),
+         |s AS (SELECT sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b,
+         |             count(*)::BIGINT AS v FROM c)
+         |SELECT tok, c_a, c_b,
+         |  CAST(round(1e9 * ((c_a + 1)::DOUBLE / (n_a + v))
+         |    * ln(((c_a + 1)::DOUBLE / (n_a + v))
+         |         / ((c_b + 1)::DOUBLE / (n_b + v)))) AS BIGINT) AS kl_contrib_nano
+         |FROM c, s
+         |ORDER BY abs(kl_contrib_nano) DESC, tok LIMIT 20""".stripMargin,
     "source_mix_report" ->
       s"""WITH $QualityBatteryCte,
          |qf AS (SELECT doc_id, n,

@@ -46,6 +46,47 @@ class CurationSpec extends SparkSuite {
     assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
   }
 
+  test("mixture_temperature: α=0.7 weights match a driver recompute and flatten the mix") {
+    val rows = graft.queries.Curation.mixtureTemperature(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val perDoc = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).split("[ \t\n\r]", -1).count(_.nonEmpty).toLong)
+    val bySrc = perDoc.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).sum }
+    val tot = bySrc.values.sum.toDouble
+    val srcs = bySrc.keys.toSeq.sorted
+    val nums = srcs.map(s0 => math.pow(bySrc(s0) / tot, 0.7))
+    val den = nums.foldLeft(0.0)(_ + _) // same left fold order as the query
+    val expect = srcs.zip(nums).map { case (s0, n) =>
+      (s0, bySrc(s0), math.round(1e9 * bySrc(s0) / tot), math.round(1e9 * n / den)) }
+    assert(rows == expect)
+    // α<1 flattening: weights sum to ~1e9 and every below-average source's
+    // weight share strictly exceeds its raw share (the upsampling point)
+    assert(math.abs(rows.map(_._4).sum - 1000000000L) <= rows.size)
+    val avgShare = 1000000000L / rows.size
+    rows.filter(_._3 < avgShare).foreach { case (s0, _, share, w) =>
+      assert(w > share, s"$s0: below-average source must be upsampled ($w <= $share)")
+    }
+  }
+
+  test("length_buckets: histogram reconciles and bounds are exact bit widths") {
+    val nts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).split("[ \t\n\r]", -1).count(_.nonEmpty).toLong)
+    def bucketOf(n: Long): Long =
+      if (n == 0) -1L else 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val expect = nts.groupBy(bucketOf).map { case (b, xs) =>
+      val (lo, hi) = if (b < 0) (0L, 0L) else (1L << b, (1L << (b + 1)) - 1)
+      b -> ((lo, hi, xs.length.toLong, xs.sum))
+    }
+    val rows = graft.queries.Curation.lengthBuckets(spark, sf0001).collect()
+    assert(rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap == expect)
+    assert(rows.map(_.getLong(3)).sum == nts.length.toLong, "doc count must reconcile")
+    assert(rows.map(_.getLong(4)).sum == nts.sum, "token mass must reconcile")
+  }
+
   test("pack_sequences conserves tokens and numbers bins contiguously per source") {
     val bins = Curation.packSequences(spark, sf001).cache()
     val perSource = bins.groupBy("source")

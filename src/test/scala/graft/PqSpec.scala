@@ -164,6 +164,34 @@ class PqSpec extends SparkSuite {
     assert(bp == 10000L * nHit / 20L)
   }
 
+  test("pq_rerank: top-20 comes from the ADC top-100 and recall dominates raw ADC") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val model = Pipeline.pqModel(spark, sf0001)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray
+    val dt = Pq.distTables(model, qv)
+    val shortlist = Pq.codesWide(emb, model).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Pq.adcScore(col("codes"), dt).as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(100)
+      .collect().map(_.getLong(0)).toSet
+    val rerank = Pipeline.pqRerankTopk(spark, sf0001).collect()
+    assert(rerank.length == 20)
+    assert(rerank.forall(r => shortlist(r.getLong(0))),
+      "every re-ranked hit must come from the ADC shortlist")
+    // re-rank distances are the exact integer L2 (spot-check vs driver math)
+    val byId = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray).toMap
+    rerank.foreach { r =>
+      val v = byId(r.getLong(0))
+      val d = v.indices.map(i => { val dd = v(i) - qv(i); dd * dd }).sum
+      assert(r.getLong(1) == d, s"vec ${r.getLong(0)}")
+    }
+    // the published contract: exact re-rank never loses to raw ADC top-20
+    val adcRecall = Pipeline.pqRecall(spark, sf0001).collect()(0).getLong(1)
+    val rrRecall = Pipeline.pqRerankRecall(spark, sf0001).collect()(0).getLong(1)
+    assert(rrRecall >= adcRecall, s"rerank $rrRecall < adc $adcRecall")
+  }
+
   test("dedup_semantic: keep-lowest-id rule matches a plain-Scala recompute") {
     val model = Pipeline.kmeansModel(spark, sf0001)
     val rows = graft.sources.Tables.embeddings(spark, sf0001)

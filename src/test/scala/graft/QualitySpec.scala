@@ -6,6 +6,33 @@ import org.apache.spark.sql.functions._
 /** Invariants for the Quality batch beyond the DuckDB value gate. */
 class QualitySpec extends SparkSuite {
 
+  test("token_kl_drift: top-20 drift contributors match a plain-Scala recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+    val cA = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cB = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (id, ts) =>
+      val m = if (id % 2 == 0) cA else cB
+      ts.foreach(t => m(t) += 1L)
+    }
+    val vocab = (cA.keySet ++ cB.keySet).toSeq
+    val (nA, nB, v) = (cA.values.sum, cB.values.sum, vocab.size.toLong)
+    def term(t: String): Long = {
+      val p = (cA(t) + 1).toDouble / (nA + v)
+      val q = (cB(t) + 1).toDouble / (nB + v)
+      // HALF_UP like both engines' round() — away from zero on negatives
+      BigDecimal(1e9 * p * math.log(p / q))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expect = vocab.map(t => (t, cA(t), cB(t), term(t)))
+      .sortBy { case (t, _, _, k) => (-math.abs(k), t) }.take(20)
+    val rows = Quality.tokenKlDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == expect)
+    assert(rows.nonEmpty && rows.exists(_._4 != 0L), "drift report must be non-trivial")
+  }
+
   test("quality_filters: flags recompute brute-force and kept is their AND") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
