@@ -64,7 +64,27 @@ object AnnIndexExample {
       .limit(20)
     val hits = topk.collect().map(_.getLong(0)).toSet
 
-    // 4. recall@20 vs the exact integer-L2 scan
+    // 4. SERVE: the two-stage shape production stacks use — ADC proposes
+    // a top-100 shortlist from the probed cells (still 4 B/vector), the
+    // raw vectors exactly re-rank ONLY those 100 (O(shortlist) cost at
+    // any corpus width)
+    val shortlist = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Pq.adcScorePacked(col("code32"), dt).as("adc_micro2"))
+      .orderBy(col("adc_micro2"), col("vec_id"))
+      .limit(100)
+      .select(col("vec_id"))
+    val reranked = Kmeans.quantized(emb)
+      .join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"),
+        graft.functions.SketchExprs.nearestCentroid(col("v"), Array(qv))
+          .getField("dist").as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+
+    // 5. MEASURE: recall@20 of both probe stages vs the exact scan —
+    // the quality numbers an index deployment publishes
     val exact = Kmeans.quantized(emb).filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         graft.functions.SketchExprs.nearestCentroid(col("v"), Array(qv))
@@ -72,7 +92,9 @@ object AnnIndexExample {
       .orderBy(col("dist"), col("vec_id")).limit(20)
       .collect().map(_.getLong(0)).toSet
     val recall = 10000 * (exact & hits).size / 20
+    val recallRr = 10000 * (exact & reranked).size / 20
     println(s"ANN index at $indexDir: probed cells ${probed.mkString(",")}, " +
-      s"top-20 recall ${recall} bp vs exact scan")
+      s"top-20 recall ${recall} bp raw ADC / ${recallRr} bp after exact " +
+      s"re-rank of the ADC top-100, vs exact scan")
   }
 }

@@ -530,6 +530,43 @@ class ScaleSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(lf).size == 1, lf.take(800))
   }
 
+  test("plan guards: round-10 batch keeps the scale shape") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    // q2_min_cost: ONE hash exchange total (the struct-min groupBy) —
+    // the r9 double-evaluated pair universe must not reappear
+    val q2 = planOf("q2_min_cost")
+    assert("Exchange hashpartitioning".r.findAllIn(q2).size == 1, q2.take(1200))
+    assert(q2.contains("BroadcastHashJoin"), q2.take(1200))
+    // pq_rerank_topk: the 100-id shortlist broadcasts back onto the raw
+    // vectors — a sort-merge join here would shuffle the whole corpus
+    val rr = planOf("pq_rerank_topk")
+    assert(rr.contains("BroadcastHashJoin") && !rr.contains("SortMergeJoin"),
+      rr.take(1200))
+    // token_kl_drift: top-20 plans as TakeOrdered (never a global sort);
+    // the token aggregate appears once per consumer (per-token rows +
+    // broadcast total — the q11 global-share shape) with IDENTICAL
+    // hashpartitioning(tok) exchanges, which ReuseExchange collapses at
+    // runtime: two statically, never more
+    val kl = planOf("token_kl_drift")
+    assert(kl.contains("TakeOrderedAndProject"), kl.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(kl).size <= 2, kl.take(1200))
+    // mixture_temperature / length_buckets: one keyed aggregate each;
+    // everything after it is bounded-row work
+    for (q <- Seq("mixture_temperature", "length_buckets")) {
+      assert("Exchange hashpartitioning".r.findAllIn(planOf(q)).size == 1,
+        s"$q: ${planOf(q).take(1200)}")
+    }
+    // ivf_recall_curve: the cell-rank/ncells sides are one-row/bounded
+    // broadcasts — no cartesian product may appear
+    assert(!planOf("ivf_recall_curve").contains("CartesianProduct"),
+      planOf("ivf_recall_curve").take(1200))
+    // dedup_near: reads the materialized shingle-hash artifact, not a
+    // re-derivation (the r10 3x-recompute fix)
+    assert(planOf("dedup_near").contains("InMemoryTableScan"),
+      planOf("dedup_near").take(1200))
+  }
+
   test("plan guards: round-6 batch keeps the scale shape") {
     def planOf(name: String): String =
       SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
