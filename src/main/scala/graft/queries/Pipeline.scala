@@ -1204,6 +1204,29 @@ object Pipeline {
     ccLabelCache.getOrElseUpdate((s, d),
       Dedup.connectedComponents(ngramJaccardPairs(s, d)).persist())
 
+  /** Per-source near-duplicate rate — the curation report that names the
+    * spammy sources (a crawl source whose documents mostly collapse into
+    * someone else's clusters is the first thing a corpus owner prunes).
+    * Consumes the persisted CC-labels artifact like [[dedupKept]]: a doc
+    * is a duplicate when it is a non-representative member of its
+    * cluster. The dropped set is cluster-bounded (tiny next to the
+    * corpus) so it broadcasts onto the one per-source aggregate — one
+    * shuffle at any corpus size. Oracle re-derives the clusters through
+    * the same recursive-CC SQL the dedup_kept gate uses.
+    */
+  def dupRateBySource(s: SparkSession, d: String): DataFrame = {
+    val dropped = ccLabels(s, d)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(1L).as("isdup"))
+    docs(s, d).join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dupes"))
+      .select(col("source"), col("n_docs"), col("n_dupes"),
+        expr("10000 * n_dupes div n_docs").as("dup_rate_bp"))
+      .orderBy(col("source"))
+  }
+
   def dedupKept(s: SparkSession, d: String): DataFrame = {
     val dropped = ccLabels(s, d)
       .filter(col("id") =!= col("label"))
@@ -1322,6 +1345,7 @@ object Pipeline {
     "dedup_clusters_lsh" -> dedupClustersLsh,
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_kept" -> dedupKept,
+    "dup_rate_by_source" -> dupRateBySource,
     "duplicate_spans" -> duplicateSpans,
     "dedup_exact" -> dedupExact,
     "dedup_cluster_sizes" -> dedupClusterSizes,
@@ -1602,6 +1626,22 @@ object Pipeline {
     // identical oracle for both CC algorithms: same clusters required
     "dedup_clusters_star" -> DedupClustersOracle,
     "dedup_clusters" -> DedupClustersOracle,
+    "dup_rate_by_source" ->
+      s"""WITH RECURSIVE
+         |$JaccardPairsCte,
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM jpairs
+         |          UNION SELECT id2, id1 FROM jpairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         |dropped AS (SELECT id AS doc_id FROM comp WHERE id <> root)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  count(dr.doc_id)::BIGINT AS n_dupes,
+         |  (10000 * count(dr.doc_id) // count(*))::BIGINT AS dup_rate_bp
+         |FROM documents dd LEFT JOIN dropped dr USING (doc_id)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
     "dedup_kept" ->
       s"""WITH RECURSIVE
          |$JaccardPairsCte,

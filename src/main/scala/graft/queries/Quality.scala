@@ -697,9 +697,16 @@ object Quality {
     val toks = docs(s, d)
       .select((col("doc_id") % 2 === 0).as("in_a"),
         explode(graft.operators.Dedup.tokensNE(col("text"))).as("tok"))
-    val counts = toks.groupBy(col("tok")).agg(
+    klReportOf(toks.groupBy(col("tok")).agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
-      sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b")))
+  }
+
+  /** The KL report over a prepared (tok, c_a, c_b) count table — shared
+    * by the batch query above and the streaming drift monitor
+    * ([[graft.streaming.Drift]]), so both publish the identical math.
+    */
+  private[graft] def klReportOf(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
       count(lit(1)).as("v"))
     val p = (col("c_a") + 1).cast("double") / (col("n_a") + col("v"))
@@ -711,8 +718,42 @@ object Quality {
       .limit(20)
   }
 
+  /** Distinct-n diversity ratios per source (the distinct-1/distinct-2
+    * metrics text-generation and corpus papers publish): distinct n-gram
+    * count over total n-gram occurrences, in exact bp. Low distinct-2 on
+    * a source is boilerplate/template spam — the cheap screen that runs
+    * before any pairwise dedup. Two count/count-distinct aggregates
+    * (partial map-side) joined on the bounded source dimension; a source
+    * with no bigrams publishes the vacuous 10000 (the lsh_recall
+    * zero-truth posture, mirrored in the oracle).
+    */
+  def distinctNgrams(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("source"), graft.operators.Dedup.tokensNE(col("text")).as("ts"))
+    val uni = toks.select(col("source"), explode(col("ts")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n1"), countDistinct(col("g")).as("d1"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1)))).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n2"), countDistinct(col("g")).as("d2"))
+    uni.join(bi, Seq("source"), "left")
+      .select(col("source"), col("n1"), col("d1"),
+        when(col("n1") === 0, lit(10000L))
+          .otherwise(expr("10000 * d1 div n1")).as("distinct1_bp"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("d2"), lit(0L)).as("d2"),
+        when(coalesce(col("n2"), lit(0L)) === 0, lit(10000L))
+          .otherwise(expr("10000 * d2 div n2")).as("distinct2_bp"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_kl_drift" -> tokenKlDrift,
+    "distinct_ngrams" -> distinctNgrams,
     "quality_filters" -> qualityFilters,
     "source_mix_report" -> sourceMixReport,
     "repetition_ngram" -> repetitionNgram,
@@ -752,6 +793,22 @@ object Quality {
        |      FROM g GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "distinct_ngrams" ->
+      s"""WITH t AS (SELECT source, $ToksNE AS ts FROM documents),
+         |u AS (SELECT source, count(*)::BIGINT AS n1,
+         |        count(DISTINCT g)::BIGINT AS d1
+         |      FROM (SELECT source, unnest(ts) AS g FROM t) GROUP BY 1),
+         |b AS (SELECT source, count(*)::BIGINT AS n2,
+         |        count(DISTINCT g)::BIGINT AS d2
+         |      FROM (SELECT source, unnest(list_transform(range(1, len(ts)),
+         |              i -> ts[i] || ' ' || ts[i+1])) AS g
+         |            FROM t WHERE len(ts) >= 2) GROUP BY 1)
+         |SELECT u.source AS source, n1, d1,
+         |  (CASE WHEN n1 = 0 THEN 10000 ELSE 10000 * d1 // n1 END)::BIGINT AS distinct1_bp,
+         |  coalesce(n2, 0)::BIGINT AS n2, coalesce(d2, 0)::BIGINT AS d2,
+         |  (CASE WHEN coalesce(n2, 0) = 0 THEN 10000
+         |        ELSE 10000 * d2 // n2 END)::BIGINT AS distinct2_bp
+         |FROM u LEFT JOIN b USING (source) ORDER BY source""".stripMargin,
     "token_kl_drift" ->
       s"""WITH t AS (SELECT doc_id % 2 = 0 AS in_a, unnest($ToksNE) AS tok
          |           FROM documents),

@@ -87,6 +87,28 @@ class PipelineSpec extends SparkSuite {
     assert(byNprobe.last == 20L, "probing every cell must recover the exact top-20")
   }
 
+  test("dup_rate_by_source reconciles exactly with dedup_kept") {
+    // n_dupes per source must equal the docs dedup_kept dropped there —
+    // the two consumers of the CC-labels artifact cannot disagree
+    val srcOf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kept = Pipeline.dedupKept(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val droppedBySrc = srcOf.filterNot { case (id, _) => kept(id) }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rows = Pipeline.dupRateBySource(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, nDupes, bp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDocs == srcOf.values.count(_ == src).toLong, src)
+      assert(nDupes == droppedBySrc.getOrElse(src, 0L), src)
+      assert(bp == 10000L * nDupes / nDocs, src)
+    }
+    assert(rows.map(_.getLong(2)).sum == (srcOf.size - kept.size).toLong,
+      "total dupes must reconcile with the kept complement")
+  }
+
   test("dedup_cluster_sizes: histogram equals a driver recompute and reconciles to row count") {
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("text").collect().map(_.getString(0))

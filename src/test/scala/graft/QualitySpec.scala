@@ -33,6 +33,27 @@ class QualitySpec extends SparkSuite {
     assert(rows.nonEmpty && rows.exists(_._4 != 0L), "drift report must be non-trivial")
   }
 
+  test("distinct_ngrams: per-source diversity ratios match a plain-Scala recompute") {
+    val rows = Quality.distinctNgrams(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val perSrc = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty))
+      .groupBy(_._1).map { case (src, ds) => src -> ds.map(_._2) }
+    val expect = perSrc.toSeq.sortBy(_._1).map { case (src, docTs) =>
+      val unis = docTs.flatten
+      val bis = docTs.filter(_.length >= 2)
+        .flatMap(ts => ts.sliding(2).map(_.mkString(" ")))
+      def bp(d: Long, n: Long) = if (n == 0) 10000L else 10000L * d / n
+      (src, unis.length.toLong, unis.distinct.length.toLong,
+        bp(unis.distinct.length.toLong, unis.length.toLong),
+        bis.length.toLong, bis.distinct.length.toLong,
+        bp(bis.distinct.length.toLong, bis.length.toLong))
+    }
+    assert(rows == expect)
+  }
+
   test("quality_filters: flags recompute brute-force and kept is their AND") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()

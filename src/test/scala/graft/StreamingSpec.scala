@@ -118,6 +118,38 @@ class StreamingSpec extends SparkSuite {
       "maintained table must equal the batch aggregate over all ingested events")
   }
 
+  test("streaming drift monitor converges to the batch token_kl_drift across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-drift")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val countsDir = base.resolve("counts").toString
+    val ckpt = base.resolve("ck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-drift-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit =
+      graft.streaming.Drift.streamingTokenCounts(spark, sf0001,
+        streamDir.toString, countsDir, ckpt).awaitTermination()
+    // two ingest batches with a full stop/start between them: the
+    // maintained counts must merge, not re-merge, across the restart
+    stageFlat(odd.filter(col("doc_id") % 4 === 1), "p1.parquet")
+    runOnce()
+    stageFlat(odd.filter(col("doc_id") % 4 === 3), "p2.parquet")
+    runOnce()
+    val got = graft.streaming.Drift
+      .driftReport(spark, docs.filter(col("doc_id") % 2 === 0), countsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = graft.queries.Quality.tokenKlDrift(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.sameElements(expect),
+      "streamed drift report must equal the batch token_kl_drift after full replay")
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-state")
     java.nio.file.Files.copy(
