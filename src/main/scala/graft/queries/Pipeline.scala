@@ -640,6 +640,44 @@ object Pipeline {
       .limit(20)
   }
 
+  /** The COMPLETE production probe — every index lever composed: trained
+    * coarse cells pruned at the DIRECTORY level (unprobed cells never
+    * open, via the materialized `cell=<cid>` index), ADC over the probed
+    * cells' 4-byte codes proposing a top-100 shortlist, and exact
+    * integer-L2 re-ranking of ONLY the broadcast shortlist. This is the
+    * query a 100 TB vector deployment actually serves: scan cost =
+    * nprobe/ncells × 4 B/vector for stage 1 plus a constant 100 full
+    * vectors for stage 2, at any corpus width. Oracle = the IVF-PQ ADC
+    * CTE with the shortlist widened to 100, then the exact re-rank.
+    */
+  def ivfPqRerank(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 3
+    val emb = Tables.embeddings(s, d)
+    val model = kmeansModel(s, d)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
+    val probed = model.zipWithIndex.map { case (c, cid) =>
+      var dsum = 0L; var i = 0
+      while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
+      (dsum, cid)
+    }.sorted.take(nprobe).map(_._2)
+    val dt = Pq.distTables(pqModel(s, d), qv)
+    val shortlist = s.read.parquet(pqIndexPath(s, d))
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Pq.adcScorePacked(col("code32"), dt).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(100)
+      .select(col("vec_id"))
+    Kmeans.quantized(emb)
+      .join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"),
+        graft.functions.SketchExprs.nearestCentroid(col("v"), Array(qv))
+          .getField("dist").as("dist_micro2"))
+      .orderBy(col("dist_micro2"), col("vec_id"))
+      .limit(20)
+  }
+
   /** Per-cell health report of the trained coarse quantizer — the
     * index-build diagnostic every ANN deployment publishes (cell
     * balance drives probe cost; a degenerate mega-cell defeats the
@@ -1377,6 +1415,7 @@ object Pipeline {
     "pq_rerank_recall" -> pqRerankRecall,
     "ivf_pq_topk" -> ivfPqTopk,
     "ivf_pq_pruned" -> ivfPqPruned,
+    "ivf_pq_rerank" -> ivfPqRerank,
     "kmeans_profile" -> kmeansProfile,
     "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
@@ -1543,8 +1582,12 @@ object Pipeline {
     * layouts must be answer-identical. Trained assignment + probe from
     * the unrolled Lloyd chain; ADC from this run's own dumps.
     */
-  private def IvfPqOracle: String =
-    s"""WITH $KmeansTrainCte,
+  /** The IVF-PQ probe's ADC stage as a CTE block (through `sc`): shared
+    * by the plain probe oracles (top-20 of `sc`) and the re-rank oracle
+    * (top-100 of `sc`, then exact re-rank).
+    */
+  private def IvfPqAdcCte: String =
+    s"""$KmeansTrainCte,
        |d3 AS (SELECT e.vec_id, c.cid,
        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
        |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
@@ -1569,9 +1612,22 @@ object Pipeline {
        |       JOIN cand USING (vec_id)),
        |sc AS (SELECT co.vec_id, sum(dt.d2)::BIGINT AS adc
        |       FROM co JOIN dt ON co.sub = dt.sub AND co.code = dt.cluster_id
-       |       GROUP BY 1)
+       |       GROUP BY 1)""".stripMargin
+
+  private def IvfPqOracle: String =
+    s"""WITH $IvfPqAdcCte
        |SELECT vec_id, adc AS adc_micro2 FROM sc
        |ORDER BY adc, vec_id LIMIT 20""".stripMargin
+
+  private def IvfPqRerankOracle: String =
+    s"""WITH $IvfPqAdcCte,
+       |sl AS (SELECT vec_id FROM sc ORDER BY adc, vec_id LIMIT 100)
+       |SELECT vec_id, dist_micro2 FROM (
+       |  SELECT e.vec_id,
+       |    sum((e.v[t.i] - q.v[t.i]) * (e.v[t.i] - q.v[t.i]))::BIGINT AS dist_micro2
+       |  FROM e JOIN sl USING (vec_id) CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY 1)
+       |ORDER BY dist_micro2, vec_id LIMIT 20""".stripMargin
 
   private def DedupClustersOracle: String =
     s"""WITH RECURSIVE
@@ -1819,6 +1875,7 @@ object Pipeline {
     // the layout change must be answer-invariant
     "ivf_pq_topk" -> IvfPqOracle,
     "ivf_pq_pruned" -> IvfPqOracle,
+    "ivf_pq_rerank" -> IvfPqRerankOracle,
     "kmeans_profile" ->
       s"""WITH $KmeansTrainCte,
         |d3 AS (SELECT e.vec_id, c.cid,

@@ -68,6 +68,13 @@ class PlanInvariantsSpec extends SparkSuite {
     "feature_chi2" -> "one-row corpus-count scalar broadcast",
     "ivf_recall" -> "composes embedding_topk/_ivf's one-row query-vector broadcasts",
     "q11_important_stock" -> "one-row global-total scalar broadcast",
+    "embedding_topk_ivf_tuned" ->
+      "one-row query-vector broadcast (the embedding_topk_ivf shape at nprobe=8)",
+    "ivf_recall_tuned" ->
+      "composes embedding_topk/_ivf_tuned's one-row query-vector broadcasts",
+    "ivf_recall_curve" ->
+      "one-row query-vector + bounded ncells-row cell-rank/ncells broadcasts",
+    "token_kl_drift" -> "one-row corpus-totals scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
