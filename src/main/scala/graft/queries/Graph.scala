@@ -354,9 +354,73 @@ object Graph {
     "degree_histogram" -> degreeHistogram,
     "cosupply_neighbors" -> cosupplyNeighbors,
     "triangle_count" -> triangleCount,
+    "communities_lpa" -> communitiesLpa,
   )
 
+  /** Label-propagation communities (Raghavan et al. 2007) over the
+    * co-purchase graph — the near-linear community detector every graph
+    * stack ships beside connected components (CC merges anything
+    * touching; LPA splits dense regions from bridges). SYNCHRONOUS
+    * variant, FIXED 3 rounds, deterministic (count desc, label asc)
+    * neighbor vote — free-running LPA is run-order-dependent and can
+    * oscillate, so the fixed-round deterministic form is the one that
+    * can be oracle-gated (DuckDB unrolls the same 3 rounds, the
+    * kmeans_centroids precedent). Each round is one join + one count
+    * aggregate + the TopKPerGroup argmax at k=1 — all shuffle-bounded,
+    * rounds are O(1), so the shape holds at any graph size. Output:
+    * the 20 largest communities.
+    */
+  def communitiesLpa(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to 3) {
+      val votes = sym
+        .join(labels.select(col("node").as("dst"), col("lab")), "dst")
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("n"))
+      labels = graft.plans.TopKPerGroup(votes, Seq("src"),
+          Seq(col("n").desc, col("lab").asc), k = 1)
+        .select(col("src").as("node"), col("lab"))
+    }
+    labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "communities_lpa" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |okc AS (SELECT ok FROM lp GROUP BY ok
+        |        HAVING count(*) > 1 AND count(*) <= 64),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |       FROM lp a JOIN okc USING (ok) JOIN lp b USING (ok)
+        |       WHERE a.pk < b.pk),
+        |e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        |v1 AS (SELECT e.src, l.lab, count(*) AS n
+        |       FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT src AS node, lab FROM (
+        |         SELECT src, lab,
+        |           row_number() OVER (PARTITION BY src ORDER BY n DESC, lab) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT e.src, l.lab, count(*) AS n
+        |       FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT src AS node, lab FROM (
+        |         SELECT src, lab,
+        |           row_number() OVER (PARTITION BY src ORDER BY n DESC, lab) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT e.src, l.lab, count(*) AS n
+        |       FROM e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT src AS node, lab FROM (
+        |         SELECT src, lab,
+        |           row_number() OVER (PARTITION BY src ORDER BY n DESC, lab) AS rn
+        |         FROM v3) WHERE rn = 1)
+        |SELECT lab::BIGINT AS community, count(*)::BIGINT AS n_members
+        |FROM l3 GROUP BY 1
+        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin,
     "pagerank" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
         |e AS (SELECT sk AS src, pk + 1099511627776 AS dst FROM e0

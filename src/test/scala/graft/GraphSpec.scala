@@ -164,6 +164,35 @@ class GraphSpec extends SparkSuite {
     assert(row.getLong(4) == 3 * tri * 1000000L / wedges)
   }
 
+  test("communities_lpa equals a driver-side synchronous 3-round propagation") {
+    val lp = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = lp.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted.toIndexedSeq)
+      .filter(b => b.length > 1 && b.length <= 64)
+    val edges = baskets.flatMap(b =>
+      for (i <- b.indices; j <- i + 1 until b.length) yield (b(i), b(j))).toSet
+    val nbrs = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (u, v) => nbrs(u) ::= v; nbrs(v) ::= u }
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (n, ns) =>
+        val votes = ns.groupBy(lab).view.mapValues(_.size.toLong)
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val expect = lab.values.groupBy(identity)
+      .map { case (c, ms) => (c, ms.size.toLong) }.toSeq
+      .sortBy { case (c, n) => (-n, c) }.take(20)
+    val got = Graph.communitiesLpa(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && got.map(_._2).sum > got.size,
+      "LPA must form at least one non-singleton community")
+  }
+
   test("triangle_count plan: no cartesian product, no data-sized window") {
     val plan = graft.queries.Graph.triangleCount(spark, sf0001)
       .queryExecution.executedPlan.toString
