@@ -66,6 +66,29 @@ object Dedup {
       df.sparkSession.conf.set(key, "1000000")
   }
 
+  /** Persisted intra-operator temporaries (the pivot-pruned path's bucket
+    * aggregate) that must outlive their builder call because the returned
+    * DataFrame is lazy. [[sweepTemporaries]] releases them; the bench's
+    * between-queries storage janitor unpersists them as a side effect of
+    * its RDD sweep (they are not DfCache-protected), so only direct
+    * library consumers need to call the sweep themselves.
+    */
+  private val persistedTemps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Unpersist every temporary this module has persisted. Safe to call
+    * any time: a later re-invocation of the operator re-persists what it
+    * needs (at worst the bucket aggregate recomputes once).
+    */
+  def sweepTemporaries(): Unit = {
+    val it = persistedTemps.iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = false)
+      catch { case _: Exception => () }
+      it.remove()
+    }
+  }
+
   /** Exact dedup: sha256 of the raw text, keep the smallest doc_id per
     * hash group (single hash-groupBy; partial aggregation map-side).
     */
@@ -306,12 +329,19 @@ object Dedup {
     // persisted split point (the q20_volume_supplier single-evaluation
     // posture): the bucket aggregate feeds both the small-bucket explode
     // and the giant-bucket hub probe; without the persist the whole
-    // scan->shingle->sign->band aggregate would run twice
+    // scan->shingle->sign->band aggregate would run twice. The persist
+    // must outlive this call (the returned DataFrame is lazy), so it is
+    // registered in [[sweepTemporaries]]'s registry: the bench janitor
+    // sweeps it automatically between queries; library consumers calling
+    // minhash/minhashPairs directly should call Dedup.sweepTemporaries()
+    // once the pair result is materialized, or the cached bucket
+    // aggregate lives for the JVM.
     val buckets = bandKeys(sigs)
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .persist()
+    persistedTemps.add(buckets)
     val small = buckets.filter(size(col("ids")) <= giantBucketThreshold)
       .select(explode(pairsOf(col("ids"), Int.MaxValue)).as("p"))
       .select(col("p.id1"), col("p.id2"))

@@ -297,7 +297,8 @@ object Pipeline {
     recallOf(embeddingTopk(s, d), embeddingTopkIvf(s, d))
 
   /** Recall@20 of the TUNED IVF operating point ([[embeddingTopkIvfTuned]],
-    * nprobe = 6 of 8): the published proof that the nprobe knob moves
+    * nprobe = 8 of the fixture's 10 cells): the published proof that the
+    * nprobe knob moves
     * recall where the contract needs it (>= 80% on the fixture, vs the
     * honest-but-low default-point number ivf_recall publishes). Same
     * oracle closure: DuckDB recomputes the overlap from this run's own
@@ -1247,16 +1248,20 @@ object Pipeline {
     * someone else's clusters is the first thing a corpus owner prunes).
     * Consumes the persisted CC-labels artifact like [[dedupKept]]: a doc
     * is a duplicate when it is a non-representative member of its
-    * cluster. The dropped set is cluster-bounded (tiny next to the
-    * corpus) so it broadcasts onto the one per-source aggregate — one
-    * shuffle at any corpus size. Oracle re-derives the clusters through
-    * the same recursive-CC SQL the dedup_kept gate uses.
+    * cluster. The dropped set is DUPLICATE-FRACTION-sized — on a real
+    * crawl routinely 30-50% of all docs, so it is data-sized, not
+    * dimension-sized, and must NOT be broadcast (the hint this query
+    * once carried would OOM the driver at 100 TB). Plain left join, the
+    * same posture as [[dedupKept]]'s membership test: AQE broadcasts it
+    * only when the measured size actually fits. Oracle re-derives the
+    * clusters through the same recursive-CC SQL the dedup_kept gate
+    * uses.
     */
   def dupRateBySource(s: SparkSession, d: String): DataFrame = {
     val dropped = ccLabels(s, d)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(1L).as("isdup"))
-    docs(s, d).join(broadcast(dropped), Seq("doc_id"), "left")
+    docs(s, d).join(dropped, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("isdup"), lit(0L))).as("n_dupes"))
@@ -1644,7 +1649,7 @@ object Pipeline {
        |FROM comp GROUP BY root ORDER BY cluster_rep""".stripMargin
 
   /** The IVF probe oracle, parameterized on nprobe — one template for the
-    * default (3) and tuned (6) operating points: DuckDB re-derives the
+    * default (3) and tuned (8) operating points: DuckDB re-derives the
     * integer-lattice centroids, ranks cells by query cosine, and
     * brute-forces only the probed cells, exactly as the Spark plan does.
     */

@@ -98,4 +98,17 @@ class PlanInvariantsSpec extends SparkSuite {
     val stale = boundedNestedLoop.keys.filterNot(declared.contains)
     assert(stale.isEmpty, s"allowlist entries for undeclared queries: $stale")
   }
+
+  test("dup_rate_by_source does not force-broadcast the dropped-doc side") {
+    // the dropped near-duplicate set is duplicate-fraction-sized (30-50%
+    // of a real crawl), so a broadcast HINT on it is a 100 TB driver OOM;
+    // the join must stay unhinted (AQE may still broadcast at runtime
+    // when the measured size fits — that is fine and not what this
+    // guards). A hint would survive into the optimized logical plan as
+    // `strategy=broadcast`.
+    val plan = SparkEntry.queries("dup_rate_by_source")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("strategy=broadcast"),
+      s"dropped-set join carries a broadcast hint:\n${plan.take(800)}")
+  }
 }
