@@ -35,17 +35,13 @@ object AnnIndexExample {
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
 
-    // 1. train both index halves
+    // 1. train both index halves (the codebooks on residuals — IVFADC)
     val coarse = Kmeans.train(emb, k = 8, iters = 2)
-    val pq = Pq.train(emb)
+    val pq = Pq.train(emb, coarse)
 
-    // 2. build: codes + cell, written once, partitioned by cell
-    val index = Kmeans.quantized(emb).select(col("vec_id"),
-      Kmeans.nearest(coarse).getField("cid").cast("int").as("cell"),
-      Pq.packCodes(array((0 until Pq.M).map(m =>
-        graft.functions.SketchExprs.nearestCentroid(
-          slice(col("v"), m * Pq.SubDim + 1, Pq.SubDim), pq(m))
-          .getField("cid")): _*)).as("code32"))
+    // 2. build: residual codes + cell, written once, partitioned by cell
+    val index = Pq.codesWide(emb, coarse, pq).select(col("vec_id"),
+      col("cell"), Pq.packCodes(col("codes")).as("code32"))
     Layout.writePartitioned(index, indexDir, "cell")
 
     // 3. probe for query vec_id=0: cells ranked on the driver, ADC over
@@ -55,11 +51,12 @@ object AnnIndexExample {
     val probed = coarse.zipWithIndex.map { case (c, cid) =>
       (c.indices.map(i => (qv(i) - c(i)) * (qv(i) - c(i))).sum, cid)
     }.sorted.take(3).map(_._2)
-    val dt = Pq.distTables(pq, qv)
+    val dt = Pq.distTables(pq, coarse, qv)
     val topk = spark.read.parquet(indexDir)
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScorePacked(col("code32"), dt).as("adc_micro2"))
+      .select(col("vec_id"),
+        Pq.adcScorePacked(col("cell"), col("code32"), dt).as("adc_micro2"))
       .orderBy(col("adc_micro2"), col("vec_id"))
       .limit(20)
     val hits = topk.collect().map(_.getLong(0)).toSet
@@ -71,7 +68,8 @@ object AnnIndexExample {
     val shortlist = spark.read.parquet(indexDir)
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScorePacked(col("code32"), dt).as("adc_micro2"))
+      .select(col("vec_id"),
+        Pq.adcScorePacked(col("cell"), col("code32"), dt).as("adc_micro2"))
       .orderBy(col("adc_micro2"), col("vec_id"))
       .limit(100)
       .select(col("vec_id"))

@@ -58,11 +58,19 @@ object Kmeans {
   /** Train `iters` Lloyd rounds at `k` over `emb` (embeddings schema:
     * vec_id, embedding). Returns the final centroid table, cid-indexed.
     */
-  def train(emb: DataFrame, k: Int = 8, iters: Int = 2): Array[Array[Long]] = {
+  def train(emb: DataFrame, k: Int = 8, iters: Int = 2): Array[Array[Long]] =
+    trainQ(quantized(emb), k, iters)
+
+  /** [[train]] over an ALREADY-quantized (vec_id, v: array<long>) table —
+    * the entry point for training on derived lattice vectors (the PQ
+    * residual codebooks train on v − coarse_centroid slices, which are
+    * integer vectors with no float source to quantize).
+    */
+  def trainQ(q0: DataFrame, k: Int = 8, iters: Int = 2): Array[Array[Long]] = {
     require(k >= 1 && iters >= 0)
     // persist: each iteration re-reads the quantized table (assignment +
     // update); also guarantees init and iterations see ONE evaluation
-    val q = quantized(emb).persist()
+    val q = q0.persist()
     try {
       var cents = q.orderBy(col("vec_id")).limit(k).collect()
         .map(_.getSeq[Long](1).toArray)

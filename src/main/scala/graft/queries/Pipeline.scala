@@ -398,28 +398,35 @@ object Pipeline {
         col("nc.dist").as("dist_micro2"))
       .orderBy(col("vec_id"))
 
-  /** Trained PQ codebooks per (session, dir) — M independent k-means
-    * runs over the sliced vectors, cached like [[kmeansModel]] (trained
-    * once, shipped to every encode/score consumer).
+  /** Trained RESIDUAL PQ codebooks per (session, dir) — M independent
+    * k-means runs over the sliced residuals v − coarse_centroid(cell(v))
+    * (true IVFADC, Jégou 2011 §IV.A — see [[Pq]]), cached like
+    * [[kmeansModel]] (trained once, shipped to every encode/score
+    * consumer). Depends on the coarse model: training consumes
+    * [[kmeansModel]]'s cells.
     */
   private val pqCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Array[Long]]]]()
 
   def pqModel(s: SparkSession, d: String): Array[Array[Array[Long]]] =
-    pqCache.getOrElseUpdate((s, d), Pq.train(Tables.embeddings(s, d)))
+    pqCache.getOrElseUpdate((s, d),
+      Pq.train(Tables.embeddings(s, d), kmeansModel(s, d)))
 
-  /** The M=4 trained PQ codebooks, one row per (sub, cluster, dim) in
-    * integer micros — the quantization model behind [[embeddingTopkPq]].
-    * The DuckDB oracle re-runs all four unrolled per-subspace Lloyd
-    * trainings from the raw embeddings (the kmeans_centroids contract,
-    * ×M via a subspace-spec cross join) and must land on the identical
-    * lattice. Producer convention: deliberately re-trains and refreshes
-    * the cache (the kmeans_centroids pattern — the build cost is
-    * measured here, consumers read the warmed model).
+  /** The M=4 trained RESIDUAL PQ codebooks, one row per (sub, cluster,
+    * dim) in integer micros — the quantization model behind
+    * [[embeddingTopkPq]]. The DuckDB oracle re-derives the coarse
+    * cells (the unrolled Lloyd chain), subtracts each vector's cell
+    * center to get the residual table, then re-runs all four unrolled
+    * per-subspace Lloyd trainings over the residuals (the
+    * kmeans_centroids contract, ×M via a subspace-spec cross join) and
+    * must land on the identical lattice. Producer convention:
+    * deliberately re-trains and refreshes the cache (the
+    * kmeans_centroids pattern — the build cost is measured here,
+    * consumers read the warmed model).
     */
   def pqCodebooks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val model = Pq.train(Tables.embeddings(s, d))
+    val model = Pq.train(Tables.embeddings(s, d), kmeansModel(s, d))
     pqCache.put((s, d), model)
     model.zipWithIndex.flatMap { case (cb, sub) =>
       cb.zipWithIndex.flatMap { case (c, cid) =>
@@ -429,37 +436,45 @@ object Pipeline {
       .orderBy(col("sub"), col("cluster_id"), col("dim"))
   }
 
-  /** Every vector's M PQ codes (the index-build encode pass) in long
-    * form (vec_id, sub, code) for oracle inspection — the compact
-    * array-typed artifact the ADC scan reads is [[Pq.codesWide]], this
-    * is its posexplode.
+  /** Every vector's coarse cell + M residual PQ codes (the index-build
+    * encode pass) in long form (vec_id, cell, sub, code) for oracle
+    * inspection — the compact array-typed artifact the ADC scan reads is
+    * [[Pq.codesWide]], this is its posexplode. The cell column is part
+    * of the index entry now that codes are residuals: a code is only
+    * decodable relative to its cell center.
     */
   def pqCodes(s: SparkSession, d: String): DataFrame =
-    Pq.codesWide(Tables.embeddings(s, d), pqModel(s, d))
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-      .select(col("vec_id"), col("sub"), col("code").cast("int").as("code"))
+    Pq.codesWide(Tables.embeddings(s, d), kmeansModel(s, d), pqModel(s, d))
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        col("code").cast("int").as("code"))
       .orderBy(col("vec_id"), col("sub"))
 
-  /** PQ/ADC top-20 for query vec_id=0 by approximate squared L2: the
-    * query's M×k distance table is a broadcast literal and every corpus
-    * vector costs M table lookups on its codes — map-only scan +
-    * TakeOrderedAndProject, no shuffle, no join. The query re-derives
-    * the codes inline so it is self-contained; at 100 TB the
-    * [[Pq.codesWide]] table is the materialized index artifact and the
-    * scan reads ONLY it (4 bytes/vector), never the raw vectors — the
-    * 64× I/O reduction that is PQ's reason to exist. Exact-integer
-    * micro² end to end; oracle recomputes the ADC sum from this run's
-    * own codebook/code dumps ({OUT} substitution).
+  /** Residual-PQ/ADC top-20 for query vec_id=0 by approximate squared
+    * L2: the query's per-cell ncells×M×k distance table is a broadcast
+    * literal (cell-center term folded in — true IVFADC scoring) and
+    * every corpus vector costs M table lookups on its cell + codes —
+    * map-only scan + TakeOrderedAndProject, no shuffle, no join. The
+    * query re-derives the codes inline so it is self-contained; at
+    * 100 TB the [[Pq.codesWide]] table is the materialized index
+    * artifact and the scan reads ONLY it (4 bytes/vector + cell), never
+    * the raw vectors — the 64× I/O reduction that is PQ's reason to
+    * exist. Exact-integer micro² end to end; oracle recomputes the ADC
+    * sum from this run's own centroid/codebook/code dumps ({OUT}
+    * substitution).
     */
   def embeddingTopkPq(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val coarse = kmeansModel(s, d)
     val model = pqModel(s, d)
     val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
       .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
-    val dt = Pq.distTables(model, qv)
-    Pq.codesWide(emb, model)
+    val dt = Pq.distTables(model, coarse, qv)
+    Pq.codesWide(emb, coarse, model)
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScore(col("codes"), dt).as("adc_micro2"))
+      .select(col("vec_id"),
+        Pq.adcScore(col("cell"), col("codes"), dt).as("adc_micro2"))
       .orderBy(col("adc_micro2"), col("vec_id"))
       .limit(20)
   }
@@ -510,13 +525,15 @@ object Pipeline {
     */
   def pqRerankTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val coarse = kmeansModel(s, d)
     val model = pqModel(s, d)
     val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
       .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
-    val dt = Pq.distTables(model, qv)
-    val shortlist = Pq.codesWide(emb, model)
+    val dt = Pq.distTables(model, coarse, qv)
+    val shortlist = Pq.codesWide(emb, coarse, model)
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScore(col("codes"), dt).as("adc_micro2"))
+      .select(col("vec_id"),
+        Pq.adcScore(col("cell"), col("codes"), dt).as("adc_micro2"))
       .orderBy(col("adc_micro2"), col("vec_id"))
       .limit(100)
       .select(col("vec_id"))
@@ -567,16 +584,12 @@ object Pipeline {
       while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
       (dsum, cid)
     }.sorted.take(nprobe).map(_._2)
-    val dt = Pq.distTables(pq, qv)
-    val q = Kmeans.quantized(emb).filter(col("vec_id") =!= 0)
-    q.select(col("vec_id"), col("v"),
-        Kmeans.nearest(model).getField("cid").as("cid"))
-      .filter(col("cid").isin(probed.toIndexedSeq: _*))
+    val dt = Pq.distTables(pq, model, qv)
+    Pq.codesWide(emb, model, pq)
+      .filter(col("vec_id") =!= 0)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"),
-        Pq.adcScore(array((0 until Pq.M).map(m =>
-          graft.functions.SketchExprs
-            .nearestCentroid(slice(col("v"), m * Pq.SubDim + 1, Pq.SubDim), pq(m))
-            .getField("cid")): _*), dt).as("adc_micro2"))
+        Pq.adcScore(col("cell"), col("codes"), dt).as("adc_micro2"))
       .orderBy(col("adc_micro2"), col("vec_id"))
       .limit(20)
   }
@@ -603,13 +616,9 @@ object Pipeline {
       val dir = graft.TempArtifacts.create("graft-pq-index")
       val coarse = kmeansModel(s, d)
       val pq = pqModel(s, d)
-      val idx = Kmeans.quantized(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          Kmeans.nearest(coarse).getField("cid").cast("int").as("cell"),
-          Pq.packCodes(array((0 until Pq.M).map(m =>
-            graft.functions.SketchExprs
-              .nearestCentroid(slice(col("v"), m * Pq.SubDim + 1, Pq.SubDim), pq(m))
-              .getField("cid")): _*)).as("code32"))
+      val idx = Pq.codesWide(Tables.embeddings(s, d), coarse, pq)
+        .select(col("vec_id"), col("cell"),
+          Pq.packCodes(col("codes")).as("code32"))
       graft.sources.Layout.writePartitioned(idx, dir, "cell")
       dir
     })
@@ -632,11 +641,12 @@ object Pipeline {
       while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
       (dsum, cid)
     }.sorted.take(nprobe).map(_._2)
-    val dt = Pq.distTables(pqModel(s, d), qv)
+    val dt = Pq.distTables(pqModel(s, d), model, qv)
     s.read.parquet(pqIndexPath(s, d))
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScorePacked(col("code32"), dt).as("adc_micro2"))
+      .select(col("vec_id"),
+        Pq.adcScorePacked(col("cell"), col("code32"), dt).as("adc_micro2"))
       .orderBy(col("adc_micro2"), col("vec_id"))
       .limit(20)
   }
@@ -662,11 +672,12 @@ object Pipeline {
       while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
       (dsum, cid)
     }.sorted.take(nprobe).map(_._2)
-    val dt = Pq.distTables(pqModel(s, d), qv)
+    val dt = Pq.distTables(pqModel(s, d), model, qv)
     val shortlist = s.read.parquet(pqIndexPath(s, d))
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScorePacked(col("code32"), dt).as("adc"))
+      .select(col("vec_id"),
+        Pq.adcScorePacked(col("cell"), col("code32"), dt).as("adc"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(100)
       .select(col("vec_id"))
@@ -1537,49 +1548,64 @@ object Pipeline {
       |c2 AS (SELECT c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
       |  FROM c1 LEFT JOIN u2 USING (cid, dim))""".stripMargin
 
-  /** The unrolled per-subspace Lloyd chain the PQ oracles share —
-    * [[KmeansTrainCte]] generalized with a `sub` dimension via a 4-row
-    * subspace spec: init is the same 8 lowest vec_ids (their subvectors),
-    * every distance/update carries `sub`, and the full 64-long vector is
+  /** The unrolled RESIDUAL per-subspace Lloyd chain the PQ oracles
+    * share — true IVFADC: first the coarse chain ([[KmeansTrainCte]] →
+    * `c2`) plus its assignment pass (`ka3`) derive each vector's
+    * residual v − coarse_centroid(cell) into `er`; then the per-subspace
+    * chain ([[KmeansTrainCte]] generalized with a `sub` dimension via a
+    * 4-row subspace spec, CTEs prefixed `p` to avoid colliding with the
+    * coarse chain's names) trains over the residuals: init is the same
+    * 8 lowest vec_ids (their residual subvectors), every
+    * distance/update carries `sub`, and the full 64-long residual is
     * indexed at sub·16 + dim instead of sliced. Mirrors [[Pq.train]]'s
     * M independent trainings exactly (k=8, 2 rounds, (dist, cid)
-    * tie-break, floor-average, empty-cluster coalesce).
+    * tie-break, floor-average, empty-cluster coalesce). Final
+    * codebooks: `pc2`; residual table: `er` (vec_id, cell, v).
     */
   private def PqTrainCte: String =
-    """subs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(sub)),
-      |e AS (SELECT vec_id,
-      |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
-      |  FROM embeddings),
-      |i0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-      |  FROM e ORDER BY vec_id LIMIT 8),
-      |c0 AS (SELECT s.sub, i.cid, t.i AS dim, i.cv[s.sub * 16 + t.i] AS c
-      |  FROM i0 i CROSS JOIN subs s CROSS JOIN range(1, 17) t(i)),
-      |d1 AS (SELECT e.vec_id, c.sub, c.cid,
-      |    sum((e.v[c.sub * 16 + c.dim] - c.c) * (e.v[c.sub * 16 + c.dim] - c.c)) AS dist
-      |  FROM e CROSS JOIN c0 c GROUP BY 1, 2, 3),
-      |a1 AS (SELECT vec_id, sub, cid FROM (
+    s"""$KmeansTrainCte,
+      |kd3 AS (SELECT e.vec_id, c.cid,
+      |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+      |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
+      |ka3 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM kd3) WHERE rn = 1),
+      |ccl AS (SELECT cid, list(c ORDER BY dim) AS cv FROM c2 GROUP BY cid),
+      |er AS (SELECT e.vec_id, ka3.cid AS cell,
+      |    list_transform(range(1, 65), i -> e.v[i] - ccl.cv[i]) AS v
+      |  FROM e JOIN ka3 USING (vec_id) JOIN ccl ON ka3.cid = ccl.cid),
+      |subs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(sub)),
+      |pi0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM er ORDER BY vec_id LIMIT 8),
+      |pc0 AS (SELECT s.sub, i.cid, t.i AS dim, i.cv[s.sub * 16 + t.i] AS c
+      |  FROM pi0 i CROSS JOIN subs s CROSS JOIN range(1, 17) t(i)),
+      |pd1 AS (SELECT er.vec_id, c.sub, c.cid,
+      |    sum((er.v[c.sub * 16 + c.dim] - c.c) * (er.v[c.sub * 16 + c.dim] - c.c)) AS dist
+      |  FROM er CROSS JOIN pc0 c GROUP BY 1, 2, 3),
+      |pa1 AS (SELECT vec_id, sub, cid FROM (
       |    SELECT vec_id, sub, cid,
       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
-      |    FROM d1) WHERE rn = 1),
-      |u1 AS (SELECT a.sub, a.cid, t.i AS dim,
-      |    sum(e.v[a.sub * 16 + t.i]) // count(*) AS c
-      |  FROM a1 a JOIN e USING (vec_id) CROSS JOIN range(1, 17) t(i)
+      |    FROM pd1) WHERE rn = 1),
+      |pu1 AS (SELECT a.sub, a.cid, t.i AS dim,
+      |    sum(er.v[a.sub * 16 + t.i]) // count(*) AS c
+      |  FROM pa1 a JOIN er USING (vec_id) CROSS JOIN range(1, 17) t(i)
       |  GROUP BY 1, 2, 3),
-      |c1 AS (SELECT c0.sub, c0.cid, c0.dim, coalesce(u1.c, c0.c) AS c
-      |  FROM c0 LEFT JOIN u1 USING (sub, cid, dim)),
-      |d2 AS (SELECT e.vec_id, c.sub, c.cid,
-      |    sum((e.v[c.sub * 16 + c.dim] - c.c) * (e.v[c.sub * 16 + c.dim] - c.c)) AS dist
-      |  FROM e CROSS JOIN c1 c GROUP BY 1, 2, 3),
-      |a2 AS (SELECT vec_id, sub, cid FROM (
+      |pc1 AS (SELECT pc0.sub, pc0.cid, pc0.dim, coalesce(pu1.c, pc0.c) AS c
+      |  FROM pc0 LEFT JOIN pu1 USING (sub, cid, dim)),
+      |pd2 AS (SELECT er.vec_id, c.sub, c.cid,
+      |    sum((er.v[c.sub * 16 + c.dim] - c.c) * (er.v[c.sub * 16 + c.dim] - c.c)) AS dist
+      |  FROM er CROSS JOIN pc1 c GROUP BY 1, 2, 3),
+      |pa2 AS (SELECT vec_id, sub, cid FROM (
       |    SELECT vec_id, sub, cid,
       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
-      |    FROM d2) WHERE rn = 1),
-      |u2 AS (SELECT a.sub, a.cid, t.i AS dim,
-      |    sum(e.v[a.sub * 16 + t.i]) // count(*) AS c
-      |  FROM a2 a JOIN e USING (vec_id) CROSS JOIN range(1, 17) t(i)
+      |    FROM pd2) WHERE rn = 1),
+      |pu2 AS (SELECT a.sub, a.cid, t.i AS dim,
+      |    sum(er.v[a.sub * 16 + t.i]) // count(*) AS c
+      |  FROM pa2 a JOIN er USING (vec_id) CROSS JOIN range(1, 17) t(i)
       |  GROUP BY 1, 2, 3),
-      |c2 AS (SELECT c1.sub, c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
-      |  FROM c1 LEFT JOIN u2 USING (sub, cid, dim))""".stripMargin
+      |pc2 AS (SELECT pc1.sub, pc1.cid, pc1.dim, coalesce(pu2.c, pc1.c) AS c
+      |  FROM pc1 LEFT JOIN pu2 USING (sub, cid, dim))""".stripMargin
 
   /** The composed IVF-PQ probe oracle (a def — oracleSql initializes
     * first), shared verbatim by `ivf_pq_topk` (inline) and
@@ -1608,15 +1634,17 @@ object Pipeline {
        |         WHERE a3.vec_id <> 0),
        |cb AS (SELECT sub, cluster_id, dim, c_micro
        |       FROM read_parquet('{OUT}/pq_codebooks/*.parquet')),
-       |dt AS (SELECT cb.sub, cb.cluster_id,
-       |    sum((cb.c_micro - q.v[cb.sub * 16 + cb.dim + 1])
-       |        * (cb.c_micro - q.v[cb.sub * 16 + cb.dim + 1])) AS d2
-       |  FROM cb CROSS JOIN q GROUP BY 1, 2),
-       |co AS (SELECT c.vec_id, c.sub, c.code
+       |dt AS (SELECT cc.cid AS cell, cb.sub, cb.cluster_id,
+       |    sum((q.v[cb.sub * 16 + cb.dim + 1] - cc.c - cb.c_micro)
+       |        * (q.v[cb.sub * 16 + cb.dim + 1] - cc.c - cb.c_micro)) AS d2
+       |  FROM cb JOIN c2 cc ON cc.dim = cb.sub * 16 + cb.dim + 1
+       |  CROSS JOIN q GROUP BY 1, 2, 3),
+       |co AS (SELECT c.vec_id, c.cell, c.sub, c.code
        |       FROM read_parquet('{OUT}/pq_codes/*.parquet') c
        |       JOIN cand USING (vec_id)),
        |sc AS (SELECT co.vec_id, sum(dt.d2)::BIGINT AS adc
-       |       FROM co JOIN dt ON co.sub = dt.sub AND co.code = dt.cluster_id
+       |       FROM co JOIN dt ON co.cell = dt.cell AND co.sub = dt.sub
+       |                      AND co.code = dt.cluster_id
        |       GROUP BY 1)""".stripMargin
 
   private def IvfPqOracle: String =
@@ -1793,16 +1821,16 @@ object Pipeline {
       s"""WITH $PqTrainCte
         |SELECT sub::INT AS sub, cid::INT AS cluster_id, (dim - 1)::INT AS dim,
         |  c::BIGINT AS c_micro
-        |FROM c2 ORDER BY sub, cluster_id, dim""".stripMargin,
+        |FROM pc2 ORDER BY sub, cluster_id, dim""".stripMargin,
     "pq_codes" ->
       s"""WITH $PqTrainCte,
-        |d3 AS (SELECT e.vec_id, c.sub, c.cid,
-        |    sum((e.v[c.sub * 16 + c.dim] - c.c) * (e.v[c.sub * 16 + c.dim] - c.c)) AS dist
-        |  FROM e CROSS JOIN c2 c GROUP BY 1, 2, 3),
-        |a3 AS (SELECT vec_id, sub, cid,
-        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d3)
-        |SELECT vec_id, sub::INT AS sub, cid::INT AS code
-        |FROM a3 WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+        |pd3 AS (SELECT er.vec_id, er.cell, c.sub, c.cid,
+        |    sum((er.v[c.sub * 16 + c.dim] - c.c) * (er.v[c.sub * 16 + c.dim] - c.c)) AS dist
+        |  FROM er CROSS JOIN pc2 c GROUP BY 1, 2, 3, 4),
+        |pa3 AS (SELECT vec_id, cell, sub, cid,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM pd3)
+        |SELECT vec_id, cell::INT AS cell, sub::INT AS sub, cid::INT AS code
+        |FROM pa3 WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
     // ADC twins: the codebooks are independently re-trained above; the
     // ADC sum and recall are recomputed from this run's own dumps ({OUT}
     // substitution, the ivf_recall pattern) so the scoring contract is
@@ -1811,16 +1839,19 @@ object Pipeline {
       """WITH q AS (SELECT list_transform(embedding,
         |      x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
         |  FROM embeddings WHERE vec_id = 0),
+        |cc AS (SELECT cluster_id, dim, c_micro
+        |       FROM read_parquet('{OUT}/kmeans_centroids/*.parquet')),
         |cb AS (SELECT sub, cluster_id, dim, c_micro
         |       FROM read_parquet('{OUT}/pq_codebooks/*.parquet')),
-        |dt AS (SELECT cb.sub, cb.cluster_id,
-        |    sum((cb.c_micro - q.v[cb.sub * 16 + cb.dim + 1])
-        |        * (cb.c_micro - q.v[cb.sub * 16 + cb.dim + 1])) AS d2
-        |  FROM cb, q GROUP BY 1, 2),
-        |c AS (SELECT vec_id, sub, code
+        |dt AS (SELECT cc.cluster_id AS cell, cb.sub, cb.cluster_id AS code,
+        |    sum((q.v[cb.sub * 16 + cb.dim + 1] - cc.c_micro - cb.c_micro)
+        |        * (q.v[cb.sub * 16 + cb.dim + 1] - cc.c_micro - cb.c_micro)) AS d2
+        |  FROM cb JOIN cc ON cc.dim = cb.sub * 16 + cb.dim, q GROUP BY 1, 2, 3),
+        |c AS (SELECT vec_id, cell, sub, code
         |      FROM read_parquet('{OUT}/pq_codes/*.parquet') WHERE vec_id <> 0),
         |sc AS (SELECT c.vec_id, sum(dt.d2)::BIGINT AS adc
-        |       FROM c JOIN dt ON c.sub = dt.sub AND c.code = dt.cluster_id
+        |       FROM c JOIN dt ON c.cell = dt.cell AND c.sub = dt.sub
+        |                     AND c.code = dt.code
         |       GROUP BY 1)
         |SELECT vec_id, adc AS adc_micro2 FROM sc
         |ORDER BY adc, vec_id LIMIT 20""".stripMargin,
@@ -1829,16 +1860,19 @@ object Pipeline {
         |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
         |  FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cc AS (SELECT cluster_id, dim, c_micro
+        |       FROM read_parquet('{OUT}/kmeans_centroids/*.parquet')),
         |cb AS (SELECT sub, cluster_id, dim, c_micro
         |       FROM read_parquet('{OUT}/pq_codebooks/*.parquet')),
-        |dt AS (SELECT cb.sub, cb.cluster_id,
-        |    sum((cb.c_micro - q.qv[cb.sub * 16 + cb.dim + 1])
-        |        * (cb.c_micro - q.qv[cb.sub * 16 + cb.dim + 1])) AS d2
-        |  FROM cb, q GROUP BY 1, 2),
-        |c AS (SELECT vec_id, sub, code
+        |dt AS (SELECT cc.cluster_id AS cell, cb.sub, cb.cluster_id AS code,
+        |    sum((q.qv[cb.sub * 16 + cb.dim + 1] - cc.c_micro - cb.c_micro)
+        |        * (q.qv[cb.sub * 16 + cb.dim + 1] - cc.c_micro - cb.c_micro)) AS d2
+        |  FROM cb JOIN cc ON cc.dim = cb.sub * 16 + cb.dim, q GROUP BY 1, 2, 3),
+        |c AS (SELECT vec_id, cell, sub, code
         |      FROM read_parquet('{OUT}/pq_codes/*.parquet') WHERE vec_id <> 0),
         |sl AS (SELECT c.vec_id FROM c
-        |       JOIN dt ON c.sub = dt.sub AND c.code = dt.cluster_id
+        |       JOIN dt ON c.cell = dt.cell AND c.sub = dt.sub
+        |              AND c.code = dt.code
         |       GROUP BY 1 ORDER BY sum(dt.d2), c.vec_id LIMIT 100)
         |SELECT vec_id, dist_micro2 FROM (
         |  SELECT e.vec_id,

@@ -11,26 +11,36 @@ import org.apache.spark.sql.functions._
   */
 class PqSpec extends SparkSuite {
 
-  test("pq model shape and codes are the true per-subspace argmin") {
+  test("pq model shape and codes are the true per-subspace residual argmin") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
-    val model = Pq.train(emb)
+    val coarse = Kmeans.train(emb, k = 8, iters = 2)
+    val model = Pq.train(emb, coarse)
     assert(model.length == Pq.M)
     model.foreach { cb =>
       assert(cb.length == Pq.K)
       cb.foreach(c => assert(c.length == Pq.SubDim))
     }
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
     val got = Kmeans.quantized(emb)
-      .join(Pq.codesWide(emb, model), "vec_id")
-      .select(col("vec_id"), col("v"), col("codes"))
+      .join(Pq.codesWide(emb, coarse, model), "vec_id")
+      .select(col("vec_id"), col("v"), col("cell"), col("codes"))
       .collect()
     assert(got.length == 500)
     got.take(100).foreach { r =>
       val v = r.getSeq[Long](1).toArray
-      val codes = r.getSeq[Int](2)
+      val cell = r.getInt(2)
+      val codes = r.getSeq[Int](3)
+      // the declared IVFADC contract: cell is the coarse argmin, codes
+      // are per-subspace argmins over the RESIDUAL v - coarse(cell)
+      val refCell = coarse.zipWithIndex.map { case (c, cid) =>
+        (sqd(v, c), cid) }.min._2
+      assert(cell == refCell, s"vec ${r.getLong(0)} cell")
+      val res = v.indices.map(i => v(i) - coarse(cell)(i)).toArray
       for (m <- 0 until Pq.M) {
-        val sub = v.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+        val sub = res.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
         val best = model(m).zipWithIndex.map { case (c, cid) =>
-          (c.indices.map(i => (sub(i) - c(i)) * (sub(i) - c(i))).sum, cid)
+          (sqd(sub, c), cid)
         }.min // (dist, cid) lexicographic — the declared tie-break
         assert(codes(m) == best._2,
           s"vec ${r.getLong(0)} sub $m: got ${codes(m)}, want ${best._2}")
@@ -38,23 +48,30 @@ class PqSpec extends SparkSuite {
     }
   }
 
-  test("embedding_topk_pq equals a plain-Scala ADC recompute") {
+  test("embedding_topk_pq equals a plain-Scala residual-ADC recompute") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val coarse = Pipeline.kmeansModel(spark, sf0001)
     val model = Pipeline.pqModel(spark, sf0001)
     val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
       .select(col("v")).collect()(0).getSeq[Long](0).toArray
-    val dt = Pq.distTables(model, qv)
-    // reference: encode every vector (argmin per subspace) and sum lookups
+    val dt = Pq.distTables(model, coarse, qv)
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // reference: assign the cell, encode the residual (argmin per
+    // subspace), sum the per-cell table lookups
     val ref = Kmeans.quantized(emb).filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("v")).collect()
       .map { r =>
         val v = r.getSeq[Long](1).toArray
+        val cell = coarse.zipWithIndex.map { case (c, cid) =>
+          (sqd(v, c), cid) }.min._2
+        val res = v.indices.map(i => v(i) - coarse(cell)(i)).toArray
         val adc = (0 until Pq.M).map { m =>
-          val sub = v.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+          val sub = res.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
           val code = model(m).zipWithIndex.map { case (c, cid) =>
-            (c.indices.map(i => (sub(i) - c(i)) * (sub(i) - c(i))).sum, cid)
+            (sqd(sub, c), cid)
           }.min._2
-          dt(m)(code)
+          dt(cell)(m)(code)
         }.sum
         (r.getLong(0), adc)
       }
@@ -71,7 +88,7 @@ class PqSpec extends SparkSuite {
     val pq = Pipeline.pqModel(spark, sf0001)
     val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
       .select(col("v")).collect()(0).getSeq[Long](0).toArray
-    val dt = Pq.distTables(pq, qv)
+    val dt = Pq.distTables(pq, coarse, qv)
     def sqd(a: Array[Long], b: Array[Long]): Long =
       a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
     val probe = coarse.zipWithIndex.map { case (c, cid) => (sqd(qv, c), cid) }
@@ -83,10 +100,14 @@ class PqSpec extends SparkSuite {
         val cell = coarse.zipWithIndex.map { case (c, cid) =>
           (sqd(v, c), cid) }.min._2
         if (!probe(cell)) None
-        else Some((r.getLong(0), (0 until Pq.M).map { m =>
-          val sub = v.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
-          dt(m)(pq(m).zipWithIndex.map { case (c, cid) => (sqd(sub, c), cid) }.min._2)
-        }.sum))
+        else {
+          val res = v.indices.map(i => v(i) - coarse(cell)(i)).toArray
+          Some((r.getLong(0), (0 until Pq.M).map { m =>
+            val sub = res.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+            dt(cell)(m)(
+              pq(m).zipWithIndex.map { case (c, cid) => (sqd(sub, c), cid) }.min._2)
+          }.sum))
+        }
       }
       .sortBy { case (id, adc) => (adc, id) }.take(20)
     val got = Pipeline.ivfPqTopk(spark, sf0001).collect()
@@ -166,12 +187,13 @@ class PqSpec extends SparkSuite {
 
   test("pq_rerank: top-20 comes from the ADC top-100 and recall dominates raw ADC") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val coarse = Pipeline.kmeansModel(spark, sf0001)
     val model = Pipeline.pqModel(spark, sf0001)
     val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
       .select(col("v")).collect()(0).getSeq[Long](0).toArray
-    val dt = Pq.distTables(model, qv)
-    val shortlist = Pq.codesWide(emb, model).filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), Pq.adcScore(col("codes"), dt).as("adc"))
+    val dt = Pq.distTables(model, coarse, qv)
+    val shortlist = Pq.codesWide(emb, coarse, model).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Pq.adcScore(col("cell"), col("codes"), dt).as("adc"))
       .orderBy(col("adc"), col("vec_id")).limit(100)
       .collect().map(_.getLong(0)).toSet
     val rerank = Pipeline.pqRerankTopk(spark, sf0001).collect()
@@ -236,21 +258,26 @@ class PqSpec extends SparkSuite {
   }
 
   test("streaming PQ encode equals the batch encode pass on replay") {
+    val coarse = Pipeline.kmeansModel(spark, sf0001)
     val model = Pipeline.pqModel(spark, sf0001)
     val streamDir = java.nio.file.Files.createTempDirectory("graft-pq-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(sf0001, "embeddings.parquet"),
       streamDir.resolve("embeddings-000.parquet"))
-    val q = Pq.encodeStream(spark, sf0001, streamDir.toString, model)
-      .selectExpr("vec_id", "codes[0] c0", "codes[1] c1", "codes[2] c2", "codes[3] c3")
+    val q = Pq.encodeStream(spark, sf0001, streamDir.toString, coarse, model)
+      .selectExpr("vec_id", "cell",
+        "codes[0] c0", "codes[1] c1", "codes[2] c2", "codes[3] c3")
       .writeStream.outputMode("append").format("memory")
       .queryName("pq_stream").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("pq_stream").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
-    val batch = Pq.codesWide(graft.sources.Tables.embeddings(spark, sf0001), model)
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    val batch = Pq.codesWide(
+        graft.sources.Tables.embeddings(spark, sf0001), coarse, model)
       .collect().map { r =>
-        val c = r.getSeq[Int](1); (r.getLong(0), c(0), c(1), c(2), c(3))
+        val c = r.getSeq[Int](2)
+        (r.getLong(0), r.getInt(1), c(0), c(1), c(2), c(3))
       }.toSet
     assert(streamed == batch)
     spark.sql("DROP TABLE IF EXISTS pq_stream")

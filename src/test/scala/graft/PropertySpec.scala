@@ -158,16 +158,25 @@ class PropertySpec extends AnyFunSuite {
     val cbGen: Gen[Array[Array[Array[Long]]]] =
       Gen.listOfN(Pq.M, Gen.listOfN(Pq.K, vecGen(Pq.SubDim)).map(_.toArray))
         .map(_.toArray)
-    // ADC approximates d(q, v) by d(q_m, centroid(code(v_m))) summed; when
-    // every subvector of v IS its chosen centroid the approximation must
-    // collapse to the exact squared L2 — the identity separating table
-    // lookup bugs from genuine quantization error
-    check("adc-exact")(Prop.forAll(cbGen, vecGen(dims),
-        Gen.listOfN(Pq.M, Gen.choose(0, Pq.K - 1)).map(_.toArray)) { (cb, q, codes) =>
-      val dt = Pq.distTables(cb, q)
-      val v = (0 until Pq.M).flatMap(m => cb(m)(codes(m))).toArray
+    // residual ADC approximates d(q, v) by d(q_m, cc_cell_m +
+    // centroid(code(r_m))) summed; when every residual subvector of v IS
+    // its chosen codebook centroid (v = cell center + decoded residual)
+    // the approximation must collapse to the exact squared L2 — the
+    // identity separating table lookup bugs from genuine quantization
+    // error
+    val coarseGen: Gen[Array[Array[Long]]] =
+      Gen.listOfN(2, vecGen(dims)).map(_.toArray)
+    check("adc-exact")(Prop.forAll(cbGen, coarseGen, vecGen(dims),
+        Gen.choose(0, 1),
+        Gen.listOfN(Pq.M, Gen.choose(0, Pq.K - 1)).map(_.toArray)) {
+      (cb, coarse, q, cell, codes) =>
+      val dt = Pq.distTables(cb, coarse, q)
+      val v = (0 until Pq.M).flatMap { m =>
+        (0 until Pq.SubDim).map(i =>
+          coarse(cell)(m * Pq.SubDim + i) + cb(m)(codes(m))(i))
+      }.toArray
       val exact = q.indices.map(i => (q(i) - v(i)) * (q(i) - v(i))).sum
-      (0 until Pq.M).map(m => dt(m)(codes(m))).sum == exact
+      (0 until Pq.M).map(m => dt(cell)(m)(codes(m))).sum == exact
     })
   }
 
