@@ -294,6 +294,13 @@ object Dedup {
     */
   val DefaultGiantBucket = 64
 
+  /** Member bound above which a giant bucket is triangle-pre-sharded
+    * before the pivot probe (see [[minhashPairsFrom]]): caps the width
+    * of any collect_set row in the dedup path at ~2x this, independent
+    * of bucket size.
+    */
+  val DefaultShardAbove = 1 << 20
+
   /** [[minhashPairs]] over a pre-built (possibly persisted) shingle-hash
     * set table — the production posture: the set table is the corpus
     * artifact every dedup consumer (signatures, candidate verify, hub
@@ -316,12 +323,27 @@ object Dedup {
     * fixture) — while a false pileup (members collide in a band but are
     * not mutual near-dups) collapses from O(k²) to O(k) verifications. A
     * TRUE pileup of k mutual near-dups still emits O(k²) pairs: that is
-    * the declared output, not overhead. Residual bound: one bucket's
-    * members collect into one row (the existing collect_set posture), so
-    * a bucket beyond ~10M members would need a pre-shard stage first.
+    * the declared output, not overhead.
+    *
+    * PRE-SHARD (closes the old ~10M-member single-row residual bound):
+    * a bucket's members collect into one row for the window pass, so a
+    * bucket beyond `shardAbove` members is first split by a SECONDARY
+    * hash (xxhash64 of the doc_id — independent of the band hash that
+    * built the bucket) into S = ceil(k/shardAbove) shards, and every
+    * shard PAIR (g1 <= g2) becomes its own sub-bucket holding both
+    * shards' members — the triangle scheme for skewed self-joins. Any
+    * candidate pair co-occurs in exactly sub-bucket (min(g_a,g_b),
+    * max(g_a,g_b)), so the split is lossless (ScaleSpec pins equality
+    * with the unsharded output on a synthetic mega-bucket); row width is
+    * bounded by ~2·shardAbove members at ANY bucket size; each member is
+    * replicated S times and hub-verified S times — O(k²/shardAbove)
+    * work, sub-quadratic for every k below shardAbove² (~10¹² at the
+    * default). Pairs double-generated across overlapping sub-buckets
+    * collapse in the candidate distinct below.
     */
   def minhashPairsFrom(hsets: DataFrame, minJac: Double = 0.5,
-      giantBucketThreshold: Int = DefaultGiantBucket): DataFrame = {
+      giantBucketThreshold: Int = DefaultGiantBucket,
+      shardAbove: Int = DefaultShardAbove): DataFrame = {
     val sigs = signaturesFrom(hsets)
     if (giantBucketThreshold == Int.MaxValue)
       return verifyPairs(candidatesFrom(sigs, Int.MaxValue), hsets, minJac)
@@ -345,8 +367,24 @@ object Dedup {
     val small = buckets.filter(size(col("ids")) <= giantBucketThreshold)
       .select(explode(pairsOf(col("ids"), Int.MaxValue)).as("p"))
       .select(col("p.id1"), col("p.id2"))
-    val giant = pivotPrunedCandidates(
-      buckets.filter(size(col("ids")) > giantBucketThreshold), hsets, minJac)
+    val giant0 = buckets.filter(size(col("ids")) > giantBucketThreshold)
+    val direct = giant0.filter(size(col("ids")) <= shardAbove)
+      .select(concat_ws("#", col("band"), col("bh")).as("bkey"), col("ids"))
+    // triangle pre-shard of the over-bound buckets (see the scaladoc)
+    val sharded = giant0.filter(size(col("ids")) > shardAbove)
+      .select(col("band"), col("bh"),
+        ceil(size(col("ids")).cast("double") / shardAbove).cast("int").as("ns"),
+        explode(col("ids")).as("id"))
+      .withColumn("g", pmod(xxhash64(col("id")), col("ns")).cast("int"))
+      .select(col("band"), col("bh"), col("id"), col("g"),
+        explode(sequence(lit(0), col("ns") - 1)).as("j"))
+      .groupBy(col("band"), col("bh"),
+        least(col("g"), col("j")).as("g1"), greatest(col("g"), col("j")).as("g2"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(concat_ws("#", col("band"), col("bh"), col("g1"), col("g2"))
+        .as("bkey"), col("ids"))
+    val giant = pivotPrunedCandidates(direct.union(sharded), hsets, minJac)
     verifyPairs(small.union(giant).distinct(), hsets, minJac)
   }
 
@@ -372,13 +410,14 @@ object Dedup {
     * rounding can never prune a boundary pair (the final verify is exact,
     * so over-inclusion is merely a few extra verifications).
     *
-    * Input `giantBuckets`: (band, bh, ids) with ids sorted, size > thr.
+    * Input `giantBuckets`: (bkey, ids) with ids sorted, size > thr —
+    * bkey is the opaque (band, bh[, shard-pair]) bucket identity string.
     */
   private def pivotPrunedCandidates(giantBuckets: DataFrame, hsets: DataFrame,
       minJac: Double): DataFrame = {
     val window = lit(1.0 - minJac + 1e-9)
     giantBuckets
-      .select(col("band"), col("bh"), element_at(col("ids"), 1).as("hub"),
+      .select(col("bkey"), element_at(col("ids"), 1).as("hub"),
         explode(slice(col("ids"), lit(2), size(col("ids")))).as("m"))
       .join(hsets.select(col("doc_id").as("hub"), col("hs").as("hsh")), "hub")
       .join(hsets.select(col("doc_id").as("m"), col("hs").as("hsm")), "m")
@@ -386,7 +425,7 @@ object Dedup {
         graft.functions.SketchExprs.sortedIntersectCount(col("hsh"), col("hsm")))
       .withColumn("jh", col("inter").cast("double") /
         (size(col("hsh")) + size(col("hsm")) - col("inter")))
-      .groupBy(col("band"), col("bh"), col("hub"))
+      .groupBy(col("bkey"), col("hub"))
       .agg(collect_list(struct(col("jh"), col("m"))).as("ms0"))
       // the hub itself re-enters the member list at J = 1.0, so hub-spoke
       // pairs fall out of the same window generator as spoke-spoke pairs
