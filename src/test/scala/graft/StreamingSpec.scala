@@ -150,6 +150,40 @@ class StreamingSpec extends SparkSuite {
       "streamed drift report must equal the batch token_kl_drift after full replay")
   }
 
+  test("drift merge is bucket-incremental and replay-idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-drift-idem")
+    val countsDir = base.resolve("counts").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+    val b2 = docs.filter(col("doc_id") === 3) // one doc: touches few buckets
+    def snap() = spark.read.parquet(countsDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val w1 = graft.streaming.Drift.applyBatch(spark, b1, 0L, countsDir)
+    assert(w1.nonEmpty)
+    val s1 = snap()
+    // at-least-once replay of the SAME batch id must be a full no-op:
+    // no bucket rewritten, table unchanged
+    assert(graft.streaming.Drift.applyBatch(spark, b1, 0L, countsDir).isEmpty)
+    assert(snap() == s1)
+    // the next batch rewrites ONLY the buckets its delta touches; every
+    // untouched bucket still carries batch 0's id (it was not re-written)
+    val w2 = graft.streaming.Drift.applyBatch(spark, b2, 1L, countsDir)
+    assert(w2.nonEmpty && w2.size < w1.size,
+      s"one doc should touch fewer buckets than the big batch (${w2.size} vs ${w1.size})")
+    val byBucket = spark.read.parquet(countsDir)
+      .groupBy(col("bucket")).agg(max(col("last_batch")).as("lb")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    w2.foreach(b => assert(byBucket(b) == 1L))
+    byBucket.filterNot { case (b, _) => w2.contains(b) }
+      .foreach { case (b, lb) => assert(lb == 0L, s"bucket $b rewritten: $lb") }
+    // and the maintained counts equal the batch aggregate over b1 ∪ b2
+    val expect = b1.union(b2)
+      .select(explode(graft.operators.Dedup.tokensNE(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(snap() == expect)
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-state")
     java.nio.file.Files.copy(
