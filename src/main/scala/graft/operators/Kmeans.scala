@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   */
 object Kmeans {
 
+  /** The √n cell-count rule for sizing an IVF coarse quantizer: with
+    * ncells ≈ √n, a probe touching nprobe cells reads ~nprobe·√n
+    * vectors and the centroid ranking costs √n distances — both
+    * sub-linear, and balanced against each other (more cells = cheaper
+    * scans but costlier ranking + training). This is the standard
+    * sizing (FAISS guideline; Jégou 2011 evaluates at K' ≈ √n) and what
+    * `ivf_size_profile` publishes the trade for on the fixture.
+    */
+  def ncellsFor(n: Long): Int =
+    math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+
   /** (vec_id, v: array<long>) — embeddings quantized to integer micros.
     * Both engines compute round(float→double × 1e6) on the same parquet
     * floats, so the lattices agree exactly.

@@ -723,6 +723,53 @@ object Pipeline {
       .orderBy(col("cluster_id"))
   }
 
+  /** The index-sizing trade made measurable — one row per candidate
+    * coarse-quantizer size: the shipped default (ncells = 8) and the
+    * √n rule ([[graft.operators.Kmeans.ncellsFor]] — the FAISS/IVFADC
+    * sizing, 22 cells on the 500-vector fixture). Each size trains its
+    * own quantizer (the producer convention: this query deliberately
+    * pays both training costs so the bench row shows the trade), probes
+    * at the SAME scan fraction as the default operating point
+    * (nprobe = max(1, 3·ncells/8) — 3-of-8), brute-forces exact integer
+    * L2 within the probed cells only, and reports recall@20 against the
+    * global exact scan. The published story: at equal scan fraction,
+    * more cells = finer pruning boundaries (and cheaper per-probe scans
+    * of ~nprobe·√n vectors), bought with k× training and ranking cost.
+    * Oracle re-runs BOTH unrolled Lloyd chains in DuckDB — the √n one
+    * with a data-derived init LIMIT — and must land on identical rows.
+    */
+  def ivfSizeProfile(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count() // bounded: one count job sizes the index
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
+    val exact = exactL2Topk(s, d)
+    val rows = Seq(8, Kmeans.ncellsFor(n)).map { k =>
+      val model = Kmeans.train(emb, k = k, iters = 2)
+      val nprobe = math.max(1, 3 * k / 8)
+      val probed = model.zipWithIndex.map { case (c, cid) =>
+        var dsum = 0L; var i = 0
+        while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
+        (dsum, cid)
+      }.sorted.take(nprobe).map(_._2)
+      val ivf = Kmeans.quantized(emb).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Kmeans.nearest(model).getField("cid").as("cid"),
+          graft.functions.SketchExprs.nearestCentroid(col("v"), Array(qv))
+            .getField("dist").as("dist"))
+        .filter(col("cid").isin(probed.toIndexedSeq: _*))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"))
+      exact.join(ivf, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(k).cast("int").as("ncells"),
+          lit(nprobe).cast("int").as("nprobe"), col("n_hit"),
+          expr("10000 * n_hit div 20").as("recall_bp"))
+    }
+    rows.reduce(_ union _).orderBy(col("ncells"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
     * corpus by the TRAINED k-means cells ([[kmeansModel]]) and drop any
     * vector that has a within-cell neighbor with exact cosine ≥ 0.35
@@ -1433,6 +1480,7 @@ object Pipeline {
     "ivf_pq_pruned" -> ivfPqPruned,
     "ivf_pq_rerank" -> ivfPqRerank,
     "kmeans_profile" -> kmeansProfile,
+    "ivf_size_profile" -> ivfSizeProfile,
     "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
     "simhash_signatures" -> simhashSignatures,
@@ -1547,6 +1595,64 @@ object Pipeline {
       |  GROUP BY 1, 2),
       |c2 AS (SELECT c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
       |  FROM c1 LEFT JOIN u2 USING (cid, dim))""".stripMargin
+
+  /** [[KmeansTrainCte]] generalized for the index-sizing profile: the
+    * same unrolled 2-round Lloyd chain with CTE names prefixed `p` and
+    * a parameterizable init LIMIT (a SQL expression — the √n profile
+    * passes a data-derived scalar subquery), extended with the final
+    * assignment pass, the query-ranked probe at the 3-of-8 scan
+    * fraction, the within-probe exact top-20, and the recall hit count
+    * vs the global `ex` truth. Requires `e` (quantized vectors), `q`
+    * (query vector) and `ex` (global exact top-20) in scope.
+    */
+  private def kmeansChainK(p: String, limitSql: String): String =
+    s"""${p}i0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT $limitSql),
+       |${p}c0 AS (SELECT cid, t.i AS dim, cv[t.i] AS c
+       |  FROM ${p}i0 CROSS JOIN range(1, 65) t(i)),
+       |${p}d1 AS (SELECT e.vec_id, c.cid,
+       |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+       |  FROM e CROSS JOIN ${p}c0 c GROUP BY 1, 2),
+       |${p}a1 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM ${p}d1) WHERE rn = 1),
+       |${p}u1 AS (SELECT a.cid, t.i AS dim, sum(e.v[t.i]) // count(*) AS c
+       |  FROM ${p}a1 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY 1, 2),
+       |${p}c1 AS (SELECT c0.cid, c0.dim, coalesce(u1.c, c0.c) AS c
+       |  FROM ${p}c0 c0 LEFT JOIN ${p}u1 u1 USING (cid, dim)),
+       |${p}d2 AS (SELECT e.vec_id, c.cid,
+       |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+       |  FROM e CROSS JOIN ${p}c1 c GROUP BY 1, 2),
+       |${p}a2 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM ${p}d2) WHERE rn = 1),
+       |${p}u2 AS (SELECT a.cid, t.i AS dim, sum(e.v[t.i]) // count(*) AS c
+       |  FROM ${p}a2 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY 1, 2),
+       |${p}c2 AS (SELECT c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
+       |  FROM ${p}c1 c1 LEFT JOIN ${p}u2 u2 USING (cid, dim)),
+       |${p}d3 AS (SELECT e.vec_id, c.cid,
+       |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+       |  FROM e CROSS JOIN ${p}c2 c GROUP BY 1, 2),
+       |${p}a3 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM ${p}d3) WHERE rn = 1),
+       |${p}qc AS (SELECT c.cid, sum((c.c - q.v[c.dim]) * (c.c - q.v[c.dim])) AS d
+       |  FROM ${p}c2 c CROSS JOIN q GROUP BY 1),
+       |${p}probe AS (SELECT cid FROM ${p}qc ORDER BY d, cid
+       |  LIMIT greatest(1, (3 * ($limitSql)) // 8)),
+       |${p}ivf AS (SELECT vec_id FROM (
+       |    SELECT e.vec_id,
+       |      sum((e.v[t.i] - q.v[t.i]) * (e.v[t.i] - q.v[t.i])) AS dist
+       |    FROM e JOIN ${p}a3 USING (vec_id) JOIN ${p}probe USING (cid)
+       |    CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+       |    WHERE e.vec_id <> 0 GROUP BY 1)
+       |  ORDER BY dist, vec_id LIMIT 20),
+       |${p}hit AS (SELECT count(*) AS n_hit FROM ex JOIN ${p}ivf USING (vec_id))""".stripMargin
 
   /** The unrolled RESIDUAL per-subspace Lloyd chain the PQ oracles
     * share — true IVFADC: first the coarse chain ([[KmeansTrainCte]] →
@@ -1910,6 +2016,29 @@ object Pipeline {
         |SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM ex JOIN pq USING (vec_id)""".stripMargin,
+    "ivf_size_profile" -> {
+      val sqrtK = "(SELECT greatest(2, round(sqrt(count(*))))::INT FROM e)"
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+         |  FROM embeddings),
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id,
+         |      sum((e.v[t.i] - q.v[t.i]) * (e.v[t.i] - q.v[t.i])) AS dist
+         |    FROM e CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+         |    WHERE e.vec_id <> 0 GROUP BY 1)
+         |  ORDER BY dist, vec_id LIMIT 20),
+         |${kmeansChainK("s8", "8")},
+         |${kmeansChainK("sq", sqrtK)}
+         |SELECT * FROM (
+         |  SELECT 8::INT AS ncells, 3::INT AS nprobe, n_hit::BIGINT AS n_hit,
+         |    (10000 * n_hit // 20)::BIGINT AS recall_bp FROM s8hit
+         |  UNION ALL
+         |  SELECT $sqrtK AS ncells,
+         |    greatest(1, (3 * $sqrtK) // 8)::INT AS nprobe,
+         |    n_hit::BIGINT, (10000 * n_hit // 20)::BIGINT FROM sqhit)
+         |ORDER BY ncells""".stripMargin
+    },
     // identical oracle for the inline and materialized-index probes:
     // the layout change must be answer-invariant
     "ivf_pq_topk" -> IvfPqOracle,

@@ -28,6 +28,38 @@ class KmeansSpec extends SparkSuite {
     }
   }
 
+  test("ivf_size_profile matches a plain-Scala probe recompute at both sizes") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray))
+    val n = rows.length.toLong
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val qv = rows.find(_._1 == 0L).get._2
+    val exact = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (sqd(v, qv), id) }.sorted.take(20).map(_._2).toSet
+    val ref = Seq(8, Kmeans.ncellsFor(n)).map { k =>
+      // the trainer itself is pinned by the other tests; reuse it here
+      val model = Kmeans.train(emb, k = k, iters = 2)
+      val nprobe = math.max(1, 3 * k / 8)
+      val probed = model.zipWithIndex.map { case (c, cid) =>
+        (sqd(qv, c), cid) }.sorted.take(nprobe).map(_._2).toSet
+      val ivf = rows.filter(_._1 != 0L)
+        .filter { case (_, v) =>
+          probed(model.zipWithIndex.map { case (c, cid) => (sqd(v, c), cid) }.min._2) }
+        .map { case (id, v) => (sqd(v, qv), id) }.sorted.take(20).map(_._2)
+      (k, nprobe, ivf.count(exact).toLong)
+    }
+    val got = graft.queries.Pipeline.ivfSizeProfile(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == ref.length)
+    got.zip(ref.sortBy(_._1)).foreach { case ((k, np, hit, bp), (rk, rnp, rhit)) =>
+      assert(k == rk && np == rnp && hit == rhit && bp == 10000L * rhit / 20L,
+        s"ncells $k: got ($np, $hit, $bp) want ($rnp, $rhit)")
+    }
+  }
+
   test("training is bit-reproducible across runs") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val a = Kmeans.train(emb, k = 8, iters = 2)
