@@ -751,7 +751,35 @@ object Quality {
       .orderBy(col("source"))
   }
 
+  /** Corpus-wide heavy-hitter bigrams — the boilerplate-phrase screen
+    * at bounded memory: which bigrams occupy more than 1/1024 of all
+    * bigram slots, found via the two-pass Misra-Gries shape
+    * ([[graft.operators.HeavyHitters]] — per-partition k-counter
+    * summaries whose union provably contains every key above N/(k+1),
+    * then exact counts of the broadcast candidates only). The final
+    * `cnt > N div k` closure makes the output exact and
+    * partitioning-invariant whatever superset pass 1 produced, so the
+    * DuckDB oracle is the plain HAVING query; what the operator buys at
+    * 100 TB is the aggregate state bound — tasks×k candidate rows
+    * through the shuffle instead of the full bigram cardinality
+    * (vocabulary², which at web scale does not fit a hash aggregate).
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, d).select(Dedup.tokensNE(col("text")).as("ts"),
+        size(Dedup.tokensNE(col("text"))).as("l"))
+      .filter(col("l") >= 2)
+    val bigrams = t.select(explode(zip_with(
+        slice(col("ts"), lit(1), col("l") - 1), slice(col("ts"), lit(2), col("l") - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .select(col("bg")).as[String]
+    graft.operators.HeavyHitters.topOver(bigrams, k = 1024)
+      .select(col("item").as("bigram"), col("cnt"))
+      .orderBy(col("bigram"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> heavyHitters,
     "token_kl_drift" -> tokenKlDrift,
     "distinct_ngrams" -> distinctNgrams,
     "quality_filters" -> qualityFilters,
@@ -793,6 +821,15 @@ object Quality {
        |      FROM g GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "heavy_hitters" ->
+      s"""WITH t AS (SELECT $ToksNE AS ts FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(ts)),
+         |        i -> ts[i] || ' ' || ts[i+1])) AS bg
+         |      FROM t WHERE len(ts) >= 2),
+         |tot AS (SELECT count(*) AS n FROM b)
+         |SELECT bg AS bigram, count(*)::BIGINT AS cnt
+         |FROM b, tot GROUP BY bg, tot.n HAVING count(*) > tot.n // 1024
+         |ORDER BY bigram""".stripMargin,
     "distinct_ngrams" ->
       s"""WITH t AS (SELECT source, $ToksNE AS ts FROM documents),
          |u AS (SELECT source, count(*)::BIGINT AS n1,

@@ -75,6 +75,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "ivf_recall_curve" ->
       "one-row query-vector + bounded ncells-row cell-rank/ncells broadcasts",
     "token_kl_drift" -> "one-row corpus-totals scalar broadcast",
+    "heavy_hitters" -> "one-row corpus-total scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

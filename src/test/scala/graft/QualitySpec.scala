@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 /** Invariants for the Quality batch beyond the DuckDB value gate. */
 class QualitySpec extends SparkSuite {
 
+  test("heavy_hitters: two-pass MG equals brute force under forced evictions") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // adversarial skewed stream: zipf-ish key frequencies across many
+    // partitions, with k far below the cardinality so the per-partition
+    // Misra-Gries summaries MUST evict constantly — the superset
+    // guarantee (not summary capacity) has to carry correctness
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 20000).map { _ =>
+      val r = rnd.nextDouble()
+      if (r < 0.30) "hot0" else if (r < 0.45) "hot1" else if (r < 0.55) "hot2"
+      else s"cold${rnd.nextInt(500)}"
+    }
+    val k = 8
+    val items = stream.toDS().repartition(16)
+    val got = HeavyHitters.topOver(items, k).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = stream.size
+    val expect = stream.groupBy(identity).map { case (x, o) => (x, o.size.toLong) }
+      .filter(_._2 > n / k).toSeq.sortBy(_._1)
+    assert(got.toSeq == expect, s"got ${got.toSeq} want $expect")
+    assert(expect.nonEmpty && expect.size < 10,
+      "fixture must be selective or the spec proves nothing")
+    // the candidate stage must honor its O(k)-per-partition bound
+    val candPerPart = HeavyHitters.mgCandidates(items, k)
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("p").count().collect().map(_.getLong(1))
+    assert(candPerPart.forall(_ <= k), s"partition over bound: ${candPerPart.max}")
+  }
+
   test("token_kl_drift: top-20 drift contributors match a plain-Scala recompute") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
