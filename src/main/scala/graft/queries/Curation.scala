@@ -83,6 +83,39 @@ object Curation {
       .orderBy(col("window_id"))
   }
 
+  /** Sliding-window RAG chunking — [[chunkWindows]] with overlap: the
+    * corpus laid end-to-end in doc_id order is cut into W=4096-char
+    * windows every S=2048 chars (stride < width, the standard retrieval
+    * chunking so no passage is ever split across ALL the chunks that
+    * could retrieve it; each char lands in exactly W/S = 2 windows).
+    * Same distributed [[graft.operators.PrefixSum]] layout; the only
+    * new math is the window-id range a doc overlaps: t from
+    * greatest(0, (off − W + S) div S) to (off + n − 1) div S — the
+    * truncating-division forms agree between Spark `div` and DuckDB
+    * `//` because the clamped lower bound only evaluates truncation on
+    * the positive branch. Per-window totals deliberately double-count
+    * chars (overlap is the point); n_chars sums to ~W/S × corpus chars.
+    */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val W = 4096L
+    val S = 2048L
+    val dd = docs(s, d).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"))
+    graft.operators.PrefixSum.exclusive(dd, Seq(col("doc_id")), col("n_chars"), "off")
+      .select(col("doc_id"), col("n_chars"), col("off"),
+        explode(sequence(
+          greatest(lit(0L), expr(s"(off - $W + $S) div $S")),
+          expr(s"(off + n_chars - 1) div $S"))).as("window_id"))
+      .withColumn("chars_in",
+        least(col("window_id") * S + W, col("off") + col("n_chars"))
+          - greatest(col("window_id") * S, col("off")))
+      .filter(col("chars_in") > 0)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars_in")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("window_id"))
+  }
+
   // --- deterministic corpus shuffle -------------------------------------
 
   /** Seed of the declared training epoch; a new epoch = a new seed. */
@@ -604,6 +637,7 @@ object Curation {
     "token_allocation" -> ((s, d) => tokenAllocation(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "chunk_windows" -> chunkWindows,
+    "chunk_overlap" -> chunkOverlap,
     "training_order" -> trainingOrder,
     "training_chunks" -> trainingChunks,
     "pii_scrub" -> piiScrub,
@@ -732,6 +766,26 @@ object Curation {
         |      - greatest(window_id * 4096, off))::BIGINT AS n_chars,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM e GROUP BY window_id ORDER BY window_id""".stripMargin,
+    "chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM documents WHERE n_chars > 0),
+        |e AS (
+        |  SELECT doc_id, n_chars, off,
+        |    unnest(generate_series(greatest(0, (off - 4096 + 2048) // 2048),
+        |      (off + n_chars - 1) // 2048))::BIGINT AS window_id
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, window_id,
+        |    least(window_id * 2048 + 4096, off + n_chars)
+        |      - greatest(window_id * 2048, off) AS chars_in
+        |  FROM e)
+        |SELECT window_id, count(*)::BIGINT AS n_docs,
+        |  sum(chars_in)::BIGINT AS n_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f WHERE chars_in > 0 GROUP BY window_id ORDER BY window_id""".stripMargin,
     "training_order" ->
       """WITH k AS (SELECT doc_id, n_chars,
         |    ((doc_id + 42) * 48271) % 2147483647 AS shuffle_key

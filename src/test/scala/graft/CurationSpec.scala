@@ -269,6 +269,29 @@ class CurationSpec extends SparkSuite {
     rows.init.foreach { w => assert(w._2 == 4096L, s"window ${w._1} not full") }
   }
 
+  test("chunk_overlap: stride-2048 windows double-cover all chars past the first stride") {
+    val rows = Curation.chunkOverlap(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalChars = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("n_chars") > 0).agg(sum("n_chars")).collect()(0).getLong(0)
+    // windows are contiguous from 0; a char at corpus position p lies in
+    // exactly 2 windows except positions p < stride (only window 0), so
+    // the per-window char totals sum to 2·total − min(stride, total)
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong))
+    assert(rows.map(_._3).sum == 2L * totalChars - math.min(2048L, totalChars),
+      s"overlap coverage identity broken: ${rows.map(_._3).sum} vs $totalChars")
+    // every full interior window carries exactly W=4096 chars
+    rows.drop(1).dropRight(2).foreach { w =>
+      assert(w._3 == 4096L, s"interior window ${w._1} not full: ${w._3}")
+    }
+    // doc spans are monotone and consecutive windows overlap or touch
+    rows.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(0)._4 <= p(1)._4 && p(0)._5 <= p(1)._5,
+        "window doc spans must be monotone in window order")
+      assert(p(1)._4 <= p(0)._5, "stride < width: adjacent windows must share docs")
+    }
+  }
+
   test("chunk_windows: full windows, conserved chars, distributed prefix (one range exchange, reused)") {
     val q = Curation.chunkWindows(spark, sf0001)
     val rows = q.collect().map(r =>
