@@ -770,6 +770,37 @@ object Pipeline {
     rows.reduce(_ union _).orderBy(col("ncells"))
   }
 
+  /** Contrastive hard-negative mining — the training-pair op behind
+    * every embedding-model fine-tune (and the reason ANN indexes sit in
+    * training stacks at all): for each anchor, the most-similar vectors
+    * with a DIFFERENT label are the hardest negatives — the examples a
+    * contrastive loss learns most from (easy random negatives saturate
+    * immediately). 8 anchors (vec_id < 8, a bounded broadcast) fan out
+    * over the corpus map-only; the cross-label filter and codegen'd
+    * cosine run per row; per-anchor top-5 lands on the TopKPerGroup
+    * heap (never a global sort), then a 5-row-per-anchor bounded window
+    * assigns the published rank. At 100 TB the anchor set is a batch of
+    * training queries and the scan is the brute-force baseline — the
+    * IVF/PQ probes above are the drop-in accelerated path once recall
+    * is tuned (that is the point of publishing their recall contracts).
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("a_label"))
+      .select(col("anchor_id"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("a_emb")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("sim").desc, col("vec_id"))
+    graft.plans.TopKPerGroup(scored, Seq("anchor_id"),
+        Seq(col("sim").desc, col("vec_id")), 5)
+      .withColumn("rank", row_number().over(w)) // bounded: 5 rows/anchor
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
     * corpus by the TRAINED k-means cells ([[kmeansModel]]) and drop any
     * vector that has a within-cell neighbor with exact cosine ≥ 0.35
@@ -1481,6 +1512,7 @@ object Pipeline {
     "ivf_pq_rerank" -> ivfPqRerank,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
+    "hard_negatives" -> hardNegatives,
     "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
     "simhash_signatures" -> simhashSignatures,
@@ -2016,6 +2048,20 @@ object Pipeline {
         |SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM ex JOIN pq USING (vec_id)""".stripMargin,
+    "hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS a_emb, label AS a_label
+        |  FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT a.anchor_id, e.vec_id,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * a.a_emb[i]::DOUBLE), (x,y) -> x+y)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> a.a_emb[i]::DOUBLE * a.a_emb[i]::DOUBLE), (x,y) -> x+y))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN a WHERE e.label <> a.a_label),
+        |r AS (SELECT anchor_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT anchor_id, vec_id, sim, rank::INT AS rank
+        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     "ivf_size_profile" -> {
       val sqrtK = "(SELECT greatest(2, round(sqrt(count(*))))::INT FROM e)"
       s"""WITH e AS (SELECT vec_id,

@@ -76,6 +76,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "one-row query-vector + bounded ncells-row cell-rank/ncells broadcasts",
     "token_kl_drift" -> "one-row corpus-totals scalar broadcast",
     "heavy_hitters" -> "one-row corpus-total scalar broadcast",
+    "hard_negatives" -> "8-row anchor-batch broadcast (contrastive mining fan-out)",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

@@ -214,6 +214,34 @@ class PqSpec extends SparkSuite {
     assert(rrRecall >= adcRecall, s"rerank $rrRecall < adc $adcRecall")
   }
 
+  test("hard_negatives: per-anchor cross-label top-5 matches a plain-Scala recompute") {
+    val rows = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ref = rows.filter(_._1 < 8).sortBy(_._1).flatMap { case (aid, ae, al) =>
+      rows.filter(_._3 != al)
+        .map { case (id, e, _) => (sim(ae, e), id) }
+        .sortBy { case (s0, id) => (-s0, id) }
+        .take(5).zipWithIndex
+        .map { case ((s0, id), i) => (aid, id, s0, i + 1) }
+    }
+    val got = Pipeline.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == ref.toSeq)
+    // the mined negatives must actually be hard (high-sim) or the
+    // fixture proves nothing
+    assert(ref.forall(_._3 > 0.0) && ref.size == 40)
+  }
+
   test("dedup_semantic: keep-lowest-id rule matches a plain-Scala recompute") {
     val model = Pipeline.kmeansModel(spark, sf0001)
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
