@@ -778,7 +778,53 @@ object Quality {
       .orderBy(col("bigram"))
   }
 
+  /** The (seed, multiplier) spec of the d=4 independent polynomial
+    * hashes behind [[cmsEstimate]] — the same djb2-family mod-2^31
+    * arithmetic both engines already pin for `hashed_features`, with
+    * per-row constants so the rows are independent.
+    */
+  private val CmsHashes = Seq((5381L, 33L), (4241L, 31L), (7919L, 37L), (104729L, 29L))
+  private val CmsWidth = 16
+
+  /** Count-min sketch point estimates — the mergeable approximate
+    * COUNTER completing the sketch family (HLL = distinct cardinality,
+    * Misra-Gries = exact-threshold heavy keys, CM = per-key frequency
+    * without storing keys): a d=4 × w=16 cell grid where cell (j, b)
+    * sums every token whose j-th polynomial hash lands in bucket b, and
+    * a key's estimate is the MIN over its d cells. The grid is 64 longs
+    * at ANY corpus size — per-partition grids sum cell-wise (map-side
+    * combine is literally the merge operation), which is why CM is the
+    * standard distributed/streaming counter. Published per token:
+    * exact count, estimate, and the overcount (est − exact ≥ 0 always —
+    * the one-sided error CM guarantees deterministically; the ε = e/w
+    * magnitude bound is probabilistic and is what w buys at production
+    * size). w=16 on the fixture's 31-token vocabulary forces real
+    * collisions so the overcount column demonstrates the error
+    * structure instead of degenerating to zero. Everything is exact
+    * integer arithmetic — DuckDB re-runs the identical grid.
+    */
+  def cmsEstimate(s: SparkSession, d: String): DataFrame = {
+    val M = lit(2147483648L) // 2^31, the fingerprint modulus both engines pin
+    def h(t: org.apache.spark.sql.Column, seed: Long, mult: Long) =
+      (aggregate(split(t, ""), lit(seed),
+        (acc, ch) => (acc * mult + ascii(ch)) % M) % CmsWidth).cast("int")
+    val toks = docs(s, d).select(explode(Dedup.tokensNE(col("text"))).as("t"))
+    def buckets(t: org.apache.spark.sql.Column) =
+      posexplode(array(CmsHashes.map { case (s0, m) => h(t, s0, m) }: _*))
+    val cells = toks.select(buckets(col("t")).as(Seq("row_id", "bucket")))
+      .groupBy(col("row_id"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("c_exact"))
+    exact.select(col("t"), col("c_exact"),
+        buckets(col("t")).as(Seq("row_id", "bucket")))
+      .join(broadcast(cells), Seq("row_id", "bucket"))
+      .groupBy(col("t"), col("c_exact")).agg(min(col("c")).as("c_est"))
+      .select(col("t").as("tok"), col("c_exact"), col("c_est"),
+        (col("c_est") - col("c_exact")).as("overcount"))
+      .orderBy(col("tok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_estimate" -> cmsEstimate,
     "heavy_hitters" -> heavyHitters,
     "token_kl_drift" -> tokenKlDrift,
     "distinct_ngrams" -> distinctNgrams,
@@ -821,6 +867,23 @@ object Quality {
        |      FROM g GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cms_estimate" ->
+      s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
+         |hp AS (SELECT * FROM (VALUES (0, 5381, 33), (1, 4241, 31),
+         |        (2, 7919, 37), (3, 104729, 29)) v(row_id, seed, mult)),
+         |hh AS (SELECT t.tok, hp.row_id,
+         |    (list_reduce(list_prepend(hp.seed::BIGINT,
+         |       list_transform(string_split(t.tok, ''), c -> ord(c)::BIGINT)),
+         |       (a, b) -> (a * hp.mult + b) % 2147483648) % 16)::INT AS bucket
+         |  FROM t CROSS JOIN hp),
+         |cells AS (SELECT row_id, bucket, count(*) AS c FROM hh GROUP BY 1, 2),
+         |v AS (SELECT DISTINCT tok, row_id, bucket FROM hh),
+         |est AS (SELECT v.tok, min(cells.c) AS c_est
+         |        FROM v JOIN cells USING (row_id, bucket) GROUP BY 1),
+         |exact AS (SELECT tok, count(*) AS c_exact FROM t GROUP BY 1)
+         |SELECT e.tok, e.c_exact::BIGINT AS c_exact, est.c_est::BIGINT AS c_est,
+         |  (est.c_est - e.c_exact)::BIGINT AS overcount
+         |FROM exact e JOIN est USING (tok) ORDER BY tok""".stripMargin,
     "heavy_hitters" ->
       s"""WITH t AS (SELECT $ToksNE AS ts FROM documents),
          |b AS (SELECT unnest(list_transform(range(1, len(ts)),

@@ -6,6 +6,33 @@ import org.apache.spark.sql.functions._
 /** Invariants for the Quality batch beyond the DuckDB value gate. */
 class QualitySpec extends SparkSuite {
 
+  test("cms_estimate: grid, estimates and one-sided error match a plain-Scala recompute") {
+    val M = 2147483648L
+    val hp = Seq((5381L, 33L), (4241L, 31L), (7919L, 37L), (104729L, 29L))
+    def bucket(t: String, seed: Long, mult: Long): Int =
+      (t.foldLeft(seed)((a, c) => (a * mult + c.toInt) % M) % 16).toInt
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split("[ \t\n\r]", -1).filter(_.nonEmpty))
+    val cells = toks.flatMap(t => hp.zipWithIndex.map { case ((s0, m), j) =>
+        (j, bucket(t, s0, m)) })
+      .groupBy(identity).map { case (k, o) => (k, o.length.toLong) }
+    val exact = toks.groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+    val ref = exact.map { case (t, c) =>
+      val est = hp.zipWithIndex.map { case ((s0, m), j) =>
+        cells((j, bucket(t, s0, m))) }.min
+      (t, c, est, est - c)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Quality.cmsEstimate(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == ref)
+    // the CM deterministic guarantee: estimates never undercount
+    assert(got.forall(_._4 >= 0L))
+    // w=16 over this vocabulary must produce real collisions, or the
+    // error column demonstrates nothing
+    assert(got.exists(_._4 > 0L), "no overcount — sketch degenerate on fixture")
+  }
+
   test("heavy_hitters: two-pass MG equals brute force under forced evictions") {
     import spark.implicits._
     import graft.operators.HeavyHitters
