@@ -311,6 +311,64 @@ class PqSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS pq_stream")
   }
 
+  test("streamed index appends are visible to the cell-pruned probe without rebuild") {
+    // the encodeStream scaladoc's contract, pinned: new vectors encoded
+    // on ingest and APPENDED into the cell=<cid> layout are served by
+    // the same directory-pruned ADC probe, no index rebuild
+    val coarse = Pipeline.kmeansModel(spark, sf0001)
+    val model = Pipeline.pqModel(spark, sf0001)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val base = java.nio.file.Files.createTempDirectory("graft-pq-append")
+    val idxDir = base.resolve("index").toString
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    // initial index build: the batch encode pass, partitioned by cell
+    graft.sources.Layout.writePartitioned(
+      Pq.codesWide(emb, coarse, model).select(col("vec_id"), col("cell"),
+        Pq.packCodes(col("codes")).as("code32")), idxDir, "cell")
+    val n0 = spark.read.parquet(idxDir).count()
+    // a new vector batch arrives: same payloads, shifted ids (staged as
+    // a FLAT file — the file stream source does not list nested dirs)
+    val stage = java.nio.file.Files.createTempDirectory("graft-pq-append-stage")
+    emb.withColumn("vec_id", col("vec_id") + 100000L)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.copy(part, streamDir.resolve("b0.parquet"))
+    val q = Pq.encodeStream(spark, sf0001, streamDir.toString, coarse, model)
+      .select(col("vec_id"), col("cell"), Pq.packCodes(col("codes")).as("code32"))
+      .writeStream
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("cell").parquet(idxDir)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.count() == 2 * n0, "appended batch missing from the index")
+    // probe exactly like ivfPqPruned and require hits from the APPENDED ids
+    val qv = graft.operators.Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val probed = coarse.zipWithIndex.map { case (c, cid) => (sqd(qv, c), cid) }
+      .sorted.take(3).map(_._2)
+    val dt = Pq.distTables(model, coarse, qv)
+    val top = idx.filter(col("cell").isin(probed: _*))
+      .filter(col("vec_id") =!= 0 && col("vec_id") =!= 100000L)
+      .select(col("vec_id"),
+        Pq.adcScorePacked(col("cell"), col("code32"), dt).as("adc"))
+      .orderBy(col("adc"), col("vec_id")).limit(40).collect()
+    val ids = top.map(_.getLong(0)).toSet
+    assert(ids.exists(_ >= 100000L), "probe never surfaced an appended vector")
+    // every appended twin scores identically to its original (same
+    // payload -> same cell, same codes, same ADC)
+    val byScore = top.map(r => (r.getLong(0), r.getLong(1)))
+    byScore.filter(_._1 >= 100000L).foreach { case (id, adc) =>
+      val twin = byScore.find(_._1 == id - 100000L)
+      twin.foreach { case (_, a2) => assert(a2 == adc, s"twin of $id differs") }
+    }
+  }
+
   test("image thumbnail samples the real frame-0 pixel bytes") {
     import Multimodal.{BmpFile, BmpThumbCodec, MediaIn}
     val codec = new BmpThumbCodec
