@@ -801,6 +801,43 @@ object Pipeline {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** Embedding-space drift monitor — the vector analog of
+    * `token_kl_drift`: per label, the squared L2 shift between the even-
+    * and odd-vec_id snapshots' centroids, in exact micro² (the
+    * embedding-distribution check a production feature store runs when
+    * a new encoder version or data source lands — a label whose
+    * centroid moved is the one to re-index/re-tune first). Centroid
+    * components are exact integer floor-averages on the micro lattice
+    * (the kmeans_centroids convention — double means are not
+    * order-stable across partitions, integer sums are), so the report
+    * is partitioning-invariant and DuckDB re-runs it identically. One
+    * posexplode aggregate over (snapshot, label, dim) — 2·labels·64
+    * rows — then a label-local fold; two shuffles at any corpus size.
+    */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+    val cent = q.select((col("vec_id") % 2 === 0).as("snapa"), col("label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("snapa"), col("label"), col("dim"))
+      .agg(expr("sum(x) div count(*)").as("c"))
+    val shift = cent.filter(col("snapa"))
+      .select(col("label"), col("dim"), col("c").as("ca"))
+      .join(cent.filter(!col("snapa"))
+        .select(col("label").as("lb"), col("dim").as("db"), col("c").as("cb")),
+        col("label") === col("lb") && col("dim") === col("db"))
+      .groupBy(col("label"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("shift_micro2"))
+    val counts = q.groupBy(col("label"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    counts.join(shift, "label")
+      .select(col("label"), col("n_a"), col("n_b"), col("shift_micro2"))
+      .orderBy(col("label"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
     * corpus by the TRAINED k-means cells ([[kmeansModel]]) and drop any
     * vector that has a within-cell neighbor with exact cosine ≥ 0.35
@@ -1513,6 +1550,7 @@ object Pipeline {
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
     "hard_negatives" -> hardNegatives,
+    "embedding_drift" -> embeddingDrift,
     "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
     "simhash_signatures" -> simhashSignatures,
@@ -2048,6 +2086,23 @@ object Pipeline {
         |SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM ex JOIN pq USING (vec_id)""".stripMargin,
+    "embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+        |  FROM embeddings),
+        |x AS (SELECT (vec_id % 2 = 0) AS snapa, label, t.i AS dim, v[t.i] AS x
+        |  FROM e CROSS JOIN range(1, 65) t(i)),
+        |c AS (SELECT snapa, label, dim, sum(x) // count(*) AS c
+        |  FROM x GROUP BY 1, 2, 3),
+        |sh AS (SELECT a.label, sum((a.c - b.c) * (a.c - b.c))::BIGINT AS shift_micro2
+        |  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+        |  WHERE a.snapa AND NOT b.snapa GROUP BY 1),
+        |n AS (SELECT label,
+        |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM embeddings GROUP BY 1)
+        |SELECT label, n_a, n_b, shift_micro2
+        |FROM n JOIN sh USING (label) ORDER BY label""".stripMargin,
     "hard_negatives" ->
       """WITH a AS (SELECT vec_id AS anchor_id, embedding AS a_emb, label AS a_label
         |  FROM embeddings WHERE vec_id < 8),

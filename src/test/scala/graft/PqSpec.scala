@@ -242,6 +242,30 @@ class PqSpec extends SparkSuite {
     assert(ref.forall(_._3 > 0.0) && ref.size == 40)
   }
 
+  test("embedding_drift: per-label centroid shift matches a plain-Scala recompute") {
+    val rows = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 1e6)).toArray))
+    val ref = rows.groupBy(_._2).flatMap { case (label, vs) =>
+      val a = vs.filter(_._1 % 2 == 0)
+      val b = vs.filter(_._1 % 2 == 1)
+      if (a.isEmpty || b.isEmpty) None
+      else {
+        def cent(g: Array[(Long, Int, Array[Long])]): Array[Long] =
+          Array.tabulate(64)(i => g.map(_._3(i)).sum / g.length)
+        val (ca, cb) = (cent(a), cent(b))
+        val shift = (0 until 64).map(i => (ca(i) - cb(i)) * (ca(i) - cb(i))).sum
+        Some((label, a.length.toLong, b.length.toLong, shift))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Pipeline.embeddingDrift(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == ref)
+    assert(ref.nonEmpty && ref.exists(_._4 > 0L),
+      "fixture snapshots identical — drift report vacuous")
+  }
+
   test("dedup_semantic: keep-lowest-id rule matches a plain-Scala recompute") {
     val model = Pipeline.kmeansModel(spark, sf0001)
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
