@@ -869,6 +869,38 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** SEMANTIC train/test contamination — the embedding-level leak check
+    * that n-gram [[graft.queries.Quality]] `contamination_check` cannot
+    * see (a paraphrased eval question shares no shingles with its
+    * training twin but sits next to it in embedding space): every
+    * (test, train) pair in the SAME trained coarse cell with exact
+    * cosine ≥ 0.35 is a suspected leak, reported as drill-down pairs.
+    * Test split = vec_id % 10 == 0 (the deterministic 10% holdout
+    * convention). The cell equi-join bounds candidates to O(Σ cell²)
+    * like [[dedupSemantic]] — never test × train all-pairs — with the
+    * same declared recall caveat: a cross-cell semantic match is missed
+    * (mitigated in production by probing nprobe > 1 cells per test
+    * vector, the IVF knob this index family already publishes curves
+    * for). The oracle re-runs the Lloyd chain and applies the identical
+    * cell restriction, so the declared semantics are exactly gated.
+    */
+  def semanticContamination(s: SparkSession, d: String): DataFrame = {
+    val model = kmeansModel(s, d)
+    val cells = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      graft.functions.SketchExprs.nearestCentroid(
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")),
+        model).getField("cid").as("cid"))
+    val test = cells.filter(col("vec_id") % 10 === 0)
+      .select(col("cid"), col("vec_id").as("test_id"), col("embedding").as("et"))
+    val train = cells.filter(col("vec_id") % 10 =!= 0)
+      .select(col("cid"), col("vec_id").as("train_id"), col("embedding").as("er"))
+    test.join(train, Seq("cid"))
+      .select(col("test_id"), col("train_id"),
+        round(VectorFns.cosine(col("et"), col("er")), 6).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
   /** LSH-bucketed embedding near-dup pairs (approximate recall, exact
     * cosine verify).
     */
@@ -1551,6 +1583,7 @@ object Pipeline {
     "ivf_size_profile" -> ivfSizeProfile,
     "hard_negatives" -> hardNegatives,
     "embedding_drift" -> embeddingDrift,
+    "semantic_contamination" -> semanticContamination,
     "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
     "simhash_signatures" -> simhashSignatures,
@@ -2189,6 +2222,26 @@ object Pipeline {
         |SELECT a.vec_id, a.cid::BIGINT AS cluster_id,
         |  (a.vec_id NOT IN (SELECT id2 FROM drp)) AS kept
         |FROM asg a ORDER BY a.vec_id""".stripMargin,
+    "semantic_contamination" ->
+      s"""WITH $KmeansTrainCte,
+        |d3 AS (SELECT e.vec_id, c.cid,
+        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+        |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+        |  WHERE rn = 1),
+        |em AS (SELECT a.vec_id, a.cid, b.embedding
+        |       FROM asg a JOIN embeddings b USING (vec_id))
+        |SELECT test_id, train_id, sim FROM (
+        |  SELECT x.vec_id AS test_id, y.vec_id AS train_id,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (u,w) -> u+w)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (u,w) -> u+w))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (u,w) -> u+w))), 6) AS sim
+        |  FROM em x JOIN em y ON x.cid = y.cid
+        |  WHERE x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0)
+        |WHERE sim >= 0.35 ORDER BY test_id, train_id""".stripMargin,
     // band-collision twins: DuckDB recomputes the candidate joins from
     // the dumped minhash_bands artifact (which itself stays rows-only —
     // the xxhash64 band hash is not DuckDB-expressible, the joins over it

@@ -242,6 +242,38 @@ class PqSpec extends SparkSuite {
     assert(ref.forall(_._3 > 0.0) && ref.size == 40)
   }
 
+  test("semantic_contamination: within-cell test/train leaks match a plain-Scala recompute") {
+    val model = Pipeline.kmeansModel(spark, sf0001)
+    val rows = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).toArray
+        val v = e.map(x => math.round(x.toDouble * 1e6))
+        val cid = model.zipWithIndex.map { case (c, i) =>
+          (c.indices.map(j => (v(j) - c(j)) * (v(j) - c(j))).sum, i)
+        }.min._2
+        (r.getLong(0), cid, e)
+      }
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ref = (for {
+      (tid, tc, te) <- rows if tid % 10 == 0
+      (rid, rc, re) <- rows if rid % 10 != 0 && rc == tc
+      s0 = sim(te, re) if s0 >= 0.35
+    } yield (tid, rid, s0)).sortBy { case (a, b, _) => (a, b) }
+    val got = Pipeline.semanticContamination(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == ref.toSeq)
+    assert(ref.nonEmpty, "no leaks on fixture — threshold dead, spec vacuous")
+  }
+
   test("embedding_drift: per-label centroid shift matches a plain-Scala recompute") {
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("label"), col("embedding")).collect()
