@@ -126,6 +126,54 @@ object Sessions {
     * over an unbounded stream). ProcessingTimeTimeout lets idle users'
     * state be dropped — the knob that keeps state bounded at 100 TB.
     */
+  /** The per-user totals processor on Spark 4's `transformWithState`
+    * arbitrary-state API — the successor to [[streamingUserTotals]]'s
+    * flatMapGroupsWithState: typed state handles (`ValueState`) instead
+    * of one opaque blob, declarative TTL (`TTLConfig` — production
+    * passes a Duration and idle users' state expires WITHOUT the
+    * hand-rolled timeout dance the fMGWS version needs), timers, and a
+    * state schema the store can evolve. Runs only on the RocksDB state
+    * store provider (the spec sets it for the query), which is also the
+    * 100 TB posture: state lives off-heap/on-disk per executor with
+    * changelog checkpointing, so keyed state scales with disk, not RAM.
+    */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserTotals] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
+      var n = prev.n_events
+      var cents = prev.value_cents
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      val next = UserTotals(key, n, cents)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[streamingUserTotals]] re-expressed on transformWithState — must
+    * converge to the identical batch totals (StreamingSpec pins both).
+    */
+  def streamingUserTotalsTws(spark: SparkSession, sfDir: String,
+      streamDir: String): Dataset[UserTotals] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    val ev = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col("user_id").as[Long],
+        round(col("value") * 100).cast("long").as[Long])
+    ev.groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def streamingUserTotals(spark: SparkSession, sfDir: String, streamDir: String,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserTotals] = {
     require(timeout == GroupStateTimeout.NoTimeout

@@ -210,6 +210,45 @@ class StreamingSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS stream_totals")
   }
 
+  test("transformWithState running totals converge to batch totals (RocksDB store)") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-tws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf0001, "events.parquet"),
+      streamDir.resolve("events-000.parquet"))
+    // transformWithState requires the RocksDB provider — also the 100 TB
+    // posture (off-heap keyed state + changelog checkpoints). Scoped to
+    // this query; restored after so other streaming tests keep HDFS-backed.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Sessions.streamingUserTotalsTws(spark, sf0001, streamDir.toString)
+        .toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("tws_totals")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table("tws_totals")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("value_cents")).as("cents"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = Sessions.events(spark, sf0001)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch)
+      spark.sql("DROP TABLE IF EXISTS tws_totals")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream range join equals the batch join on replay") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
     java.nio.file.Files.copy(
