@@ -1428,6 +1428,29 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Cross-source duplication matrix — WHO copies from WHOM: the
+    * near-dup pairs bucketed by the unordered (source, source) pair.
+    * `dup_rate_by_source` names the spammy sources; this names the
+    * copy-paste FLOWS between them (a mirror site shows up as a heavy
+    * off-diagonal cell, boilerplate within one crawl as a diagonal
+    * one) — the report that decides which source pair gets a targeted
+    * dedup pass first. Consumes the persisted exact-pair artifact like
+    * the other dedup reports; at 100 TB the input is the LSH-verified
+    * pair table and this is one join + one bounded
+    * (sources × sources) aggregate on top.
+    */
+  def sourceDedupMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    ngramJaccardPairs(s, d)
+      .join(src.select(col("doc_id").as("id1"), col("source").as("s1x")), "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("s2x")), "id2")
+      .select(least(col("s1x"), col("s2x")).as("source_a"),
+        greatest(col("s1x"), col("s2x")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def dedupKept(s: SparkSession, d: String): DataFrame = {
     val dropped = ccLabels(s, d)
       .filter(col("id") =!= col("label"))
@@ -1547,6 +1570,7 @@ object Pipeline {
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_kept" -> dedupKept,
     "dup_rate_by_source" -> dupRateBySource,
+    "source_dedup_matrix" -> sourceDedupMatrix,
     "duplicate_spans" -> duplicateSpans,
     "dedup_exact" -> dedupExact,
     "dedup_cluster_sizes" -> dedupClusterSizes,
@@ -1940,6 +1964,15 @@ object Pipeline {
          |  (10000 * count(dr.doc_id) // count(*))::BIGINT AS dup_rate_bp
          |FROM documents dd LEFT JOIN dropped dr USING (doc_id)
          |GROUP BY 1 ORDER BY source""".stripMargin,
+    "source_dedup_matrix" ->
+      s"""WITH $JaccardPairsCte,
+         |m AS (SELECT least(da.source, db.source) AS source_a,
+         |             greatest(da.source, db.source) AS source_b
+         |  FROM jpairs p
+         |  JOIN documents da ON p.id1 = da.doc_id
+         |  JOIN documents db ON p.id2 = db.doc_id)
+         |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "dedup_kept" ->
       s"""WITH RECURSIVE
          |$JaccardPairsCte,

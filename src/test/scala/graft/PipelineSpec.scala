@@ -109,6 +109,24 @@ class PipelineSpec extends SparkSuite {
       "total dupes must reconcile with the kept complement")
   }
 
+  test("source_dedup_matrix reconciles with the pair list and a driver recompute") {
+    val srcOf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Pipeline.ngramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ref = pairs.map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Pipeline.sourceDedupMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == ref)
+    // every verified pair lands in exactly one matrix cell
+    assert(got.values.sum == pairs.length.toLong)
+    assert(got.nonEmpty)
+  }
+
   test("dedup_cluster_sizes: histogram equals a driver recompute and reconciles to row count") {
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("text").collect().map(_.getString(0))
