@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Pass 1: per-partition Misra-Gries candidate keys (≤ k per
-    * partition). Classic decrement-all eviction: a new key arriving at
-    * a full summary decrements every counter and drops zeros.
+  /** Pass 1: per-partition Misra-Gries summaries (≤ k counters per
+    * partition, emitted as (key, residual count)). Classic
+    * decrement-all eviction: a new key arriving at a full summary
+    * decrements every counter and drops zeros.
     */
-  private[graft] def mgCandidates(items: Dataset[String], k: Int): DataFrame = {
+  private[graft] def mgSummaries(items: Dataset[String], k: Int): DataFrame = {
     require(k >= 1)
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
@@ -54,8 +55,59 @@ object HeavyHitters {
             }
         }
       }
-      counters.keysIterator
-    }.toDF("cand")
+      counters.iterator
+    }.toDF("cand", "c")
+  }
+
+  private[graft] def mgCandidates(items: Dataset[String], k: Int): DataFrame =
+    mgSummaries(items, k).select(col("cand"))
+
+  /** Merge two MG summaries at size k (Agarwal et al., "Mergeable
+    * Summaries", 2012): sum counters key-wise; if more than k keys
+    * survive, subtract the (k+1)-th largest count from all and drop the
+    * non-positive — the result is a valid MG summary of the combined
+    * stream (total undercount stays ≤ N/(k+1)), which is what lets
+    * per-partition and per-BATCH summaries combine associatively.
+    */
+  private def trim(m: Map[String, Long], k: Int): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      val t = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      m.collect { case (x, c) if c - t > 0 => x -> (c - t) }
+    }
+
+  def merge(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] =
+    trim((a.keySet ++ b.keySet).iterator
+      .map(x => x -> (a.getOrElse(x, 0L) + b.getOrElse(x, 0L))).toMap, k)
+
+  /** One bounded MG summary (≤ k counters) of the whole dataset: the
+    * per-partition summaries key-wise summed on the driver (tasks × k
+    * rows — the bounded BPE-trainer driver-fold posture) and trimmed
+    * ONCE to k.
+    */
+  def summarize(items: Dataset[String], k: Int): Map[String, Long] = {
+    val rows = mgSummaries(items, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    trim(rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap, k)
+  }
+
+  /** Pass 2: exact counts of the broadcast candidate keys only, closed
+    * with the `count > N div k` threshold — the output is exactly the
+    * keys above threshold whenever `cands` is a superset of them
+    * (which both the batch MG pass and the maintained streaming summary
+    * guarantee).
+    */
+  def verified(items: Dataset[String], cands: DataFrame, k: Int): DataFrame = {
+    val tot = items.toDF("x").agg(count(lit(1)).as("n"))
+    items.toDF("item")
+      .join(broadcast(cands.select(col("cand")).distinct()),
+        col("item") === col("cand"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") > expr(s"n div $k"))
+      .select(col("item"), col("cnt"))
+      .orderBy(col("item"))
   }
 
   /** The exact keys with count > N div k, computed at O(k)-bounded task
@@ -63,15 +115,6 @@ object HeavyHitters {
     * by item. The input is evaluated twice (the declared cost of the
     * shape); persist upstream if the stream is expensive to recompute.
     */
-  def topOver(items: Dataset[String], k: Int): DataFrame = {
-    val cands = mgCandidates(items, k).distinct()
-    val tot = items.toDF("x").agg(count(lit(1)).as("n"))
-    items.toDF("item")
-      .join(broadcast(cands), col("item") === col("cand"))
-      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(tot))
-      .filter(col("cnt") > expr(s"n div $k"))
-      .select(col("item"), col("cnt"))
-      .orderBy(col("item"))
-  }
+  def topOver(items: Dataset[String], k: Int): DataFrame =
+    verified(items, mgCandidates(items, k), k)
 }

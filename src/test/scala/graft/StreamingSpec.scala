@@ -150,6 +150,51 @@ class StreamingSpec extends SparkSuite {
       "streamed drift report must equal the batch token_kl_drift after full replay")
   }
 
+  test("streaming MG summary converges to batch heavy hitters across a restart") {
+    import graft.operators.HeavyHitters
+    val k = 32
+    val base = java.nio.file.Files.createTempDirectory("graft-mg")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val stateDir = base.resolve("state").toString
+    val ckpt = base.resolve("ck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mg-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit =
+      graft.streaming.Sketches.streamingHeavyHitterSummary(spark, sf0001,
+        streamDir.toString, stateDir, ckpt, k).awaitTermination()
+    // two ingest batches with a full stop/start between them
+    stageFlat(docs.filter(col("doc_id") % 2 === 0), "p1.parquet")
+    runOnce()
+    stageFlat(docs.filter(col("doc_id") % 2 === 1), "p2.parquet")
+    runOnce()
+    // the on-demand exact report over the ingested corpus must equal
+    // the batch two-pass query at the same k
+    import spark.implicits._
+    val items = docs.select(
+      explode(graft.operators.Dedup.tokensNE(col("text"))).as("t")).as[String]
+    val batch = HeavyHitters.topOver(items, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val streamed = graft.streaming.Sketches
+      .heavyHittersFrom(spark, docs, stateDir, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(batch.nonEmpty && streamed == batch)
+    // at-least-once replay of an already-applied batch id is a no-op
+    assert(!graft.streaming.Sketches.applySummaryBatch(
+      spark, docs.limit(5), 0L, stateDir, k))
+    // and the merge's trim honors the mergeable-summaries bound on a
+    // crafted over-capacity pair: survivors are the dominant keys
+    val a = (1 to 6).map(i => s"a$i" -> 10L).toMap
+    val b = (1 to 6).map(i => s"b$i" -> (if (i == 1) 100L else 1L)).toMap
+    val m = HeavyHitters.merge(a, b, 4)
+    assert(m.size <= 4 && m.contains("b1"), s"merge lost the dominant key: $m")
+  }
+
   test("drift merge is bucket-incremental and replay-idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-drift-idem")
     val countsDir = base.resolve("counts").toString
