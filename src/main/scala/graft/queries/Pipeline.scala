@@ -690,6 +690,61 @@ object Pipeline {
       .limit(20)
   }
 
+  /** BATCHED multi-query ANN — how offline vector serving actually
+    * runs: 8 query vectors (vec_id < 8) probe the materialized IVF-PQ
+    * index TOGETHER. Each query ranks cells driver-side and keeps
+    * nprobe=3; the scan reads the UNION of all probed cells ONCE
+    * (directory-pruned — one pass instead of 8), the broadcast
+    * (qid, cell) probe list fans each row out to exactly the queries
+    * that probed its cell, and ADC scores come from one flattened
+    * queries×ncells×M×K literal (2048 longs — still a broadcast
+    * scalar) indexed by (qid, row cell, code). Per-query top-20 lands
+    * on the TopKPerGroup heap. At 100 TB this is the amortization that
+    * makes offline ANN jobs (hard-negative mining, dedup sweeps,
+    * recommendation backfills) feasible: scan cost is
+    * |union cells|/ncells of the 4-byte code column for the WHOLE
+    * batch, not per query. Oracle re-derives probes from the unrolled
+    * Lloyd chain and ADC from the run's own dumps.
+    */
+  def ivfPqBatch(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 3
+    val emb = Tables.embeddings(s, d)
+    val coarse = kmeansModel(s, d)
+    val pq = pqModel(s, d)
+    val ncells = coarse.length
+    import s.implicits._
+    val qvs = Kmeans.quantized(emb.filter(col("vec_id") < 8))
+      .select(col("vec_id"), col("v")).collect() // bounded: 8 rows
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    def sqd(a: Array[Long], b: Array[Long]): Long = {
+      var s0 = 0L; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s0 += dd * dd; i += 1 }
+      s0
+    }
+    val probes = qvs.flatMap { case (qid, qv) =>
+      coarse.zipWithIndex.map { case (c, cid) => (sqd(qv, c), cid) }
+        .sorted.take(nprobe).map(p => (qid, p._2))
+    }.toSeq
+    val unionCells = probes.map(_._2).distinct.sorted
+    // qid-major flattened per-query per-cell ADC tables
+    val flat = typedLit(qvs.flatMap { case (_, qv) =>
+      Pq.distTables(pq, coarse, qv).flatten.flatten
+    }.toSeq)
+    val score = (0 until Pq.M).map { m =>
+      element_at(flat,
+        ((col("qid") * ncells + col("cell")) * lit(Pq.M * Pq.K) + lit(m * Pq.K)
+          + shiftright(col("code32"), 8 * m).bitwiseAND(lit(0xFF))).cast("int") + 1)
+    }.reduce(_ + _)
+    val scored = s.read.parquet(pqIndexPath(s, d))
+      .filter(col("cell").isin(unionCells: _*)) // directory pruning
+      .join(broadcast(probes.toDF("qid", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), score.as("adc_micro2"))
+    graft.plans.TopKPerGroup(scored, Seq("qid"),
+        Seq(col("adc_micro2"), col("vec_id")), 20)
+      .orderBy(col("qid"), col("adc_micro2"), col("vec_id"))
+  }
+
   /** Per-cell health report of the trained coarse quantizer — the
     * index-build diagnostic every ANN deployment publishes (cell
     * balance drives probe cost; a degenerate mega-cell defeats the
@@ -1603,6 +1658,7 @@ object Pipeline {
     "ivf_pq_topk" -> ivfPqTopk,
     "ivf_pq_pruned" -> ivfPqPruned,
     "ivf_pq_rerank" -> ivfPqRerank,
+    "ivf_pq_batch" -> ivfPqBatch,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
     "hard_negatives" -> hardNegatives,
@@ -2211,6 +2267,44 @@ object Pipeline {
     "ivf_pq_topk" -> IvfPqOracle,
     "ivf_pq_pruned" -> IvfPqOracle,
     "ivf_pq_rerank" -> IvfPqRerankOracle,
+    "ivf_pq_batch" ->
+      s"""WITH $KmeansTrainCte,
+         |d3 AS (SELECT e.vec_id, c.cid,
+         |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+         |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
+         |a3 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 8),
+         |qc AS (SELECT q.qid, c.cid,
+         |    sum((c.c - q.v[c.dim]) * (c.c - q.v[c.dim])) AS d
+         |  FROM c2 c CROSS JOIN q GROUP BY 1, 2),
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn FROM qc)
+         |  WHERE rn <= 3),
+         |cb AS (SELECT sub, cluster_id, dim, c_micro
+         |       FROM read_parquet('{OUT}/pq_codebooks/*.parquet')),
+         |dt AS (SELECT q.qid, cc.cid AS cell, cb.sub, cb.cluster_id AS code,
+         |    sum((q.v[cb.sub * 16 + cb.dim + 1] - cc.c - cb.c_micro)
+         |        * (q.v[cb.sub * 16 + cb.dim + 1] - cc.c - cb.c_micro)) AS d2
+         |  FROM cb JOIN c2 cc ON cc.dim = cb.sub * 16 + cb.dim + 1
+         |  CROSS JOIN q GROUP BY 1, 2, 3, 4),
+         |co AS (SELECT vec_id, cell, sub, code
+         |       FROM read_parquet('{OUT}/pq_codes/*.parquet')),
+         |cand AS (SELECT p.qid, a3.vec_id FROM a3 JOIN probe p USING (cid)
+         |         WHERE a3.vec_id <> p.qid),
+         |sc AS (SELECT cand.qid, co.vec_id, sum(dt.d2)::BIGINT AS adc
+         |  FROM cand JOIN co USING (vec_id)
+         |  JOIN dt ON dt.qid = cand.qid AND dt.cell = co.cell
+         |         AND dt.sub = co.sub AND dt.code = co.code
+         |  GROUP BY 1, 2)
+         |SELECT qid, vec_id, adc AS adc_micro2 FROM (
+         |  SELECT qid, vec_id, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+         |  FROM sc) WHERE rn <= 20
+         |ORDER BY qid, adc_micro2, vec_id""".stripMargin,
     "kmeans_profile" ->
       s"""WITH $KmeansTrainCte,
         |d3 AS (SELECT e.vec_id, c.cid,

@@ -115,6 +115,43 @@ class PqSpec extends SparkSuite {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("ivf_pq_batch equals a plain-Scala per-query probe recompute") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val coarse = Pipeline.kmeansModel(spark, sf0001)
+    val pq = Pipeline.pqModel(spark, sf0001)
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val rows = Kmeans.quantized(emb).select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val ref = rows.filter(_._1 < 8).sortBy(_._1).flatMap { case (qid, qv) =>
+      val probe = coarse.zipWithIndex.map { case (c, cid) => (sqd(qv, c), cid) }
+        .sorted.take(3).map(_._2).toSet
+      val dt = Pq.distTables(pq, coarse, qv)
+      rows.filter(_._1 != qid).flatMap { case (id, v) =>
+        val cell = coarse.zipWithIndex.map { case (c, cid) =>
+          (sqd(v, c), cid) }.min._2
+        if (!probe(cell)) None
+        else {
+          val res = v.indices.map(i => v(i) - coarse(cell)(i)).toArray
+          Some((id, (0 until Pq.M).map { m =>
+            val sub = res.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+            dt(cell)(m)(pq(m).zipWithIndex
+              .map { case (c, cid) => (sqd(sub, c), cid) }.min._2)
+          }.sum))
+        }
+      }.sortBy { case (id, adc) => (adc, id) }.take(20)
+        .map { case (id, adc) => (qid, id, adc) }
+    }
+    val got = Pipeline.ivfPqBatch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == ref.toSeq)
+    // the shared scan must prune at the directory level like the
+    // single-query probe
+    val plan = Pipeline.ivfPqBatch(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(1200))
+  }
+
   test("embedding_topk_pq plans zero exchanges (map scan into TakeOrdered)") {
     // the declared scale contract: encode + ADC are per-row, top-k is
     // TakeOrderedAndProject — nothing in the plan may shuffle
