@@ -25,6 +25,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "dedup_clusters" -> "bounded ngram pair input (doc_id<500)",
     "dedup_clusters_star" -> "bounded ngram pair input (doc_id<500)",
     "dedup_kept" -> "bounded ngram pair input (doc_id<500)",
+    "source_dedup_matrix" -> "bounded ngram pair input (doc_id<500)",
     "scalar_subquery" -> "one-row scalar threshold join",
     "pareto_front" -> "<=32-row bucket-prefix broadcast theta-join",
     "equidepth_histogram" -> "<=16-row bucket boundary broadcast join",
