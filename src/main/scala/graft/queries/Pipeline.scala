@@ -690,6 +690,60 @@ object Pipeline {
       .limit(20)
   }
 
+  /** MMR-diversified re-ranking (Carbonell & Goldstein 1998) of the
+    * exact top-20 — the standard retrieval post-process that trades raw
+    * relevance for coverage: greedily select 10 of the 20 candidates
+    * maximizing λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s) at λ=0.5
+    * ((score desc, vec_id) tie-break). The distributed part is the
+    * candidate retrieval ([[embeddingTopk]]'s scan); the selection loop
+    * runs on the DRIVER over the bounded 20-row list — exactly where a
+    * serving layer runs it, and the k×dims-bounded-fold posture the
+    * kmeans/BPE trainers already declare. Pairwise sims use the same
+    * sequential left-fold + 6-dp rounding the cosine family pins in
+    * both engines; the oracle replays the greedy selection as a
+    * recursive CTE over this run's own top-20 dump and must land on the
+    * identical picks and scores. On this fixture MMR genuinely
+    * reorders (PqSpec pins the diversity effect, not just the
+    * mechanics).
+    */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kSel = 10
+    val cand = embeddingTopk(s, d).collect() // bounded: 20 rows by construction
+    val simqM = cand.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ids = cand.map(_.getLong(0))
+    val vecs = Tables.embeddings(s, d).filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap // bounded: 20
+    def sim6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pair = (for {
+      (a, va) <- vecs.toSeq; (b, vb) <- vecs.toSeq if a != b
+    } yield ((a, b), sim6(va, vb))).toMap
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    val remaining = scala.collection.mutable.SortedSet(ids: _*)
+    for (t <- 1 to kSel) {
+      val best = remaining.toSeq.map { c =>
+        val maxRel =
+          if (picked.isEmpty) 0.0
+          else picked.map { case (_, sid, _) => pair((c, sid)) }.max
+        (c, 0.5 * simqM(c) - 0.5 * maxRel)
+      }.minBy { case (c, sc) => (-sc, c) }
+      picked += ((t, best._1, best._2))
+      remaining -= best._1
+    }
+    picked.toSeq.map { case (t, id, sc) =>
+      (t, id, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("rank", "vec_id", "mmr_score")
+  }
+
   /** BATCHED multi-query ANN — how offline vector serving actually
     * runs: 8 query vectors (vec_id < 8) probe the materialized IVF-PQ
     * index TOGETHER. Each query ranks cells driver-side and keeps
@@ -1659,6 +1713,7 @@ object Pipeline {
     "ivf_pq_pruned" -> ivfPqPruned,
     "ivf_pq_rerank" -> ivfPqRerank,
     "ivf_pq_batch" -> ivfPqBatch,
+    "mmr_rerank" -> mmrRerank,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
     "hard_negatives" -> hardNegatives,
@@ -2267,6 +2322,32 @@ object Pipeline {
     "ivf_pq_topk" -> IvfPqOracle,
     "ivf_pq_pruned" -> IvfPqOracle,
     "ivf_pq_rerank" -> IvfPqRerankOracle,
+    "mmr_rerank" ->
+      """WITH RECURSIVE
+        |cand AS (SELECT vec_id, sim FROM read_parquet('{OUT}/embedding_topk/*.parquet')),
+        |ce AS (SELECT c.vec_id, c.sim, e.embedding
+        |       FROM cand c JOIN embeddings e USING (vec_id)),
+        |pair AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y))), 6) AS s
+        |  FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+        |sel(step, vid, score, picked) AS (
+        |  (SELECT 1, vec_id, 0.5*sim, [vec_id] FROM cand
+        |   ORDER BY 0.5*sim DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT sel.step + 1, t.vec_id, t.sc, list_append(sel.picked, t.vec_id)
+        |  FROM sel, LATERAL (
+        |    SELECT c.vec_id,
+        |      0.5*c.sim - 0.5*(SELECT max(p.s) FROM pair p
+        |                       WHERE p.id1 = c.vec_id
+        |                         AND list_contains(sel.picked, p.id2)) AS sc
+        |    FROM cand c WHERE NOT list_contains(sel.picked, c.vec_id)
+        |    ORDER BY sc DESC, c.vec_id LIMIT 1) t
+        |  WHERE sel.step < 10)
+        |SELECT step::INT AS rank, vid AS vec_id, round(score, 6) AS mmr_score
+        |FROM sel ORDER BY rank""".stripMargin,
     "ivf_pq_batch" ->
       s"""WITH $KmeansTrainCte,
          |d3 AS (SELECT e.vec_id, c.cid,

@@ -152,6 +152,57 @@ class PqSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(1200))
   }
 
+  test("mmr_rerank: greedy selection properties and real diversification") {
+    val cand = Pipeline.embeddingTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val got = Pipeline.mmrRerank(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10 && got.map(_._1).toSeq == (1 to 10))
+    // first pick is the relevance argmax ((sim desc, vec_id) tie-break)
+    val top1 = cand.minBy { case (id, s0) => (-s0, id) }
+    assert(got.head._2 == top1._1)
+    assert(math.abs(got.head._3 - BigDecimal(0.5 * top1._2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // every pick comes from the candidate set, no repeats
+    val candIds = cand.map(_._1).toSet
+    assert(got.map(_._2).forall(candIds) && got.map(_._2).distinct.length == 10)
+    // full independent greedy recompute (pairwise sims re-derived from
+    // raw embeddings here, not taken from the query's internals). NOTE:
+    // scores are NOT monotone — a NEGATIVE max-relevance to the selected
+    // set boosts a later pick above an earlier one, which the fixture
+    // actually exhibits.
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id").isin(cand.map(_._1): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val simq = cand.toMap
+    var sel = List.empty[Long]
+    val ref = (1 to 10).map { t =>
+      val (c, sc) = cand.map(_._1).filterNot(sel.contains).map { c0 =>
+        val maxRel = if (sel.isEmpty) 0.0
+          else sel.map(s0 => sim(vecs(c0), vecs(s0))).max
+        (c0, 0.5 * simq(c0) - 0.5 * maxRel)
+      }.minBy { case (c0, s0) => (-s0, c0) }
+      sel = sel :+ c
+      (t, c, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq == ref)
+    // the diversification must actually bite on this fixture: MMR order
+    // differs from the plain relevance order (not just a prefix copy)
+    val plain = cand.sortBy { case (id, s0) => (-s0, id) }.take(10).map(_._1)
+    assert(got.map(_._2).toSeq != plain.toSeq,
+      "MMR returned the plain relevance ranking — diversity term dead")
+  }
+
   test("embedding_topk_pq plans zero exchanges (map scan into TakeOrdered)") {
     // the declared scale contract: encode + ADC are per-row, top-k is
     // TakeOrderedAndProject — nothing in the plan may shuffle
