@@ -158,6 +158,95 @@ object Sessions {
     }
   }
 
+  /** A closed session as the timer-driven sessionizer emits it. */
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** Open-session state of [[SessionCloseProcessor]]. */
+  case class OpenSession(user_id: Long, start_ms: Long, last_ms: Long, n: Long)
+
+  /** Timer-driven session closing on transformWithState — the third
+    * TWS capability demonstrated (after typed state and TTL): EVENT-TIME
+    * timers. Each user's open session re-arms a timer at
+    * last_event + gap + 1; when the WATERMARK passes it the session is
+    * emitted closed and its state cleared — the push-based "session
+    * ended" signal that downstream consumers (billing, abuse detection)
+    * want the moment inactivity is certain, which neither the
+    * session_window aggregate (pull) nor the fMGWS timeout dance
+    * (processing-time, wall-clock-flaky) expresses this directly.
+    * Within a batch, rows sort by timestamp and fold through the same
+    * 30-min gap rule as the batch gaps-and-islands; a session split by
+    * a later batch's event emits from handleInputRows instead. Stale
+    * timers (a session extended after arming) are ignored by the exact
+    * expiry == last + gap + 1 guard — re-arming cannot delete
+    * selectively without scanning, and firing a stale timer is a no-op
+    * by construction.
+    */
+  class SessionCloseProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), ClosedSession] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var cur = if (open.exists()) open.get() else null
+      sorted.foreach { ts =>
+        if (cur == null) cur = OpenSession(key, ts, ts, 1L)
+        else if (ts - cur.last_ms > GapMs) {
+          out += ClosedSession(key, cur.start_ms, cur.last_ms, cur.n)
+          cur = OpenSession(key, ts, ts, 1L)
+        } else cur = cur.copy(last_ms = math.max(ts, cur.last_ms), n = cur.n + 1)
+      }
+      if (cur != null) {
+        open.update(cur)
+        getHandle.registerTimer(cur.last_ms + GapMs + 1)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (open.exists()) {
+        val cur = open.get()
+        if (info.getExpiryTimeInMs == cur.last_ms + GapMs + 1) {
+          open.clear()
+          return Iterator.single(
+            ClosedSession(key, cur.start_ms, cur.last_ms, cur.n))
+        }
+      }
+      Iterator.empty // stale timer of an extended/closed session
+    }
+  }
+
+  /** The timer-driven sessionizer wired to the event stream: watermark
+    * on the event time (0 s delay — the fixture has no disorder), TWS in
+    * EventTime mode. Closed sessions stream out as they become certain.
+    */
+  def streamingSessionClose(spark: SparkSession, sfDir: String,
+      streamDir: String): Dataset[ClosedSession] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+    val ev = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val dt = schema("ts").dataType
+    val withMs = ev.withColumn("ts_ms", Tables.epochMs("ts", dt))
+      .withColumn("ts_w", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_w", "0 seconds")
+      .select(col("user_id").as[Long], col("ts_ms").as[Long],
+        col("ts_w").as[java.sql.Timestamp])
+    withMs.groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** [[streamingUserTotals]] re-expressed on transformWithState — must
     * converge to the identical batch totals (StreamingSpec pins both).
     */

@@ -150,6 +150,69 @@ class StreamingSpec extends SparkSuite {
       "streamed drift report must equal the batch token_kl_drift after full replay")
   }
 
+  test("transformWithState event-time timers close sessions like batch gap-sessionization") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tws-sess")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val events = Sessions.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("ts_ms"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tws-stage").toString
+      df.drop("ts_ms").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    // file 1: the real corpus; file 2: one sentinel event 10 years out
+    // for a dedicated user — once its batch runs, the watermark passes
+    // every real session's close timer, so ALL real sessions must close
+    stageFlat(events, "e1.parquet")
+    val maxMs = events.agg(max(col("ts_ms"))).collect()(0).getLong(0)
+    stageFlat(events.limit(1)
+      .withColumn("user_id", lit(999999L))
+      .withColumn("ts", timestamp_millis(lit(maxMs + 315360000000L))
+        .cast(events.schema("ts").dataType)), "e2.parquet")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Sessions.streamingSessionClose(spark, sf0001, streamDir.toString)
+        .toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("ck").toString)
+        .format("memory").queryName("tws_sessions").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("tws_sessions")
+        .filter(col("user_id") =!= 999999L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // reference: plain-Scala 30-min gap sessionization of the corpus
+      val byUser = events.select(col("user_id"), col("ts_ms")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      val ref = byUser.flatMap { case (u, rows) =>
+        val ts = rows.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = ts.head; var last = ts.head; var n = 1L
+        ts.tail.foreach { t =>
+          if (t - last > Sessions.GapMs) {
+            sessions += ((u, start, last, n)); start = t; last = t; n = 1L
+          } else { last = t; n += 1L }
+        }
+        sessions += ((u, start, last, n))
+        sessions
+      }.toSet
+      assert(got == ref,
+        s"closed sessions ${got.size} != batch gap-sessions ${ref.size}")
+      assert(got.nonEmpty)
+      spark.sql("DROP TABLE IF EXISTS tws_sessions")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming MG summary converges to batch heavy hitters across a restart") {
     import graft.operators.HeavyHitters
     val k = 32
