@@ -347,7 +347,66 @@ object Graph {
           .stripMargin)
   }
 
+  /** Generic k-core peeling over a symmetric (src, dst) edge list:
+    * `rounds` synchronous rounds of "keep nodes with ≥ k surviving
+    * neighbors". The k-core is the unique maximal subgraph where every
+    * node has degree ≥ k, and synchronous peeling converges to it
+    * monotonically — so a FIXED round count is oracle-gateable exactly
+    * like communities_lpa, with the fixpoint (round R == round R−1)
+    * asserted by spec on the fixtures instead of run-till-converged
+    * nondeterminism. Each round is two co-partitioned joins + one count
+    * aggregate, shuffle-bounded; per-round EAGER localCheckpoint
+    * truncates the doubling lineage (the connectedComponents lesson —
+    * nodes feeds the next round twice), with each round's blocks
+    * released as the next materializes.
+    */
+  private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = edges
+        .join(nodes.withColumnRenamed("node", "src"), "src")
+        .join(nodes.select(col("node").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("dcount"))
+        .filter(col("dcount") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(nodes)
+      nodes = next
+    }
+    edges
+      .join(nodes.withColumnRenamed("node", "src"), "src")
+      .join(nodes.select(col("node").as("dst")), "dst")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  /** The k-core of the supplier↔part graph — the density filter every
+    * graph pipeline runs before expensive analytics (nodes outside the
+    * k-core cannot participate in k-sized dense structure; peeling them
+    * first shrinks triangle/community inputs cheaply). k is
+    * DATA-DERIVED as (min node degree) + 1 — the smallest threshold
+    * guaranteed to peel the graph's thinnest nodes at any scale (the
+    * synthetic fixtures' near-uniform degree bands make every fixed k
+    * either vacuous or annihilating at some scale; the ivf_size_profile
+    * √n precedent for data-derived knobs). Declared as 4 fixed peel
+    * rounds (fixpoint on the fixtures is spec-asserted against
+    * run-to-fixpoint brute peeling, so the declared output IS the true
+    * core there); at 100 TB rounds = peel depth and each round is
+    * shuffle-bounded, the same honest posture as communities_lpa's
+    * fixed rounds. Output: surviving nodes with their within-core
+    * degree.
+    */
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    val edges = edgeTable(s, d)
+    val k = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .agg(min(col("dg"))).collect()(0).getLong(0).toInt + 1 // bounded: 1 row
+    kcoreOf(edges, k = k, rounds = 4)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kcore" -> kcore,
     "pagerank" -> pagerank,
     "ppr_topk" -> pprTopk,
     "bfs_hops" -> bfsHops,
@@ -397,6 +456,25 @@ object Graph {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "kcore" -> {
+      val off = "1099511627776" // 1L << 40, the part-node offset
+      def lvl(i: Int) =
+        s"""n$i AS MATERIALIZED (SELECT e.src AS node
+           |  FROM e JOIN n${i - 1} a ON e.src = a.node
+           |         JOIN n${i - 1} b ON e.dst = b.node
+           |  GROUP BY 1 HAVING count(*) >= (SELECT k FROM kk))""".stripMargin
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (SELECT sk AS src, pk + $off AS dst FROM li
+         |  UNION ALL SELECT pk + $off, sk FROM li),
+         |kk AS MATERIALIZED (SELECT min(dg) + 1 AS k FROM (
+         |  SELECT src, count(*) AS dg FROM e GROUP BY 1)),
+         |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |${(1 to 4).map(lvl).mkString(",\n")}
+         |SELECT e.src AS node, count(*)::BIGINT AS core_degree
+         |FROM e JOIN n4 a ON e.src = a.node JOIN n4 b ON e.dst = b.node
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
     "communities_lpa" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |okc AS (SELECT ok FROM lp GROUP BY ok

@@ -164,6 +164,52 @@ class GraphSpec extends SparkSuite {
     assert(row.getLong(4) == 3 * tri * 1000000L / wedges)
   }
 
+  test("kcore: fixture result is the TRUE fixpoint core and matches brute peeling") {
+    // plain-Scala peel-to-fixpoint (no round cap) — the declared 4-round
+    // query must equal it, proving 4 rounds suffice on the fixture
+    val edges = graft.queries.Graph.edgeTable(spark, sf0001)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the declared data-derived threshold: (min node degree) + 1
+    val k = edges.groupBy(_._1).map(_._2.length).min + 1
+    var nodes = edges.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.filter { case (s0, d0) => nodes(s0) && nodes(d0) }
+        .groupBy(_._1).map { case (n, es) => n -> es.length }
+      val next = deg.filter(_._2 >= k).keySet
+      changed = next != nodes
+      nodes = next
+    }
+    val coreDeg = edges
+      .filter { case (s0, d0) => nodes(s0) && nodes(d0) }
+      .groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val got = graft.queries.Graph.kcore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == coreDeg)
+    // a real density filter: nonempty proper subset of the node set
+    assert(nodes.nonEmpty && nodes.size < edges.map(_._1).distinct.length)
+  }
+
+  test("kcore peeling cascades across rounds on a tail-on-clique graph") {
+    import spark.implicits._
+    // 4-clique (nodes 1-4, every node degree 3) with a path tail
+    // 4-5-6-7: at k=2 the tail peels ONE NODE PER ROUND (7 then 6 then
+    // 5), so fewer than 3 rounds must give a different (wrong) answer —
+    // the multi-round cascade the fixture's 1-round fixpoint can't show
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (und ++ und.map(p => (p._2, p._1))).toDF("src", "dst")
+    val core = graft.queries.Graph.kcoreOf(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"2-core should be exactly the clique: $core")
+    val short = graft.queries.Graph.kcoreOf(edges, k = 2, rounds = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(short.contains(5L),
+      "2 rounds should not have finished peeling the tail — cascade untested")
+  }
+
   test("communities_lpa equals a driver-side synchronous 3-round propagation") {
     val lp = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
