@@ -363,7 +363,10 @@ object Graph {
   private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var prevCount = nodes.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val next = edges
         .join(nodes.withColumnRenamed("node", "src"), "src")
         .join(nodes.select(col("node").as("dst")), "dst")
@@ -371,8 +374,14 @@ object Graph {
         .filter(col("dcount") >= k)
         .select(col("src").as("node"))
         .localCheckpoint()
+      // peeling only removes nodes, so an unchanged COUNT is an
+      // unchanged SET — the fixpoint; later rounds would be no-ops
+      val nextCount = next.count()
+      converged = nextCount == prevCount
+      prevCount = nextCount
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(nodes)
       nodes = next
+      r += 1
     }
     edges
       .join(nodes.withColumnRenamed("node", "src"), "src")
