@@ -799,6 +799,86 @@ object Pipeline {
       .orderBy(col("qid"), col("adc_micro2"), col("vec_id"))
   }
 
+  /** Sign-bit binary codes (1 bit/dim, packed into two 32-bit halves so
+    * neither engine shifts into the sign bit — DuckDB raises on
+    * `1::BIGINT << 63`): the training-free end of the quantization
+    * ladder the PQ family anchors. 64 dims → 8 bytes/vector (32×
+    * compression vs float32), map-only encode, no shuffle. Codes sum
+    * single-bit terms, so the integer sum IS the bitwise OR and both
+    * engines agree exactly.
+    */
+  private def bqCoded(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("aggregate(transform(slice(embedding, 1, 32), " +
+        "(x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+        .as("code_lo"),
+      expr("aggregate(transform(slice(embedding, 33, 32), " +
+        "(x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+        .as("code_hi"))
+
+  /** Binary-quantization top-k: Hamming distance over the 8-byte sign
+    * codes, the cheapest ANN scan the serving stacks ship (8 bytes +
+    * two XOR/popcounts per vector — at 100 TB the scan reads 1/32 of
+    * the float bytes and the distance is branch-free codegen). Raw BQ
+    * recall is honest-but-low ([[bqRecall]] publishes it; the
+    * production posture is [[bqRerankTopk]]'s exact re-rank, same
+    * two-stage shape as pq_rerank_topk). Ties broken by vec_id — the
+    * total comparator both engines share.
+    */
+  def bqTopk(s: SparkSession, d: String): DataFrame = {
+    val c = bqCoded(Tables.embeddings(s, d))
+    val q = c.filter(col("vec_id") === 0)
+      .select(col("code_lo").as("ql"), col("code_hi").as("qh"))
+    c.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (expr("bit_count(code_lo ^ ql)") + expr("bit_count(code_hi ^ qh)"))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Recall@20 of the raw Hamming scan vs the exact brute-force top-20
+    * (ivf_recall's {OUT} posture: checked against this run's own dumps).
+    */
+  def bqRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(embeddingTopk(s, d), bqTopk(s, d))
+
+  /** The production BQ probe: Hamming shortlist of 100 (the 8-byte scan
+    * does the corpus-wide work) → exact float cosine re-rank of ONLY
+    * the broadcast shortlist — O(shortlist) full-precision cost at any
+    * corpus width, the same two-stage contract as [[pqRerankTopk]] but
+    * with a training-free stage 1. [[bqRerankRecall]] publishes the
+    * lift over [[bqRecall]]'s raw codes.
+    */
+  def bqRerankTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val c = bqCoded(emb)
+    val q = c.filter(col("vec_id") === 0)
+      .select(col("code_lo").as("ql"), col("code_hi").as("qh"))
+    val shortlist = c.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (expr("bit_count(code_lo ^ ql)") + expr("bit_count(code_hi ^ qh)"))
+          .as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(100)
+      .select(col("vec_id"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Recall@20 of the two-stage BQ probe — the published lift the
+    * 8-byte index buys back with a constant 100 full-precision reads.
+    */
+  def bqRerankRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(embeddingTopk(s, d), bqRerankTopk(s, d))
+
   /** Per-cell health report of the trained coarse quantizer — the
     * index-build diagnostic every ANN deployment publishes (cell
     * balance drives probe cost; a degenerate mega-cell defeats the
@@ -1713,6 +1793,10 @@ object Pipeline {
     "ivf_pq_pruned" -> ivfPqPruned,
     "ivf_pq_rerank" -> ivfPqRerank,
     "ivf_pq_batch" -> ivfPqBatch,
+    "bq_topk" -> bqTopk,
+    "bq_recall" -> bqRecall,
+    "bq_rerank_topk" -> bqRerankTopk,
+    "bq_rerank_recall" -> bqRerankRecall,
     "mmr_rerank" -> mmrRerank,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
@@ -1750,6 +1834,21 @@ object Pipeline {
   // --- DuckDB oracles -------------------------------------------------------
 
   private val M31 = "2147483648" // 2^31, fingerprint modulus
+
+  /** Shared sign-bit binary-code CTE body (two 32-bit halves — DuckDB
+    * raises on `1::BIGINT << 63`): the single definition the bq_topk
+    * and bq_rerank_topk oracles build on, mirroring [[bqCoded]] bit for
+    * bit (single-bit terms make the integer sum the bitwise OR).
+    */
+  private val BqCodesCte: String =
+    """SELECT vec_id,
+      |  list_reduce(list_transform(range(1,33), i ->
+      |    CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i-1) ELSE 0::BIGINT END),
+      |    (a,b) -> a+b) AS code_lo,
+      |  list_reduce(list_transform(range(33,65), i ->
+      |    CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i-33) ELSE 0::BIGINT END),
+      |    (a,b) -> a+b) AS code_hi
+      |FROM embeddings""".stripMargin
 
   /** Shared gaps-and-islands CTE (ms precision, > gap starts a session):
     * the single definition both the `sessionize` and `range_join` oracles
@@ -2142,6 +2241,39 @@ object Pipeline {
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
         |JOIN read_parquet('{OUT}/embedding_topk_ivf/*.parquet') i USING (vec_id)""".stripMargin,
+    "bq_topk" ->
+      s"""WITH c AS ($BqCodesCte),
+         |q AS (SELECT code_lo AS ql, code_hi AS qh FROM c WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  (bit_count(xor(code_lo, ql)) + bit_count(xor(code_hi, qh)))::BIGINT AS hamming
+         |FROM c, q WHERE vec_id <> 0
+         |ORDER BY hamming, vec_id LIMIT 20""".stripMargin,
+    "bq_recall" ->
+      """SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
+        |  (10000 * count(*) // 20)::BIGINT AS recall_bp
+        |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
+        |JOIN read_parquet('{OUT}/bq_topk/*.parquet') b USING (vec_id)""".stripMargin,
+    "bq_rerank_topk" ->
+      s"""WITH c AS ($BqCodesCte),
+         |q AS (SELECT code_lo AS ql, code_hi AS qh FROM c WHERE vec_id = 0),
+         |sl AS (
+         |  SELECT vec_id FROM c, q WHERE vec_id <> 0
+         |  ORDER BY bit_count(xor(code_lo, ql)) + bit_count(xor(code_hi, qh)), vec_id
+         |  LIMIT 100),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, sim FROM (
+         |  SELECT e.vec_id,
+         |    round(
+         |      list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * qv.qe[i]::DOUBLE), (a,b) -> a+b)
+         |      / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (a,b) -> a+b))
+         |         * sqrt(list_reduce(list_transform(range(1,65), i -> qv.qe[i]::DOUBLE * qv.qe[i]::DOUBLE), (a,b) -> a+b))), 6) AS sim
+         |  FROM embeddings e JOIN sl USING (vec_id), qv)
+         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "bq_rerank_recall" ->
+      """SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
+        |  (10000 * count(*) // 20)::BIGINT AS recall_bp
+        |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
+        |JOIN read_parquet('{OUT}/bq_rerank_topk/*.parquet') b USING (vec_id)""".stripMargin,
     "duplicate_spans" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),

@@ -302,6 +302,64 @@ class PqSpec extends SparkSuite {
     assert(rrRecall >= adcRecall, s"rerank $rrRecall < adc $adcRecall")
   }
 
+  test("bq_topk: sign-code Hamming scan matches a plain-Scala recompute") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def code(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) if (v(i) > 0f) lo |= (1L << i)
+      for (i <- 32 until 64) if (v(i) > 0f) hi |= (1L << (i - 32))
+      (lo, hi)
+    }
+    val (ql, qh) = code(rows(0L))
+    val expect = rows.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val (lo, hi) = code(v)
+      (id, java.lang.Long.bitCount(lo ^ ql).toLong
+        + java.lang.Long.bitCount(hi ^ qh).toLong)
+    }.sortBy { case (id, h) => (h, id) }.take(20)
+    val got = Pipeline.bqTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("bq_rerank: picks come from the Hamming shortlist; recall dominates raw BQ") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def code(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) if (v(i) > 0f) lo |= (1L << i)
+      for (i <- 32 until 64) if (v(i) > 0f) hi |= (1L << (i - 32))
+      (lo, hi)
+    }
+    val (ql, qh) = code(rows(0L))
+    val shortlist = rows.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val (lo, hi) = code(v)
+      (id, java.lang.Long.bitCount(lo ^ ql) + java.lang.Long.bitCount(hi ^ qh))
+    }.sortBy { case (id, h) => (h, id) }.take(100).map(_._1).toSet
+    def sim6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Pipeline.bqRerankTopk(spark, sf0001).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      assert(shortlist(r.getLong(0)), s"vec ${r.getLong(0)} not in shortlist")
+      assert(r.getDouble(1) == sim6(rows(r.getLong(0)), rows(0L)),
+        s"vec ${r.getLong(0)} sim")
+    }
+    // raw Hamming top-20 is a prefix of the shortlist order, so any exact
+    // top-20 member it catches is also caught after exact re-ranking
+    val raw = Pipeline.bqRecall(spark, sf0001).collect()(0).getLong(1)
+    val rr = Pipeline.bqRerankRecall(spark, sf0001).collect()(0).getLong(1)
+    assert(rr >= raw, s"rerank $rr < raw $raw")
+    assert(raw >= 1L, "degenerate fixture: raw BQ catches nothing")
+  }
+
   test("hard_negatives: per-anchor cross-label top-5 matches a plain-Scala recompute") {
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"), col("label")).collect()
