@@ -1035,6 +1035,39 @@ object Pipeline {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** k-NN label-consistency audit (the Confident-Learning-style
+    * mislabel screen a training-data pipeline runs before fine-tuning
+    * on labeled embeddings): for each vector of a deterministic 4%
+    * audit sample (vec_id % 25 — a label audit runs on a sample, the
+    * neighbor pool stays the FULL corpus), the 10 exact-cosine nearest
+    * neighbors vote; a vector whose neighborhood disagrees with its
+    * own label (n_agree near 0) is the mislabel candidate a human
+    * reviews first. Same broadcast-anchor fan-out as [[hardNegatives]]
+    * (map-only scan, |audit|×n candidate rows, per-anchor top-10 on
+    * the TopKPerGroup heap) — at 100 TB the exact scan swaps for the
+    * batched IVF-PQ probe ([[ivfPqBatch]]) with no change to the vote.
+    * 6-dp rounded sims + vec_id tie-break keep the neighbor sets
+    * identical in both engines.
+    */
+  def knnLabelConsistency(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val audit = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(audit))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("q_label"), col("vec_id"), col("label"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+    graft.plans.TopKPerGroup(scored, Seq("qid"),
+        Seq(col("sim").desc, col("vec_id")), 10)
+      .groupBy(col("qid"), col("q_label"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .select(col("qid").as("vec_id"), col("q_label").as("label"),
+        col("n_agree"), expr("10000 * n_agree div 10").as("agree_bp"))
+      .orderBy(col("n_agree"), col("vec_id"))
+  }
+
   /** Embedding-space drift monitor — the vector analog of
     * `token_kl_drift`: per label, the squared L2 shift between the even-
     * and odd-vec_id snapshots' centroids, in exact micro² (the
@@ -1844,6 +1877,7 @@ object Pipeline {
     "bq_rerank_recall" -> bqRerankRecall,
     "sq8_topk" -> sq8Topk,
     "sq8_recall" -> sq8Recall,
+    "knn_label_consistency" -> knnLabelConsistency,
     "mmr_rerank" -> mmrRerank,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
@@ -2342,6 +2376,22 @@ object Pipeline {
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
         |JOIN read_parquet('{OUT}/sq8_topk/*.parquet') s USING (vec_id)""".stripMargin,
+    "knn_label_consistency" ->
+      """WITH a AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |s AS (SELECT qid, qlabel, vec_id, label, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        |      FROM (SELECT a.qid, a.qlabel, e.vec_id, e.label,
+        |        round(
+        |          list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * a.qe[i]::DOUBLE), (x,y) -> x+y)
+        |          / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y))
+        |             * sqrt(list_reduce(list_transform(range(1,65), i -> a.qe[i]::DOUBLE * a.qe[i]::DOUBLE), (x,y) -> x+y))), 6) AS sim
+        |        FROM embeddings e, a WHERE e.vec_id <> a.qid))
+        |SELECT qid AS vec_id, qlabel AS label,
+        |  sum(CASE WHEN s.label = s.qlabel THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+        |  (10000 * sum(CASE WHEN s.label = s.qlabel THEN 1 ELSE 0 END) // 10)::BIGINT AS agree_bp
+        |FROM s WHERE rn <= 10
+        |GROUP BY 1, 2 ORDER BY n_agree, vec_id""".stripMargin,
     "duplicate_spans" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),

@@ -385,6 +385,31 @@ class PqSpec extends SparkSuite {
     assert(bp >= 1000L, s"degenerate fixture: sq8 recall $bp bp")
   }
 
+  test("knn_label_consistency: neighborhood vote matches a plain-Scala recompute") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def sim6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.filter(_._1 % 25 == 0).map { case (qid, qv, qlab) =>
+      val nn = rows.filter(_._1 != qid)
+        .map { case (id, v, lab) => (id, lab, sim6(v, qv)) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(10)
+      (qid, qlab, nn.count(_._2 == qlab).toLong)
+    }.sortBy { case (id, _, n) => (n, id) }.toSeq
+    val got = Pipeline.knnLabelConsistency(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the audit is non-degenerate: the vote separates vectors
+    assert(expect.map(_._3).distinct.length >= 2)
+  }
+
   test("hard_negatives: per-anchor cross-label top-5 matches a plain-Scala recompute") {
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"), col("label")).collect()
