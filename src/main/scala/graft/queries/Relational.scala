@@ -36,6 +36,73 @@ object Relational {
 
   private val ToksNE = Shared.ToksNE
 
+  /** Runtime Bloom-filter join pruning — the semi-join runtime filter
+    * Spark injects for DPP/runtime-filtering, built EXPLICITLY from
+    * codegen'd native expressions so the mechanism itself is a declared,
+    * gated operator: the dimension side (urgent orders, ~20% of keys)
+    * builds a 32 KB blocked bitset DISTRIBUTED (k=4 xxhash64 positions
+    * per key exploded into 64-bit words, one bit_or aggregate — the
+    * collect is sketch-sized at ≤4096 words, never key-count-sized),
+    * and the fact scan pre-filters l_orderkey through the broadcast
+    * literal word array (element_at + AND against a powers-of-two
+    * lookup — no per-row UDF, no column-amount shifts) BEFORE the
+    * shuffle join. Bloom filters have no false negatives, so the exact
+    * join downstream removes the ~1% false positives and the result is
+    * IDENTICAL to the plain join — which is exactly what the oracle
+    * asserts. At 100 TB this is the difference between shuffling the
+    * full fact table and shuffling the ~matching fraction: the filter
+    * rides into the scan as a codegen'd predicate and the shuffle
+    * carries only surviving rows. SqlSurfaceSpec pins the superset/
+    * subset contract (bloom-pass ⊇ true matches, and genuinely prunes).
+    */
+  def bloomPrune(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val mightContain =
+      bloomMightContain(urgent.select(col("o_orderkey")), col("l_orderkey"))
+    Tables.lineitem(s, d)
+      .filter(mightContain) // the runtime filter: prunes BEFORE the shuffle
+      .join(urgent.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Library surface behind [[bloomPrune]]: build a 32 KB blocked-bitset
+    * Bloom filter over `keys`' single column DISTRIBUTED (k=4 xxhash64
+    * positions per key exploded into 64-bit words, one bit_or aggregate;
+    * the collect is ≤4096 sketch words, never key-count-sized) and
+    * return the codegen'd might-contain predicate for `probe`. No
+    * column-amount shifts (shift amounts must be literals in the
+    * functions API): word index via shiftright-by-6, bit mask via a
+    * powers-of-two literal lookup. No false negatives by construction —
+    * callers follow with the exact join.
+    */
+  def bloomMightContain(keys: DataFrame, probe: Column): Column = {
+    val mBits = 1L << 18 // 262144 bits = 4096 words = 32 KB
+    val pow2 = typedLit(Array.tabulate(64)(i => 1L << i).toSeq)
+    val keyCol = col(keys.columns.head)
+    def positions(key: Column): Seq[Column] =
+      (0 until 4).map(i => pmod(xxhash64(key, lit(i)), lit(mBits)))
+    val words = keys
+      .select(explode(array(positions(keyCol): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("w"),
+        element_at(pow2, pmod(col("pos"), lit(64L)).cast("int") + 1).as("mask"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(mask)").as("bits"))
+      .collect() // bounded: <= 4096 words — sketch-sized, never data-sized
+    val arr = new Array[Long]((mBits / 64).toInt)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val bloom = typedLit(arr.toIndexedSeq)
+    positions(probe).map { pos =>
+      element_at(bloom, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(element_at(pow2, pos.bitwiseAND(lit(63L)).cast("int") + 1)) =!=
+        lit(0L)
+    }.reduce(_ && _)
+  }
+
   /** Scalar subquery: orders priced above the all-orders mean. The mean is
     * exact-integer (cents, integer division) so the threshold is identical
     * in both engines — no float-mean ulp hazard.
@@ -1033,6 +1100,7 @@ object Relational {
     "limit_offset" -> limitOffset,
     "right_outer_join" -> rightOuterJoin,
     "cross_join_dims" -> crossJoinDims,
+    "bloom_prune" -> bloomPrune,
     "scalar_subquery" -> scalarSubquery,
     "in_subquery" -> inSubquery,
     "correlated_subquery" -> correlatedSubquery,
@@ -1329,6 +1397,12 @@ object Relational {
         |  FROM lineitem)
         | WHERE rn <= 3
         | ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber""".stripMargin,
+    "bloom_prune" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_items,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "scalar_subquery" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders

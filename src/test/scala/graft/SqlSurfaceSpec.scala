@@ -511,6 +511,39 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got20 == expect20 && got20.nonEmpty)
   }
 
+  test("bloom_prune: no false negatives, genuine pruning, and the exact-join result") {
+    import org.apache.spark.sql.functions.col
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val urgentKeys = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val pred = queries.Relational.bloomMightContain(
+      orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")),
+      col("l_orderkey"))
+    val passKeys = lineitem.filter(pred)
+      .select(col("l_orderkey")).collect().map(_.getLong(0)).toSet
+    val allKeys = lineitem.select(col("l_orderkey")).collect().map(_.getLong(0))
+    val trueKeys = allKeys.filter(urgentKeys).toSet
+    // Bloom contract: every truly-matching key passes (no false negatives)
+    assert(trueKeys.subsetOf(passKeys), "bloom dropped a matching key")
+    // and the filter genuinely prunes the fact side before the shuffle
+    val nPass = allKeys.count(passKeys)
+    val nTrue = allKeys.count(trueKeys)
+    assert(nPass < allKeys.length, "bloom pruned nothing")
+    assert(nPass - nTrue <= allKeys.length / 20,
+      s"false-positive volume $nPass vs $nTrue out of ${allKeys.length}")
+    // final result is the plain join — recomputed as a driver fold
+    val expect = lineitem.select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice")).collect()
+      .filter(r => urgentKeys(r.getLong(0)))
+      .groupBy(_.getString(1)).map { case (rf, rs) =>
+        (rf, rs.length.toLong, rs.map(r => Math.round(r.getDouble(2) * 100)).sum)
+      }.toSeq.sortBy(_._1)
+    val got = queries.Relational.bloomPrune(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
   test("q10_returns plan: pre-aggregation sits BELOW the customer join, top-20 is TakeOrdered") {
     val df = graft.queries.Relational.q10Returns(spark, sf0001)
     val plan = df.queryExecution.optimizedPlan.toString
