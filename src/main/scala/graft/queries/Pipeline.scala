@@ -202,6 +202,77 @@ object Pipeline {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995) — the
+    * third blocking family next to LSH (hash buckets) and AllPairs
+    * (prefix postings): sort the corpus by a cheap blocking key, pair
+    * only records within a w=10-position window, verify with the shared
+    * exact shingle Jaccard. TWO passes with complementary keys (first-4
+    * tokens; last-4 tokens reversed) — the classic multi-pass answer to
+    * single-key misses when an edit hits the key region. Candidate cost
+    * is O(n·w) per pass AT ANY SCALE (each rank joins to exactly w
+    * successors) vs LSH's O(Σ bucket²) and AllPairs' O(Σ posting²);
+    * the global rank comes from the distributed [[graft.operators
+    * .PrefixSum]] (exclusive count of 1s — no single-task window), so
+    * the sort is a range exchange, not a driver collapse. Verify reuses
+    * [[graft.operators.Dedup.shingleHashSets]] + the native sorted-merge
+    * intersect — one Jaccard definition across all three families.
+    * [[snmRecall]] publishes the catch rate vs the exact AllPairs truth
+    * (the lsh_recall posture: every blocking family ships its recall
+    * contract).
+    */
+  def sortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val w = 10
+    val toks = docs(s, d)
+      .select(col("doc_id"),
+        filter(graft.functions.TextFns.tokens(col("text")),
+          t => length(t) > 0).as("ts"))
+      .filter(size(col("ts")) >= 4)
+    def candPairs(keyed: DataFrame): DataFrame = {
+      val r = graft.operators.PrefixSum
+        .exclusive(keyed, Seq(col("k"), col("doc_id")), lit(1L), "rn")
+        .select(col("doc_id"), col("rn"))
+      r.select(col("doc_id").as("da"),
+          explode(sequence(col("rn") + 1, col("rn") + lit(w.toLong))).as("rnb"))
+        .join(r.select(col("doc_id").as("db"), col("rn").as("rnb")), "rnb")
+        .select(least(col("da"), col("db")).as("id1"),
+          greatest(col("da"), col("db")).as("id2"))
+    }
+    val pass1 = toks.select(col("doc_id"),
+      concat_ws(" ", slice(col("ts"), 1, 4)).as("k"))
+    val pass2 = toks.select(col("doc_id"),
+      concat_ws(" ", reverse(slice(col("ts"), -4, 4))).as("k"))
+    val cand = candPairs(pass1).union(candPairs(pass2)).distinct()
+    val sets = Dedup.shingleHashSets(docs(s, d))
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedIntersectCount(col("hs1"), col("hs2")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Recall of the sorted-neighborhood blocking vs the exact AllPairs
+    * truth ([[setsimJoin]]) — the published contract that the two
+    * window passes actually see the corpus's near-dup structure
+    * (10000 bp on this fixture: the synthetic edits spare enough of
+    * the prefix/suffix key regions). The vacuous-corpus guard mirrors
+    * lsh_recall: no exact pairs → 10000.
+    */
+  def snmRecall(s: SparkSession, d: String): DataFrame =
+    setsimJoin(s, d).select(col("id1"), col("id2"))
+      .join(sortedNeighborhood(s, d)
+        .select(col("id1"), col("id2"), lit(1L).as("caught")),
+        Seq("id1", "id2"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("caught")), lit(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        expr("CASE WHEN n_exact = 0 THEN 10000L" +
+          " ELSE 10000 * n_hit div n_exact END").as("recall_bp"))
+
   /** Brute-force cosine top-20 for query vector vec_id=0 (the exact
     * baseline; the LSH-bucketed scale path is dedup_embedding).
     */
@@ -1853,6 +1924,8 @@ object Pipeline {
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
     "setsim_join" -> setsimJoin,
+    "sorted_neighborhood" -> sortedNeighborhood,
+    "snm_recall" -> snmRecall,
     "embedding_topk" -> embeddingTopk,
     "ivf_recall" -> ivfRecall,
     "embedding_topk_ivf" -> embeddingTopkIvf,
@@ -2774,6 +2847,38 @@ object Pipeline {
          |          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
          |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    "sorted_neighborhood" ->
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents
+         |           WHERE len($ToksNE) >= 4),
+         |k1 AS (SELECT doc_id, array_to_string(ts[1:4], ' ') AS k FROM t),
+         |k2 AS (SELECT doc_id,
+         |         array_to_string(list_reverse(ts[len(ts)-3:len(ts)]), ' ') AS k
+         |       FROM t),
+         |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn FROM k1),
+         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rn FROM k2),
+         |cand AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS id1, greatest(a.doc_id, b.doc_id) AS id2
+         |  FROM r1 a JOIN r1 b ON b.rn BETWEEN a.rn + 1 AND a.rn + 10
+         |  UNION
+         |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+         |  FROM r2 a JOIN r2 b ON b.rn BETWEEN a.rn + 1 AND a.rn + 10),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+         |       FROM t WHERE len(ts) >= 3)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT id1, id2,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |  FROM cand JOIN sh a ON a.doc_id = id1 JOIN sh b ON b.doc_id = id2)
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    "snm_recall" ->
+      """WITH ex AS (SELECT id1, id2 FROM read_parquet('{OUT}/setsim_join/*.parquet')),
+        |sn AS (SELECT id1, id2 FROM read_parquet('{OUT}/sorted_neighborhood/*.parquet'))
+        |SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+        |  (SELECT count(*) FROM ex JOIN sn USING (id1, id2))::BIGINT AS n_hit,
+        |  (CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 10000
+        |   ELSE 10000 * (SELECT count(*) FROM ex JOIN sn USING (id1, id2))
+        |        // (SELECT count(*) FROM ex) END)::BIGINT AS recall_bp""".stripMargin,
     "embedding_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, sim FROM (

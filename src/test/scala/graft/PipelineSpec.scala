@@ -546,4 +546,50 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("sorted_neighborhood: two-pass window blocking matches a plain-Scala recompute") {
+    val w = 10
+    val docRows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("[ \t\n\r]", -1)
+        .filter(_.nonEmpty)).filter(_._2.length >= 4)
+    def windowPairs(key: Long => String): Set[(Long, Long)] = {
+      val ranked = docRows.map { case (id, _) => id }
+        .sortBy(id => (key(id), id)).zipWithIndex
+      (for {
+        (a, ra) <- ranked; (b, rb) <- ranked
+        if rb > ra && rb <= ra + w
+      } yield (math.min(a, b), math.max(a, b))).toSet
+    }
+    val byId = docRows.toMap
+    val cand = windowPairs(id => byId(id).take(4).mkString(" ")) ++
+      windowPairs(id => byId(id).takeRight(4).reverse.mkString(" "))
+    val shingles = docRows.filter(_._2.length >= 3).map { case (id, ts) =>
+      id -> ts.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val expect = cand.toSeq.flatMap { case (id1, id2) =>
+      (shingles.get(id1), shingles.get(id2)) match {
+        case (Some(s1), Some(s2)) =>
+          val inter = (s1 & s2).size
+          val j = BigDecimal(inter.toDouble / (s1.size + s2.size - inter))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (j >= 0.5) Some((id1, id2, j)) else None
+        case _ => None
+      }
+    }.sortBy(p => (p._1, p._2))
+    val got = graft.queries.Pipeline.sortedNeighborhood(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture must contain window-caught near-dups")
+    // the blocking bound the family is chosen for: O(n·w) candidates/pass
+    assert(cand.size <= 2 * docRows.length * w)
+    // published recall contract reconciles with the recomputed overlap
+    val exact = graft.queries.Pipeline.setsimJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = graft.queries.Pipeline.snmRecall(spark, sf0001).collect().head
+    assert(r.getLong(0) == exact.size.toLong)
+    assert(r.getLong(1) == exact.count(p => got.exists(g => (g._1, g._2) == p)).toLong)
+    assert(r.getLong(2) == (if (exact.isEmpty) 10000L
+      else 10000L * r.getLong(1) / r.getLong(0)))
+  }
 }
