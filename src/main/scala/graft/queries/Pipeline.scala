@@ -1115,14 +1115,17 @@ object Pipeline {
     * own label (n_agree near 0) is the mislabel candidate a human
     * reviews first. Same broadcast-anchor fan-out as [[hardNegatives]]
     * (map-only scan, |audit|×n candidate rows, per-anchor top-10 on
-    * the TopKPerGroup heap) — at 100 TB the exact scan swaps for the
+    * the TopKPerGroup heap); the audit batch is BOUNDED (≤100 anchors
+    * via the vec_id cap — a broadcast must be batch-sized, never
+    * sample-fraction-sized), so the full-corpus audit is this query
+    * mapped over batches, and at 100 TB the exact scan swaps for the
     * batched IVF-PQ probe ([[ivfPqBatch]]) with no change to the vote.
     * 6-dp rounded sims + vec_id tie-break keep the neighbor sets
     * identical in both engines.
     */
   def knnLabelConsistency(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val audit = emb.filter(col("vec_id") % 25 === 0)
+    val audit = emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2500)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("label").as("q_label"))
     val scored = emb.crossJoin(broadcast(audit))
@@ -2451,7 +2454,7 @@ object Pipeline {
         |JOIN read_parquet('{OUT}/sq8_topk/*.parquet') s USING (vec_id)""".stripMargin,
     "knn_label_consistency" ->
       """WITH a AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
-        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |           FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500),
         |s AS (SELECT qid, qlabel, vec_id, label, sim,
         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
         |      FROM (SELECT a.qid, a.qlabel, e.vec_id, e.label,

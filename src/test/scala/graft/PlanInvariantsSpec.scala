@@ -78,6 +78,15 @@ class PlanInvariantsSpec extends SparkSuite {
     "token_kl_drift" -> "one-row corpus-totals scalar broadcast",
     "heavy_hitters" -> "one-row corpus-total scalar broadcast",
     "hard_negatives" -> "8-row anchor-batch broadcast (contrastive mining fan-out)",
+    "bq_topk" -> "one-row query-code broadcast",
+    "bq_recall" -> "composes embedding_topk/bq_topk's one-row query broadcasts",
+    "bq_rerank_topk" ->
+      "one-row query code/vector + 100-id shortlist broadcasts",
+    "bq_rerank_recall" ->
+      "composes embedding_topk/bq_rerank_topk's bounded broadcasts",
+    "sq8_recall" -> "composes embedding_topk's one-row query-vector broadcast",
+    "knn_label_consistency" ->
+      "bounded audit-batch broadcast (<=100 anchors via the vec_id cap)",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
