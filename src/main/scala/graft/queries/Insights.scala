@@ -395,6 +395,40 @@ object Insights {
       .orderBy(col("day"))
   }
 
+  /** Theil–Sen robust trend of daily revenue (Theil 1950 / Sen 1968 —
+    * the median of all pairwise slopes): the slope estimate a reporting
+    * layer trusts when the OLS line is dragged by outlier days (up to
+    * 29% contamination tolerance). The day dimension is CALENDAR-
+    * bounded, so the pair stage is days² (millions at decades of
+    * history), never corpus² — the corpus-sized work is the one daily
+    * aggregate ([[dailyRevenue]], the shared cached artifact); pairs
+    * come from a broadcast theta-self-join on the bounded daily table
+    * (trend_7d's posture) and the MEDIAN selection runs on the
+    * distributed [[graft.operators.PrefixSum]] rank over (slope, d1,
+    * d2) — no single-task global window, no collect. Slopes are one
+    * IEEE double division of exact integers (identical op order in both
+    * engines); only the published value is rounded, to micro-cents/day.
+    * Lower median at even counts — the (n+1) div 2 pick both engines
+    * share.
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyRevenue(s, d)
+    val pairs = daily.select(col("day").as("d1"), col("cents").as("c1"))
+      .join(broadcast(daily.select(col("day").as("d2"), col("cents").as("c2"))),
+        col("d1") < col("d2"))
+      .select(((col("c2") - col("c1")).cast("double") /
+        (col("d2") - col("d1")).cast("double")).as("slope"),
+        col("d1"), col("d2"))
+    val ranked = graft.operators.PrefixSum.exclusive(
+      pairs, Seq(col("slope"), col("d1"), col("d2")), lit(1L), "rn")
+    val n = daily.agg(count(lit(1)).as("n_days"))
+      .select(col("n_days"), expr("n_days * (n_days - 1) div 2").as("n_pairs"))
+    ranked.crossJoin(broadcast(n)) // one-row count scalar
+      .filter(col("rn") === expr("(n_pairs + 1) div 2 - 1")) // 0-based rank
+      .select(col("n_days"), col("n_pairs"),
+        expr("CAST(round(slope * 1000000) AS BIGINT)").as("slope_micro"))
+  }
+
   /** Rank-uniformizing quantile transform of customer spend — the
     * leakage-free ML preprocessing step (sklearn's QuantileTransformer
     * shape): each customer's total spend mapped to its empirical
@@ -484,6 +518,7 @@ object Insights {
     "conversion_lag" -> conversionLag,
     "anomaly_days" -> anomalyDays,
     "trend_7d" -> trend7d,
+    "theil_sen" -> theilSen,
     "quantile_transform" -> quantileTransform,
     "rolling_active_users" -> rollingActiveUsers,
     "benford_test" -> benfordTest,
@@ -529,6 +564,21 @@ object Insights {
         |SELECT day, cents, trend_cents::BIGINT AS trend_cents,
         |  res::BIGINT AS residual_cents
         |FROM r, m, md WHERE abs(res - med) > 2 * mad ORDER BY day""".stripMargin,
+    "theil_sen" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT (b.cents - a.cents)::DOUBLE / (b.day - a.day) AS slope,
+        |    a.day AS d1, b.day AS d2
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |ranked AS (SELECT slope, row_number() OVER (ORDER BY slope, d1, d2) AS rn
+        |           FROM pairs),
+        |n AS (SELECT count(*) AS cnt FROM pairs)
+        |SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days, cnt::BIGINT AS n_pairs,
+        |  CAST(round((SELECT slope FROM ranked, n WHERE rn = (cnt + 1) // 2)
+        |       * 1000000) AS BIGINT) AS slope_micro
+        |FROM n""".stripMargin,
     "trend_7d" ->
       """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents

@@ -87,6 +87,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "sq8_recall" -> "composes embedding_topk's one-row query-vector broadcast",
     "knn_label_consistency" ->
       "bounded audit-batch broadcast (<=100 anchors via the vec_id cap)",
+    "theil_sen" ->
+      "calendar-bounded daily-table theta self-join + one-row count scalar",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
