@@ -90,6 +90,40 @@ object Analytics {
         |  count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
         |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin)
 
+  /** Two-sample Kolmogorov–Smirnov test between the even- and odd-key
+    * order populations — the bin-free companion to [[psiDrift]] in the
+    * drift battery (PSI needs a binning choice; KS compares the full
+    * ECDFs, the standard check that an A/B bucketing hash didn't skew a
+    * metric's distribution). One hash aggregate collapses the corpus to
+    * per-distinct-value conditional counts, the two running ECDFs come
+    * from chained [[graft.operators.PrefixSum]] scans over the value
+    * order (distributed rank — no single-task window), and D = max
+    * |F₁−F₂| folds in one aggregate. ECDF steps are two exact-integer
+    * divisions per distinct value (identical IEEE ops both engines;
+    * bounded [0,1] at any corpus size — no overflow, unlike the integer
+    * cross-product form), rounded once to micro units.
+    */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 2 === 0).as("a"))
+    val g = o.groupBy(col("cents")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+    val cum = graft.operators.PrefixSum.exclusive(
+      graft.operators.PrefixSum.exclusive(g, Seq(col("cents")), col("ca"), "cax"),
+      Seq(col("cents")), col("cb"), "cbx")
+    val n = broadcast(o.agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n2")))
+    cum.crossJoin(n) // one-row population-count scalar
+      .select(col("n1"), col("n2"),
+        abs(((col("cax") + col("ca")).cast("double") / col("n1")) -
+          ((col("cbx") + col("cb")).cast("double") / col("n2"))).as("dd"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(expr("CAST(round(max(dd) * 1000000) AS BIGINT)").as("d_micro"))
+  }
+
   /** Population stability index between two periods — the drift monitor
     * an ML-ops pipeline runs on every feature before retraining ("did
     * the price distribution move?"). Reference period = orders through
@@ -926,6 +960,7 @@ object Analytics {
     "window_nav" -> windowNav,
     "histogram" -> histogram,
     "psi_drift" -> psiDrift,
+    "ks_test" -> ksTest,
     "math_funcs" -> mathFuncs,
     "gap_fill" -> gapFill,
     "vocab_idf" -> vocabIdf,
@@ -1186,6 +1221,21 @@ object Analytics {
         |  (1::BIGINT << (c_custkey % 16))::BIGINT AS pow2,
         |  (((bal % 97) + 97) % 97)::BIGINT AS mod97
         |FROM x ORDER BY c_custkey""".stripMargin,
+    "ks_test" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |             o_orderkey % 2 = 0 AS a FROM orders),
+        |g AS (SELECT cents,
+        |        sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |        sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS cb
+        |      FROM o GROUP BY 1),
+        |c AS (SELECT cents,
+        |        sum(ca) OVER (ORDER BY cents) AS cuma,
+        |        sum(cb) OVER (ORDER BY cents) AS cumb FROM g),
+        |n AS (SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |        sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n2 FROM o)
+        |SELECT n1, n2,
+        |  CAST(round(max(abs(cuma::DOUBLE / n1 - cumb::DOUBLE / n2)) * 1000000) AS BIGINT) AS d_micro
+        |FROM c, n GROUP BY n1, n2""".stripMargin,
     "psi_drift" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |    (year(o_orderdate) <= 1997) AS is_ref FROM orders),

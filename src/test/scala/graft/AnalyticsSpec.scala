@@ -293,6 +293,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(st.getLong(3) == o.select("o_orderstatus").distinct().count())
   }
 
+  test("ks_test: two-sample D statistic matches a driver-side ECDF recomputation") {
+    val vals = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "o_orderkey % 2 = 0 AS a")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val sa = vals.filter(_._2).map(_._1).sorted
+    val sb = vals.filterNot(_._2).map(_._1).sorted
+    val support = (sa ++ sb).distinct.sorted
+    def ecdf(s0: Array[Long], v: Long): Double = {
+      // count of elements <= v over n — the inclusive step ECDF
+      var lo = 0; var hi = s0.length
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (s0(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      lo.toDouble / s0.length
+    }
+    val dExpect = support.map(v => math.abs(ecdf(sa, v) - ecdf(sb, v))).max
+    val r = graft.queries.Analytics.ksTest(spark, sf0001).collect().head
+    assert(r.getLong(0) == sa.length.toLong && r.getLong(1) == sb.length.toLong)
+    assert(r.getLong(2) == Math.round(dExpect * 1e6))
+    // non-degenerate: the parity split is close but not identical
+    assert(r.getLong(2) > 0L && r.getLong(2) < 500000L)
+  }
+
   private implicit class BoolOps(val a: Boolean) {
     def ==>(b: Boolean): Boolean = !a || b
   }

@@ -89,6 +89,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "bounded audit-batch broadcast (<=100 anchors via the vec_id cap)",
     "theil_sen" ->
       "calendar-bounded daily-table theta self-join + one-row count scalar",
+    "ks_test" -> "one-row population-count scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
