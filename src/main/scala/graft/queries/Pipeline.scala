@@ -1821,6 +1821,53 @@ object Pipeline {
     duplicateSpansOf(docs(s, d))
 
   /** Split out so the planted-duplicate spec runs on a literal frame. */
+  /** Content-defined chunking dedup (the Rabin/FastCDC storage-dedup
+    * primitive, here at token granularity): cut a chunk boundary AFTER
+    * every token whose polynomial hash ≡ 0 (mod 4 — the fixture's
+    * 31-token vocabulary puts 3 tokens on the boundary set, mean chunk
+    * ≈ 8.6 tokens; production uses a larger modulus for larger chunks),
+    * then report chunks appearing in ≥2 documents. The point vs
+    * fixed-stride spans ([[duplicateSpans]] / chunk_windows): CDC
+    * boundaries are CONTENT-anchored, so an insertion early in a doc
+    * shifts only the chunk it lands in — the rest of the doc re-aligns
+    * and still dedups (fixed windows lose alignment for the whole
+    * suffix). Per-token boundary flag is the shared mod-2^31
+    * [[graft.functions.TextFns.tokenHash31]]; the running chunk number
+    * is a PER-DOC window (doc-bounded, never corpus-wide); chunk
+    * identity is the sha256-prefix BIGINT the span family pins. One
+    * explode + one per-doc window + two hash aggregates at any corpus
+    * size.
+    */
+  def cdcChunking(s: SparkSession, d: String): DataFrame =
+    cdcChunkingOf(docs(s, d))
+
+  private[graft] def cdcChunkingOf(in: DataFrame): DataFrame = {
+    val t = in
+      .select(col("doc_id"),
+        posexplode(Dedup.tokensNE(col("text"))).as(Seq("i", "tok")))
+      .withColumn("is_b",
+        when(graft.functions.TextFns.tokenHash31(col("tok")) % 4 === 0, 1L)
+          .otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunks = t
+      .withColumn("chunk_no", coalesce(sum(col("is_b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_no"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+          e => e.getField("tok")), " ").as("chunk"))
+    chunks
+      .groupBy(conv(substring(sha2(col("chunk"), 256), 1, 15), 16, 10)
+        .cast("long").as("chunk_hash"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"),
+        count(lit(1)).as("n_occurrences"), min(col("n_tokens")).as("n_tokens"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("chunk_hash"), size(col("ds")).cast("long").as("n_docs"),
+        col("n_occurrences"), col("n_tokens"))
+      .orderBy(col("chunk_hash"))
+  }
+
   private[graft] def duplicateSpansOf(in: DataFrame): DataFrame = {
     val spans = in.select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
       .filter(size(col("ts")) >= 8)
@@ -1913,6 +1960,7 @@ object Pipeline {
     "dup_rate_by_source" -> dupRateBySource,
     "source_dedup_matrix" -> sourceDedupMatrix,
     "duplicate_spans" -> duplicateSpans,
+    "cdc_chunking" -> cdcChunking,
     "dedup_exact" -> dedupExact,
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_keep_best" -> dedupKeepBest,
@@ -2468,6 +2516,28 @@ object Pipeline {
         |  (10000 * sum(CASE WHEN s.label = s.qlabel THEN 1 ELSE 0 END) // 10)::BIGINT AS agree_bp
         |FROM s WHERE rn <= 10
         |GROUP BY 1, 2 ORDER BY n_agree, vec_id""".stripMargin,
+    "cdc_chunking" ->
+      s"""WITH d0 AS (SELECT doc_id, $ToksNE AS ts FROM documents),
+         |t AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |        i -> {'i': i, 'tok': ts[i]})) AS u FROM d0),
+         |b AS (SELECT doc_id, u.i AS i, u.tok AS tok,
+         |        CASE WHEN (list_reduce(list_prepend(5381::BIGINT,
+         |          list_transform(string_split(u.tok, ''), c -> ord(c)::BIGINT)),
+         |          (a, bb) -> (a * 33 + bb) % $M31) % 4) = 0 THEN 1 ELSE 0 END AS is_b
+         |      FROM t),
+         |c AS (SELECT doc_id, i, tok,
+         |        coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+         |      FROM b),
+         |ch AS (SELECT doc_id, chunk_no, count(*)::BIGINT AS n_tokens,
+         |         string_agg(tok, ' ' ORDER BY i) AS chunk
+         |       FROM c GROUP BY 1, 2)
+         |SELECT ('0x' || substr(sha256(chunk), 1, 15))::BIGINT AS chunk_hash,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_occurrences,
+         |  min(n_tokens)::BIGINT AS n_tokens
+         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
     "duplicate_spans" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
          |s AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),

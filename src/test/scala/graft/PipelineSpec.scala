@@ -547,6 +547,53 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("cdc_chunking: content-defined chunks match a plain-Scala recompute") {
+    def h31(t: String): Long =
+      t.foldLeft(5381L)((acc, c) => (acc * 33 + c.toInt) % 2147483648L)
+    def chunksOf(toks: Array[String]): Seq[Array[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer[Array[String]]()
+      val cur = scala.collection.mutable.ArrayBuffer[String]()
+      toks.foreach { t =>
+        cur += t
+        if (h31(t) % 4 == 0) { out += cur.toArray; cur.clear() }
+      }
+      if (cur.nonEmpty) out += cur.toArray
+      out.toSeq
+    }
+    def sha15(s0: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s0.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val docRows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("[ \t\n\r]", -1)
+        .filter(_.nonEmpty))
+    val occ = docRows.flatMap { case (id, ts) =>
+      chunksOf(ts).map(c => (sha15(c.mkString(" ")), id, c.length.toLong)) }
+    val expect = occ.groupBy(_._1).toSeq.map { case (h, os) =>
+      (h, os.map(_._2).distinct.length.toLong, os.length.toLong, os.map(_._3).min)
+    }.filter(_._2 >= 2).sortBy(_._1)
+    val got = graft.queries.Pipeline.cdcChunking(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("cdc_chunking re-aligns after an insertion (the property fixed windows lack)") {
+    import spark.implicits._
+    val base = ("alpha beta gamma part delta epsilon agg zeta eta theta " +
+      "vector iota kappa part lambda mu agg nu xi omicron").trim
+    // doc 2 = doc 1 with one token INSERTED at the front: every chunk
+    // after the first boundary re-aligns and still collides
+    val df = Seq((1L, base), (2L, s"inserted $base")).toDF("doc_id", "text")
+    val shared = graft.queries.Pipeline.cdcChunkingOf(df).collect()
+    // 'part' and 'agg' are boundary tokens (hash31 % 4 == 0), so the two
+    // docs share every chunk from the first boundary on
+    assert(shared.length >= 3, s"expected re-aligned shared chunks, got ${shared.length}")
+    assert(shared.forall(r => r.getLong(1) == 2L))
+  }
+
   test("sorted_neighborhood: two-pass window blocking matches a plain-Scala recompute") {
     val w = 10
     val docRows = spark.read.parquet(s"$sf0001/documents.parquet")
