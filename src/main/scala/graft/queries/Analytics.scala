@@ -90,6 +90,38 @@ object Analytics {
         |  count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
         |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin)
 
+  /** Winsorized-mean report of order prices — the robust-preprocessing
+    * companion to feature_scale/outlier_zscore: clip at the exact 5th/
+    * 95th percentiles and publish the clip thresholds, both means, and
+    * the clipped-row census. Percentiles come from the grouped
+    * value-count table + one distributed [[graft.operators.PrefixSum]]
+    * scan (the k-th smallest = min value whose running count reaches
+    * ceil(q·n) — no single-task window, no collect); thresholds ride
+    * back as a one-row broadcast scalar into ONE final aggregate. All
+    * integer cents end to end.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val g = o.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val cum = graft.operators.PrefixSum
+      .exclusive(g, Seq(col("cents")), col("c"), "cx")
+      .select(col("cents"), (col("cx") + col("c")).as("cum"))
+    val n = o.agg(count(lit(1)).as("n"))
+    val p = cum.crossJoin(broadcast(n)) // one-row count scalar
+      .agg(
+        min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("cents"))).as("p05"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("cents"))).as("p95"))
+    o.crossJoin(broadcast(p)) // one-row threshold scalar
+      .agg(count(lit(1)).as("n"), min(col("p05")).as("p05"),
+        min(col("p95")).as("p95"),
+        expr("sum(cents) div count(1)").as("mean_cents"),
+        expr("sum(least(greatest(cents, p05), p95)) div count(1)")
+          .as("mean_winsorized"),
+        sum(when(col("cents") < col("p05"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_clipped_high"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test between the even- and odd-key
     * order populations — the bin-free companion to [[psiDrift]] in the
     * drift battery (PSI needs a binning choice; KS compares the full
@@ -961,6 +993,7 @@ object Analytics {
     "histogram" -> histogram,
     "psi_drift" -> psiDrift,
     "ks_test" -> ksTest,
+    "winsorize" -> winsorize,
     "math_funcs" -> mathFuncs,
     "gap_fill" -> gapFill,
     "vocab_idf" -> vocabIdf,
@@ -1221,6 +1254,19 @@ object Analytics {
         |  (1::BIGINT << (c_custkey % 16))::BIGINT AS pow2,
         |  (((bal % 97) + 97) % 97)::BIGINT AS mod97
         |FROM x ORDER BY c_custkey""".stripMargin,
+    "winsorize" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |n AS (SELECT count(*)::BIGINT AS n FROM o),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM o),
+        |p AS (SELECT
+        |  (SELECT cents FROM r, n WHERE rn = greatest(1, (5 * n + 99) // 100)) AS p05,
+        |  (SELECT cents FROM r, n WHERE rn = greatest(1, (95 * n + 99) // 100)) AS p95)
+        |SELECT n, p05, p95,
+        |  (SELECT sum(cents) // count(*) FROM o)::BIGINT AS mean_cents,
+        |  (SELECT sum(least(greatest(cents, p05), p95)) // count(*) FROM o, p)::BIGINT AS mean_winsorized,
+        |  (SELECT count(*) FROM o, p WHERE cents < p05)::BIGINT AS n_clipped_low,
+        |  (SELECT count(*) FROM o, p WHERE cents > p95)::BIGINT AS n_clipped_high
+        |FROM n, p""".stripMargin,
     "ks_test" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |             o_orderkey % 2 = 0 AS a FROM orders),

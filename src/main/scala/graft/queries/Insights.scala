@@ -429,6 +429,56 @@ object Insights {
         expr("CAST(round(slope * 1000000) AS BIGINT)").as("slope_micro"))
   }
 
+  /** CUSUM changepoint scan of daily revenue (Page 1954) — the
+    * level-shift detector next to [[trend7d]]'s smoother and
+    * anomalyDays' point screen: the day where the cumulative sum of
+    * deviations from the global mean peaks in magnitude is the
+    * maximum-likelihood single changepoint of a mean shift. Mean is the
+    * exact integer floor-average (one broadcast scalar); the running
+    * cusum is one distributed [[graft.operators.PrefixSum]] scan over
+    * the calendar-bounded daily table; the argmax is a top-1 with the
+    * (s_abs desc, day) total tie-break — exact integers end to end.
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyRevenue(s, d)
+    val m = broadcast(daily.agg(expr("sum(cents) div count(1)").as("mu"),
+      count(lit(1)).as("n_days")))
+    val dev = daily.crossJoin(m) // one-row mean scalar
+      .select(col("day"), (col("cents") - col("mu")).as("dev"), col("n_days"))
+    graft.operators.PrefixSum.exclusive(dev, Seq(col("day")), col("dev"), "csx")
+      .select(col("n_days"), col("day").as("change_day"),
+        abs(col("csx") + col("dev")).as("s_abs"))
+      .orderBy(col("s_abs").desc, col("change_day"))
+      .limit(1)
+  }
+
+  /** Gini coefficient of customer spend — the concentration number a
+    * curation pipeline also runs per-source on token mass (is 1% of
+    * the crawl contributing 90% of tokens?), here on the relational
+    * fixture's customer dimension. Rank comes from the distributed
+    * [[graft.operators.PrefixSum]] over the (cents, custkey) total
+    * order (tied values contribute a rank-sum that is invariant to
+    * tie order, so the statistic is well-defined); Σx and Σi·x are
+    * exact DECIMAL(38,0) sums (corpus-scale Σi·x outgrows int64 —
+    * per-row i·x does not); the classic (2Σi·x − (n+1)Σx)/(nΣx) folds
+    * as ONE fixed double tree rounded to micro units.
+    */
+  def giniSpend(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    graft.operators.PrefixSum
+      .exclusive(sp, Seq(col("cents"), col("o_custkey")), lit(1L), "rx")
+      .select(col("cents"), (col("rx") + 1).as("rn"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(rn * cents AS DECIMAL(38,0))")).as("six"))
+      .selectExpr("n",
+        """CAST(round((2.0 * CAST(six AS DOUBLE)
+          |  - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000) AS BIGINT)
+          |AS gini_micro""".stripMargin)
+  }
+
   /** Rank-uniformizing quantile transform of customer spend — the
     * leakage-free ML preprocessing step (sklearn's QuantileTransformer
     * shape): each customer's total spend mapped to its empirical
@@ -519,6 +569,8 @@ object Insights {
     "anomaly_days" -> anomalyDays,
     "trend_7d" -> trend7d,
     "theil_sen" -> theilSen,
+    "cusum_changepoint" -> cusumChangepoint,
+    "gini_spend" -> giniSpend,
     "quantile_transform" -> quantileTransform,
     "rolling_active_users" -> rollingActiveUsers,
     "benford_test" -> benfordTest,
@@ -564,6 +616,22 @@ object Insights {
         |SELECT day, cents, trend_cents::BIGINT AS trend_cents,
         |  res::BIGINT AS residual_cents
         |FROM r, m, md WHERE abs(res - med) > 2 * mad ORDER BY day""".stripMargin,
+    "cusum_changepoint" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT sum(cents) // count(*) AS mu, count(*)::BIGINT AS n_days FROM daily),
+        |s AS (SELECT day, sum(cents - mu) OVER (ORDER BY day) AS cusum FROM daily, m)
+        |SELECT n_days, day AS change_day, abs(cusum)::BIGINT AS s_abs
+        |FROM s, m ORDER BY abs(cusum) DESC, day LIMIT 1""".stripMargin,
+    "gini_spend" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM sp),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(cents) AS sx, sum(rn * cents) AS six FROM r)
+        |SELECT n, CAST(round((2.0 * six::DOUBLE - (n + 1)::DOUBLE * sx::DOUBLE)
+        |  / (n::DOUBLE * sx::DOUBLE) * 1000000) AS BIGINT) AS gini_micro FROM s""".stripMargin,
     "theil_sen" ->
       """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents

@@ -293,6 +293,25 @@ class AnalyticsSpec extends SparkSuite {
     assert(st.getLong(3) == o.select("o_orderstatus").distinct().count())
   }
 
+  test("winsorize: clip thresholds and both means match a driver-side recompute") {
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    def kth(q: Int): Long = cents(math.max(1, (q * n + 99) / 100) - 1)
+    val (p05, p95) = (kth(5), kth(95))
+    val r = graft.queries.Analytics.winsorize(spark, sf0001).collect().head
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getLong(1) == p05 && r.getLong(2) == p95)
+    assert(r.getLong(3) == cents.sum / n)
+    assert(r.getLong(4) ==
+      cents.map(c => math.min(math.max(c, p05), p95)).sum / n)
+    assert(r.getLong(5) == cents.count(_ < p05).toLong)
+    assert(r.getLong(6) == cents.count(_ > p95).toLong)
+    // genuinely clips ~5% on each side
+    assert(r.getLong(5) > 0 && r.getLong(6) > 0)
+  }
+
   test("ks_test: two-sample D statistic matches a driver-side ECDF recomputation") {
     val vals = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents",

@@ -337,6 +337,37 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("cusum_changepoint: peak |cusum| day matches a driver-side scan") {
+    val daily = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }.toSeq.sortBy(_._1)
+    val mu = daily.map(_._2).sum / daily.length
+    var run = 0L
+    val cusum = daily.map { case (day, c) => run += c - mu; (day, math.abs(run)) }
+    val (expectDay, expectS) = cusum.maxBy { case (day, s0) => (s0, -day) }
+    val r = graft.queries.Insights.cusumChangepoint(spark, sf0001).collect().head
+    assert(r.getLong(0) == daily.length.toLong)
+    assert(r.getLong(1) == expectDay && r.getLong(2) == expectS)
+  }
+
+  test("gini_spend: concentration matches a driver-side Lorenz recomputation") {
+    val spend = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }.toSeq
+    val ranked = spend.sortBy { case (ck, c) => (c, ck) }.map(_._2).zipWithIndex
+    val n = ranked.length.toDouble
+    val sx = ranked.map(p => BigInt(p._1)).sum.toDouble
+    val six = ranked.map { case (x, i) => BigInt(i + 1) * x }.sum.toDouble
+    val gini = (2.0 * six - (n + 1) * sx) / (n * sx)
+    val r = graft.queries.Insights.giniSpend(spark, sf0001).collect().head
+    assert(r.getLong(0) == ranked.length.toLong)
+    assert(r.getLong(1) == Math.round(gini * 1e6))
+    assert(r.getLong(1) > 0L && r.getLong(1) < 1000000L)
+  }
+
   test("theil_sen: median pairwise slope matches a driver-side recomputation") {
     val daily = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",

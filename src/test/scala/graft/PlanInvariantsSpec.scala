@@ -90,6 +90,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "theil_sen" ->
       "calendar-bounded daily-table theta self-join + one-row count scalar",
     "ks_test" -> "one-row population-count scalar broadcast",
+    "winsorize" -> "one-row count + one-row clip-threshold scalar broadcasts",
+    "cusum_changepoint" -> "one-row global-mean scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
