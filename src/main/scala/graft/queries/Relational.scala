@@ -546,6 +546,38 @@ object Relational {
     * why the plan guard in RelationalSpec asserts PushedFilters reaches
     * the scan. Revenue in exact integer cents, rounded once per line.
     */
+  /** TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+    * aggregate that completes the 22-query suite: one pass over
+    * lineitem with the shipdate cutoff pushed to the scan, grouped by
+    * (returnflag, linestatus), eight aggregates with map-side partials.
+    * Money stays EXACT: discount/tax are per-cent integers
+    * (round(×100) — the fixture's values are exact hundredths), so
+    * disc price is cents×pct (cp) and charge cents×pct² (cpp), with
+    * the floor-division averages both engines share; no double
+    * accumulates across rows. (The cpp sum reaches ~2e11/row — int64
+    * holds it through ~sf100; beyond that it takes the kmeans_profile
+    * DECIMAL(38,0) promotion.)
+    */
+  def q1Pricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        round(col("l_tax") * 100).cast("long").as("tax_pct"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("sum_qty"),
+        sum(col("cents")).as("sum_base_cents"),
+        sum(col("cents") * (lit(100L) - col("disc_pct"))).as("sum_disc_cp"),
+        sum(col("cents") * (lit(100L) - col("disc_pct"))
+          * (lit(100L) + col("tax_pct"))).as("sum_charge_cpp"),
+        expr("sum(qty) div count(1)").as("avg_qty"),
+        expr("sum(cents) div count(1)").as("avg_cents"),
+        expr("sum(disc_pct) div count(1)").as("avg_disc_pct"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   def q6Forecast(s: SparkSession, d: String): DataFrame = {
     // the date band compares the RAW timestamp_ntz column to NTZ
     // literals — the usual unix_millis(cast(...)) wrapper would demote
@@ -1101,6 +1133,7 @@ object Relational {
     "right_outer_join" -> rightOuterJoin,
     "cross_join_dims" -> crossJoinDims,
     "bloom_prune" -> bloomPrune,
+    "q1_pricing" -> q1Pricing,
     "scalar_subquery" -> scalarSubquery,
     "in_subquery" -> inSubquery,
     "correlated_subquery" -> correlatedSubquery,
@@ -1397,6 +1430,23 @@ object Relational {
         |  FROM lineitem)
         | WHERE rn <= 3
         | ORDER BY l_returnflag, qty DESC, l_orderkey, l_linenumber""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS sum_disc_cp,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      * (100 + CAST(round(l_tax * 100) AS BIGINT)))::BIGINT AS sum_charge_cpp,
+        |  (sum(CAST(l_quantity AS BIGINT)) // count(*))::BIGINT AS avg_qty,
+        |  (sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // count(*))::BIGINT AS avg_cents,
+        |  (sum(CAST(round(l_discount * 100) AS BIGINT)) // count(*))::BIGINT AS avg_disc_pct,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "bloom_prune" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n_items,
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents

@@ -220,6 +220,39 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(revs == revs.sortBy(-_))
   }
 
+  test("q1_pricing: pushed cutoff, and all eight aggregates match a driver fold") {
+    val qe = graft.queries.Relational.q1Pricing(spark, sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    // the shipdate cutoff must reach the scan (raw NTZ column, no wrapper)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+      || plan.contains("LessThanOrEqual(l_shipdate"), plan.take(2000))
+    val cutoff = java.time.LocalDateTime.parse("1998-09-02T00:00:00")
+    val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_returnflag", "l_linestatus", "l_shipdate",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc",
+        "CAST(round(l_tax * 100) AS BIGINT) AS tax")
+      .collect()
+      .filter(r => !r.getAs[java.time.LocalDateTime]("l_shipdate").isAfter(cutoff))
+    val expect = rows.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case ((rf, ls), rs) =>
+        val qty = rs.map(_.getLong(3)).sum
+        val cents = rs.map(_.getLong(4)).sum
+        val disc = rs.map(_.getLong(5)).sum
+        (rf, ls, qty, cents,
+          rs.map(r => r.getLong(4) * (100 - r.getLong(5))).sum,
+          rs.map(r => r.getLong(4) * (100 - r.getLong(5)) * (100 + r.getLong(6))).sum,
+          qty / rs.length, cents / rs.length, disc / rs.length, rs.length.toLong)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.queries.Relational.q1Pricing(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("q5_region_revenue: plan has no cartesian stage and matches a driver recompute") {
     val plan = graft.queries.Relational.q5RegionRevenue(spark, sf0001)
       .queryExecution.executedPlan.toString
