@@ -549,6 +549,63 @@ object Quality {
     * both engines. (At extreme vocabularies the micro-nat moment sums
     * would move to DECIMAL(38,0) — the stats_agg note applies.)
     */
+  /** Heaps-law vocabulary-growth fit (Heaps 1978) — the companion to
+    * [[zipfFit]] in the corpus-linguistics battery: V(n) ≈ K·n^β over
+    * doubling document prefixes. The curve answers the budgeting
+    * question zipf can't ("how much NEW vocabulary does the next 10×
+    * of crawl buy?") and a β collapsing toward 0 flags template/
+    * boilerplate corpora. Vocabulary = distinct token 3-grams (the
+    * fixture's 31-token unigram vocab saturates instantly; the 3-gram
+    * space genuinely grows, β ≈ 0.90 at sf0.01). ONE pass builds both
+    * curve ingredients — per-gram FIRST-SEEN doc (min doc_id) and
+    * per-doc gram mass — so a prefix's vocabulary is just "grams first
+    * seen before P" and no prefix is rescanned; checkpoints (powers of
+    * two up to n_docs, plus n_docs) join in as a bounded broadcast
+    * literal. Log-log least squares runs on micro-int quantized logs
+    * (the zipf_fit convention — exact integer sums, partitioning-
+    * invariant) over the bounded checkpoint table; β rides back on
+    * every row. Doc ids are dense 0..n−1 (the fixture contract), so
+    * "first P docs" = doc_id < P in both engines.
+    */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d)
+      .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - lit(2)),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + lit(1)),
+          element_at(col("ts"), i + lit(2))))).as("g"))
+    val nDocs = docs(s, d).count() // bounded: one metadata-cheap scalar
+    val ps = ((3 to 40).map(1L << _).filter(_ < nDocs) :+ nDocs)
+    import s.implicits._
+    val psDf = broadcast(ps.toDF("p"))
+    val vocab = sh.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+      .join(psDf, col("fd") < col("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("vocab_size"))
+    val ntok = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .join(psDf, col("doc_id") < col("p"))
+      .groupBy(col("p")).agg(sum(col("nt")).as("n_tokens"))
+    val curve = vocab.join(ntok, "p")
+      .select(col("p"), col("n_tokens"), col("vocab_size"),
+        round(log(col("n_tokens").cast("double")) * 1e6).cast("long").as("lx"),
+        round(log(col("vocab_size").cast("double")) * 1e6).cast("long").as("ly"))
+    val fit = curve.agg(count(lit(1)).as("k"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      .selectExpr(
+        """round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          | / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta_6dp"""
+          .stripMargin)
+    curve.crossJoin(broadcast(fit)) // one-row fit scalar
+      .select(col("p").as("prefix_docs"), col("n_tokens"),
+        col("vocab_size"), col("beta_6dp"))
+      .orderBy(col("prefix_docs"))
+  }
+
   def zipfFit(s: SparkSession, d: String): DataFrame = {
     val v = docs(s, d)
       .select(explode(Dedup.tokensNE(col("text"))).as("tok"))
@@ -846,6 +903,7 @@ object Quality {
     "token_count_bpe" -> tokenCountBpe,
     "bpe_word_tokens" -> bpeWordTokens,
     "zipf_fit" -> zipfFit,
+    "heaps_law" -> heapsLaw,
     "feature_chi2" -> featureChi2,
     "char_ngram_profile" -> charNgramProfile,
     "lang_id_ngram" -> langIdNgram,
@@ -1053,6 +1111,30 @@ object Quality {
          |SELECT doc_id, lang, cand_lang AS pred_lang, score,
          |  (cand_lang = lang) AS correct
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "heaps_law" ->
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)-1),
+         |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+         |       FROM t WHERE len(ts) >= 3),
+         |fs AS (SELECT g, min(doc_id) AS fd FROM sh GROUP BY 1),
+         |pd AS (SELECT doc_id, count(*)::BIGINT AS nt FROM sh GROUP BY 1),
+         |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |pw AS (SELECT unnest(range(3, 41)) AS k),
+         |ps AS (SELECT DISTINCT p FROM (
+         |         SELECT (1::BIGINT << k) AS p FROM pw, nd WHERE (1::BIGINT << k) < n
+         |         UNION SELECT n FROM nd)),
+         |vt AS (SELECT p, count(*)::BIGINT AS vocab_size FROM ps, fs WHERE fd < p GROUP BY p),
+         |ntk AS (SELECT p, sum(nt)::BIGINT AS n_tokens FROM ps, pd WHERE doc_id < p GROUP BY p),
+         |curve AS (SELECT p, n_tokens, vocab_size,
+         |            CAST(round(ln(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS lx,
+         |            CAST(round(ln(vocab_size::DOUBLE) * 1000000) AS BIGINT) AS ly
+         |          FROM vt JOIN ntk USING (p)),
+         |fit AS (SELECT count(*)::BIGINT AS k, sum(lx)::BIGINT AS sx, sum(ly)::BIGINT AS sy,
+         |          sum(lx*lx)::BIGINT AS sxx, sum(lx*ly)::BIGINT AS sxy FROM curve)
+         |SELECT p AS prefix_docs, n_tokens, vocab_size,
+         |  round((k::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |   / (k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS beta_6dp
+         |FROM curve, fit ORDER BY prefix_docs""".stripMargin,
     "zipf_fit" ->
       s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
          |v AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),

@@ -92,6 +92,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "ks_test" -> "one-row population-count scalar broadcast",
     "winsorize" -> "one-row count + one-row clip-threshold scalar broadcasts",
     "cusum_changepoint" -> "one-row global-mean scalar broadcast",
+    "heaps_law" ->
+      "bounded checkpoint literal (~log2(n_docs) rows) + one-row fit scalar",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

@@ -453,4 +453,33 @@ class QualitySpec extends SparkSuite {
       assert(r.getLong(2) == hits.min + 1L, "first_pos is 1-based")
     }
   }
+
+  test("heaps_law: growth curve and log-log fit match a driver recompute") {
+    val grams = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val ts = r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)
+        if (ts.length < 3) Seq.empty
+        else ts.sliding(3).map(w => (r.getLong(0), w.mkString(" "))).toSeq
+      }
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val ps = ((3 to 40).map(1L << _).filter(_ < nDocs) :+ nDocs).sorted
+    val firstSeen = grams.groupBy(_._2).map { case (_, os) => os.map(_._1).min }
+    val curve = ps.map { p =>
+      (p, grams.count(_._1 < p).toLong, firstSeen.count(_ < p).toLong)
+    }
+    val (lx, ly) = (curve.map(c => Math.round(math.log(c._2.toDouble) * 1e6)),
+      curve.map(c => Math.round(math.log(c._3.toDouble) * 1e6)))
+    val k = curve.length.toDouble
+    val (sx, sy) = (lx.sum.toDouble, ly.sum.toDouble)
+    val sxx = lx.map(x => x * x).sum.toDouble
+    val sxy = lx.zip(ly).map { case (x, y) => x * y }.sum.toDouble
+    val beta = BigDecimal((k * sxy - sx * sy) / (k * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.queries.Quality.heapsLaw(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == curve.map(c => (c._1, c._2, c._3, beta)))
+    // a real sub-linear growth exponent, not a saturated or linear corpus
+    assert(beta > 0.5 && beta < 1.0, s"beta $beta")
+  }
 }
