@@ -90,6 +90,44 @@ object Analytics {
         |  count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
         |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin)
 
+  /** Spearman rank correlation between per-order revenue and total
+    * quantity — the robust companion to [[Relational]]'s Pearson
+    * (stats_agg): monotone association free of the price outliers that
+    * drag a moment correlation. Ranks are AVERAGE ranks carried as
+    * exact integers (2×rank: r2 = 2·cum_before + cnt + 1 — doubling
+    * clears the tie fraction, and Pearson is shift/scale-invariant so
+    * ρ is unchanged), built from grouped value counts + one distributed
+    * [[graft.operators.PrefixSum]] per variable (no single-task
+    * window); rows join back to their ranks by value and ρ folds from
+    * exact DECIMAL(38,0) sums (Σr2x·r2y reaches ~4n³ — int64 dies at
+    * ~1e6 rows) as ONE fixed double tree at 6 dp.
+    */
+  def spearmanCorr(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("px"),
+        sum(col("l_quantity").cast("long")).as("qy"))
+    def r2Of(v: String): DataFrame = {
+      val g = x.groupBy(col(v)).agg(count(lit(1)).as("c"))
+      graft.operators.PrefixSum.exclusive(g, Seq(col(v)), col("c"), "cx")
+        .select(col(v), (lit(2L) * col("cx") + col("c") + 1L).as(s"r2$v"))
+    }
+    x.join(r2Of("px"), "px").join(r2Of("qy"), "qy")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(r2px AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(r2qy AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(r2px * r2px AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(r2qy * r2qy AS DECIMAL(38,0))")).as("syy"),
+        sum(expr("CAST(r2px * r2qy AS DECIMAL(38,0))")).as("sxy"))
+      .selectExpr("n",
+        """round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+          |AS rho_6dp""".stripMargin)
+  }
+
   /** Winsorized-mean report of order prices — the robust-preprocessing
     * companion to feature_scale/outlier_zscore: clip at the exact 5th/
     * 95th percentiles and publish the clip thresholds, both means, and
@@ -994,6 +1032,7 @@ object Analytics {
     "psi_drift" -> psiDrift,
     "ks_test" -> ksTest,
     "winsorize" -> winsorize,
+    "spearman_corr" -> spearmanCorr,
     "math_funcs" -> mathFuncs,
     "gap_fill" -> gapFill,
     "vocab_idf" -> vocabIdf,
@@ -1254,6 +1293,21 @@ object Analytics {
         |  (1::BIGINT << (c_custkey % 16))::BIGINT AS pow2,
         |  (((bal % 97) + 97) % 97)::BIGINT AS mod97
         |FROM x ORDER BY c_custkey""".stripMargin,
+    "spearman_corr" ->
+      """WITH x AS (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS px,
+        |             sum(CAST(l_quantity AS BIGINT))::BIGINT AS qy
+        |           FROM lineitem GROUP BY l_orderkey),
+        |gx AS (SELECT px, count(*)::BIGINT AS c FROM x GROUP BY 1),
+        |cx AS (SELECT px, 2 * (sum(c) OVER (ORDER BY px) - c) + c + 1 AS r2px FROM gx),
+        |gy AS (SELECT qy, count(*)::BIGINT AS c FROM x GROUP BY 1),
+        |cy AS (SELECT qy, 2 * (sum(c) OVER (ORDER BY qy) - c) + c + 1 AS r2qy FROM gy),
+        |j AS (SELECT r2px, r2qy FROM x JOIN cx USING (px) JOIN cy USING (qy)),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(r2px) AS sx, sum(r2qy) AS sy,
+        |        sum(r2px*r2px) AS sxx, sum(r2qy*r2qy) AS syy, sum(r2px*r2qy) AS sxy FROM j)
+        |SELECT n, round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |  / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |     * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS rho_6dp
+        |FROM s""".stripMargin,
     "winsorize" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
         |n AS (SELECT count(*)::BIGINT AS n FROM o),

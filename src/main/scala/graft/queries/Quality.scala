@@ -549,6 +549,36 @@ object Quality {
     * both engines. (At extreme vocabularies the micro-nat moment sums
     * would move to DECIMAL(38,0) — the stats_agg note applies.)
     */
+  /** Source×language mutual-information profile — the dependence screen
+    * a corpus pipeline runs on its metadata dimensions before
+    * stratifying ("is lang balanced within every source, or do sources
+    * specialize?"): per observed cell, the pointwise MI
+    * ln(p(s,l)/(p(s)p(l))) in integer nano-nats plus its contribution
+    * to total MI. The token_kl_drift discipline: every log term is
+    * computed from EXACT integer counts against broadcast marginals and
+    * rounded ONCE — the per-cell rows are partitioning-invariant and
+    * total MI is their exact integer sum (the cell table is bounded by
+    * sources×langs at any corpus size). Contribution = n·pmi div N on
+    * int64 — fine through ~1e9 docs/cell, DECIMAL beyond (the
+    * q1_pricing note).
+    */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    val c = docs(s, d).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val ms = c.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val ml = c.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+    val nn = broadcast(c.agg(sum(col("n")).as("nt")))
+    c.join(ms, "source").join(ml, "lang").crossJoin(nn) // one-row total
+      .select(col("source"), col("lang"), col("n"),
+        expr("CAST(round(ln((CAST(n AS DOUBLE) * CAST(nt AS DOUBLE))" +
+          " / (CAST(ns AS DOUBLE) * CAST(nl AS DOUBLE))) * 1000000000)" +
+          " AS BIGINT)").as("pmi_nano"),
+        col("nt"))
+      .select(col("source"), col("lang"), col("n"), col("pmi_nano"),
+        expr("n * pmi_nano div nt").as("contrib_nano"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Heaps-law vocabulary-growth fit (Heaps 1978) — the companion to
     * [[zipfFit]] in the corpus-linguistics battery: V(n) ≈ K·n^β over
     * doubling document prefixes. The curve answers the budgeting
@@ -904,6 +934,7 @@ object Quality {
     "bpe_word_tokens" -> bpeWordTokens,
     "zipf_fit" -> zipfFit,
     "heaps_law" -> heapsLaw,
+    "mutual_info" -> mutualInfo,
     "feature_chi2" -> featureChi2,
     "char_ngram_profile" -> charNgramProfile,
     "lang_id_ngram" -> langIdNgram,
@@ -1111,6 +1142,16 @@ object Quality {
          |SELECT doc_id, lang, cand_lang AS pred_lang, score,
          |  (cand_lang = lang) AS correct
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "mutual_info" ->
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+        |ms AS (SELECT source, sum(n)::BIGINT AS ns FROM c GROUP BY 1),
+        |ml AS (SELECT lang, sum(n)::BIGINT AS nl FROM c GROUP BY 1),
+        |nn AS (SELECT sum(n)::BIGINT AS nt FROM c)
+        |SELECT c.source, c.lang, n,
+        |  CAST(round(ln((n::DOUBLE * nt::DOUBLE) / (ns::DOUBLE * nl::DOUBLE)) * 1000000000) AS BIGINT) AS pmi_nano,
+        |  (n * CAST(round(ln((n::DOUBLE * nt::DOUBLE) / (ns::DOUBLE * nl::DOUBLE)) * 1000000000) AS BIGINT)) // nt AS contrib_nano
+        |FROM c JOIN ms USING (source) JOIN ml USING (lang), nn
+        |ORDER BY source, lang""".stripMargin,
     "heaps_law" ->
       s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
          |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)-1),

@@ -293,6 +293,37 @@ class AnalyticsSpec extends SparkSuite {
     assert(st.getLong(3) == o.select("o_orderstatus").distinct().count())
   }
 
+  test("spearman_corr: tied-average-rank rho matches a driver-side recompute") {
+    val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey", "CAST(round(l_extendedprice * 100) AS BIGINT) AS c",
+        "CAST(l_quantity AS BIGINT) AS q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, ls) =>
+        (ls.map(_._2).sum, ls.map(_._3).sum) }.toSeq
+    def r2(vals: Seq[Long]): Map[Long, Long] = {
+      val grouped = vals.groupBy(identity).map { case (v, o) => v -> o.length.toLong }
+      val sorted = grouped.toSeq.sortBy(_._1)
+      var cum = 0L
+      sorted.map { case (v, c) =>
+        val r = 2 * cum + c + 1; cum += c; v -> r
+      }.toMap
+    }
+    val (rx, ry) = (r2(rows.map(_._1)), r2(rows.map(_._2)))
+    val pts = rows.map { case (x, y) => (rx(x).toDouble, ry(y).toDouble) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val rho = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val r = graft.queries.Analytics.spearmanCorr(spark, sf0001).collect().head
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(math.abs(r.getDouble(1) - rho) < 2e-6)
+    // the fixture's order revenue/quantity association is genuinely strong
+    assert(r.getDouble(1) > 0.5)
+  }
+
   test("winsorize: clip thresholds and both means match a driver-side recompute") {
     val cents = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents")

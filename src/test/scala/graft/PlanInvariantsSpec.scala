@@ -94,6 +94,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "cusum_changepoint" -> "one-row global-mean scalar broadcast",
     "heaps_law" ->
       "bounded checkpoint literal (~log2(n_docs) rows) + one-row fit scalar",
+    "mutual_info" -> "one-row corpus-total scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

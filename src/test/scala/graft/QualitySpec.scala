@@ -454,6 +454,27 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("mutual_info: per-cell PMI and contributions match a driver recompute") {
+    val cells = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ns = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val nl = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val nt = cells.values.sum
+    val expect = cells.toSeq.map { case ((src, lg), n) =>
+      val pmi = Math.round(math.log(
+        (n.toDouble * nt) / (ns(src).toDouble * nl(lg))) * 1e9)
+      (src, lg, n, pmi, n * pmi / nt)
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.queries.Quality.mutualInfo(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // MI is a real dependence signal on the fixture: nonzero total
+    assert(expect.map(_._5).sum != 0L)
+  }
+
   test("heaps_law: growth curve and log-log fit match a driver recompute") {
     val grams = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
