@@ -345,6 +345,73 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual average-hash of frame 0 plus the decoded
+    * geometry — the per-image fingerprint row an image-dedup sweep
+    * keys on.
+    */
+  case class ImageHash(doc_id: Long, w: Int, h: Int, gray_mean: Long,
+    hash_lo: Long, hash_hi: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL decoded pixels: an
+    * 8×8 grid of gray values (b+g+r, floor-scaled source coordinates —
+    * the thumbnail sampler at 8×8), one bit per cell set iff its gray
+    * exceeds the floor-mean, packed into two 32-bit halves (the binary-
+    * quantization convention — neither engine shifts into the sign
+    * bit). This is the image analog of the text MinHash/SimHash family:
+    * near-identical images land within a few Hamming bits and the
+    * 8-byte codes feed the same XOR/popcount probe bq_topk ships. Bytes
+    * are read from the payload, never recomputed from the builder's
+    * arithmetic (the thumbnail independence contract).
+    */
+  final class BmpAHashCodec {
+    def ahash(in: MediaIn): ImageHash = {
+      val bytes = in.media
+      require(bytes.length >= 54, s"doc ${in.doc_id}: truncated payload")
+      require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        s"doc ${in.doc_id}: bad BMP magic")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getInt(18)
+      val h = bb.getInt(22)
+      require(w > 0 && h > 0 && w <= 32768 && h <= 32768 && bb.getShort(28) == 24,
+        s"doc ${in.doc_id}: unsupported BMP ${w}x$h")
+      val rb = (w * 3 + 3) / 4 * 4
+      require(bytes.length >= 54L + rb.toLong * h,
+        s"doc ${in.doc_id}: truncated pixel data")
+      val gray = new Array[Long](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        val py = i / 8; val px = i % 8
+        val base = 54 + (py * h / 8) * rb + (px * w / 8) * 3
+        val g = (bytes(base) & 0xFF).toLong + (bytes(base + 1) & 0xFF) +
+          (bytes(base + 2) & 0xFF)
+        gray(i) = g; sum += g; i += 1
+      }
+      val mean = sum / 64
+      var lo = 0L; var hi = 0L
+      i = 0
+      while (i < 64) {
+        if (gray(i) > mean) {
+          if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+        }
+        i += 1
+      }
+      ImageHash(in.doc_id, w, h, mean, lo, hi)
+    }
+  }
+
+  /** aHash rows for every payload — the same partition-amortized
+    * map-only decode shape as [[thumbnails]]: no shuffle, 8 hash bytes
+    * + geometry per input image regardless of source size.
+    */
+  def imageHashes(spark: SparkSession, docs: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    payloads(spark, docs).mapPartitions { it =>
+      val codec = new BmpAHashCodec
+      it.map(codec.ahash)
+    }
+  }
+
   /** One fixed-width audio analysis frame: 64 interleaved PCM samples
     * (the last frame may be partial) with the exact integer energy
     * Σ sample² — the feature a VAD / loudness / resampling stage

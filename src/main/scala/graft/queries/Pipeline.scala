@@ -1637,6 +1637,17 @@ object Pipeline {
     Multimodal.thumbnails(s, docs(s, d)).toDF()
       .orderBy(col("doc_id"), col("py"), col("px"))
 
+  /** Perceptual average-hash of every image payload — the multimodal
+    * dedup fingerprint ([[graft.operators.Multimodal.BmpAHashCodec]]):
+    * the map-only feature-extract stage whose 8-byte codes feed the
+    * same Hamming probe machinery as [[bqTopk]]. Decoded from the real
+    * BMP bytes; the oracle recomputes the planted pixel arithmetic —
+    * two independent paths meeting only through the hash.
+    */
+  def imagePhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageHashes(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
   /** The FRAME-SAMPLE stage of the audio pipeline: 64-sample PCM frame
     * energies decoded from each payload's data chunk
     * ([[Multimodal.audioFrames]]) — chunk-walked, little-endian-read,
@@ -2026,6 +2037,7 @@ object Pipeline {
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
     "image_thumb" -> imageThumb,
+    "image_phash" -> imagePhash,
     "audio_energy" -> audioEnergy,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
@@ -3166,6 +3178,24 @@ object Pipeline {
     // (p + sy*31 + doc_id*31) mod 256 in frame 0); the Spark side gets
     // the same bytes only by parsing the real BMP header and indexing
     // the pixel array
+    "image_phash" ->
+      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+        |    doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+        |  FROM geo CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
+        |v AS (SELECT doc_id, py * 8 + px AS idx,
+        |    ((base + 0) % 256) + ((base + 1) % 256) + ((base + 2) % 256) AS gray
+        |  FROM (SELECT doc_id, px, py,
+        |          (px * w // 8) * 3 + (py * h // 8) * 31 + seed AS base FROM grid)),
+        |m AS (SELECT doc_id, (sum(gray) // 64)::BIGINT AS gray_mean FROM v GROUP BY 1),
+        |bits AS (SELECT v.doc_id,
+        |    sum(CASE WHEN idx < 32 AND gray > gray_mean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
+        |    sum(CASE WHEN idx >= 32 AND gray > gray_mean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
+        |  FROM v JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT g.doc_id, w::INT AS w, h::INT AS h, gray_mean, hash_lo, hash_hi
+        |FROM geo g JOIN m USING (doc_id) JOIN bits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "image_thumb" ->
       """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
         |    doc_id * 31 AS seed

@@ -644,6 +644,35 @@ class PqSpec extends SparkSuite {
     intercept[IllegalArgumentException](codec.thumb(MediaIn(2L, bad)))
   }
 
+  test("image_phash: aHash bits come from the real decoded gray grid") {
+    import Multimodal.{BmpFile, BmpAHashCodec, MediaIn}
+    val codec = new BmpAHashCodec
+    val (w, h, seed) = (7, 5, 99L)
+    val r = codec.ahash(MediaIn(7L, BmpFile.build(w, h, seed)))
+    assert(r.w == w && r.h == h)
+    // independent recompute from the builder's pixel formula
+    val gray = (0 until 64).map { i =>
+      val py = i / 8; val px = i % 8
+      val base = (px * w / 8) * 3 + (py * h / 8) * 31 + seed
+      ((base + 0) % 256) + ((base + 1) % 256) + ((base + 2) % 256)
+    }
+    val mean = gray.sum / 64
+    assert(r.gray_mean == mean)
+    (0 until 64).foreach { i =>
+      val bit = if (i < 32) (r.hash_lo >> i) & 1L else (r.hash_hi >> (i - 32)) & 1L
+      assert(bit == (if (gray(i) > mean) 1L else 0L), s"bit $i")
+    }
+    // a one-pixel-region change flips only nearby bits (locality — the
+    // property that makes aHash a near-dup key, not an exact hash)
+    val r2 = codec.ahash(MediaIn(8L, BmpFile.build(w, h, seed + 1)))
+    val ham = java.lang.Long.bitCount(r.hash_lo ^ r2.hash_lo) +
+      java.lang.Long.bitCount(r.hash_hi ^ r2.hash_hi)
+    assert(ham < 64, "similar images must not produce unrelated hashes")
+    // corrupted magic must throw, not fabricate a hash
+    val bad = BmpFile.build(w, h, seed); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](codec.ahash(MediaIn(9L, bad)))
+  }
+
   test("audio frame energies come from the decoded PCM stream") {
     import Multimodal.{MediaIn, WavFile, WavFrameCodec}
     val codec = new WavFrameCodec
