@@ -1658,6 +1658,30 @@ object Pipeline {
     Multimodal.audioFrames(s, docs(s, d)).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Audio fingerprint — the energy-DELTA-SIGN hash over the decoded
+    * PCM frame energies (the Shazam-family trick reduced to its core:
+    * a loudness-contour bit string is robust to gain changes because
+    * only the SIGN of each frame-to-frame energy step survives): bit i
+    * of a doc's fingerprint is set iff frame i+1 is louder than frame
+    * i. Frames come from the REAL chunk-walked WAV decode
+    * ([[Multimodal.audioFrames]] — ≤16 frames/doc by the builder's
+    * geometry, so the per-doc window is bounded); the oracle re-derives
+    * the planted sample arithmetic. 8-byte codes per clip at any audio
+    * length — the audio analog of [[imagePhash]], feeding the same
+    * Hamming probe machinery.
+    */
+  def audioFingerprint(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Multimodal.audioFrames(s, docs(s, d)).toDF()
+      .withColumn("nxt", lead(col("energy"), 1).over(w)) // bounded per-doc
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(when(col("nxt") > col("energy"),
+          expr("shiftleft(1L, frame_idx)")).otherwise(0L)), lit(0L)).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pair list -> one row per cluster: representative (min id), member
     * count, dropped count (members minus the kept rep — summing it gives
     * `docs_kept = n_docs - sum(n_dropped)` for the whole corpus), and the
@@ -2039,6 +2063,7 @@ object Pipeline {
     "image_thumb" -> imageThumb,
     "image_phash" -> imagePhash,
     "audio_energy" -> audioEnergy,
+    "audio_fingerprint" -> audioFingerprint,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
     "asof_forward" -> asofForward,
@@ -3213,6 +3238,22 @@ object Pipeline {
     // (seed*31 + s*7) mod 32768 with seed = doc_id*17 + n; the oracle
     // windows that arithmetic into 64-sample frames, the Spark side
     // chunk-walks the RIFF bytes and squares what it reads
+    "audio_fingerprint" ->
+      """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,
+        |    doc_id * 17 + n AS seed FROM g),
+        |t AS (SELECT doc_id, seed, ns * ch AS total FROM p),
+        |f AS (SELECT doc_id, seed, total,
+        |    unnest(range(0, (total + 63) // 64)) AS fi FROM t),
+        |sm AS (SELECT doc_id, fi, ((seed * 31 + s * 7) % 32768) AS v
+        |  FROM (SELECT doc_id, fi, seed,
+        |          unnest(range(fi * 64, least(total, fi * 64 + 64))) AS s FROM f)),
+        |e AS (SELECT doc_id, fi, sum(v * v)::BIGINT AS energy FROM sm GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, fi, energy,
+        |         lead(energy) OVER (PARTITION BY doc_id ORDER BY fi) AS nxt FROM e)
+        |SELECT doc_id, count(*)::BIGINT AS n_frames,
+        |  coalesce(sum(CASE WHEN nxt > energy THEN 1::BIGINT << fi::INT ELSE 0::BIGINT END), 0)::BIGINT AS fp
+        |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "audio_energy" ->
       """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
         |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,

@@ -695,6 +695,29 @@ class PqSpec extends SparkSuite {
     intercept[IllegalArgumentException](codec.frames(MediaIn(4L, bad)))
   }
 
+  test("audio_fingerprint: delta-sign bits match the planted energy contour") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length.toLong))
+    val expect = docs.map { case (id, n) =>
+      val ch = 1 + n % 2; val ns = 100 + (n * 7) % 400; val seed = id * 17 + n
+      val total = ns * ch
+      val nf = ((total + 63) / 64).toInt
+      val energies = (0 until nf).map { fi =>
+        val lo = fi * 64L; val hi = math.min(total, lo + 64)
+        (lo until hi).map { s0 => val v = (seed * 31 + s0 * 7) & 0x7FFF; v * v }.sum
+      }
+      val fp = (0 until nf - 1).map { i =>
+        if (energies(i + 1) > energies(i)) 1L << i else 0L }.sum
+      (id, nf.toLong, fp)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.Pipeline.audioFingerprint(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the contour genuinely varies across the corpus (not a constant hash)
+    assert(expect.map(_._3).distinct.length > 10)
+  }
+
   test("hashed_features: bucket counts match the scalar hashing-trick recompute") {
     val M31 = 2147483648L
     def bucket(t: String): Int =
