@@ -396,6 +396,40 @@ object Graph {
           |AS r_6dp""".stripMargin)
   }
 
+  /** Rich-club coefficient ladder (Zhou & Mondragón 2004): for each
+    * degree cutoff k, the edge density among nodes of degree > k — do
+    * the hubs preferentially interconnect? Reads the shared edge/degree
+    * artifacts; the cutoff ladder is a bounded literal (10 rows) that
+    * fans out over one degree-joined edge pass and one node pass, so
+    * the cost is 10× two aggregates regardless of corpus size. The
+    * fixture's ladder is a structural read the metric exists for:
+    * density RISES toward k=32 (mid-degree parts interconnect through
+    * shared suppliers' edges) then collapses to exactly 0 at k=64 —
+    * past that cutoff only suppliers remain, and a bipartite graph has
+    * no supplier–supplier edges. Directed-pair denominator
+    * n·(n−1) matches the both-directions edge list.
+    */
+  def richClub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ks = broadcast(Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L)
+      .toDF("k"))
+    val deg = degreeTable(s, d)
+    val nk = deg.join(ks, col("dg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+    val ek = edgeTable(s, d)
+      .join(deg.select(col("src"), col("dg").as("js")), "src")
+      .join(deg.select(col("src").as("dst"), col("dg").as("ks2")), "dst")
+      .join(ks, col("js") > col("k") && col("ks2") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_rich"))
+    nk.join(ek, Seq("k"), "left")
+      .filter(col("n_rich") >= 2)
+      .select(col("k"), col("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+        expr("1000000 * coalesce(e_rich, 0L) div (n_rich * (n_rich - 1))")
+          .as("phi_micro"))
+      .orderBy(col("k"))
+  }
+
   private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
@@ -453,6 +487,7 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kcore" -> kcore,
     "assortativity" -> assortativity,
+    "rich_club" -> richClub,
     "pagerank" -> pagerank,
     "ppr_topk" -> pprTopk,
     "bfs_hops" -> bfsHops,
@@ -502,6 +537,20 @@ object Graph {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "rich_club" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT sk AS src, pk + (1::BIGINT << 40) AS dst FROM li
+        |      UNION ALL SELECT pk + (1::BIGINT << 40), sk FROM li),
+        |deg AS (SELECT src, count(*)::BIGINT AS dg FROM e GROUP BY 1),
+        |ks AS (SELECT unnest([1,2,4,8,16,32,64,128,256,512])::BIGINT AS k),
+        |nk AS (SELECT k, count(*)::BIGINT AS n_rich FROM ks, deg WHERE dg > k GROUP BY k),
+        |ek AS (SELECT k, count(*)::BIGINT AS e_rich
+        |       FROM ks, e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
+        |       WHERE a.dg > k AND b.dg > k GROUP BY k)
+        |SELECT k, n_rich, coalesce(e_rich, 0)::BIGINT AS e_rich,
+        |  (1000000 * coalesce(e_rich, 0) // (n_rich * (n_rich - 1)))::BIGINT AS phi_micro
+        |FROM nk LEFT JOIN ek USING (k)
+        |WHERE n_rich >= 2 ORDER BY k""".stripMargin,
     "assortativity" ->
       """WITH li AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
         |e AS (SELECT sk AS src, pk + (1::BIGINT << 40) AS dst FROM li

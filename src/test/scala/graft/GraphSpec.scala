@@ -246,6 +246,28 @@ class GraphSpec extends SparkSuite {
     assert(!plan.contains("WindowExec"), plan.take(800))
   }
 
+  test("rich_club: density ladder matches a driver recompute and shows the bipartite collapse") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + (1L << 40)))
+    val edges = li ++ li.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val expect = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L).flatMap { k =>
+      val nRich = deg.count(_._2 > k).toLong
+      if (nRich < 2) None else {
+        val eRich = edges.count { case (u, v) => deg(u) > k && deg(v) > k }.toLong
+        Some((k, nRich, eRich, 1000000L * eRich / (nRich * (nRich - 1))))
+      }
+    }
+    val got = graft.queries.Graph.richClub(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // the structural read the scaladoc publishes: some cutoff leaves only
+    // one side of the bipartition, where density is exactly zero
+    assert(got.exists(_._4 == 0L))
+    assert(got.exists(_._4 > 0L))
+  }
+
   test("assortativity: edge-end degree correlation matches a driver recompute") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_suppkey", "l_partkey").distinct().collect()

@@ -95,6 +95,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "heaps_law" ->
       "bounded checkpoint literal (~log2(n_docs) rows) + one-row fit scalar",
     "mutual_info" -> "one-row corpus-total scalar broadcast",
+    "rich_club" -> "bounded 10-row degree-cutoff ladder broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
