@@ -429,6 +429,72 @@ object Insights {
         expr("CAST(round(slope * 1000000) AS BIGINT)").as("slope_micro"))
   }
 
+  /** One-way ANOVA F across order priorities (price ~ priority) — the
+    * categorical×continuous dependence test completing the battery
+    * next to ab_chisq (cat×cat) and ks_test (two-sample continuous):
+    * does a metadata dimension explain variance in a metric? All
+    * moments are exact integer/decimal sums per group (cents² in
+    * DECIMAL(38,0) — the corpus-scale posture); the only doubles are
+    * the between/within decomposition folded over the SORTED bounded
+    * group array (the mixture_temperature discipline: one fixed
+    * left-to-right evaluation order in both engines), rounded once at
+    * 6 dp. One hash aggregate + a k-row fold at any corpus size.
+    */
+  def anovaF(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(cents * cents AS DECIMAL(38,0))")).as("ss"))
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        sum(col("s")).as("st"),
+        sort_array(collect_list(struct(col("grp"), col("n"), col("s"),
+          col("ss")))).as("a"))
+      .selectExpr("k", "nt",
+        """aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) ->
+          |  acc + CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+          |        / CAST(x.n AS DOUBLE)) AS sgs""".stripMargin,
+        """aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) ->
+          |  acc + CAST(x.ss AS DOUBLE)) AS sst""".stripMargin,
+        "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS corr")
+      .selectExpr("k", "nt AS n",
+        """round(((sgs - corr) / (k - 1))
+          |  / ((sst - sgs) / (nt - k)), 6) AS f_6dp""".stripMargin)
+  }
+
+  /** Top motif of the daily-revenue series — the closest pair of
+    * non-overlapping 7-day windows by exact integer squared distance
+    * (the matrix-profile question at its core: "which two weeks looked
+    * most alike?"). Windows assemble from the calendar-bounded daily
+    * table via the trend_7d broadcast range-join posture (only
+    * gap-free 7-day windows qualify); the pair scan is days² over the
+    * BOUNDED day dimension, never corpus-sized; revenue is downscaled
+    * to exact kilocents first so the 7-term SSD stays in int64 at any
+    * plausible daily volume (cents² already brushes 2^63 at sf0.1).
+    * Total (ssd, d1, d2) tie-break; one TakeOrdered row out.
+    */
+  def tsMotif(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyRevenue(s, d)
+      .select(col("day"), expr("cents div 1000").as("kc"))
+    val w = daily.select(col("day").as("d0"))
+      .join(broadcast(daily), col("day").between(col("d0"), col("d0") + 6))
+      .groupBy(col("d0"))
+      .agg(sort_array(collect_list(struct(col("day"), col("kc")))).as("vs"),
+        count(lit(1)).as("c"))
+      .filter(col("c") === 7)
+      .select(col("d0").as("d"), expr("transform(vs, x -> x.kc)").as("v"))
+    w.select(col("d").as("d1"), col("v").as("v1"))
+      .join(broadcast(w.select(col("d").as("d2"), col("v").as("v2"))),
+        col("d2") >= col("d1") + 7)
+      .select(col("d1"), col("d2"), expr(
+        "aggregate(zip_with(v1, v2, (a, b) -> (a - b) * (a - b)), 0L," +
+          " (acc, e) -> acc + e)").as("ssd_kc2"))
+      .orderBy(col("ssd_kc2"), col("d1"), col("d2"))
+      .limit(1)
+  }
+
   /** CUSUM changepoint scan of daily revenue (Page 1954) — the
     * level-shift detector next to [[trend7d]]'s smoother and
     * anomalyDays' point screen: the day where the cumulative sum of
@@ -570,6 +636,8 @@ object Insights {
     "trend_7d" -> trend7d,
     "theil_sen" -> theilSen,
     "cusum_changepoint" -> cusumChangepoint,
+    "anova_f" -> anovaF,
+    "ts_motif" -> tsMotif,
     "gini_spend" -> giniSpend,
     "quantile_transform" -> quantileTransform,
     "rolling_active_users" -> rollingActiveUsers,
@@ -616,6 +684,36 @@ object Insights {
         |SELECT day, cents, trend_cents::BIGINT AS trend_cents,
         |  res::BIGINT AS residual_cents
         |FROM r, m, md WHERE abs(res - med) > 2 * mad ORDER BY day""".stripMargin,
+    "anova_f" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT grp, count(*)::BIGINT AS n, sum(cents) AS s,
+        |        sum(cents * cents) AS ss FROM o GROUP BY 1),
+        |arr AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt, sum(s) AS st,
+        |          list({'n': n, 's': s, 'ss': ss} ORDER BY grp) AS a FROM g),
+        |f AS (SELECT k, nt,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(a, x -> x.s::DOUBLE * x.s::DOUBLE / x.n::DOUBLE)),
+        |          (x, y) -> x + y) AS sgs,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(a, x -> x.ss::DOUBLE)), (x, y) -> x + y) AS sst,
+        |        st::DOUBLE * st::DOUBLE / nt::DOUBLE AS corr
+        |      FROM arr)
+        |SELECT k, nt AS n,
+        |  round(((sgs - corr) / (k - 1)) / ((sst - sgs) / (nt - k)), 6) AS f_6dp
+        |FROM f""".stripMargin,
+    "ts_motif" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 1000 AS kc
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT d0.day AS d, list(d1.kc ORDER BY d1.day) AS v
+        |      FROM daily d0 JOIN daily d1 ON d1.day BETWEEN d0.day AND d0.day + 6
+        |      GROUP BY 1 HAVING count(*) = 7),
+        |p AS (SELECT a.d AS d1, b.d AS d2,
+        |        list_reduce(list_transform(range(1,8),
+        |          i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i])), (x,y)->x+y)::BIGINT AS ssd_kc2
+        |      FROM w a JOIN w b ON b.d >= a.d + 7)
+        |SELECT d1, d2, ssd_kc2 FROM p ORDER BY ssd_kc2, d1, d2 LIMIT 1""".stripMargin,
     "cusum_changepoint" ->
       """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents

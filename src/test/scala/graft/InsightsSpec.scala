@@ -337,6 +337,46 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("anova_f: between/within decomposition matches a driver recompute") {
+    val rows = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, vs) => (vs.length.toLong, vs.map(v => BigInt(v._2)).sum,
+        vs.map(v => BigInt(v._2) * v._2).sum) }
+    val (k, nt) = (groups.length.toDouble, rows.length.toDouble)
+    val st = groups.map(_._2).sum.toDouble
+    // same left-to-right fold order as both engines' sorted-array fold
+    val sgs = groups.foldLeft(0.0) { case (acc, (n, s0, _)) =>
+      acc + s0.toDouble * s0.toDouble / n }
+    val sst = groups.foldLeft(0.0) { case (acc, (_, _, ss)) => acc + ss.toDouble }
+    val corr = st * st / nt
+    val f = BigDecimal(((sgs - corr) / (k - 1)) / ((sst - sgs) / (nt - k)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = graft.queries.Insights.anovaF(spark, sf0001).collect().head
+    assert(r.getLong(0) == groups.length.toLong)
+    assert(r.getLong(1) == rows.length.toLong)
+    assert(r.getDouble(2) == f)
+  }
+
+  test("ts_motif: closest non-overlapping 7-day windows match a driver scan") {
+    val daily = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d0, v) => d0 -> v.map(_._2).sum / 1000 }
+    val windows = daily.keys.toSeq.sorted.flatMap { d0 =>
+      val w = (d0 to d0 + 6).flatMap(daily.get)
+      if (w.length == 7) Some(d0 -> w.toArray) else None
+    }
+    val best = (for {
+      (d1, v1) <- windows; (d2, v2) <- windows if d2 >= d1 + 7
+    } yield (v1.zip(v2).map { case (a, b) => (a - b) * (a - b) }.sum, d1, d2))
+      .minBy(identity)
+    val r = graft.queries.Insights.tsMotif(spark, sf0001).collect().head
+    assert((r.getLong(2), r.getLong(0), r.getLong(1)) == best)
+  }
+
   test("cusum_changepoint: peak |cusum| day matches a driver-side scan") {
     val daily = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",

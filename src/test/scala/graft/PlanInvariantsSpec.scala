@@ -96,6 +96,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "bounded checkpoint literal (~log2(n_docs) rows) + one-row fit scalar",
     "mutual_info" -> "one-row corpus-total scalar broadcast",
     "rich_club" -> "bounded 10-row degree-cutoff ladder broadcast",
+    "ts_motif" ->
+      "calendar-bounded daily-table window build + window-pair theta joins",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
