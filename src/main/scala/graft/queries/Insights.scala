@@ -429,6 +429,36 @@ object Insights {
         expr("CAST(round(slope * 1000000) AS BIGINT)").as("slope_micro"))
   }
 
+  /** Fano factor (variance/mean of hourly event counts) per event type
+    * — the burstiness index a traffic/capacity model starts from: ≈1
+    * is Poisson, ≫1 is bursty, ≪1 is regular. The hour grid includes
+    * EMPTY hours (a silent hour is burstiness evidence — computed via
+    * the global hour-span scalar, zeros never materialized); moments
+    * are exact integer Σc/Σc² over the bucket counts; the ratio is one
+    * fixed double tree at 6 dp. Two hash aggregates + a broadcast
+    * scalar at any stream length. The fixture publishes the honest
+    * read: all five types sit at ≈1 — the synthetic arrivals are
+    * Poisson-ish.
+    */
+  def fanoFactor(s: SparkSession, d: String): DataFrame = {
+    val e = graft.streaming.Sessions.events(s, d)
+      .select(col("event_type").as("etype"),
+        expr("ts_ms div 3600000").as("hr"))
+    val b = e.groupBy(col("etype"), col("hr")).agg(count(lit(1)).as("c"))
+    val span = broadcast(e.agg(
+      (max(col("hr")) - min(col("hr")) + 1).as("nh")))
+    b.groupBy(col("etype"))
+      .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"))
+      .crossJoin(span) // one-row hour-span scalar
+      .selectExpr("etype AS event_type", "nh", "sc AS n_events",
+        """round((CAST(scc AS DOUBLE) / CAST(nh AS DOUBLE)
+          |  - (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE))
+          |    * (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)))
+          |  / (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)), 6) AS fano_6dp"""
+          .stripMargin)
+      .orderBy(col("event_type"))
+  }
+
   /** One-way ANOVA F across order priorities (price ~ priority) — the
     * categorical×continuous dependence test completing the battery
     * next to ab_chisq (cat×cat) and ks_test (two-sample continuous):
@@ -637,6 +667,7 @@ object Insights {
     "theil_sen" -> theilSen,
     "cusum_changepoint" -> cusumChangepoint,
     "anova_f" -> anovaF,
+    "fano_factor" -> fanoFactor,
     "ts_motif" -> tsMotif,
     "gini_spend" -> giniSpend,
     "quantile_transform" -> quantileTransform,
@@ -684,6 +715,17 @@ object Insights {
         |SELECT day, cents, trend_cents::BIGINT AS trend_cents,
         |  res::BIGINT AS residual_cents
         |FROM r, m, md WHERE abs(res - med) > 2 * mad ORDER BY day""".stripMargin,
+    "fano_factor" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr FROM events),
+        |b AS (SELECT event_type, hr, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+        |g AS (SELECT (max(hr) - min(hr) + 1)::BIGINT AS nh FROM e),
+        |s AS (SELECT event_type, sum(c)::BIGINT AS sc, sum(c*c)::BIGINT AS scc
+        |      FROM b GROUP BY 1)
+        |SELECT event_type, nh, sc AS n_events,
+        |  round((scc::DOUBLE / nh::DOUBLE
+        |    - (sc::DOUBLE / nh::DOUBLE) * (sc::DOUBLE / nh::DOUBLE))
+        |    / (sc::DOUBLE / nh::DOUBLE), 6) AS fano_6dp
+        |FROM s, g ORDER BY event_type""".stripMargin,
     "anova_f" ->
       """WITH o AS (SELECT o_orderpriority AS grp,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

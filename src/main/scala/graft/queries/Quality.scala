@@ -549,6 +549,25 @@ object Quality {
     * both engines. (At extreme vocabularies the micro-nat moment sums
     * would move to DECIMAL(38,0) — the stats_agg note applies.)
     */
+  /** Herfindahl–Hirschman concentration of source char mass — the one-
+    * number "is the corpus dominated by a few sources?" check next to
+    * [[Insights.giniSpend]]'s Lorenz view and the per-source
+    * mixture/temperature weights: HHI = Σ share² in exact integer
+    * basis-point arithmetic (floor shares — both engines identical),
+    * 10^8 = monopoly, 10^8/k = uniform over k. One bounded source
+    * aggregate + a broadcast total at any corpus size.
+    */
+  def hhiSources(s: SparkSession, d: String): DataFrame = {
+    val m = docs(s, d).groupBy(col("source"))
+      .agg(sum(col("n_chars").cast("long")).as("mass"))
+    val t = broadcast(m.agg(sum(col("mass")).as("total")))
+    m.crossJoin(t) // one-row total scalar
+      .select(expr("10000 * mass div total").as("sbp"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("sbp") * col("sbp")).as("hhi"),
+        max(col("sbp")).as("top_share_bp"))
+  }
+
   /** Source×language mutual-information profile — the dependence screen
     * a corpus pipeline runs on its metadata dimensions before
     * stratifying ("is lang balanced within every source, or do sources
@@ -935,6 +954,7 @@ object Quality {
     "zipf_fit" -> zipfFit,
     "heaps_law" -> heapsLaw,
     "mutual_info" -> mutualInfo,
+    "hhi_sources" -> hhiSources,
     "feature_chi2" -> featureChi2,
     "char_ngram_profile" -> charNgramProfile,
     "lang_id_ngram" -> langIdNgram,
@@ -1142,6 +1162,13 @@ object Quality {
          |SELECT doc_id, lang, cand_lang AS pred_lang, score,
          |  (cand_lang = lang) AS correct
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "hhi_sources" ->
+      """WITH m AS (SELECT source, sum(n_chars)::BIGINT AS mass FROM documents GROUP BY 1),
+        |t AS (SELECT sum(mass)::BIGINT AS total FROM m)
+        |SELECT count(*)::BIGINT AS n_sources,
+        |  sum((10000 * mass // total) * (10000 * mass // total))::BIGINT AS hhi,
+        |  max(10000 * mass // total)::BIGINT AS top_share_bp
+        |FROM m, t""".stripMargin,
     "mutual_info" ->
       """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
         |ms AS (SELECT source, sum(n)::BIGINT AS ns FROM c GROUP BY 1),

@@ -337,6 +337,26 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("fano_factor: burstiness over the zero-inclusive hour grid matches a driver recompute") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("event_type", "unix_millis(CAST(ts AS TIMESTAMP)) div 3600000 AS hr")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nh = ev.map(_._2).max - ev.map(_._2).min + 1
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, es) =>
+      val counts = es.groupBy(_._2).values.map(_.length.toLong)
+      val (sc, scc) = (counts.sum, counts.map(c => c * c).sum)
+      val mean = sc.toDouble / nh
+      val fano = BigDecimal((scc.toDouble / nh - mean * mean) / mean)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t, nh, sc, fano)
+    }
+    val got = graft.queries.Insights.fanoFactor(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    // Poisson-ish synthetic arrivals: all types near 1, none exactly 1
+    got.foreach(t => assert(t._4 > 0.5 && t._4 < 2.0 && t._4 != 1.0))
+  }
+
   test("anova_f: between/within decomposition matches a driver recompute") {
     val rows = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")

@@ -98,6 +98,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "rich_club" -> "bounded 10-row degree-cutoff ladder broadcast",
     "ts_motif" ->
       "calendar-bounded daily-table window build + window-pair theta joins",
+    "fano_factor" -> "one-row hour-span scalar broadcast",
+    "hhi_sources" -> "one-row corpus-total scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

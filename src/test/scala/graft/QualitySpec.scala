@@ -454,6 +454,22 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("hhi_sources: concentration index matches a driver recompute") {
+    val mass = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("source", "CAST(n_chars AS BIGINT) AS n").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val total = mass.values.sum
+    val shares = mass.values.map(m => 10000L * m / total)
+    val r = graft.queries.Quality.hhiSources(spark, sf0001).collect().head
+    assert(r.getLong(0) == mass.size.toLong)
+    assert(r.getLong(1) == shares.map(s0 => s0 * s0).sum)
+    assert(r.getLong(2) == shares.max)
+    // near-uniform fixture: HHI close to the uniform floor 10^8/k
+    assert(r.getLong(1) >= 100000000L / mass.size)
+    assert(r.getLong(1) < 3L * 100000000L / mass.size)
+  }
+
   test("mutual_info: per-cell PMI and contributions match a driver recompute") {
     val cells = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("source", "lang").collect()
