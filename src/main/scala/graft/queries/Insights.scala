@@ -429,6 +429,78 @@ object Insights {
         expr("CAST(round(slope * 1000000) AS BIGINT)").as("slope_micro"))
   }
 
+  /** SAX symbolization of the weekly revenue series (Lin/Keogh 2003 —
+    * PAA + Gaussian-quantile breakpoints, alphabet {a,b,c,d}): the
+    * discretization step that turns a numeric series into the string
+    * the motif/anomaly text machinery can index (the repo's shingle
+    * and fingerprint families apply directly to the symbol stream).
+    * PAA = exact integer floor-average of each complete 7-day segment;
+    * z-normalization uses the population moments from exact Σ/Σ²
+    * (one fixed double tree per segment); breakpoints ±0.6745 are the
+    * standard-normal quartiles. One aggregate + a broadcast moment
+    * scalar over the calendar-bounded segment table.
+    */
+  def saxSymbols(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyRevenue(s, d)
+    val d0 = broadcast(daily.agg(min(col("day")).as("d0")))
+    val seg = daily.crossJoin(d0) // one-row origin scalar
+      .groupBy(expr("(day - d0) div 7").as("seg"))
+      .agg(expr("sum(cents) div count(1)").as("paa"), count(lit(1)).as("c"))
+      .filter(col("c") === 7)
+      .select(col("seg"), col("paa"))
+    val st = broadcast(seg.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(paa AS DECIMAL(38,0))")).as("s"),
+      sum(expr("CAST(paa * paa AS DECIMAL(38,0))")).as("ss")))
+    seg.crossJoin(st) // one-row moment scalar
+      .selectExpr("seg", "paa",
+        """CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+          |  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS vr""".stripMargin,
+        "CAST(paa AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ctr")
+      // a one-segment (or constant) series has zero variance: z pins to 0
+      // ('c') rather than dividing by zero — mirrored in the oracle
+      .selectExpr("seg", "paa",
+        "CASE WHEN vr <= 0 THEN 0.0 ELSE ctr / sqrt(vr) END AS zz")
+      .selectExpr("seg", "paa",
+        """CASE WHEN zz < -0.6745 THEN 'a' WHEN zz < 0 THEN 'b'
+          |WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS symbol""".stripMargin)
+      .orderBy(col("seg"))
+  }
+
+  /** Lead/lag cross-correlation between daily view and purchase counts
+    * — the "does browsing lead buying, and by how many days?" question
+    * (the bivariate companion to autocorr_daily): Pearson r of
+    * (views_d, purchases_{d+lag}) for lags 0..7, each from exact
+    * integer sums via ONE fan-out of the bounded lag ladder over the
+    * calendar-bounded daily count tables. The arg-max lag is the
+    * attribution window a marketing model starts from.
+    */
+  def crosscorrEvents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = graft.streaming.Sessions.events(s, d)
+      .select(col("event_type").as("etype"), expr("ts_ms div 86400000").as("day"))
+    def daySeries(t: String) = e.filter(col("etype") === t)
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val lags = broadcast((0L to 7L).toDF("lag"))
+    daySeries("view").select(col("day"), col("c").as("xv"))
+      .crossJoin(lags) // bounded 8-row lag ladder
+      .join(daySeries("purchase").select(col("day").as("dy"), col("c").as("yv")),
+        col("dy") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+        sum(col("xv") * col("xv")).as("sxx"), sum(col("yv") * col("yv")).as("syy"),
+        sum(col("xv") * col("yv")).as("sxy"))
+      .selectExpr("lag", "n",
+        """round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+          |AS r_6dp""".stripMargin)
+      .orderBy(col("lag"))
+  }
+
   /** Fano factor (variance/mean of hourly event counts) per event type
     * — the burstiness index a traffic/capacity model starts from: ≈1
     * is Poisson, ≫1 is bursty, ≪1 is regular. The hour grid includes
@@ -668,6 +740,8 @@ object Insights {
     "cusum_changepoint" -> cusumChangepoint,
     "anova_f" -> anovaF,
     "fano_factor" -> fanoFactor,
+    "sax_symbols" -> saxSymbols,
+    "crosscorr_events" -> crosscorrEvents,
     "ts_motif" -> tsMotif,
     "gini_spend" -> giniSpend,
     "quantile_transform" -> quantileTransform,
@@ -715,6 +789,37 @@ object Insights {
         |SELECT day, cents, trend_cents::BIGINT AS trend_cents,
         |  res::BIGINT AS residual_cents
         |FROM r, m, md WHERE abs(res - med) > 2 * mad ORDER BY day""".stripMargin,
+    "sax_symbols" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |m0 AS (SELECT min(day) AS d0 FROM daily),
+        |seg AS (SELECT (day - d0) // 7 AS seg,
+        |          (sum(cents) // count(*))::BIGINT AS paa
+        |        FROM daily, m0 GROUP BY 1 HAVING count(*) = 7),
+        |st AS (SELECT count(*)::BIGINT AS n, sum(paa) AS s, sum(paa*paa) AS ss FROM seg),
+        |z AS (SELECT seg, paa,
+        |        CASE WHEN vr <= 0 THEN 0.0 ELSE ctr / sqrt(vr) END AS zz
+        |      FROM (SELECT seg, paa,
+        |              ss::DOUBLE / n::DOUBLE
+        |                - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE) AS vr,
+        |              paa::DOUBLE - s::DOUBLE / n::DOUBLE AS ctr
+        |            FROM seg, st))
+        |SELECT seg, paa, CASE WHEN zz < -0.6745 THEN 'a' WHEN zz < 0 THEN 'b'
+        |                      WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z ORDER BY seg""".stripMargin,
+    "crosscorr_events" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+        |x AS (SELECT day, count(*)::BIGINT AS c FROM e WHERE event_type = 'view' GROUP BY 1),
+        |y AS (SELECT day, count(*)::BIGINT AS c FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |lags AS (SELECT unnest(range(0, 8)) AS lag),
+        |j AS (SELECT lag, x.c AS xv, y.c AS yv FROM lags, x JOIN y ON y.day = x.day + lag),
+        |s AS (SELECT lag, count(*)::BIGINT AS n, sum(xv) AS sx, sum(yv) AS sy,
+        |        sum(xv*xv) AS sxx, sum(yv*yv) AS syy, sum(xv*yv) AS sxy FROM j GROUP BY 1)
+        |SELECT lag, n, round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |  / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |     * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r_6dp
+        |FROM s ORDER BY lag""".stripMargin,
     "fano_factor" ->
       """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr FROM events),
         |b AS (SELECT event_type, hr, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),

@@ -337,6 +337,64 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("sax_symbols: PAA + quartile breakpoints match a driver recompute") {
+    // sf0.01: the sf0.001 calendar is too sparse for complete 7-day
+    // segments (exactly one qualifies — the zero-variance guard case,
+    // covered below); the rich curve needs the denser fixture
+    val daily = spark.read.parquet(s"$sf001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val d0 = daily.keys.min
+    val segs = daily.toSeq.groupBy { case (d1, _) => (d1 - d0) / 7 }
+      .filter(_._2.length == 7)
+      .map { case (sg, vs) => (sg, vs.map(_._2).sum / 7) }.toSeq.sortBy(_._1)
+    val n = segs.length.toDouble
+    val mean = segs.map(s0 => BigInt(s0._2)).sum.toDouble / n
+    val sd = math.sqrt(segs.map(s0 => BigInt(s0._2) * s0._2).sum.toDouble / n - mean * mean)
+    val expect = segs.map { case (sg, paa) =>
+      val z = (paa.toDouble - mean) / sd
+      (sg, paa, if (z < -0.6745) "a" else if (z < 0) "b"
+        else if (z < 0.6745) "c" else "d")
+    }
+    val got = graft.queries.Insights.saxSymbols(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expect)
+    // all four letters genuinely occur — the quartile breakpoints bite
+    assert(got.map(_._3).distinct.sorted == Seq("a", "b", "c", "d"))
+    // the zero-variance guard: sf0.001 has exactly ONE complete segment,
+    // which must pin to z=0 ('c') instead of dividing by zero
+    val sparse = graft.queries.Insights.saxSymbols(spark, sf0001).collect()
+    assert(sparse.length == 1 && sparse.head.getString(2) == "c")
+  }
+
+  test("crosscorr_events: per-lag Pearson matches a driver recompute") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("event_type", "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def series(t: String) = ev.filter(_._1 == t).groupBy(_._2)
+      .map { case (k, v) => k -> v.length.toLong }
+    val (x, y) = (series("view"), series("purchase"))
+    val expect = (0L to 7L).map { lag =>
+      val pts = x.toSeq.flatMap { case (d1, xv) =>
+        y.get(d1 + lag).map(yv => (xv.toDouble, yv.toDouble)) }
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (lag, pts.length.toLong,
+        (n * sxy - sx * sy) /
+          (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    }
+    val got = graft.queries.Insights.crosscorrEvents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(g => (g._1, g._2)) == expect.map(e => (e._1, e._2)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 2e-6, s"lag ${g._1}") }
+  }
+
   test("fano_factor: burstiness over the zero-inclusive hour grid matches a driver recompute") {
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
       .selectExpr("event_type", "unix_millis(CAST(ts AS TIMESTAMP)) div 3600000 AS hr")

@@ -100,6 +100,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "calendar-bounded daily-table window build + window-pair theta joins",
     "fano_factor" -> "one-row hour-span scalar broadcast",
     "hhi_sources" -> "one-row corpus-total scalar broadcast",
+    "sax_symbols" -> "one-row origin + one-row moment scalar broadcasts",
+    "crosscorr_events" -> "bounded 8-row lag-ladder broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
