@@ -429,6 +429,31 @@ object Insights {
         expr("CAST(round(slope * 1000000) AS BIGINT)").as("slope_micro"))
   }
 
+  /** Calendar-completeness report of the order stream — the
+    * freshness/continuity DQ check a reporting layer runs before
+    * trusting any daily metric: present/missing day counts over the
+    * observed span, the longest empty run, and where the longest run
+    * starts. Gaps come from one lag over the CALENDAR-BOUNDED distinct-
+    * day table (thousands of rows at any corpus size — the dailyRevenue
+    * artifact posture); the argmax gap joins back through a one-row
+    * scalar so no second scan of the fact table happens. No gaps →
+    * first_gap_start is NULL in both engines.
+    */
+  def calendarGaps(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val l = dailyRevenue(s, d).select(col("day"))
+      .select(col("day"),
+        (col("day") - lag(col("day"), 1).over(w) - 1).as("gap"),
+        (lag(col("day"), 1).over(w) + 1).as("gs"))
+    val base = l.agg(count(lit(1)).as("n_present"),
+      (max(col("day")) - min(col("day")) + 1 - count(lit(1))).as("n_missing"),
+      coalesce(max(col("gap")), lit(0L)).as("longest_gap"))
+    val first = l.join(broadcast(base),
+        col("gap") === col("longest_gap") && col("longest_gap") > 0)
+      .agg(min(col("gs")).as("first_gap_start"))
+    base.crossJoin(broadcast(first)) // two one-row scalars
+  }
+
   /** SAX symbolization of the weekly revenue series (Lin/Keogh 2003 —
     * PAA + Gaussian-quantile breakpoints, alphabet {a,b,c,d}): the
     * discretization step that turns a numeric series into the string
@@ -741,6 +766,7 @@ object Insights {
     "anova_f" -> anovaF,
     "fano_factor" -> fanoFactor,
     "sax_symbols" -> saxSymbols,
+    "calendar_gaps" -> calendarGaps,
     "crosscorr_events" -> crosscorrEvents,
     "ts_motif" -> tsMotif,
     "gini_spend" -> giniSpend,
@@ -789,6 +815,16 @@ object Insights {
         |SELECT day, cents, trend_cents::BIGINT AS trend_cents,
         |  res::BIGINT AS residual_cents
         |FROM r, m, md WHERE abs(res - med) > 2 * mad ORDER BY day""".stripMargin,
+    "calendar_gaps" ->
+      """WITH daily AS (SELECT DISTINCT epoch_ms(o_orderdate) // 86400000 AS day FROM orders),
+        |l AS (SELECT day, day - lag(day) OVER (ORDER BY day) - 1 AS gap,
+        |        lag(day) OVER (ORDER BY day) + 1 AS gs FROM daily)
+        |SELECT (SELECT count(*) FROM daily)::BIGINT AS n_present,
+        |  (SELECT max(day) - min(day) + 1 - count(*) FROM daily)::BIGINT AS n_missing,
+        |  coalesce(max(gap), 0)::BIGINT AS longest_gap,
+        |  (SELECT min(gs) FROM l WHERE gap = (SELECT max(gap) FROM l)
+        |     AND gap > 0)::BIGINT AS first_gap_start
+        |FROM l""".stripMargin,
     "sax_symbols" ->
       """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents

@@ -1106,6 +1106,38 @@ object Pipeline {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** Two-NN intrinsic-dimension estimate (Facco et al. 2017) — the
+    * embedding-health diagnostic that tells an indexing/compression
+    * stack how much structure the vectors actually have (ID ≪ ambient
+    * dims justifies aggressive PQ/SQ budgets; ID ≈ dims means the
+    * space is noise-like): ID = n / Σ ln(r2/r1) over each sampled
+    * point's two nearest neighbors. The sample is BOUNDED (vec_id <
+    * 500 — the knn_label_consistency batch posture; the neighbor pool
+    * stays the full corpus, and at 100 TB the 2-NN lookups come from
+    * the batched IVF-PQ probe), distances are exact integer micro² L2,
+    * each point's ln term is rounded ONCE to nano-nats (token_kl's
+    * partitioning-invariance discipline) and the fold is an exact
+    * integer sum. Fixture read: ID ≈ 35 of 64 ambient dims.
+    */
+  def intrinsicDim(s: SparkSession, d: String): DataFrame = {
+    val q = Kmeans.quantized(Tables.embeddings(s, d))
+    val samp = broadcast(q.filter(col("vec_id") < 500)
+      .select(col("vec_id").as("i"), col("v").as("vi")))
+    val d2 = q.crossJoin(samp)
+      .filter(col("vec_id") =!= col("i"))
+      .select(col("i"), col("vec_id").as("j"),
+        expr("aggregate(zip_with(vi, v, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, e) -> acc + e)").as("d2"))
+      .filter(col("d2") > 0)
+    graft.plans.TopKPerGroup(d2, Seq("i"), Seq(col("d2"), col("j")), 2)
+      .groupBy(col("i")).agg(min(col("d2")).as("d1"), max(col("d2")).as("d2x"))
+      .select(expr("CAST(round(0.5 * ln(CAST(d2x AS DOUBLE)" +
+        " / CAST(d1 AS DOUBLE)) * 1000000000) AS BIGINT)").as("term"))
+      .agg(count(lit(1)).as("n"), sum(col("term")).as("slog_nano"))
+      .select(col("n"), col("slog_nano"),
+        expr("1000 * n * 1000000000 div slog_nano").as("id_milli"))
+  }
+
   /** k-NN label-consistency audit (the Confident-Learning-style
     * mislabel screen a training-data pipeline runs before fine-tuning
     * on labeled embeddings): for each vector of a deterministic 4%
@@ -2037,6 +2069,7 @@ object Pipeline {
     "sq8_topk" -> sq8Topk,
     "sq8_recall" -> sq8Recall,
     "knn_label_consistency" -> knnLabelConsistency,
+    "intrinsic_dim" -> intrinsicDim,
     "mmr_rerank" -> mmrRerank,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
@@ -2537,6 +2570,23 @@ object Pipeline {
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
         |JOIN read_parquet('{OUT}/sq8_topk/*.parquet') s USING (vec_id)""".stripMargin,
+    "intrinsic_dim" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |        list_reduce(list_transform(range(1,65), k -> (a.v[k]-b.v[k])*(a.v[k]-b.v[k])), (x,y)->x+y) AS d2
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |      WHERE a.vec_id < 500),
+        |r AS (SELECT i, d2, row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+        |      FROM p WHERE d2 > 0),
+        |t AS (SELECT i, max(CASE WHEN rn = 1 THEN d2 END) AS d1,
+        |        max(CASE WHEN rn = 2 THEN d2 END) AS d2x
+        |      FROM r WHERE rn <= 2 GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |        sum(CAST(round(0.5 * ln(d2x::DOUBLE / d1::DOUBLE) * 1000000000) AS BIGINT))::BIGINT AS slog_nano
+        |      FROM t)
+        |SELECT n, slog_nano, (1000 * n * 1000000000 // slog_nano)::BIGINT AS id_milli FROM s""".stripMargin,
     "knn_label_consistency" ->
       """WITH a AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
         |           FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500),

@@ -549,6 +549,40 @@ object Quality {
     * both engines. (At extreme vocabularies the micro-nat moment sums
     * would move to DECIMAL(38,0) — the stats_agg note applies.)
     */
+  /** Fighting-words log-odds (Monroe, Colaresi & Quinn 2008, the
+    * Dirichlet-prior z-scored log-odds-ratio): WHICH tokens
+    * distinguish one source cohort from another — the token-level
+    * companion to [[mutualInfo]]'s cell-level dependence number, and
+    * the standard "distinctive vocabulary" screen before mixing
+    * corpora. Cohorts = even vs odd source index; per token, δ =
+    * ln-odds difference with +1 smoothing and σ² ≈ 1/(a+1) + 1/(b+1);
+    * output is the top-10 by |z| with the (|z| desc, token) total
+    * order. Counts are exact integers against one broadcast marginal
+    * scalar; z is a per-token fixed double tree (partitioning-
+    * invariant), rounded once to micro units.
+    */
+  def logOddsTokens(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(
+      expr("CAST(substring(source, 4) AS BIGINT) % 2 = 0").as("ga"),
+      explode(Dedup.tokensNE(col("text"))).as("tok"))
+    val c = t.groupBy(col("tok")).agg(
+      sum(when(col("ga"), 1L).otherwise(0L)).as("a"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("b"))
+    val n = broadcast(c.agg(sum(col("a")).as("na"), sum(col("b")).as("nb")))
+    c.crossJoin(n) // one-row marginal scalar
+      .selectExpr("tok", "a", "b",
+        """ln(CAST(a + 1 AS DOUBLE) / CAST(na - a + 1 AS DOUBLE))
+          |- ln(CAST(b + 1 AS DOUBLE) / CAST(nb - b + 1 AS DOUBLE)) AS delta"""
+          .stripMargin,
+        "sqrt(1.0 / (a + 1) + 1.0 / (b + 1)) AS sig")
+      .select(col("tok"), col("a"), col("b"),
+        expr("CAST(round(delta / sig * 1000000) AS BIGINT)").as("z_micro"),
+        abs(col("delta") / col("sig")).as("az"))
+      .orderBy(col("az").desc, col("tok"))
+      .limit(10)
+      .select(col("tok"), col("a"), col("b"), col("z_micro"))
+  }
+
   /** Herfindahl–Hirschman concentration of source char mass — the one-
     * number "is the corpus dominated by a few sources?" check next to
     * [[Insights.giniSpend]]'s Lorenz view and the per-source
@@ -955,6 +989,7 @@ object Quality {
     "heaps_law" -> heapsLaw,
     "mutual_info" -> mutualInfo,
     "hhi_sources" -> hhiSources,
+    "log_odds_tokens" -> logOddsTokens,
     "feature_chi2" -> featureChi2,
     "char_ngram_profile" -> charNgramProfile,
     "lang_id_ngram" -> langIdNgram,
@@ -1162,6 +1197,19 @@ object Quality {
          |SELECT doc_id, lang, cand_lang AS pred_lang, score,
          |  (cand_lang = lang) AS correct
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "log_odds_tokens" ->
+      s"""WITH t AS (SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS ga,
+         |             unnest($ToksNE) AS tok FROM documents),
+         |c AS (SELECT tok, sum(CASE WHEN ga THEN 1 ELSE 0 END)::BIGINT AS a,
+         |        sum(CASE WHEN NOT ga THEN 1 ELSE 0 END)::BIGINT AS b FROM t GROUP BY 1),
+         |n AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM c),
+         |z AS (SELECT tok, a, b,
+         |        ln((a + 1)::DOUBLE / (na - a + 1)::DOUBLE)
+         |        - ln((b + 1)::DOUBLE / (nb - b + 1)::DOUBLE) AS delta,
+         |        sqrt(1.0/(a+1) + 1.0/(b+1)) AS sig
+         |      FROM c, n)
+         |SELECT tok, a, b, CAST(round(delta / sig * 1000000) AS BIGINT) AS z_micro
+         |FROM z ORDER BY abs(delta / sig) DESC, tok LIMIT 10""".stripMargin,
     "hhi_sources" ->
       """WITH m AS (SELECT source, sum(n_chars)::BIGINT AS mass FROM documents GROUP BY 1),
         |t AS (SELECT sum(mass)::BIGINT AS total FROM m)

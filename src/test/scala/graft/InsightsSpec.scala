@@ -337,6 +337,22 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("calendar_gaps: continuity report matches a driver recompute") {
+    val days = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day")
+      .collect().map(_.getLong(0)).distinct.sorted
+    val gaps = days.sliding(2).collect { case Array(a, b) => (b - a - 1, a + 1) }.toSeq
+    val longest = gaps.map(_._1).max
+    val r = graft.queries.Insights.calendarGaps(spark, sf0001).collect().head
+    assert(r.getLong(0) == days.length.toLong)
+    assert(r.getLong(1) == days.max - days.min + 1 - days.length)
+    assert(r.getLong(2) == longest)
+    if (longest > 0)
+      assert(r.getLong(3) == gaps.filter(_._1 == longest).map(_._2).min)
+    // the sparse sf0.001 calendar genuinely has holes
+    assert(r.getLong(1) > 0)
+  }
+
   test("sax_symbols: PAA + quartile breakpoints match a driver recompute") {
     // sf0.01: the sf0.001 calendar is too sparse for complete 7-day
     // segments (exactly one qualifies — the zero-variance guard case,

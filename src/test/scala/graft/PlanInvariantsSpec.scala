@@ -102,6 +102,11 @@ class PlanInvariantsSpec extends SparkSuite {
     "hhi_sources" -> "one-row corpus-total scalar broadcast",
     "sax_symbols" -> "one-row origin + one-row moment scalar broadcasts",
     "crosscorr_events" -> "bounded 8-row lag-ladder broadcast",
+    "log_odds_tokens" -> "one-row cohort-marginal scalar broadcast",
+    "calendar_gaps" ->
+      "calendar-bounded day table + two one-row scalar broadcasts",
+    "intrinsic_dim" ->
+      "bounded 500-anchor sample broadcast (knn-audit batch posture)",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

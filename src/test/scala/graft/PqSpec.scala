@@ -385,6 +385,24 @@ class PqSpec extends SparkSuite {
     assert(bp >= 1000L, s"degenerate fixture: sq8 recall $bp bp")
   }
 
+  test("intrinsic_dim: two-NN Facco estimate matches a plain-Scala recompute") {
+    val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+    val terms = micro.filter(_._1 < 500).map { case (i, vi) =>
+      val ds = micro.filter(_._1 != i).map { case (j, vj) =>
+        (vi.indices.map(k => (vi(k) - vj(k)) * (vi(k) - vj(k))).sum, j)
+      }.filter(_._1 > 0).sorted.take(2)
+      Math.round(0.5 * math.log(ds(1)._1.toDouble / ds(0)._1.toDouble) * 1e9)
+    }
+    val r = graft.queries.Pipeline.intrinsicDim(spark, sf0001).collect().head
+    assert(r.getLong(0) == terms.length.toLong)
+    assert(r.getLong(1) == terms.sum)
+    assert(r.getLong(2) == 1000L * terms.length * 1000000000L / terms.sum)
+    // a real dimensionality read: well inside (0, ambient 64)
+    assert(r.getLong(2) > 1000L && r.getLong(2) < 64000L)
+  }
+
   test("knn_label_consistency: neighborhood vote matches a plain-Scala recompute") {
     val rows = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))

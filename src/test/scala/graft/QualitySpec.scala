@@ -454,6 +454,30 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("log_odds_tokens: Dirichlet-smoothed z ranking matches a driver recompute") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .flatMap { r =>
+        val ga = r.getString(0).drop(3).toLong % 2 == 0
+        r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty).map(t => (ga, t))
+      }
+    val counts = toks.groupBy(_._2).map { case (t, os) =>
+      (t, os.count(_._1).toLong, os.count(!_._1).toLong) }
+    val (na, nb) = (counts.map(_._2).sum, counts.map(_._3).sum)
+    val expect = counts.toSeq.map { case (t, a, b) =>
+      val delta = math.log((a + 1).toDouble / (na - a + 1)) -
+        math.log((b + 1).toDouble / (nb - b + 1))
+      val sig = math.sqrt(1.0 / (a + 1) + 1.0 / (b + 1))
+      (t, a, b, Math.round(delta / sig * 1e6), math.abs(delta / sig))
+    }.sortBy { case (t, _, _, _, az) => (-az, t) }.take(10)
+      .map(x => (x._1, x._2, x._3, x._4))
+    val got = graft.queries.Quality.logOddsTokens(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // distinctive in both directions: positive and negative z both present
+    assert(got.exists(_._4 > 0) && got.exists(_._4 < 0))
+  }
+
   test("hhi_sources: concentration index matches a driver recompute") {
     val mass = spark.read.parquet(s"$sf0001/documents.parquet")
       .selectExpr("source", "CAST(n_chars AS BIGINT) AS n").collect()
