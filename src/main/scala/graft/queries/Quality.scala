@@ -549,6 +549,37 @@ object Quality {
     * both engines. (At extreme vocabularies the micro-nat moment sums
     * would move to DECIMAL(38,0) — the stats_agg note applies.)
     */
+  /** The dataset card — the one-row summary a curation run publishes
+    * with every release (the Datasheets/model-card discipline applied
+    * to the corpus): doc/source/lang censuses, exact token and char
+    * mass, unigram vocabulary, mean doc length, language share, and
+    * the exact-duplicate rate. Three aggregates over ONE staged
+    * tokenized scan (census + distinct-vocab + distinct-text), joined
+    * as one-row scalars — no fact-table rescans; every number exact
+    * integer/bp so the card is bit-stable across reruns. Composes the
+    * same definitions the dedicated queries gate (tokens = the
+    * reference tokenizer; dup rate = the sha-exact family's identity).
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"), col("text"), Dedup.tokensNE(col("text")).as("ts"))
+    val dAgg = t.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars").cast("long")).as("total_chars"),
+      sum(size(col("ts")).cast("long")).as("n_tokens"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val v = t.select(explode(col("ts")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val x = t.agg(countDistinct(col("text")).as("n_distinct_texts"))
+    dAgg.crossJoin(broadcast(v)).crossJoin(broadcast(x)) // one-row scalars
+      .selectExpr("n_docs", "n_sources", "n_langs", "total_chars",
+        "n_tokens", "vocab",
+        "n_tokens div n_docs AS mean_doc_tokens",
+        "10000 * n_en div n_docs AS en_share_bp",
+        "10000 * (n_docs - n_distinct_texts) div n_docs AS exact_dup_bp")
+  }
+
   /** Fighting-words log-odds (Monroe, Colaresi & Quinn 2008, the
     * Dirichlet-prior z-scored log-odds-ratio): WHICH tokens
     * distinguish one source cohort from another — the token-level
@@ -990,6 +1021,7 @@ object Quality {
     "mutual_info" -> mutualInfo,
     "hhi_sources" -> hhiSources,
     "log_odds_tokens" -> logOddsTokens,
+    "dataset_card" -> datasetCard,
     "feature_chi2" -> featureChi2,
     "char_ngram_profile" -> charNgramProfile,
     "lang_id_ngram" -> langIdNgram,
@@ -1197,6 +1229,19 @@ object Quality {
          |SELECT doc_id, lang, cand_lang AS pred_lang, score,
          |  (cand_lang = lang) AS correct
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dataset_card" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, n_chars, text, $ToksNE AS ts FROM documents),
+         |d AS (SELECT count(*)::BIGINT AS n_docs, count(DISTINCT source)::BIGINT AS n_sources,
+         |        count(DISTINCT lang)::BIGINT AS n_langs, sum(n_chars)::BIGINT AS total_chars,
+         |        sum(len(ts))::BIGINT AS n_tokens,
+         |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en FROM t),
+         |v AS (SELECT count(DISTINCT tok)::BIGINT AS vocab FROM (SELECT unnest(ts) AS tok FROM t)),
+         |x AS (SELECT count(DISTINCT text)::BIGINT AS n_distinct_texts FROM documents)
+         |SELECT n_docs, n_sources, n_langs, total_chars, n_tokens, vocab,
+         |  (n_tokens // n_docs)::BIGINT AS mean_doc_tokens,
+         |  (10000 * n_en // n_docs)::BIGINT AS en_share_bp,
+         |  (10000 * (n_docs - n_distinct_texts) // n_docs)::BIGINT AS exact_dup_bp
+         |FROM d, v, x""".stripMargin,
     "log_odds_tokens" ->
       s"""WITH t AS (SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS ga,
          |             unnest($ToksNE) AS tok FROM documents),

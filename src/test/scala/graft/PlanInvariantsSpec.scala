@@ -107,6 +107,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "calendar-bounded day table + two one-row scalar broadcasts",
     "intrinsic_dim" ->
       "bounded 500-anchor sample broadcast (knn-audit batch posture)",
+    "dataset_card" -> "two one-row census scalar broadcasts",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

@@ -454,6 +454,25 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("dataset_card: every census column matches a driver recompute") {
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    val toks = rows.map(r => r._2.split("[ \t\n\r]", -1).filter(_.nonEmpty))
+    val nTokens = toks.map(_.length.toLong).sum
+    val r = graft.queries.Quality.datasetCard(spark, sf0001).collect().head
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(r.getLong(1) == rows.map(_._4).distinct.length.toLong)
+    assert(r.getLong(2) == rows.map(_._3).distinct.length.toLong)
+    assert(r.getLong(3) == rows.map(_._5).sum)
+    assert(r.getLong(4) == nTokens)
+    assert(r.getLong(5) == toks.flatten.distinct.length.toLong)
+    assert(r.getLong(6) == nTokens / rows.length)
+    assert(r.getLong(7) == 10000L * rows.count(_._3 == "en") / rows.length)
+    assert(r.getLong(8) ==
+      10000L * (rows.length - rows.map(_._2).distinct.length) / rows.length)
+  }
+
   test("log_odds_tokens: Dirichlet-smoothed z ranking matches a driver recompute") {
     val toks = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("source", "text").collect()
