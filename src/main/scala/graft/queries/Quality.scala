@@ -580,6 +580,28 @@ object Quality {
         "10000 * (n_docs - n_distinct_texts) div n_docs AS exact_dup_bp")
   }
 
+  /** Effective number of sources (the perplexity of the source mix,
+    * exp of Shannon entropy) — the diversity twin of [[hhiSources]]'
+    * concentration: a 20-source corpus where one source dominates has
+    * eff ≈ 1; this near-uniform fixture reads exactly 20.000. Per-
+    * source −p·ln p terms in integer nano-nats, each rounded ONCE from
+    * exact counts against the broadcast total (the token_kl
+    * partitioning-invariance discipline), exact integer sum, one exp
+    * at the end. One bounded source aggregate at any corpus size.
+    */
+  def effectiveSources(s: SparkSession, d: String): DataFrame = {
+    val m = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val t = broadcast(m.agg(sum(col("n")).as("nt")))
+    m.crossJoin(t) // one-row total scalar
+      .select(expr("CAST(round(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))" +
+        " * ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000000)" +
+        " AS BIGINT)").as("term"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("term")).as("h_nano"))
+      .select(col("n_sources"), col("h_nano"),
+        expr("CAST(round(exp(CAST(h_nano AS DOUBLE) / 1000000000) * 1000)" +
+          " AS BIGINT)").as("eff_sources_milli"))
+  }
+
   /** Fighting-words log-odds (Monroe, Colaresi & Quinn 2008, the
     * Dirichlet-prior z-scored log-odds-ratio): WHICH tokens
     * distinguish one source cohort from another — the token-level
@@ -1022,6 +1044,7 @@ object Quality {
     "hhi_sources" -> hhiSources,
     "log_odds_tokens" -> logOddsTokens,
     "dataset_card" -> datasetCard,
+    "effective_sources" -> effectiveSources,
     "feature_chi2" -> featureChi2,
     "char_ngram_profile" -> charNgramProfile,
     "lang_id_ngram" -> langIdNgram,
@@ -1229,6 +1252,16 @@ object Quality {
          |SELECT doc_id, lang, cand_lang AS pred_lang, score,
          |  (cand_lang = lang) AS correct
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "effective_sources" ->
+      """WITH m AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS nt FROM m),
+        |h AS (SELECT sum(CAST(round(-(n::DOUBLE / nt::DOUBLE)
+        |          * ln(n::DOUBLE / nt::DOUBLE) * 1000000000) AS BIGINT))::BIGINT AS h_nano,
+        |        count(*)::BIGINT AS n_sources
+        |      FROM m, t)
+        |SELECT n_sources, h_nano,
+        |  CAST(round(exp(h_nano::DOUBLE / 1000000000) * 1000) AS BIGINT) AS eff_sources_milli
+        |FROM h""".stripMargin,
     "dataset_card" ->
       s"""WITH t AS (SELECT doc_id, source, lang, n_chars, text, $ToksNE AS ts FROM documents),
          |d AS (SELECT count(*)::BIGINT AS n_docs, count(DISTINCT source)::BIGINT AS n_sources,

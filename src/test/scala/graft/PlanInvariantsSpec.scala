@@ -108,6 +108,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "intrinsic_dim" ->
       "bounded 500-anchor sample broadcast (knn-audit batch posture)",
     "dataset_card" -> "two one-row census scalar broadcasts",
+    "effective_sources" -> "one-row corpus-total scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

@@ -497,6 +497,23 @@ class QualitySpec extends SparkSuite {
     assert(got.exists(_._4 > 0) && got.exists(_._4 < 0))
   }
 
+  test("effective_sources: entropy perplexity matches a driver recompute") {
+    val counts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source").collect().map(_.getString(0))
+      .groupBy(identity).map(_._2.length.toLong)
+    val nt = counts.sum.toDouble
+    val hNano = counts.map { n =>
+      val p = n / nt
+      Math.round(-p * math.log(p) * 1e9)
+    }.sum
+    val r = graft.queries.Quality.effectiveSources(spark, sf0001).collect().head
+    assert(r.getLong(0) == counts.size.toLong)
+    assert(r.getLong(1) == hNano)
+    assert(r.getLong(2) == Math.round(math.exp(hNano.toDouble / 1e9) * 1000))
+    // diversity and concentration agree: eff <= n_sources always
+    assert(r.getLong(2) <= r.getLong(0) * 1000)
+  }
+
   test("hhi_sources: concentration index matches a driver recompute") {
     val mass = spark.read.parquet(s"$sf0001/documents.parquet")
       .selectExpr("source", "CAST(n_chars AS BIGINT) AS n").collect()
