@@ -1121,14 +1121,23 @@ object Pipeline {
     */
   def intrinsicDim(s: SparkSession, d: String): DataFrame = {
     val q = Kmeans.quantized(Tables.embeddings(s, d))
-    val samp = broadcast(q.filter(col("vec_id") < 500)
-      .select(col("vec_id").as("i"), col("v").as("vi")))
-    val d2 = q.crossJoin(samp)
-      .filter(col("vec_id") =!= col("i"))
-      .select(col("i"), col("vec_id").as("j"),
-        expr("aggregate(zip_with(vi, v, (a, b) -> (a - b) * (a - b))," +
-          " 0L, (acc, e) -> acc + e)").as("d2"))
-      .filter(col("d2") > 0)
+    // bounded 500-anchor sample collected as a literal model (the
+    // kmeans-codebook posture); distances to ALL anchors come from ONE
+    // generated loop per corpus row (CentroidDistsExpr — the HOF
+    // zip_with/aggregate spelling interpreted every lambda step:
+    // measured 19 s vs sub-second generated at sf0.1)
+    val samp = q.filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+    val ids = samp.map(_.getLong(0))
+    val anchors = samp.map(_.getSeq[Long](1).toArray)
+    val idLit = typedLit(ids.toSeq)
+    val d2 = q
+      .select(col("vec_id").as("j"),
+        posexplode(graft.functions.SketchExprs.centroidDists(col("v"), anchors))
+          .as(Seq("idx", "d2")))
+      .select(element_at(idLit, col("idx") + 1).as("i"), col("j"), col("d2"))
+      .filter(col("i") =!= col("j") && col("d2") > 0)
     graft.plans.TopKPerGroup(d2, Seq("i"), Seq(col("d2"), col("j")), 2)
       .groupBy(col("i")).agg(min(col("d2")).as("d1"), max(col("d2")).as("d2x"))
       .select(expr("CAST(round(0.5 * ln(CAST(d2x AS DOUBLE)" +
