@@ -629,7 +629,55 @@ object Curation {
         col("n_docs"), col("n_tokens"))
       .orderBy(col("bucket"))
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the data-selection
+    * rule behind most curated pre-training mixes): score every raw
+    * document by how target-like its hashed n-gram bag is,
+    * log p_T(doc) − log p_R(doc) under bag-of-hashed-unigram models
+    * fit on the target slice (lang = 'en' here — the distribution to
+    * match) and on the raw corpus. Resampling by these weights IS the
+    * selection step; this query publishes the weights themselves (the
+    * artifact a pipeline materializes so multiple budgets can resample
+    * without refitting). Scale shape: the model fit is one
+    * map-side-combinable bucket aggregate (64 hashed buckets — the
+    * hashed_features space), the model is DIMENSION-sized and
+    * broadcast, and scoring is one map-only join + per-doc integer
+    * sum — two shuffles at any corpus size. Parity discipline:
+    * add-1-smoothed log-ratios are ONE ln of an exact BIGINT-product
+    * ratio, rounded ONCE per bucket to nano-nats (the token_kl_drift
+    * convention), so per-doc weights are exact integer sums —
+    * partitioning-invariant and DuckDB-identical.
+    */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(Dedup.tokensNE(col("text"))).as("t"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.TextFns.tokenHash31(col("t")) % 64).cast("int")
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val rawC = tf.groupBy(col("bucket")).agg(sum(col("tf")).as("c_r"))
+    val tgtC = tf.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(sum(col("tf")).as("c_t"))
+    // 64-row smoothed model; totals ride along on the same bounded rows
+    val model = rawC.join(tgtC, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_t"))
+    val totals = model.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val lr = model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr("CAST(round(1e9 * ln(CAST((c_t + 1) * (n_r + 64) AS DOUBLE)" +
+          " / CAST((c_r + 1) * (n_t + 64) AS DOUBLE))) AS BIGINT)")
+          .as("lr_nano"))
+    tf.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("lr_nano")).as("w_nano"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> dsirWeights,
     "mixture_temperature" -> mixtureTemperature,
     "length_buckets" -> lengthBuckets,
     "span_masking" -> spanMasking,
@@ -681,6 +729,28 @@ object Curation {
        |        FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($ToksNE) AS tok FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |    (list_reduce(list_prepend(5381::BIGINT,
+         |       list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+         |       (a, b) -> (a * 33 + b) % 2147483648) % 64)::INT AS bucket
+         |  FROM t),
+         |tf AS (SELECT doc_id, lang, bucket, count(*)::BIGINT AS tf
+         |       FROM h GROUP BY 1, 2, 3),
+         |cr AS (SELECT bucket, sum(tf)::BIGINT AS c_r FROM tf GROUP BY 1),
+         |ct AS (SELECT bucket, sum(tf)::BIGINT AS c_t FROM tf
+         |       WHERE lang = 'en' GROUP BY 1),
+         |m AS (SELECT cr.bucket, c_r, coalesce(c_t, 0)::BIGINT AS c_t
+         |      FROM cr LEFT JOIN ct USING (bucket)),
+         |tot AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t FROM m),
+         |lr AS (SELECT bucket,
+         |    CAST(round(1e9 * ln(((c_t + 1) * (n_r + 64))::DOUBLE
+         |      / ((c_r + 1) * (n_t + 64))::DOUBLE)) AS BIGINT) AS lr_nano
+         |  FROM m CROSS JOIN tot)
+         |SELECT tf.doc_id, tf.lang, sum(tf)::BIGINT AS n_tok,
+         |  sum(tf * lr_nano)::BIGINT AS w_nano
+         |FROM tf JOIN lr USING (bucket) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "mixture_temperature" ->
       s"""WITH ts AS (SELECT source, sum(len($ToksNE))::BIGINT AS n_tokens
          |            FROM documents GROUP BY 1),

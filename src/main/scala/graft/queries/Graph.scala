@@ -237,6 +237,36 @@ object Graph {
       .orderBy(col("s1"))
   }
 
+  /** Adamic–Adar link prediction over the supplier–part bipartite graph
+    * (Adamic & Adar 2003; the standard common-neighbor score weighted
+    * against promiscuous neighbors): for supplier pairs (u, v), AA =
+    * Σ_{shared part w} 1/ln(deg(w)) — a part supplied by few suppliers
+    * is strong evidence the two belong together; a commodity part
+    * supplied by hundreds says nothing. The top-20 scored pairs are the
+    * predicted links a procurement/recommendation system surfaces.
+    * Same bucket-explode shape as [[cosupplyNeighbors]] (per-part
+    * sorted supplier list, hub-capped, ordered pairs — never a
+    * fact-table self-join), but each exploded pair carries the part's
+    * weight, rounded ONCE per part to nano units (1e9/ln(deg) — the
+    * nano-lattice discipline), so pair scores are exact integer sums:
+    * partitioning-invariant and DuckDB-identical. One explode + one
+    * pair aggregate + a 20-row global top-k; two shuffles at any scale.
+    */
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    val sp = edgeTable(s, d).filter(col("src") < PartOffset)
+      .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
+    sp.groupBy(col("pk"))
+      .agg(sort_array(collect_list(col("sk"))).as("sks"))
+      .filter(size(col("sks")) > 1 && size(col("sks")) <= ProjectionHubCap)
+      .select(expr("CAST(round(1e9 / ln(CAST(size(sks) AS DOUBLE))) AS BIGINT)")
+        .as("w_nano"),
+        explode(graft.operators.Dedup.pairsOf(col("sks"), Int.MaxValue)).as("p"))
+      .groupBy(col("p.id1").as("s1"), col("p.id2").as("s2"))
+      .agg(count(lit(1)).as("common"), sum(col("w_nano")).as("aa_nano"))
+      .orderBy(col("aa_nano").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
   /** Orders with more distinct parts than this are dropped from
     * co-purchase pair generation — the basket-size analog of
     * [[ProjectionHubCap]] (a k-part order emits k(k−1)/2 edges; a
@@ -493,6 +523,7 @@ object Graph {
     "bfs_hops" -> bfsHops,
     "degree_histogram" -> degreeHistogram,
     "cosupply_neighbors" -> cosupplyNeighbors,
+    "adamic_adar" -> adamicAdar,
     "triangle_count" -> triangleCount,
     "communities_lpa" -> communitiesLpa,
   )
@@ -688,6 +719,16 @@ object Graph {
         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1)
         |SELECT deg, count(*)::BIGINT AS n_nodes FROM deg
         |GROUP BY 1 ORDER BY deg""".stripMargin,
+    "adamic_adar" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |w AS (SELECT pk, CAST(round(1e9 / ln(count(*)::DOUBLE)) AS BIGINT) AS w_nano
+        |      FROM sp GROUP BY pk HAVING count(*) > 1 AND count(*) <= 256),
+        |pr AS (SELECT a.sk AS s1, b.sk AS s2, count(*)::BIGINT AS common,
+        |              sum(w_nano)::BIGINT AS aa_nano
+        |       FROM sp a JOIN w USING (pk) JOIN sp b USING (pk)
+        |       WHERE a.sk < b.sk GROUP BY 1, 2)
+        |SELECT s1, s2, common, aa_nano FROM pr
+        |ORDER BY aa_nano DESC, s1, s2 LIMIT 20""".stripMargin,
     "cosupply_neighbors" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
         |deg AS (SELECT sk, count(*)::BIGINT AS deg FROM sp GROUP BY sk),

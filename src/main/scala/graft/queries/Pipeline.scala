@@ -1147,6 +1147,62 @@ object Pipeline {
         expr("1000 * n * 1000000000 div slog_nano").as("id_milli"))
   }
 
+  /** Top principal component by 3 deterministic power iterations — the
+    * embedding-health companion to [[intrinsicDim]] (the leading PCA
+    * loading tells a compression/indexing stack where the variance
+    * lives; a single dominant axis means SQ/PQ budgets should be
+    * anisotropic, and the projection is the 1-D visualization every
+    * embedding dashboard draws). v_{t+1} ∝ Σ_i c_i (c_i · v_t) over
+    * mean-centered micro-lattice vectors c_i = x_i − μ (μ is the exact
+    * integer floor-average — the kmeans_centroids convention). Scale
+    * shape: each iteration is ONE map-only pass + a 64-row aggregate
+    * (the per-row dot against the broadcast-literal direction, then a
+    * per-dim sum) — the classic distributed matrix-free power method;
+    * nothing data-sized ever leaves the executors. Parity discipline:
+    * per-row dots are exact BIGINT, the per-dim accumulators are exact
+    * DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB) — order-free integer
+    * sums — and the only doubles are the 64-element normalization fold
+    * each round, run in ONE fixed dim order on both engines
+    * (floor(x+0.5) spelling = Java Math.round). Direction vectors live
+    * on the milli lattice (|v| ≈ 1000), so dots stay far under 2^63.
+    */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = 64
+    val q = Kmeans.quantized(Tables.embeddings(s, d)).persist()
+    try {
+      val mu = new Array[Long](dims)
+      q.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // bounded: dims rows
+        .foreach(r => mu(r.getInt(0)) = r.getLong(1) / r.getLong(2))
+      // ones direction: 1000/sqrt(64) = 125 exactly on the milli lattice
+      var v = Array.fill(dims)(125L)
+      for (_ <- 1 to 3) {
+        val muL = typedLit(mu.toSeq)
+        val vL = typedLit(v.toSeq)
+        val centered = q.select(transform(col("v"),
+          (x, j) => x - element_at(muL, j + 1)).as("c"))
+        val dotted = centered.select(col("c"),
+          aggregate(zip_with(col("c"), vL, (a, b) => a * b), lit(0L),
+            (acc, y) => acc + y).as("dot"))
+        val w = new Array[java.math.BigDecimal](dims)
+        dotted
+          .select(posexplode(col("c")).as(Seq("dim", "cx")), col("dot"))
+          .groupBy(col("dim"))
+          .agg(sum(col("cx").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("dot")).as("w"))
+          .collect() // bounded: dims rows
+          .foreach(r => w(r.getInt(0)) = r.getDecimal(1))
+        val wd = w.map(_.doubleValue)
+        val norm = math.sqrt(wd.foldLeft(0.0)((a, x) => a + x * x))
+        v = wd.map(x => math.round(1000.0 * x / norm))
+      }
+      v.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
+        .toDF("dim", "loading_milli").orderBy(col("dim"))
+    } finally { q.unpersist(); () }
+  }
+
   /** k-NN label-consistency audit (the Confident-Learning-style
     * mislabel screen a training-data pipeline runs before fine-tuning
     * on labeled embeddings): for each vector of a deterministic 4%
@@ -2079,6 +2135,7 @@ object Pipeline {
     "sq8_recall" -> sq8Recall,
     "knn_label_consistency" -> knnLabelConsistency,
     "intrinsic_dim" -> intrinsicDim,
+    "pca_power" -> pcaPower,
     "mmr_rerank" -> mmrRerank,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
@@ -2216,6 +2273,26 @@ object Pipeline {
       |  GROUP BY 1, 2),
       |c2 AS (SELECT c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
       |  FROM c1 LEFT JOIN u2 USING (cid, dim))""".stripMargin
+
+  /** One unrolled power-iteration round for the pca_power oracle:
+    * d$t (per-row dot against the previous direction), w$t (per-dim
+    * exact integer accumulator), n$t (fixed-dim-order double
+    * normalization fold), v$t (milli-lattice direction). Mirrors
+    * [[pcaPower]]'s round exactly — floor(x+0.5) IS Java Math.round.
+    */
+  private def PcaIterCte(t: Int): String = {
+    val src = if (t == 1) "c" else s"c, v${t - 1}"
+    val prev = if (t == 1) "125" else "v[j]"
+    s"""d$t AS (SELECT c, list_reduce(list_transform(range(1, 65),
+       |    j -> c[j] * $prev), (a, b) -> a + b) AS dot FROM $src),
+       |w$t AS (SELECT t.i AS dim, sum(c[t.i]::HUGEINT * dot) AS w
+       |  FROM d$t CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+       |n$t AS (SELECT sqrt(list_reduce(list_transform(
+       |    list(w::DOUBLE ORDER BY dim), x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM w$t),
+       |v$t AS (SELECT list(CAST(floor(1000 * w::DOUBLE / nrm + 0.5) AS BIGINT)
+       |    ORDER BY dim) AS v FROM w$t, n$t)""".stripMargin
+  }
 
   /** [[KmeansTrainCte]] generalized for the index-sizing profile: the
     * same unrolled 2-round Lloyd chain with CTE names prefixed `p` and
@@ -2579,6 +2656,19 @@ object Pipeline {
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
         |JOIN read_parquet('{OUT}/sq8_topk/*.parquet') s USING (vec_id)""".stripMargin,
+    "pca_power" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+         |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),
+         |mu0 AS (SELECT t.i AS dim, sum(v[t.i]) // count(*) AS m
+         |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+         |muv AS (SELECT list(m ORDER BY dim) AS mu FROM mu0),
+         |c AS (SELECT list_transform(range(1, 65), j -> v[j] - mu[j]) AS c
+         |      FROM e, muv),
+         |${PcaIterCte(1)},
+         |${PcaIterCte(2)},
+         |${PcaIterCte(3)}
+         |SELECT (t.i - 1)::INT AS dim, v[t.i]::BIGINT AS loading_milli
+         |FROM v3 CROSS JOIN range(1, 65) t(i) ORDER BY dim""".stripMargin,
     "intrinsic_dim" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v

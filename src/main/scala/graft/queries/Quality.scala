@@ -944,6 +944,46 @@ object Quality {
       .orderBy(col("source"))
   }
 
+  /** Cross-document boilerplate 5-gram screen — the CCNet-style shared-
+    * span removal signal (Wenzek et al. 2020 dedupe repeated paragraphs
+    * across shards; this corpus has no line structure, so the unit is
+    * the token 5-gram): a 5-gram occurring in ≥ 3 DISTINCT documents is
+    * boilerplate, and the per-source report (position share in bp +
+    * distinct boilerplate grams) is the dashboard that decides whether
+    * a source needs span-level cleaning before training. Scale shape:
+    * the distinct-doc count is a two-level hash aggregate ((gram,
+    * doc_id) pre-distinct keeps partial aggregation alive — never a
+    * count_distinct over raw positions), and the position↔boilerplate
+    * membership test is a plain sort-merge join on the gram key — the
+    * boilerplate set is corpus-sized in the worst case (the
+    * dup_rate_by_source lesson: membership sets larger than a
+    * dimension must NOT be broadcast). Three shuffles at any corpus
+    * size; integer bp division.
+    */
+  def boilerplateNgrams(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+      .select(col("doc_id"), col("source"), Dedup.tokensNE(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 5)
+    val g = t.select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(1), size(col("ts")) - 4),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1), element_at(col("ts"), i + 2),
+          element_at(col("ts"), i + 3), element_at(col("ts"), i + 4)))).as("g"))
+    val boiler = g.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("g"))
+    g.join(boiler.withColumn("is_b", lit(1L)), Seq("g"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler_pos"),
+        countDistinct(when(col("is_b").isNotNull, col("g"))).as("n_boiler_grams"))
+      .select(col("source"), col("n_pos"), col("n_boiler_pos"),
+        expr("10000 * n_boiler_pos div n_pos").as("boiler_bp"),
+        col("n_boiler_grams"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus-wide heavy-hitter bigrams — the boilerplate-phrase screen
     * at bounded memory: which bigrams occupy more than 1/1024 of all
     * bigram slots, found via the two-pass Misra-Gries shape
@@ -1018,6 +1058,7 @@ object Quality {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cms_estimate" -> cmsEstimate,
+    "boilerplate_ngrams" -> boilerplateNgrams,
     "heavy_hitters" -> heavyHitters,
     "token_kl_drift" -> tokenKlDrift,
     "distinct_ngrams" -> distinctNgrams,
@@ -1092,6 +1133,22 @@ object Quality {
          |SELECT bg AS bigram, count(*)::BIGINT AS cnt
          |FROM b, tot GROUP BY bg, tot.n HAVING count(*) > tot.n // 1024
          |ORDER BY bigram""".stripMargin,
+    "boilerplate_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksNE AS ts FROM documents),
+         |g AS (SELECT doc_id, source,
+         |        unnest(list_transform(range(1, len(ts) - 3),
+         |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+         |               || ts[i+3] || ' ' || ts[i+4])) AS g
+         |      FROM t WHERE len(ts) >= 5),
+         |b AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+         |                     FROM g GROUP BY 1) WHERE nd >= 3)
+         |SELECT source, count(*)::BIGINT AS n_pos,
+         |  sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler_pos,
+         |  (10000 * sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+         |     // count(*))::BIGINT AS boiler_bp,
+         |  count(DISTINCT CASE WHEN b.g IS NOT NULL THEN g.g END)::BIGINT
+         |    AS n_boiler_grams
+         |FROM g LEFT JOIN b USING (g) GROUP BY source ORDER BY source""".stripMargin,
     "distinct_ngrams" ->
       s"""WITH t AS (SELECT source, $ToksNE AS ts FROM documents),
          |u AS (SELECT source, count(*)::BIGINT AS n1,

@@ -70,6 +70,36 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("dsir_weights: nano-nat weights match a plain-Scala refit and rank the target lang first") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(t: String): Int =
+      (t.foldLeft(5381L)((a, c) => (a * 33 + c.toInt) % 2147483648L) % 64L).toInt
+    val toks = docs.map { case (id, lang, text) =>
+      (id, lang, text.split("[ \t\n\r]", -1).filter(_.nonEmpty).map(bucket)) }
+    val cR = new Array[Long](64); val cT = new Array[Long](64)
+    toks.foreach { case (_, lang, bs) =>
+      bs.foreach { b => cR(b) += 1; if (lang == "en") cT(b) += 1 } }
+    val nR = cR.sum; val nT = cT.sum
+    // lr only defined for buckets present in the corpus (the query's model
+    // rows); absent buckets have no doc occurrences so they never score
+    val lr = (0 until 64).map(b => b -> math.round(1e9 * math.log(
+      ((cT(b) + 1) * (nR + 64)).toDouble / ((cR(b) + 1) * (nT + 64)).toDouble))).toMap
+    val expect = toks.map { case (id, lang, bs) =>
+      (id, lang, bs.length.toLong, bs.map(b => lr(b)).sum) }.sortBy(_._1).toSeq
+    val rows = Curation.dsirWeights(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == expect)
+    // the point of DSIR: docs drawn from the target slice must look more
+    // target-like than the rest, per token (mean normalized weight)
+    val (en, rest) = rows.partition(_._2 == "en")
+    def meanPerTok(xs: Seq[(Long, String, Long, Long)]) =
+      xs.map(x => x._4.toDouble / x._3).sum / xs.size
+    assert(meanPerTok(en) > meanPerTok(rest),
+      "target-language docs must carry higher importance weight per token")
+  }
+
   test("length_buckets: histogram reconciles and bounds are exact bit widths") {
     val nts = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("text").collect()

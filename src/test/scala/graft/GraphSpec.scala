@@ -92,6 +92,34 @@ class GraphSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("adamic_adar: top-20 predicted links match a brute-force recompute") {
+    val sp = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    sp.groupBy(_._2).values.foreach { es =>
+      val sks = es.map(_._1).sorted
+      if (sks.length > 1 && sks.length <= 256) {
+        val w = math.round(1e9 / math.log(sks.length.toDouble))
+        for (i <- sks.indices; j <- (i + 1) until sks.length) {
+          val k = (sks(i), sks(j))
+          val (c, a) = scores.getOrElse(k, (0L, 0L))
+          scores(k) = (c + 1, a + w)
+        }
+      }
+    }
+    val expect = scores.toSeq
+      .map { case ((s1, s2), (c, a)) => (s1, s2, c, a) }
+      .sortBy { case (s1, s2, _, a) => (-a, s1, s2) }.take(20)
+    val got = graft.queries.Graph.adamicAdar(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // rarity weighting must matter: the top pair's support must not be
+    // explainable by common count alone (some pair with more or equal
+    // common parts ranks lower somewhere in the table)
+    assert(got.nonEmpty && got.map(_._4).distinct.size > 1)
+  }
+
   test("ppr_topk equals a driver-side seeded integer walk") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_suppkey"), col("l_partkey")).distinct()

@@ -109,6 +109,7 @@ class PlanInvariantsSpec extends SparkSuite {
       "bounded 500-anchor sample broadcast (knn-audit batch posture)",
     "dataset_card" -> "two one-row census scalar broadcasts",
     "effective_sources" -> "one-row corpus-total scalar broadcast",
+    "dsir_weights" -> "one-row model-totals scalar broadcast onto the 64-bucket model",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

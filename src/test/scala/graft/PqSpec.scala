@@ -403,6 +403,44 @@ class PqSpec extends SparkSuite {
     assert(r.getLong(2) > 1000L && r.getLong(2) < 64000L)
   }
 
+  test("pca_power: loadings match a plain-Scala power iteration and capture real variance") {
+    val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+    val dims = 64
+    val mu = Array.tabulate(dims)(j => micro.map(_(j)).sum / micro.length)
+    val c = micro.map(v => Array.tabulate(dims)(j => v(j) - mu(j)))
+    var v = Array.fill(dims)(125L)
+    for (_ <- 1 to 3) {
+      val w = Array.fill(dims)(BigInt(0))
+      c.foreach { ci =>
+        var dot = 0L
+        for (j <- 0 until dims) dot += ci(j) * v(j)
+        for (j <- 0 until dims) w(j) += BigInt(ci(j)) * BigInt(dot)
+      }
+      val wd = w.map(_.toDouble)
+      val norm = math.sqrt(wd.foldLeft(0.0)((a, x) => a + x * x))
+      v = wd.map(x => math.round(1000.0 * x / norm))
+    }
+    val got = Pipeline.pcaPower(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == v.zipWithIndex.map { case (x, j) => (j, x) }.toSeq)
+    // direction is genuinely unit on the milli lattice
+    val n2 = got.map(_._2).map(x => x * x).sum
+    assert(math.abs(math.sqrt(n2.toDouble) - 1000.0) < 35.0)
+    // and captures more variance than the mean coordinate axis: Rayleigh
+    // quotient along v must beat the average per-axis variance
+    def rayleigh(dir: Array[Long]): Double = {
+      val d2 = dir.map(x => x * x).sum.toDouble
+      c.map { ci =>
+        val dot = ci.indices.map(j => ci(j) * dir(j)).sum
+        dot.toDouble * dot.toDouble / d2
+      }.sum / c.length
+    }
+    val avgVar = c.map(_.map(x => x.toDouble * x).sum).sum / c.length / dims
+    assert(rayleigh(v) > avgVar,
+      "top PC must explain more than an average axis")
+  }
+
   test("knn_label_consistency: neighborhood vote matches a plain-Scala recompute") {
     val rows = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))

@@ -111,6 +111,30 @@ class QualitySpec extends SparkSuite {
     assert(rows == expect)
   }
 
+  test("boilerplate_ngrams: per-source shares match a plain-Scala recompute of the >=3-doc rule") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+      .filter(_._3.length >= 5)
+    val grams = docs.flatMap { case (id, src, ts) =>
+      ts.sliding(5).map(g => (id, src, g.mkString(" "))) }
+    val boiler = grams.map(g => (g._3, g._1)).distinct
+      .groupBy(_._1).filter(_._2.length >= 3).keySet
+    val expect = grams.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, gs) =>
+      val nb = gs.count(g => boiler(g._3))
+      (src, gs.length.toLong, nb.toLong, 10000L * nb / gs.length,
+        gs.filter(g => boiler(g._3)).map(_._3).distinct.length.toLong)
+    }
+    val rows = Quality.boilerplateNgrams(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows == expect)
+    // the screen must actually fire on the fixture (planted near-dups
+    // share spans) without flagging everything
+    assert(rows.exists(_._3 > 0) && rows.exists(_._3 == 0))
+  }
+
   test("quality_filters: flags recompute brute-force and kept is their AND") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
