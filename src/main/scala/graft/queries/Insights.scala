@@ -757,7 +757,53 @@ object Insights {
       .orderBy(col("day"))
   }
 
+  /** Poisson-bootstrap confidence interval for the mean order value —
+    * THE distributed bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams": classical resampling needs
+    * n draws WITH replacement per replicate — a global shuffle per
+    * replicate — but Poisson(1) per-row weights are an exact-in-
+    * expectation approximation that needs ONE map-only pass emitting
+    * all B replicates). Weights come from the inverse Poisson CDF on
+    * the deterministic (key, replicate) Knuth hash — integer
+    * thresholds hardcoded on the 1000000007 modulus basis, no engine
+    * RNG — so every engine, run, and partitioning produces the same
+    * resample. 32 replicates: one 32×-fan-out map pass + a 32-row
+    * aggregate; replicate means are exact (decimal Σ(w·cents) div Σw
+    * in micro-dollars); the CI is the (2nd, 31st) order statistics of
+    * the 32 sorted replicate means (a ~94 % interval). At 100 TB the
+    * fan-out is the honest bootstrap cost and everything stays
+    * map-side-combinable.
+    */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val reps = o
+      .select(col("k"), col("cents"),
+        explode(sequence(lit(0L), lit(31L))).as("b"))
+      .withColumn("u",
+        expr("((k * 32 + b) % 2147483647) * 2654435761 % 1000000007"))
+      // inverse Poisson(1) CDF: floor(cum_pmf * 1000000007) thresholds
+      .withColumn("w", expr(
+        "CASE WHEN u < 367879443 THEN 0 WHEN u < 735758887 THEN 1" +
+          " WHEN u < 919698609 THEN 2 WHEN u < 981011849 THEN 3" +
+          " WHEN u < 996340160 THEN 4 WHEN u < 999405822 THEN 5" +
+          " ELSE 6 END"))
+      .groupBy(col("b"))
+      .agg(sum((col("w") * col("cents")).cast("decimal(38,0)")).as("swc"),
+        sum(col("w")).as("sw"))
+      .select(expr("(swc * 10000) div sw").as("m"))
+      .agg(sort_array(collect_list(col("m"))).as("ms")) // bounded: 32 rows
+    val point = o.agg(
+      expr("(CAST(sum(cents) AS DECIMAL(38,0)) * 10000) div count(*)")
+        .as("point_micro"))
+    reps.crossJoin(broadcast(point))
+      .select(lit(32L).as("b_reps"), col("point_micro"),
+        element_at(col("ms"), 2).as("lo_micro"),
+        element_at(col("ms"), 31).as("hi_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bootstrap_ci" -> bootstrapCi,
     "conversion_lag" -> conversionLag,
     "anomaly_days" -> anomalyDays,
     "trend_7d" -> trend7d,
@@ -785,6 +831,25 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "bootstrap_ci" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT b.b, k, cents,
+        |        ((k * 32 + b.b) % 2147483647) * 2654435761 % 1000000007 AS u
+        |      FROM o CROSS JOIN range(0, 32) b(b)),
+        |w AS (SELECT b, cents,
+        |        CASE WHEN u < 367879443 THEN 0 WHEN u < 735758887 THEN 1
+        |             WHEN u < 919698609 THEN 2 WHEN u < 981011849 THEN 3
+        |             WHEN u < 996340160 THEN 4 WHEN u < 999405822 THEN 5
+        |             ELSE 6 END AS w
+        |      FROM r),
+        |m AS (SELECT b, (sum(w * cents) * 10000) // sum(w) AS m
+        |      FROM w GROUP BY b),
+        |a AS (SELECT list(m ORDER BY m) AS ms FROM m),
+        |pt AS (SELECT (sum(cents) * 10000) // count(*) AS point FROM o)
+        |SELECT 32::BIGINT AS b_reps, point::BIGINT AS point_micro,
+        |  ms[2]::BIGINT AS lo_micro, ms[31]::BIGINT AS hi_micro
+        |FROM a, pt""".stripMargin,
     "conversion_lag" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
         |v AS (SELECT user_id, min(ts_ms) AS view_ms FROM ev

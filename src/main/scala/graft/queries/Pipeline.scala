@@ -995,6 +995,52 @@ object Pipeline {
   def sq8Recall(s: SparkSession, d: String): DataFrame =
     recallOf(embeddingTopk(s, d), sq8Topk(s, d))
 
+  /** The deterministic ±1 Johnson–Lindenstrauss projection matrix
+    * (16×64) shared by [[rpTopk]] and its oracle: sign(o, i) from the
+    * weighted_sample Knuth-hash arithmetic on the flattened index —
+    * pure integer ops, so both engines materialize the identical
+    * matrix without an RNG (Achlioptas 2003: ±1 entries satisfy the JL
+    * lemma with the same distortion bound as Gaussians).
+    */
+  private[graft] def rpSign(o: Int, i: Int): Long =
+    if ((((o * 64L + i) % 2147483647L) * 2654435761L) % 1000000007L % 2L == 0L) 1L
+    else -1L
+
+  /** Random-projection ANN (the JL rung BELOW scalar quantization on
+    * the compression ladder): project 64-dim micro vectors to 16 dims
+    * through the deterministic ±1 matrix ([[rpSign]]) and scan in the
+    * projected space — 4× fewer distance multiplies and 16 longs per
+    * vector, with NO training step at all (the property that makes
+    * random projection the bootstrap index while kmeans/PQ artifacts
+    * build). Projection is exact integer arithmetic (Σ ±v_i), distance
+    * is exact integer L2 in projected space, so order and ties are
+    * total in both engines. Map-only over the corpus + a 20-row
+    * top-k; [[rpRecall]] publishes what 16 JL dims keep of the true
+    * cosine top-20.
+    */
+  def rpTopk(s: SparkSession, d: String): DataFrame = {
+    val v = Kmeans.quantized(Tables.embeddings(s, d))
+    val signsSql = (0 until 16).map { o =>
+      (0 until 64).map(i => s"${rpSign(o, i)}L").mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+    val proj = v.select(col("vec_id"), expr(
+      s"transform($signsSql, r -> aggregate(zip_with(v, r," +
+        " (x, s) -> x * s), 0L, (acc, e) -> acc + e))").as("p"))
+    val qp = proj.filter(col("vec_id") === 0)
+      .select(col("p")).collect()(0).getSeq[Long](0) // bounded: 1 row
+    val qpSql = qp.mkString("array(", "L,", "L)")
+    proj.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr(
+        s"aggregate(zip_with(p, $qpSql, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, e) -> acc + e)").as("pdist"))
+      .orderBy(col("pdist"), col("vec_id"))
+      .limit(20)
+  }
+
+  /** Recall@20 of the 16-dim JL-projected scan vs the exact top-20. */
+  def rpRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(embeddingTopk(s, d), rpTopk(s, d))
+
   /** Per-cell health report of the trained coarse quantizer — the
     * index-build diagnostic every ANN deployment publishes (cell
     * balance drives probe cost; a degenerate mega-cell defeats the
@@ -1200,6 +1246,46 @@ object Pipeline {
       }
       v.zipWithIndex.map { case (x, j) => (j, x) }.toSeq
         .toDF("dim", "loading_milli").orderBy(col("dim"))
+    } finally { q.unpersist(); () }
+  }
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal —
+    * the coverage-maximizing data-selection rule: each round picks the
+    * point FARTHEST from everything chosen so far, so 8 points span
+    * the embedding space's extremes where random/weighted sampling
+    * oversamples the dense core; the selected radius sequence is the
+    * 2-approximation of the optimal k-center cost). 8 rounds, each ONE
+    * map-only scan (the codegen'd all-anchor distance loop against the
+    * ≤8 chosen centers as a broadcast literal) + a 1-row TakeOrdered
+    * argmax with (dist desc, vec_id) tie-break — exact integer micro²
+    * distances, fully deterministic, k scans of the corpus at any
+    * size (the honest Gonzalez cost; a production run maintains the
+    * running min-distance column incrementally to make each round
+    * O(n·dims) against ONE new center). DuckDB unrolls the same 8
+    * rounds (the kmeans precedent). Output: (round, chosen vec_id,
+    * radius = its min distance to the earlier centers — the coverage
+    * radius achieved by the first `round` centers).
+    */
+  def kcenterCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Kmeans.quantized(Tables.embeddings(s, d)).persist()
+    try {
+      val seed = q.orderBy(col("vec_id")).limit(1).collect()(0)
+      var picked =
+        Vector((seed.getLong(0), seed.getSeq[Long](1).toArray, 0L))
+      for (_ <- 1 to 7) {
+        val cents = picked.map(_._2).toArray
+        val next = q.select(col("vec_id"), col("v"),
+            graft.functions.SketchExprs.nearestCentroid(col("v"), cents)
+              .getField("dist").as("mind2"))
+          .orderBy(col("mind2").desc, col("vec_id")).limit(1)
+          .collect()(0) // bounded: 1 row
+        picked :+= ((next.getLong(0), next.getSeq[Long](1).toArray,
+          next.getLong(2)))
+      }
+      picked.zipWithIndex.map { case ((id, _, r), t) => (t, id, r) }
+        .toSeq.toDF("round", "vec_id", "radius_micro2")
+        .orderBy(col("round"))
     } finally { q.unpersist(); () }
   }
 
@@ -2133,6 +2219,9 @@ object Pipeline {
     "bq_rerank_recall" -> bqRerankRecall,
     "sq8_topk" -> sq8Topk,
     "sq8_recall" -> sq8Recall,
+    "rp_topk" -> rpTopk,
+    "rp_recall" -> rpRecall,
+    "kcenter_coreset" -> kcenterCoreset,
     "knn_label_consistency" -> knnLabelConsistency,
     "intrinsic_dim" -> intrinsicDim,
     "pca_power" -> pcaPower,
@@ -2293,6 +2382,21 @@ object Pipeline {
        |v$t AS (SELECT list(CAST(floor(1000 * w::DOUBLE / nrm + 0.5) AS BIGINT)
        |    ORDER BY dim) AS v FROM w$t, n$t)""".stripMargin
   }
+
+  /** One unrolled Gonzalez round for the kcenter_coreset oracle: m$t
+    * (min distance to the centers chosen so far), p$t (the farthest
+    * point, (mind2 desc, vec_id) tie-break), cs$t (the accumulated
+    * center table). Mirrors [[kcenterCoreset]]'s round exactly.
+    */
+  private def KcenterRoundCte(t: Int): String =
+    s"""m$t AS (SELECT e.vec_id, min(list_reduce(list_transform(range(1, 65),
+       |    j -> (e.v[j] - c.v[j]) * (e.v[j] - c.v[j])), (a, b) -> a + b)) AS mind2
+       |  FROM e CROSS JOIN cs${t - 1} c GROUP BY e.vec_id),
+       |p$t AS (SELECT m.vec_id, e.v, $t AS round, m.mind2 AS radius
+       |  FROM m$t m JOIN e USING (vec_id)
+       |  ORDER BY m.mind2 DESC, m.vec_id LIMIT 1),
+       |cs$t AS (SELECT * FROM cs${t - 1} UNION ALL
+       |  SELECT vec_id, v, round, radius FROM p$t)""".stripMargin
 
   /** [[KmeansTrainCte]] generalized for the index-sizing profile: the
     * same unrolled 2-round Lloyd chain with CTE names prefixed `p` and
@@ -2656,6 +2760,36 @@ object Pipeline {
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
         |JOIN read_parquet('{OUT}/sq8_topk/*.parquet') s USING (vec_id)""".stripMargin,
+    "rp_topk" -> {
+      val signs = (0 until 16).map(o =>
+        (0 until 64).map(i => rpSign(o, i)).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+         |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),
+         |p AS (SELECT vec_id, list_transform($signs, r ->
+         |        list_reduce(list_transform(range(1, 65), i -> v[i] * r[i]),
+         |          (a, b) -> a + b)) AS p
+         |      FROM e),
+         |q AS (SELECT p AS qp FROM p WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  list_reduce(list_transform(range(1, 17),
+         |    o -> (p[o] - qp[o]) * (p[o] - qp[o])), (a, b) -> a + b)::BIGINT AS pdist
+         |FROM p, q WHERE vec_id <> 0 ORDER BY pdist, vec_id LIMIT 20""".stripMargin
+    },
+    "rp_recall" ->
+      """SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
+        |  (10000 * count(*) // 20)::BIGINT AS recall_bp
+        |FROM read_parquet('{OUT}/embedding_topk/*.parquet') e
+        |JOIN read_parquet('{OUT}/rp_topk/*.parquet') s USING (vec_id)""".stripMargin,
+    "kcenter_coreset" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+         |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),
+         |cs0 AS (SELECT vec_id, v, 0 AS round, 0::BIGINT AS radius
+         |        FROM e ORDER BY vec_id LIMIT 1),
+         |${(1 to 7).map(KcenterRoundCte).mkString(",\n")}
+         |SELECT round::INT AS round, vec_id,
+         |  radius::BIGINT AS radius_micro2
+         |FROM cs7 ORDER BY round""".stripMargin,
     "pca_power" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding,
          |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),

@@ -431,6 +431,32 @@ class InsightsSpec extends SparkSuite {
     got.foreach(t => assert(t._4 > 0.5 && t._4 < 2.0 && t._4 != 1.0))
   }
 
+  test("bootstrap_ci: Poisson replicate means match a driver recompute and bracket the point") {
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val thr = Seq(367879443L, 735758887L, 919698609L, 981011849L,
+      996340160L, 999405822L)
+    def w(k: Long, b: Long): Long = {
+      val u = ((k * 32 + b) % 2147483647L) * 2654435761L % 1000000007L
+      thr.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+    }
+    val ms = (0L until 32L).map { b =>
+      val (swc, sw) = cents.foldLeft((BigInt(0), 0L)) {
+        case ((a, n), (k, c)) =>
+          val wi = w(k, b); (a + BigInt(wi * c), n + wi)
+      }
+      (swc * 10000 / sw).toLong
+    }.sorted
+    val point = cents.map(c => BigInt(c._2)).sum * 10000 / cents.length
+    val r = graft.queries.Insights.bootstrapCi(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((32L, point.toLong, ms(1), ms(30))))
+    // a CI worthy of the name: brackets the point estimate with width > 0
+    assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) <= r.getLong(3))
+    assert(r.getLong(3) > r.getLong(2))
+  }
+
   test("anova_f: between/within decomposition matches a driver recompute") {
     val rows = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")

@@ -110,6 +110,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "dataset_card" -> "two one-row census scalar broadcasts",
     "effective_sources" -> "one-row corpus-total scalar broadcast",
     "dsir_weights" -> "one-row model-totals scalar broadcast onto the 64-bucket model",
+    "rp_recall" -> "composes embedding_topk's one-row query-vector broadcast",
+    "bootstrap_ci" -> "one-row replicate-array x one-row point-estimate cross",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

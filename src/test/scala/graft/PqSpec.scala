@@ -441,6 +441,55 @@ class PqSpec extends SparkSuite {
       "top PC must explain more than an average axis")
   }
 
+  test("rp_topk: JL-projected scan matches a plain-Scala recompute of the ±1 projection") {
+    val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+    def proj(v: Array[Long]): Array[Long] =
+      Array.tabulate(16)(o =>
+        v.indices.map(i => v(i) * Pipeline.rpSign(o, i)).sum)
+    val ps = micro.map { case (id, v) => id -> proj(v) }
+    val qp = ps.find(_._1 == 0L).get._2
+    val expect = ps.filter(_._1 != 0L).map { case (id, p) =>
+      (id, p.indices.map(o => (p(o) - qp(o)) * (p(o) - qp(o))).sum)
+    }.sortBy { case (id, d) => (d, id) }.take(20).toSeq
+    val got = Pipeline.rpTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // the signs are genuinely mixed (a constant matrix would be a
+    // projection onto one direction repeated 16 times)
+    val allSigns = for (o <- 0 until 16; i <- 0 until 64) yield Pipeline.rpSign(o, i)
+    assert(allSigns.contains(1L) && allSigns.contains(-1L))
+    // published contract exists and is non-degenerate
+    val bp = Pipeline.rpRecall(spark, sf0001).collect()(0).getLong(2)
+    assert(bp > 0L && bp <= 10000L)
+  }
+
+  test("kcenter_coreset: 8 centers match a plain-Scala Gonzalez traversal") {
+    val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var picked = Vector((micro.head._1, micro.head._2, 0L))
+    for (_ <- 1 to 7) {
+      val far = micro.map { case (id, v) =>
+        (id, v, picked.map(c => d2(v, c._2)).min)
+      }.sortBy { case (id, _, m) => (-m, id) }.head
+      picked :+= ((far._1, far._2, far._3))
+    }
+    val expect = picked.zipWithIndex
+      .map { case ((id, _, r), t) => (t, id, r) }.toSeq
+    val got = Pipeline.kcenterCoreset(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the greedy invariant: the coverage radius never increases
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse, "radii must be non-increasing")
+    assert(got.map(_._2).distinct.size == 8, "centers must be distinct")
+  }
+
   test("knn_label_consistency: neighborhood vote matches a plain-Scala recompute") {
     val rows = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
