@@ -629,6 +629,48 @@ object Curation {
         col("n_docs"), col("n_tokens"))
       .orderBy(col("bucket"))
 
+  /** NDCG@10 of the HYBRID (RRF-fused) ranking against lexically
+    * graded relevance (Järvelin & Kekäläinen 2002) — the retrieval-
+    * quality number that turns the repo's ranking stack into an
+    * EVALUATED stack, and a genuinely informative one: relevance is
+    * graded by capped query-term frequency (rel = min(Σtf, 4), both
+    * engines recompute it from the raw text), so the pure-lexical
+    * ranking would score ~1 by construction and what the metric
+    * exposes is exactly what the dense RRF leg trades away (~8979 bp
+    * at sf0.01 — the cost of fusing a semantically-blind synthetic
+    * embedding into a lexical query). DCG@10 reads [[hybridSearch]]'s
+    * fused top-10, IDCG@10 reads the corpus-ideal top-10; discount
+    * terms are rounded ONCE per rank to nano (10 bounded terms,
+    * identical `1e9·g·ln(2)/ln(rank+1)` spelling in both engines —
+    * the oracle reads the hybrid_search dump, single-sourcing the
+    * fusion), sums are exact integers. Scale shape: the ideal top-10
+    * is distributed TakeOrdered (never a corpus-wide window); the
+    * rank-assigning row_number windows run on 10-row results.
+    */
+  def retrievalNdcg(s: SparkSession, d: String): DataFrame = {
+    val gain = expr("CAST(round(1e9 * (shiftleft(CAST(1 AS BIGINT)," +
+      " CAST(rel AS INT)) - 1) * ln(2) / ln(rank + 1)) AS BIGINT)")
+    val rel = docs(s, d)
+      .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .select(col("doc_id"),
+        least(graft.functions.SketchExprs.countEq(col("ts"), lit("spark"))
+          + graft.functions.SketchExprs.countEq(col("ts"), lit("vector")),
+          lit(4L)).cast("long").as("rel"))
+    val top = hybridSearch(s, d)
+      .orderBy(col("rrf_ppb").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_ppb").desc, col("doc_id")))) // bounded: 10 rows
+      .join(rel, "doc_id")
+    val dcg = top.select(gain.as("g")).agg(sum(col("g")).as("dcg_nano"))
+    val idcg = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id")))) // bounded: 10 rows
+      .select(gain.as("g")).agg(sum(col("g")).as("idcg_nano"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(lit(10L).as("k"), col("dcg_nano"), col("idcg_nano"),
+        expr("10000 * dcg_nano div idcg_nano").as("ndcg_bp"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — the data-selection
     * rule behind most curated pre-training mixes): score every raw
@@ -678,6 +720,7 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> dsirWeights,
+    "retrieval_ndcg" -> retrievalNdcg,
     "mixture_temperature" -> mixtureTemperature,
     "length_buckets" -> lengthBuckets,
     "span_masking" -> spanMasking,
@@ -729,6 +772,29 @@ object Curation {
        |        FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // reads this run's own hybrid_search dump ({OUT} substitution, the
+    // ivf_recall pattern) so the fused ranking is single-sourced
+    "retrieval_ndcg" ->
+      s"""WITH tf AS (SELECT doc_id, term,
+         |    len(list_filter(ts, x -> x = term))::BIGINT AS tf
+         |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents),
+         |       (SELECT unnest(['spark', 'vector']) AS term)),
+         |rel AS (SELECT doc_id, least(sum(tf), 4)::BIGINT AS rel
+         |        FROM tf GROUP BY doc_id),
+         |top AS (SELECT doc_id, rrf_ppb
+         |        FROM read_parquet('{OUT}/hybrid_search/*.parquet')
+         |        ORDER BY rrf_ppb DESC, doc_id LIMIT 10),
+         |rk AS (SELECT rel, row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS rank
+         |       FROM top JOIN rel USING (doc_id)),
+         |dcg AS (SELECT sum(CAST(round(1e9 * ((1::BIGINT << rel::INT) - 1)
+         |    * ln(2) / ln(rank + 1)) AS BIGINT))::BIGINT AS dcg_nano FROM rk),
+         |irk AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rank
+         |        FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+         |idcg AS (SELECT sum(CAST(round(1e9 * ((1::BIGINT << rel::INT) - 1)
+         |    * ln(2) / ln(rank + 1)) AS BIGINT))::BIGINT AS idcg_nano FROM irk)
+         |SELECT 10::BIGINT AS k, dcg_nano, idcg_nano,
+         |  (10000 * dcg_nano // idcg_nano)::BIGINT AS ndcg_bp
+         |FROM dcg, idcg""".stripMargin,
     "dsir_weights" ->
       s"""WITH t AS (SELECT doc_id, lang, unnest($ToksNE) AS tok FROM documents),
          |h AS (SELECT doc_id, lang,

@@ -802,7 +802,83 @@ object Insights {
         element_at(col("ms"), 31).as("hi_micro"))
   }
 
+  /** Unnormalized integer Haar wavelet transform of the first 32
+    * calendar days of revenue — the multi-resolution screen beside the
+    * single-scale tools (trend_7d smooths ONE width, autocorr_daily
+    * tests ONE lag; the Haar pyramid localizes at which time scale and
+    * where the energy sits, e.g. a level-3 detail spike = an 8-day
+    * regime shift at that offset). Integer lifting (sum/difference,
+    * no √2) keeps every coefficient an exact cent value; missing days
+    * enter as honest zeros. The transform itself runs on the
+    * calendar-bounded daily artifact (32 rows collected — the
+    * medianOf/anomaly_days bounded-by-design posture); the only
+    * data-sized work is the shared [[dailyRevenue]] aggregate. Output:
+    * 16+8+4+2+1 detail rows (levels 1–5) + the level-5 approx (total
+    * mass), 32 rows.
+    */
+  def haarTransform(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val got = dailyRevenue(s, d).orderBy(col("day")).limit(32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // bounded: 32 days
+    val d0 = got.map(_._1).min
+    val series = Array.fill(32)(0L)
+    got.foreach { case (day, c) =>
+      val i = (day - d0).toInt; if (i < 32) series(i) = c
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    var approx = series
+    for (level <- 1 to 5) {
+      val half = approx.length / 2
+      val nxt = Array.tabulate(half)(i => approx(2 * i) + approx(2 * i + 1))
+      val det = Array.tabulate(half)(i => approx(2 * i) - approx(2 * i + 1))
+      det.zipWithIndex.foreach { case (c, i) => out += ((level, i, c)) }
+      approx = nxt
+    }
+    out += ((6, 0, approx(0))) // the final approx = total 32-day mass
+    out.toSeq.toDF("level", "idx", "coeff_cents")
+      .orderBy(col("level"), col("idx"))
+  }
+
+  /** Exponentially time-decayed revenue per customer nation — the
+    * recency-weighted KPI behind "who matters NOW" dashboards, with
+    * the decay kept EXACT: a 30-day half-life as integer bit shifts
+    * (w_nano = 1e9 >> (age_days div 30), shift capped at 62 → older
+    * epochs weigh exactly 0) instead of a per-row exp() whose last-ulp
+    * behavior differs across engines. The anchor is the corpus max
+    * day (one scalar), weights multiply exact cents into DECIMAL(38,0)
+    * accumulators, and the report divides back to cents. One fact
+    * aggregate + a dimension join; the decayed total is
+    * map-side-combinable at any scale (each row's weight is a pure
+    * function of its own date).
+    */
+  def decayedRevenue(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
+    val mx = o.agg(max(col("day")).as("mx"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("nk"))
+    val nat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))
+    o.crossJoin(broadcast(mx))
+      .withColumn("w_nano", expr(
+        "CASE WHEN (mx - day) div 30 > 62 THEN CAST(0 AS BIGINT)" +
+          " ELSE shiftright(CAST(1000000000 AS BIGINT)," +
+          " CAST((mx - day) div 30 AS INT)) END"))
+      // customer scales with the corpus (150k×sf rows) — no broadcast
+      // hint (the dup_rate_by_source lesson); nation is 25 rows, hinted
+      .join(cust, "o_custkey").join(broadcast(nat), "nk")
+      .groupBy(col("nation"))
+      .agg(sum(col("cents")).as("raw_cents"),
+        sum((col("cents") * col("w_nano")).cast("decimal(38,0)")).as("dw"))
+      .select(col("nation"), col("raw_cents"),
+        expr("dw div 1000000000").as("decayed_cents"))
+      .orderBy(col("nation"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "haar_transform" -> haarTransform,
+    "decayed_revenue" -> decayedRevenue,
     "bootstrap_ci" -> bootstrapCi,
     "conversion_lag" -> conversionLag,
     "anomaly_days" -> anomalyDays,
@@ -830,7 +906,56 @@ object Insights {
     "ab_chisq" -> abChisq,
   )
 
+  /** The unrolled 5-level integer Haar pyramid for the haar_transform
+    * oracle (a def — the oracleSql map initializes first): l$t carries
+    * the level-t approx list `a` and detail list `dt`, halving each
+    * level; mirrors [[haarTransform]]'s lifting exactly.
+    */
+  private def HaarCtes: String = {
+    val levels = (1 to 5).map { t =>
+      val n = 32 >> t
+      s"""l$t AS (SELECT
+         |  list_transform(range(1, ${n + 1}), i -> a[2*i-1] + a[2*i]) AS a,
+         |  list_transform(range(1, ${n + 1}), i -> a[2*i-1] - a[2*i]) AS dt
+         |  FROM l${t - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 5).map { t =>
+      val n = 32 >> t
+      s"SELECT $t AS level, t.i - 1 AS idx, dt[t.i] AS coeff " +
+        s"FROM l$t CROSS JOIN range(1, ${n + 1}) t(i)"
+    }.mkString("\n  UNION ALL ")
+    s"""$levels,
+       |u AS ($unions
+       |  UNION ALL SELECT 6, 0, a[1] FROM l5)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "haar_transform" ->
+      s"""WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+         |  FROM orders GROUP BY 1),
+         |dmin AS (SELECT min(day) AS d0 FROM daily),
+         |g AS (SELECT t.i AS i, coalesce(cents, 0)::BIGINT AS v
+         |      FROM range(0, 32) t(i) CROSS JOIN dmin
+         |      LEFT JOIN daily ON day = d0 + t.i),
+         |l0 AS (SELECT list(v ORDER BY i) AS a FROM g),
+         |$HaarCtes
+         |SELECT level::INT AS level, idx::INT AS idx, coeff::BIGINT AS coeff_cents
+         |FROM u ORDER BY level, idx""".stripMargin,
+    "decayed_revenue" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    epoch_ms(o_orderdate) // 86400000 AS day FROM orders),
+        |m AS (SELECT max(day) AS mx FROM o),
+        |w AS (SELECT o_custkey, cents,
+        |        CASE WHEN (mx - day) // 30 > 62 THEN 0
+        |             ELSE 1000000000::BIGINT >> ((mx - day) // 30) END AS w_nano
+        |      FROM o, m)
+        |SELECT n_name AS nation, sum(cents)::BIGINT AS raw_cents,
+        |  (sum(cents * w_nano) // 1000000000)::BIGINT AS decayed_cents
+        |FROM w JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
     "bootstrap_ci" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

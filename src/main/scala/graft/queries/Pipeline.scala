@@ -1325,6 +1325,47 @@ object Pipeline {
       .orderBy(col("n_agree"), col("vec_id"))
   }
 
+  /** Linear-time kernel MMD between the even/odd vec_id embedding
+    * snapshots (Gretton et al. 2012 §6, the MMD_l estimator — the
+    * distribution-level two-sample test that catches drift a
+    * per-label centroid shift ([[embeddingDrift]]) misses, e.g. a
+    * variance blow-up with unmoved means): h(i) = k(x1,x2) + k(y1,y2)
+    * − k(x1,y2) − k(x2,y1) over disjoint quadruples, MMD_l = mean h.
+    * The quadruple pairing is BY ARITHMETIC (vec_id div 4 groups, pos
+    * = vec_id % 4) — no RNG, reshard-stable — and the kernel is the
+    * quadratic polynomial (d/1e6 + 1e6)² on exact integer micro² dots
+    * (an exp/RBF kernel would hang engine parity on last-ulp libm
+    * behavior per pair; the polynomial keeps every h exact integer).
+    * One hash aggregate to assemble quadruples + one map + one global
+    * sum — linear time, unlike the O(n²) full MMD. Near 0 on an iid
+    * split; systematically positive under real drift.
+    */
+  def mmdDrift(s: SparkSession, d: String): DataFrame = {
+    val q = Kmeans.quantized(Tables.embeddings(s, d))
+    val quad = q
+      .select(expr("vec_id div 4").as("i"),
+        struct(expr("vec_id % 4").as("pos"), col("v")).as("pv"))
+      .groupBy(col("i"))
+      .agg(sort_array(collect_list(col("pv"))).as("g"))
+      .filter(size(col("g")) === 4) // only complete quadruples test
+      .select(col("g")(0).getField("v").as("x1"),
+        col("g")(1).getField("v").as("y1"),
+        col("g")(2).getField("v").as("x2"),
+        col("g")(3).getField("v").as("y2"))
+    def dot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y)," +
+        " CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+    def kk(c: String) = s"(($c div 1000000 + 1000000) * ($c div 1000000 + 1000000))"
+    quad
+      .select(expr(dot("x1", "x2")).as("dxx"), expr(dot("y1", "y2")).as("dyy"),
+        expr(dot("x1", "y2")).as("dxy1"), expr(dot("x2", "y1")).as("dxy2"))
+      .select(expr(s"${kk("dxx")} + ${kk("dyy")} - ${kk("dxy1")} - ${kk("dxy2")}")
+        .as("h"))
+      .agg(count(lit(1)).as("n_quads"),
+        sum(col("h").cast("decimal(38,0)")).as("sh"))
+      .select(col("n_quads"), expr("CAST(sh div n_quads AS BIGINT)").as("mmd_l"))
+  }
+
   /** Embedding-space drift monitor — the vector analog of
     * `token_kl_drift`: per label, the squared L2 shift between the even-
     * and odd-vec_id snapshots' centroids, in exact micro² (the
@@ -2230,6 +2271,7 @@ object Pipeline {
     "ivf_size_profile" -> ivfSizeProfile,
     "hard_negatives" -> hardNegatives,
     "embedding_drift" -> embeddingDrift,
+    "mmd_drift" -> mmdDrift,
     "semantic_contamination" -> semanticContamination,
     "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
@@ -2790,6 +2832,30 @@ object Pipeline {
          |SELECT round::INT AS round, vec_id,
          |  radius::BIGINT AS radius_micro2
          |FROM cs7 ORDER BY round""".stripMargin,
+    "mmd_drift" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),
+        |g AS (SELECT vec_id // 4 AS i, vec_id % 4 AS pos, v FROM e),
+        |q AS (SELECT i,
+        |        max(CASE WHEN pos = 0 THEN v END) AS x1,
+        |        max(CASE WHEN pos = 1 THEN v END) AS y1,
+        |        max(CASE WHEN pos = 2 THEN v END) AS x2,
+        |        max(CASE WHEN pos = 3 THEN v END) AS y2
+        |      FROM g GROUP BY i HAVING count(*) = 4),
+        |dd AS (SELECT
+        |    list_reduce(list_transform(range(1, 65), j -> x1[j] * x2[j]), (a, b) -> a + b) AS dxx,
+        |    list_reduce(list_transform(range(1, 65), j -> y1[j] * y2[j]), (a, b) -> a + b) AS dyy,
+        |    list_reduce(list_transform(range(1, 65), j -> x1[j] * y2[j]), (a, b) -> a + b) AS dxy1,
+        |    list_reduce(list_transform(range(1, 65), j -> x2[j] * y1[j]), (a, b) -> a + b) AS dxy2
+        |  FROM q),
+        |h AS (SELECT
+        |    (dxx // 1000000 + 1000000) * (dxx // 1000000 + 1000000)
+        |    + (dyy // 1000000 + 1000000) * (dyy // 1000000 + 1000000)
+        |    - (dxy1 // 1000000 + 1000000) * (dxy1 // 1000000 + 1000000)
+        |    - (dxy2 // 1000000 + 1000000) * (dxy2 // 1000000 + 1000000) AS h
+        |  FROM dd)
+        |SELECT count(*)::BIGINT AS n_quads,
+        |  (sum(h) // count(*))::BIGINT AS mmd_l FROM h""".stripMargin,
     "pca_power" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding,
          |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),

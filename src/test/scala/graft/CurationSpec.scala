@@ -70,6 +70,32 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("retrieval_ndcg: DCG/IDCG match a driver recompute over the fused ranking") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+    val rel = docs.map { case (id, ts) =>
+      id -> math.min(ts.count(_ == "spark") + ts.count(_ == "vector"), 4).toLong
+    }.toMap
+    val fused = Curation.hybridSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    def gain(relv: Long, rank: Int): Long =
+      math.round(1e9 * ((1L << relv) - 1) * math.log(2) / math.log(rank + 1))
+    val dcg = fused.zipWithIndex
+      .map { case ((id, _), i) => gain(rel(id), i + 1) }.sum
+    val ideal = rel.toSeq.sortBy { case (id, rv) => (-rv, id) }.take(10)
+    val idcg = ideal.zipWithIndex
+      .map { case ((_, rv), i) => gain(rv, i + 1) }.sum
+    val r = Curation.retrievalNdcg(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, dcg, idcg, 10000L * dcg / idcg)))
+    // the metric discriminates: the fused ranking is not the ideal one
+    // (the dense leg trades some lexical relevance), but beats random
+    assert(r.getLong(3) > 5000L && r.getLong(3) < 10000L)
+  }
+
   test("dsir_weights: nano-nat weights match a plain-Scala refit and rank the target lang first") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "lang", "text").collect()

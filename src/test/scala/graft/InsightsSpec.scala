@@ -431,6 +431,60 @@ class InsightsSpec extends SparkSuite {
     got.foreach(t => assert(t._4 > 0.5 && t._4 < 2.0 && t._4 != 1.0))
   }
 
+  test("haar_transform: pyramid matches a driver lifting and conserves mass/energy structure") {
+    val daily = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("cents").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = daily.map(_._1).min
+    val series = Array.fill(32)(0L)
+    daily.foreach { case (day, c) =>
+      val i = (day - d0).toInt; if (i >= 0 && i < 32) series(i) = c }
+    var a = series
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    for (l <- 1 to 5) {
+      val det = Array.tabulate(a.length / 2)(i => a(2 * i) - a(2 * i + 1))
+      a = Array.tabulate(a.length / 2)(i => a(2 * i) + a(2 * i + 1))
+      det.zipWithIndex.foreach { case (c, i) => expect += ((l, i, c)) }
+    }
+    expect += ((6, 0, a(0)))
+    val got = graft.queries.Insights.haarTransform(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expect.toSeq)
+    // the final approx is the exact 32-day mass (lossless lifting)
+    assert(got.last._3 == series.sum)
+    assert(got.size == 32)
+  }
+
+  test("decayed_revenue: half-life weighting matches a driver recompute and favors recency") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nk = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val nn = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val mx = orders.map(_._3).max
+    val expect = orders.groupBy(o => nn(nk(o._1))).map { case (nation, os) =>
+      val raw = os.map(_._2).sum
+      val dec = os.map { case (_, c, day) =>
+        val sh = (mx - day) / 30
+        if (sh > 62) BigInt(0) else BigInt(c) * (1000000000L >> sh.toInt)
+      }.sum / 1000000000
+      (nation, raw, dec.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Insights.decayedRevenue(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // decay bites: every nation's decayed total is strictly below raw
+    got.foreach { case (n, raw, dec) =>
+      assert(dec < raw, s"$n: decay must discount history") }
+  }
+
   test("bootstrap_ci: Poisson replicate means match a driver recompute and bracket the point") {
     val cents = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT)")

@@ -112,6 +112,9 @@ class PlanInvariantsSpec extends SparkSuite {
     "dsir_weights" -> "one-row model-totals scalar broadcast onto the 64-bucket model",
     "rp_recall" -> "composes embedding_topk's one-row query-vector broadcast",
     "bootstrap_ci" -> "one-row replicate-array x one-row point-estimate cross",
+    "retrieval_ndcg" ->
+      "composes bm25's one-row corpus-stats broadcast + one-row DCG x IDCG cross",
+    "decayed_revenue" -> "one-row max-day anchor scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

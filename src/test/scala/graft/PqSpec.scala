@@ -441,6 +441,31 @@ class PqSpec extends SparkSuite {
       "top PC must explain more than an average axis")
   }
 
+  test("mmd_drift: linear-time estimator matches a driver recompute of the quadruple kernel") {
+    val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray).toMap
+    def k(a: Array[Long], b: Array[Long]): Long = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      val dd = d / 1000000 + 1000000
+      dd * dd
+    }
+    val quads = micro.keys.map(_ / 4).toSeq.distinct.sorted.flatMap { i =>
+      val ids = (0 to 3).map(p => 4 * i + p)
+      if (ids.forall(micro.contains)) {
+        val Seq(x1, y1, x2, y2) = ids.map(micro)
+        Some(k(x1, x2) + k(y1, y2) - k(x1, y2) - k(x2, y1))
+      } else None
+    }
+    val expect = (quads.length.toLong,
+      (quads.map(BigInt(_)).sum / quads.length).toLong)
+    val r = Pipeline.mmdDrift(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == expect)
+    // iid split sanity: |MMD_l| far below the kernel's own scale (1e12)
+    assert(math.abs(r.getLong(1)) < 400000000000L,
+      "an even/odd split of one corpus must not read as massive drift")
+  }
+
   test("rp_topk: JL-projected scan matches a plain-Scala recompute of the ±1 projection") {
     val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
       .map(r => r.getLong(0) ->
