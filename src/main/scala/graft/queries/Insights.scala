@@ -876,7 +876,37 @@ object Insights {
       .orderBy(col("nation"))
   }
 
+  /** 7-day Holt linear-trend forecast of daily revenue — the first
+    * actual FORECAST in the time-series battery (trend_7d smooths,
+    * autocorr_daily diagnoses, ts_motif retrieves; this extrapolates):
+    * double-exponential smoothing with the recurrences kept on the
+    * exact integer lattice (α = 2/10, β = 1/10 as integer
+    * multiply-then-`div`, so level/trend are bit-stable and the DuckDB
+    * twin replays them in a recursive CTE — no float drift across
+    * ~hundreds of sequential steps). The fold runs over the PRESENT
+    * days of the calendar-bounded daily artifact in day order (the
+    * anomaly_days bounded-by-design posture: one row per day at any
+    * corpus scale); the only data-sized work is the shared
+    * [[dailyRevenue]] aggregate. Output: h = 1..7, forecast = l_T +
+    * h·b_T.
+    */
+  def holtForecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = dailyRevenue(s, d).orderBy(col("day"))
+      .collect().map(_.getLong(1)) // bounded: calendar days
+    var l = days.head
+    var b = 0L
+    days.tail.foreach { c =>
+      val lPrev = l
+      l = (2 * c + 8 * (l + b)) / 10
+      b = ((l - lPrev) + 9 * b) / 10
+    }
+    (1L to 7L).map(h => (h, l + h * b)).toDF("h", "forecast_cents")
+      .orderBy(col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "holt_forecast" -> holtForecast,
     "haar_transform" -> haarTransform,
     "decayed_revenue" -> decayedRevenue,
     "bootstrap_ci" -> bootstrapCi,
@@ -930,6 +960,24 @@ object Insights {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY day) AS i, cents FROM daily),
+        |nn AS (SELECT max(i) AS n FROM idx),
+        |r AS (
+        |  SELECT 1::BIGINT AS i, cents::BIGINT AS l, 0::BIGINT AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    (2 * x.cents + 8 * (r.l + r.b)) // 10,
+        |    (((2 * x.cents + 8 * (r.l + r.b)) // 10) - r.l + 9 * r.b) // 10
+        |  FROM r JOIN idx x ON x.i = r.i + 1),
+        |f AS (SELECT l, b FROM r, nn WHERE r.i = nn.n)
+        |SELECT h.h::BIGINT AS h, (l + h.h * b)::BIGINT AS forecast_cents
+        |FROM f CROSS JOIN range(1, 8) h(h) ORDER BY h""".stripMargin,
     "haar_transform" ->
       s"""WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
          |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents

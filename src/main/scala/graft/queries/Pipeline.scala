@@ -1325,6 +1325,37 @@ object Pipeline {
       .orderBy(col("n_agree"), col("vec_id"))
   }
 
+  /** Mutual nearest-neighbor pairs between the even/odd embedding
+    * snapshots — the margin-free core of bitext/pair mining (Artetxe &
+    * Schwenk 2019 mine parallel sentences as MUTUAL cross-lingual
+    * neighbors: x picks y AND y picks x — one-directional top-1 is
+    * noise-dominated, mutuality is the precision filter; the same
+    * shape mines image-text and paraphrase pairs). Exact cosine at 6
+    * dp with vec_id tie-breaks keeps both argmaxes total; the two
+    * directions run as TopKPerGroup heaps over one scored fan-out.
+    * BOUNDED twin (vec_id < 1000 — the embedding_cosine_pairs
+    * posture): the declared semantics at 100 TB replace the bounded
+    * exact fan-out with the batched ANN probe ([[ivfPqBatch]]) per
+    * direction, mutuality join unchanged.
+    */
+  def mutualKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+    val x = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xe"))
+    val y = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("ye"))
+    val scored = x.crossJoin(y).select(col("x_id"), col("y_id"),
+      round(VectorFns.cosine(col("xe"), col("ye")), 6).as("sim"))
+    val tx = graft.plans.TopKPerGroup(scored, Seq("x_id"),
+      Seq(col("sim").desc, col("y_id")), 1)
+    val ty = graft.plans.TopKPerGroup(scored, Seq("y_id"),
+        Seq(col("sim").desc, col("x_id")), 1)
+      .select(col("x_id"), col("y_id"))
+    tx.join(ty, Seq("x_id", "y_id"))
+      .select(col("x_id"), col("y_id"), col("sim"))
+      .orderBy(col("x_id"))
+  }
+
   /** Linear-time kernel MMD between the even/odd vec_id embedding
     * snapshots (Gretton et al. 2012 §6, the MMD_l estimator — the
     * distribution-level two-sample test that catches drift a
@@ -2272,6 +2303,7 @@ object Pipeline {
     "hard_negatives" -> hardNegatives,
     "embedding_drift" -> embeddingDrift,
     "mmd_drift" -> mmdDrift,
+    "mutual_knn" -> mutualKnn,
     "semantic_contamination" -> semanticContamination,
     "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
@@ -2832,6 +2864,22 @@ object Pipeline {
          |SELECT round::INT AS round, vec_id,
          |  radius::BIGINT AS radius_micro2
          |FROM cs7 ORDER BY round""".stripMargin,
+    "mutual_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+        |p AS (SELECT a.vec_id AS x_id, b.vec_id AS y_id,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (u,v) -> u+v)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (u,v) -> u+v))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (u,v) -> u+v))), 6) AS sim
+        |  FROM e a, e b WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |tx AS (SELECT x_id, y_id, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS rn
+        |    FROM p) WHERE rn = 1),
+        |ty AS (SELECT x_id, y_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS rn
+        |    FROM p) WHERE rn = 1)
+        |SELECT tx.x_id, tx.y_id, tx.sim
+        |FROM tx JOIN ty USING (x_id, y_id) ORDER BY x_id""".stripMargin,
     "mmd_drift" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding,
         |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),

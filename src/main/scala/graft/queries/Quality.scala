@@ -1056,7 +1056,44 @@ object Quality {
       .orderBy(col("tok"))
   }
 
+  /** AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996 —
+    * the F2 estimator that sizes self-joins and detects skew in one
+    * constant-size summary): Z_r = Σ_t s_r(t)·c(t) under d = 4
+    * independent ±1 sign hashes (the same djb2-family (seed, mult)
+    * rows the count-min grid pins — sign = parity of the hash), est =
+    * mean of the four Z_r², published beside the EXACT F2 = Σ c(t)²
+    * with the error in bp. Each Z_r is ONE map-side-combinable sum
+    * over token occurrences (the sketch state is 4 longs at any
+    * corpus size — the HLL/MG/CMS mergeability discipline; E[Z²] = F2
+    * exactly, which the spec checks on the fixture); the exact side
+    * is the usual two-level count aggregate. All integers end to end.
+    */
+  def amsF2(s: SparkSession, d: String): DataFrame = {
+    val M = lit(2147483648L)
+    def sign(t: org.apache.spark.sql.Column, seed: Long, mult: Long) =
+      when(aggregate(split(t, ""), lit(seed),
+        (acc, ch) => (acc * mult + ascii(ch)) % M) % 2 === 0, lit(1L))
+        .otherwise(lit(-1L))
+    val toks = docs(s, d).select(explode(Dedup.tokensNE(col("text"))).as("t"))
+    val zCols = CmsHashes.zipWithIndex.map { case ((s0, m), i) =>
+      sum(sign(col("t"), s0, m)).as(s"z$i")
+    }
+    val z = toks.agg(zCols.head, zCols.tail: _*)
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("f2"))
+    z.crossJoin(broadcast(exact))
+      .select(col("f2"),
+        expr("(CAST(z0 AS DECIMAL(38,0)) * z0 + CAST(z1 AS DECIMAL(38,0)) * z1" +
+          " + CAST(z2 AS DECIMAL(38,0)) * z2 + CAST(z3 AS DECIMAL(38,0)) * z3)" +
+          " div 4").as("est"))
+      .select(expr("CAST(f2 AS BIGINT)").as("exact_f2"),
+        expr("CAST(est AS BIGINT)").as("est_f2"),
+        expr("CAST((10000 * abs(CAST(est AS DECIMAL(38,0)) - f2)) div f2 AS BIGINT)")
+          .as("err_bp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ams_f2" -> amsF2,
     "cms_estimate" -> cmsEstimate,
     "boilerplate_ngrams" -> boilerplateNgrams,
     "heavy_hitters" -> heavyHitters,
@@ -1107,6 +1144,23 @@ object Quality {
        |      FROM g GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ams_f2" ->
+      s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
+         |hp AS (SELECT * FROM (VALUES (0, 5381, 33), (1, 4241, 31),
+         |        (2, 7919, 37), (3, 104729, 29)) v(row_id, seed, mult)),
+         |sg AS (SELECT hp.row_id,
+         |    CASE WHEN list_reduce(list_prepend(hp.seed::BIGINT,
+         |       list_transform(string_split(t.tok, ''), c -> ord(c)::BIGINT)),
+         |       (a, b) -> (a * hp.mult + b) % 2147483648) % 2 = 0
+         |    THEN 1 ELSE -1 END AS s
+         |  FROM t CROSS JOIN hp),
+         |z AS (SELECT row_id, sum(s)::HUGEINT AS z FROM sg GROUP BY 1),
+         |est AS (SELECT sum(z * z) // 4 AS est FROM z),
+         |ex AS (SELECT sum(c * c)::HUGEINT AS f2
+         |       FROM (SELECT count(*)::BIGINT AS c FROM t GROUP BY tok))
+         |SELECT f2::BIGINT AS exact_f2, est::BIGINT AS est_f2,
+         |  ((10000 * abs(est - f2)) // f2)::BIGINT AS err_bp
+         |FROM est, ex""".stripMargin,
     "cms_estimate" ->
       s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
          |hp AS (SELECT * FROM (VALUES (0, 5381, 33), (1, 4241, 31),

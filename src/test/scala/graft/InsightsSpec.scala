@@ -431,6 +431,28 @@ class InsightsSpec extends SparkSuite {
     got.foreach(t => assert(t._4 > 0.5 && t._4 < 2.0 && t._4 != 1.0))
   }
 
+  test("holt_forecast: integer Holt recurrences match a driver fold and extrapolate linearly") {
+    val days = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .groupBy("day").agg(org.apache.spark.sql.functions.sum("cents").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    var l = days.head; var b = 0L
+    days.tail.foreach { c =>
+      val lp = l
+      l = (2 * c + 8 * (l + b)) / 10
+      b = ((l - lp) + 9 * b) / 10
+    }
+    val expect = (1L to 7L).map(h => (h, l + h * b)).toSeq
+    val got = graft.queries.Insights.holtForecast(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // Holt is a LINEAR extrapolation: consecutive horizon steps differ
+    // by exactly the final trend b
+    val diffs = got.sliding(2).map { case Seq(a2, b2) => b2._2 - a2._2 }.toSeq
+    assert(diffs.distinct.size == 1 && diffs.head == b)
+  }
+
   test("haar_transform: pyramid matches a driver lifting and conserves mass/energy structure") {
     val daily = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",

@@ -115,6 +115,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "retrieval_ndcg" ->
       "composes bm25's one-row corpus-stats broadcast + one-row DCG x IDCG cross",
     "decayed_revenue" -> "one-row max-day anchor scalar broadcast",
+    "ams_f2" -> "one-row sketch-state x one-row exact-F2 cross",
+    "mutual_knn" -> "bounded exact pair twin (vec_id<1000 both sides)",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

@@ -441,6 +441,40 @@ class PqSpec extends SparkSuite {
       "top PC must explain more than an average axis")
   }
 
+  test("mutual_knn: pairs match a brute-force recompute and mutuality is the precision filter") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def sim6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val xs = rows.filter(_._1 % 2 == 0); val ys = rows.filter(_._1 % 2 == 1)
+    val tx = xs.map { case (x, xv) =>
+      x -> ys.map { case (y2, yv) => (y2, sim6(xv, yv)) }
+        .sortBy { case (y2, s0) => (-s0, y2) }.head }.toMap
+    val ty = ys.map { case (y2, yv) =>
+      y2 -> xs.map { case (x, xv) => (x, sim6(xv, yv)) }
+        .sortBy { case (x, s0) => (-s0, x) }.head._1 }.toMap
+    val expect = tx.toSeq.collect {
+      case (x, (y2, s0)) if ty(y2) == x => (x, y2, s0)
+    }.sortBy(_._1)
+    val got = Pipeline.mutualKnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+    // mutuality genuinely filters: strictly fewer pairs than one-way top-1s
+    assert(got.nonEmpty && got.size < tx.size)
+    // and it is a matching: no endpoint repeats
+    assert(got.map(_._1).distinct.size == got.size)
+    assert(got.map(_._2).distinct.size == got.size)
+  }
+
   test("mmd_drift: linear-time estimator matches a driver recompute of the quadruple kernel") {
     val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
       .map(r => r.getLong(0) ->

@@ -111,6 +111,30 @@ class QualitySpec extends SparkSuite {
     assert(rows == expect)
   }
 
+  test("ams_f2: sketch estimate matches a plain-Scala recompute and lands near exact F2") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split("[ \t\n\r]", -1).filter(_.nonEmpty))
+    val hashes = Seq((5381L, 33L), (4241L, 31L), (7919L, 37L), (104729L, 29L))
+    def sign(t: String, seed: Long, mult: Long): Long = {
+      val h = t.foldLeft(seed)((a, c) => (a * mult + c.toInt) % 2147483648L)
+      if (h % 2 == 0) 1L else -1L
+    }
+    val zs = hashes.map { case (s0, m) =>
+      toks.foldLeft(0L)((a, t) => a + sign(t, s0, m)) }
+    val est = zs.map(z => BigInt(z) * z).sum / 4
+    val exact = toks.groupBy(identity).values
+      .map(v => BigInt(v.length) * v.length).sum
+    val r = Quality.amsF2(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((exact.toLong, est.toLong,
+        (BigInt(10000) * (est - exact).abs / exact).toLong)))
+    // AMS contract at d=4: the estimate is the right order of magnitude
+    // (Var[Z^2] <= 2*F2^2 per row; the 4-row mean stays within a small
+    // constant factor on this fixture)
+    assert(est > exact / 4 && est < exact * 4)
+  }
+
   test("boilerplate_ngrams: per-source shares match a plain-Scala recompute of the >=3-doc rule") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("source"), col("text")).collect()
