@@ -1041,6 +1041,74 @@ object Pipeline {
   def rpRecall(s: SparkSession, d: String): DataFrame =
     recallOf(embeddingTopk(s, d), rpTopk(s, d))
 
+  /** The byte-budget distortion table — mean squared reconstruction
+    * error (exact integer micro², per vector) for every lossy encoding
+    * the index stack ships: residual PQ (4 B/vec — error is the exact
+    * sum of the per-subspace argmin distances against the trained
+    * codebooks), 1-bit sign codes (8 B/vec — reconstruction ±s_j with
+    * s_j the per-dim exact floor-average magnitude), and 8-bit scalar
+    * quantization (64 B/vec — grid round-trip against the derived
+    * min/range bounds). The recall contracts ([[pqRecall]],
+    * [[bqRecall]], [[sq8Recall]]) grade each method on ONE query;
+    * this grades the encodings themselves corpus-wide — the two
+    * numbers a deployment weighs per byte spent. All three errors are
+    * map-only scans against broadcast-literal models + one aggregate;
+    * DECIMAL(38,0) accumulators (per-vector error reaches ~1e15
+    * micro²). DuckDB recomputes sq8/bq from the raw table and replays
+    * PQ from this run's own centroid/codebook/code dumps ({OUT}).
+    */
+  def quantizationError(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = Kmeans.quantized(emb)
+    def row(method: String, bytes: Long, errCol: DataFrame) =
+      errCol.agg(count(lit(1)).as("n_vecs"),
+          sum(col("err").cast("decimal(38,0)")).as("se"))
+        .select(lit(method).as("method"), lit(bytes).as("bytes_per_vec"),
+          col("n_vecs"), expr("CAST(se div n_vecs AS BIGINT)").as("mse_micro2"))
+    // pq: the per-subspace argmin distance IS the reconstruction error
+    val model = pqModel(s, d)
+    val pqE = Pq.residuals(emb, kmeansModel(s, d)).select(
+      (0 until Pq.M).map(m => graft.functions.SketchExprs
+        .nearestCentroid(slice(col("v"), m * Pq.SubDim + 1, Pq.SubDim), model(m))
+        .getField("dist")).reduce(_ + _).as("err"))
+    // sq8: grid round-trip against the derived per-dim bounds
+    val mm = q.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"),
+        greatest(max(col("x")) - min(col("x")), lit(1L)).as("rng"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // bounded: dims rows
+    val minsSql = mm.map(_._2).mkString("array(", "L,", "L)")
+    val rngsSql = mm.map(_._3).mkString("array(", "L,", "L)")
+    val sq8E = q.select(expr(
+      s"""aggregate(transform(v, (x, i) ->
+         |    (x - (element_at($minsSql, i + 1)
+         |       + (((x - element_at($minsSql, i + 1)) * 255)
+         |          div element_at($rngsSql, i + 1))
+         |       * element_at($rngsSql, i + 1) div 255))
+         |    * (x - (element_at($minsSql, i + 1)
+         |       + (((x - element_at($minsSql, i + 1)) * 255)
+         |          div element_at($rngsSql, i + 1))
+         |       * element_at($rngsSql, i + 1) div 255))),
+         |  CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin).as("err"))
+    // bq: per-dim exact floor-average magnitude as the sign amplitude
+    val sAbs = q.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(abs(col("x"))).as("sa"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1) / r.getLong(2)))
+      .sortBy(_._1) // bounded: dims rows
+    val ampSql = sAbs.map(_._2).mkString("array(", "L,", "L)")
+    val bqE = q.select(expr(
+      s"""aggregate(zip_with(v, $ampSql, (x, s) ->
+         |    (x - (CASE WHEN x >= 0 THEN s ELSE -s END))
+         |    * (x - (CASE WHEN x >= 0 THEN s ELSE -s END))),
+         |  CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin).as("err"))
+    row("pq", 4L, pqE)
+      .union(row("bq", 8L, bqE))
+      .union(row("sq8", 64L, sq8E))
+      .orderBy(col("method"))
+  }
+
   /** Per-cell health report of the trained coarse quantizer — the
     * index-build diagnostic every ANN deployment publishes (cell
     * balance drives probe cost; a degenerate mega-cell defeats the
@@ -2294,6 +2362,7 @@ object Pipeline {
     "rp_topk" -> rpTopk,
     "rp_recall" -> rpRecall,
     "kcenter_coreset" -> kcenterCoreset,
+    "quantization_error" -> quantizationError,
     "knn_label_consistency" -> knnLabelConsistency,
     "intrinsic_dim" -> intrinsicDim,
     "pca_power" -> pcaPower,
@@ -2864,6 +2933,53 @@ object Pipeline {
          |SELECT round::INT AS round, vec_id,
          |  radius::BIGINT AS radius_micro2
          |FROM cs7 ORDER BY round""".stripMargin,
+    // pq replayed from this run's own centroid/codebook/code dumps
+    // ({OUT}); sq8/bq grids recomputed from the raw table
+    "quantization_error" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),
+        |cc AS (SELECT cluster_id, dim, c_micro
+        |       FROM read_parquet('{OUT}/kmeans_centroids/*.parquet')),
+        |cb AS (SELECT sub, cluster_id, dim, c_micro
+        |       FROM read_parquet('{OUT}/pq_codebooks/*.parquet')),
+        |pcd AS (SELECT vec_id, cell, sub, code
+        |        FROM read_parquet('{OUT}/pq_codes/*.parquet')),
+        |perr AS (SELECT c.vec_id,
+        |    sum((e.v[cb.sub * 16 + cb.dim + 1] - cc.c_micro - cb.c_micro)
+        |        * (e.v[cb.sub * 16 + cb.dim + 1] - cc.c_micro - cb.c_micro)) AS err
+        |  FROM pcd c
+        |  JOIN cb ON cb.sub = c.sub AND cb.cluster_id = c.code
+        |  JOIN cc ON cc.cluster_id = c.cell AND cc.dim = cb.sub * 16 + cb.dim
+        |  JOIN e ON e.vec_id = c.vec_id
+        |  GROUP BY 1),
+        |prow AS (SELECT 'pq' AS method, 4::BIGINT AS bytes_per_vec,
+        |    count(*)::BIGINT AS n_vecs, (sum(err) // count(*))::BIGINT AS mse_micro2
+        |  FROM perr),
+        |mm AS (SELECT t.i AS dim, min(v[t.i]) AS mn,
+        |         greatest(max(v[t.i]) - min(v[t.i]), 1) AS rng
+        |       FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+        |m2 AS (SELECT list(mn ORDER BY dim) AS mins, list(rng ORDER BY dim) AS rngs
+        |       FROM mm),
+        |serr AS (SELECT list_reduce(list_transform(range(1, 65), i ->
+        |      (v[i] - (mins[i] + (((v[i] - mins[i]) * 255) // rngs[i])
+        |         * rngs[i] // 255))
+        |      * (v[i] - (mins[i] + (((v[i] - mins[i]) * 255) // rngs[i])
+        |         * rngs[i] // 255))), (a, b) -> a + b) AS err
+        |  FROM e, m2),
+        |srow AS (SELECT 'sq8' AS method, 64::BIGINT, count(*)::BIGINT,
+        |    (sum(err) // count(*))::BIGINT FROM serr),
+        |am AS (SELECT t.i AS dim, sum(abs(v[t.i])) // count(*) AS s
+        |       FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+        |a2 AS (SELECT list(s ORDER BY dim) AS amps FROM am),
+        |berr AS (SELECT list_reduce(list_transform(range(1, 65), i ->
+        |      (v[i] - (CASE WHEN v[i] >= 0 THEN amps[i] ELSE -amps[i] END))
+        |      * (v[i] - (CASE WHEN v[i] >= 0 THEN amps[i] ELSE -amps[i] END))),
+        |    (a, b) -> a + b) AS err
+        |  FROM e, a2),
+        |brow AS (SELECT 'bq' AS method, 8::BIGINT, count(*)::BIGINT,
+        |    (sum(err) // count(*))::BIGINT FROM berr)
+        |SELECT * FROM prow UNION ALL SELECT * FROM brow
+        |UNION ALL SELECT * FROM srow ORDER BY method""".stripMargin,
     "mutual_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
         |p AS (SELECT a.vec_id AS x_id, b.vec_id AS y_id,

@@ -441,6 +441,54 @@ class PqSpec extends SparkSuite {
       "top PC must explain more than an average axis")
   }
 
+  test("quantization_error: three-method MSE table matches a plain-Scala recompute") {
+    val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+    val n = micro.length
+    // pq: nearest-coarse cell, then per-subspace nearest residual codebook
+    val coarse = Pipeline.kmeansModel(spark, sf0001)
+    val model = Pipeline.pqModel(spark, sf0001)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val pqSe = micro.map { v =>
+      val cell = coarse.zipWithIndex
+        .map { case (c, i) => (d2(v, c), i) }.min._2
+      val r = v.indices.map(i => v(i) - coarse(cell)(i)).toArray
+      (0 until 4).map { m =>
+        val sub = r.slice(m * 16, m * 16 + 16)
+        model(m).map(cb => d2(sub, cb)).min
+      }.sum
+    }.map(BigInt(_)).sum
+    // sq8 grid round-trip
+    val mn = Array.tabulate(64)(j => micro.map(_(j)).min)
+    val rng = Array.tabulate(64)(j => math.max(micro.map(_(j)).max - mn(j), 1L))
+    val sqSe = micro.map { v =>
+      v.indices.map { j =>
+        val code = (v(j) - mn(j)) * 255 / rng(j)
+        val rec = mn(j) + code * rng(j) / 255
+        (v(j) - rec) * (v(j) - rec)
+      }.sum
+    }.map(BigInt(_)).sum
+    // bq sign-amplitude
+    val amp = Array.tabulate(64)(j => micro.map(x => math.abs(x(j))).sum / n)
+    val bqSe = micro.map { v =>
+      v.indices.map { j =>
+        val rec = if (v(j) >= 0) amp(j) else -amp(j)
+        (v(j) - rec) * (v(j) - rec)
+      }.sum
+    }.map(BigInt(_)).sum
+    val expect = Seq(
+      ("bq", 8L, n.toLong, (bqSe / n).toLong),
+      ("pq", 4L, n.toLong, (pqSe / n).toLong),
+      ("sq8", 64L, n.toLong, (sqSe / n).toLong))
+    val got = Pipeline.quantizationError(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // the ladder is real: 64 B/vec must beat both compact codes
+    val mse = got.map(r => r._1 -> r._4).toMap
+    assert(mse("sq8") < mse("bq") && mse("sq8") < mse("pq"))
+  }
+
   test("mutual_knn: pairs match a brute-force recompute and mutuality is the precision filter") {
     val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .filter(col("vec_id") < 1000)
