@@ -466,6 +466,45 @@ object Analytics {
       .withColumn("z", graft.functions.ZOrder.morton2(col("px"), col("py")))
       .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
 
+  /** Zone-map pruning effectiveness across physical layouts — the
+    * data-layout decision [[zorderCode]] encodes, MEASURED: the same
+    * rows laid out three ways (ingest order, sorted by the filter
+    * column, hash-scattered), cut into 1024-row zones (the parquet
+    * row-group analog), each zone summarized by its min/max ship day
+    * (exactly what parquet footers store), then a 90-day predicate
+    * ([10000, 10090)) replayed against the zone maps. prune_bp is the
+    * fraction of zones a reader SKIPS — the number that decides
+    * whether a 100 TB scan reads terabytes or gigabytes. Fixture
+    * read: sorted prunes 9491 bp, ingest AND hashed prune 0 — this
+    * corpus's ingest order carries no date correlation, so every
+    * unsorted zone spans the whole calendar; the honest lesson is
+    * that without an explicit sort (or real ingest-time ordering)
+    * zone maps buy nothing. Each layout is one distributed AssignIds
+    * rank (range exchange — never a single-partition sort) + a zone
+    * aggregate; exact integers end to end.
+    */
+  def layoutPrune(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"),
+      expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000").as("day"))
+    val layouts = Seq(
+      ("ingest", Seq(col("ok"), col("ln"))),
+      ("shipdate_sorted", Seq(col("day"), col("ok"), col("ln"))),
+      ("hashed", Seq(pmod(col("ok") * lit(2654435761L), lit(1000000007L)),
+        col("ok"), col("ln"))))
+    layouts.map { case (name, ord) =>
+      graft.operators.AssignIds.byOrder(li, ord, "rn")
+        .select(expr("(rn - 1) div 1024").as("grp"), col("day"))
+        .groupBy(col("grp"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("mx") >= 10000 && col("mn") < 10090, 1L).otherwise(0L))
+            .as("n_scanned"))
+        .select(lit(name).as("layout"), col("n_zones"), col("n_scanned"),
+          expr("10000 * (n_zones - n_scanned) div n_zones").as("prune_bp"))
+    }.reduce(_ union _).orderBy(col("layout"))
+  }
+
   /** Declared two-phase salted aggregation (Skew.saltedCount): the
     * return-flag domain has 3 hot keys — exactly the aggregation-skew
     * shape AQE does not re-plan. The oracle proves the salted two-phase
@@ -1039,6 +1078,7 @@ object Analytics {
     "tf_idf" -> tfIdf,
     "dedup_incremental" -> dedupIncremental,
     "zorder_code" -> zorderCode,
+    "layout_prune" -> layoutPrune,
     "cohort_retention" -> cohortRetention,
     "list_agg" -> listAgg,
     "map_funcs" -> mapFuncs,
@@ -1431,6 +1471,26 @@ object Analytics {
          |        (l_partkey % 1048576)::BIGINT AS px,
          |        (l_suppkey % 1048576)::BIGINT AS py FROM lineitem)
          |ORDER BY z, l_orderkey, l_linenumber""".stripMargin,
+    "layout_prune" -> {
+      def layout(name: String, ord: String) =
+        s"""SELECT '$name' AS layout, count(*)::BIGINT AS n_zones,
+           |  sum(CASE WHEN mx >= 10000 AND mn < 10090 THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_scanned,
+           |  (10000 * (count(*) - sum(CASE WHEN mx >= 10000 AND mn < 10090
+           |     THEN 1 ELSE 0 END)) // count(*))::BIGINT AS prune_bp
+           |FROM (SELECT (rn - 1) // 1024 AS grp, min(day) AS mn, max(day) AS mx
+           |      FROM (SELECT day, row_number() OVER (ORDER BY $ord) AS rn FROM li)
+           |      GROUP BY 1)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+         |    epoch_ms(l_shipdate) // 86400000 AS day FROM lineitem)
+         |SELECT * FROM (
+         |${layout("ingest", "ok, ln")}
+         |UNION ALL
+         |${layout("shipdate_sorted", "day, ok, ln")}
+         |UNION ALL
+         |${layout("hashed", "(ok * 2654435761) % 1000000007, ok, ln")})
+         |ORDER BY layout""".stripMargin
+    },
     "skew_agg" ->
       """SELECT l_returnflag, count(*)::BIGINT AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -267,6 +267,40 @@ object Graph {
       .limit(20)
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) — the OTHER classic
+    * link-analysis fixpoint beside PageRank, and the natural one for a
+    * BIPARTITE graph: suppliers are pure hubs (they only point), parts
+    * pure authorities (they only collect), so the mutual recursion
+    * h = Σa, a = Σh is exactly the supplier↔part structure (PageRank
+    * on the symmetrized graph mixes the two roles). 3 fixed rounds on
+    * the integer lattice: scores start at 1e6, each half-round is one
+    * join + sum aggregate, and normalization divides by the round's
+    * max (exact integer div; the max is a collected driver scalar —
+    * the kmeans-model posture, 6 tiny jobs total). Deterministic,
+    * shuffle-bounded, rounds O(1); DuckDB unrolls the same 3 rounds.
+    * Output: top-20 hubs + top-20 authorities.
+    */
+  def hitsScores(s: SparkSession, d: String): DataFrame = {
+    val sp = edgeTable(s, d).filter(col("src") < PartOffset)
+      .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
+    var h = sp.select(col("sk")).distinct().withColumn("h", lit(1000000L))
+    var a = sp.select(col("pk")).distinct().withColumn("a", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val a0 = sp.join(h, "sk").groupBy(col("pk")).agg(sum(col("h")).as("a0"))
+      val am = a0.agg(max(col("a0"))).collect()(0).getLong(0) // 1-row scalar
+      a = a0.select(col("pk"), expr(s"(a0 * 1000000) div ${am}L").as("a"))
+      val h0 = sp.join(a, "pk").groupBy(col("sk")).agg(sum(col("a")).as("h0"))
+      val hm = h0.agg(max(col("h0"))).collect()(0).getLong(0) // 1-row scalar
+      h = h0.select(col("sk"), expr(s"(h0 * 1000000) div ${hm}L").as("h"))
+    }
+    h.select(lit("hub").as("kind"), col("sk").as("id"), col("h").as("score"))
+      .orderBy(col("score").desc, col("id")).limit(20)
+      .union(a.select(lit("authority").as("kind"), col("pk").as("id"),
+          col("a").as("score"))
+        .orderBy(col("score").desc, col("id")).limit(20))
+      .orderBy(col("kind"), col("score").desc, col("id"))
+  }
+
   /** Orders with more distinct parts than this are dropped from
     * co-purchase pair generation — the basket-size analog of
     * [[ProjectionHubCap]] (a k-part order emits k(k−1)/2 edges; a
@@ -524,6 +558,7 @@ object Graph {
     "degree_histogram" -> degreeHistogram,
     "cosupply_neighbors" -> cosupplyNeighbors,
     "adamic_adar" -> adamicAdar,
+    "hits_scores" -> hitsScores,
     "triangle_count" -> triangleCount,
     "communities_lpa" -> communitiesLpa,
   )
@@ -719,6 +754,30 @@ object Graph {
         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1)
         |SELECT deg, count(*)::BIGINT AS n_nodes FROM deg
         |GROUP BY 1 ORDER BY deg""".stripMargin,
+    "hits_scores" -> {
+      def round(t: Int) =
+        s"""a$t AS (SELECT pk, sum(h) AS a0 FROM sp JOIN h${t - 1} USING (sk)
+           |        GROUP BY pk),
+           |am$t AS (SELECT max(a0) AS m FROM a$t),
+           |an$t AS (SELECT pk, (a0 * 1000000) // m AS a FROM a$t, am$t),
+           |hh$t AS (SELECT sk, sum(a) AS h0 FROM sp JOIN an$t USING (pk)
+           |         GROUP BY sk),
+           |hm$t AS (SELECT max(h0) AS m FROM hh$t),
+           |h$t AS (SELECT sk, (h0 * 1000000) // m AS h FROM hh$t, hm$t)""".stripMargin
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+         |h0 AS (SELECT DISTINCT sk, 1000000::BIGINT AS h FROM sp),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |u AS (
+         |  SELECT 'hub' AS kind, sk AS id, h AS score,
+         |    row_number() OVER (ORDER BY h DESC, sk) AS rn FROM h3
+         |  UNION ALL
+         |  SELECT 'authority', pk, a,
+         |    row_number() OVER (ORDER BY a DESC, pk) FROM an3)
+         |SELECT kind, id, score::BIGINT AS score FROM u
+         |WHERE rn <= 20 ORDER BY kind, score DESC, id""".stripMargin
+    },
     "adamic_adar" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
         |w AS (SELECT pk, CAST(round(1e9 / ln(count(*)::DOUBLE)) AS BIGINT) AS w_nano

@@ -10,6 +10,33 @@ import org.apache.spark.sql.functions._
   */
 class AnalyticsSpec extends SparkSuite {
 
+  test("layout_prune: zone maps match a driver recompute and only the sorted layout prunes") {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey AS ok", "l_linenumber AS ln",
+        "unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000 AS day")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    def zonesOf(sorted: Seq[(Long, Long, Long)]): (Long, Long, Long) = {
+      val zones = sorted.map(_._3).grouped(1024).toSeq
+      val scanned = zones.count(z => z.max >= 10000 && z.min < 10090)
+      val n = zones.size.toLong
+      (n, scanned.toLong, 10000L * (n - scanned) / n)
+    }
+    val expect = Seq(
+      "hashed" -> zonesOf(rows.sortBy(r =>
+        ((r._1 * 2654435761L) % 1000000007L, r._1, r._2)).toSeq),
+      "ingest" -> zonesOf(rows.sortBy(r => (r._1, r._2)).toSeq),
+      "shipdate_sorted" -> zonesOf(rows.sortBy(r => (r._3, r._1, r._2)).toSeq))
+      .map { case (l, (n, sc, bp)) => (l, n, sc, bp) }
+    val got = graft.queries.Analytics.layoutPrune(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // the layout lesson: sorting by the filter column is what buys skips
+    val bp = got.map(r => r._1 -> r._4).toMap
+    assert(bp("shipdate_sorted") > bp("hashed"))
+    assert(bp("shipdate_sorted") > bp("ingest"))
+  }
+
   test("histogram: width_bucket equals pure integer binning (2^22 buckets)") {
     val cents = spark.read.parquet(s"$sf0001/orders.parquet")
       .select(round(col("o_totalprice") * 100).cast("long").as("cents"))

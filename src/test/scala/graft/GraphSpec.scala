@@ -92,6 +92,36 @@ class GraphSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("hits_scores: 3-round integer HITS matches a driver recompute") {
+    val sp = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = sp.groupBy(_._2).map { case (p, es) => p -> es.map(_._1) }
+    val bySupp = sp.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2) }
+    var h = bySupp.keys.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val a0 = byPart.map { case (p, sks) => p -> sks.map(h).sum }
+      val am = a0.values.max
+      a = a0.map { case (p, v) => p -> v * 1000000L / am }
+      val h0 = bySupp.map { case (s0, pks) => s0 -> pks.map(a).sum }
+      val hm = h0.values.max
+      h = h0.map { case (s0, v) => s0 -> v * 1000000L / hm }
+    }
+    val expect =
+      h.toSeq.map { case (id, sc) => ("hub", id, sc) }
+        .sortBy { case (_, id, sc) => (-sc, id) }.take(20) ++
+      a.toSeq.map { case (id, sc) => ("authority", id, sc) }
+        .sortBy { case (_, id, sc) => (-sc, id) }.take(20)
+    val got = graft.queries.Graph.hitsScores(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sortBy(t => (t._1, -t._3, t._2)) ==
+      expect.sortBy(t => (t._1, -t._3, t._2)))
+    // normalization holds: each side's max is exactly the lattice unit
+    assert(got.filter(_._1 == "hub").map(_._3).max == 1000000L)
+    assert(got.filter(_._1 == "authority").map(_._3).max == 1000000L)
+  }
+
   test("adamic_adar: top-20 predicted links match a brute-force recompute") {
     val sp = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
