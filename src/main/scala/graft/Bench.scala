@@ -70,6 +70,9 @@ object Bench {
     // shared profiling job
     warm("hub_seed") { graft.queries.Graph.hubSeedAndNodes(spark, sfDir) }
     warm("pr_artifacts") { graft.queries.Graph.prArtifacts(spark, sfDir)._2.count() }
+    // the bipartite-projection pair aggregate — the graph batch's
+    // heaviest shuffle, read by cosupply_neighbors AND adamic_adar
+    warm("supplier_pairs") { graft.queries.Graph.supplierPairAgg(spark, sfDir).count() }
     // the co-purchase edge list + its degree orientation are the same
     // kind of extracted-once artifact; triangle_count measures the
     // wedge generation + closing join, not the edge extraction

@@ -202,22 +202,44 @@ object Graph {
     * the TopKPerGroup heap at k=1 with a stated tie-break (smaller
     * neighbor id), so the result is oracle-exact.
     */
+  private val pairAggCache = new graft.DfCache("graph.pairAgg")
+
+  /** Hub-capped ordered (u < v) supplier-pair aggregate over shared
+    * parts — common-part count AND the Adamic–Adar rarity-weight sum in
+    * one pass — materialized once like [[edgeTable]]: the exploded pair
+    * stream is the bipartite projection's dominant volume, and BOTH
+    * [[cosupplyNeighbors]] and [[adamicAdar]] consume exactly this
+    * table, so each query re-running the explode doubled the batch's
+    * heaviest shuffle (measured ~8 s + ~6 s at sf0.1 → one ~6 s build).
+    * The per-part weight is rounded ONCE to nano units; ordered pairs
+    * shuffle at half width (the symmetrize-after-aggregate discipline).
+    */
+  def supplierPairAgg(s: SparkSession, d: String): DataFrame =
+    pairAggCache.getOrElseUpdate((s, d), {
+      val sp = edgeTable(s, d).filter(col("src") < PartOffset)
+        .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
+      sp.groupBy(col("pk"))
+        .agg(sort_array(collect_list(col("sk"))).as("sks"))
+        .filter(size(col("sks")) > 1 && size(col("sks")) <= ProjectionHubCap)
+        .select(
+          expr("CAST(round(1e9 / ln(CAST(size(sks) AS DOUBLE))) AS BIGINT)")
+            .as("w_nano"),
+          explode(graft.operators.Dedup.pairsOf(col("sks"), Int.MaxValue)).as("p"))
+        .groupBy(col("p.id1").as("u"), col("p.id2").as("v"))
+        .agg(count(lit(1)).as("common"), sum(col("w_nano")).as("aa_nano"))
+        .persist()
+    })
+
   def cosupplyNeighbors(s: SparkSession, d: String): DataFrame = {
     val sp = edgeTable(s, d).filter(col("src") < PartOffset)
       .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
     val deg = sp.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-    // ordered (u<v) pairs are counted FIRST — the exploded pair stream,
-    // the query's dominant volume, shuffles once at half width — and
-    // only the aggregated (u, v, common) table is then symmetrized, via
-    // a map-side explode of the 2-element direction array (single
-    // evaluation; a union of the unaggregated stream shuffled 2x the
-    // rows, and union(half, half.swapped) re-ran the whole pipeline)
-    val ordered = sp.groupBy(col("pk"))
-      .agg(sort_array(collect_list(col("sk"))).as("sks"))
-      .filter(size(col("sks")) > 1 && size(col("sks")) <= ProjectionHubCap)
-      .select(explode(graft.operators.Dedup.pairsOf(col("sks"), Int.MaxValue)).as("p"))
-      .groupBy(col("p.id1").as("u"), col("p.id2").as("v"))
-      .agg(count(lit(1)).as("common"))
+    // ordered (u<v) pairs come from the shared materialized aggregate
+    // ([[supplierPairAgg]]); only the aggregated (u, v, common) table is
+    // then symmetrized, via a map-side explode of the 2-element
+    // direction array (single evaluation; a union of the unaggregated
+    // stream shuffled 2x the rows)
+    val ordered = supplierPairAgg(s, d).select(col("u"), col("v"), col("common"))
     val pairs = ordered
       .select(explode(array(
         struct(col("u").as("s1"), col("v").as("s2"), col("common")),
@@ -252,20 +274,12 @@ object Graph {
     * partitioning-invariant and DuckDB-identical. One explode + one
     * pair aggregate + a 20-row global top-k; two shuffles at any scale.
     */
-  def adamicAdar(s: SparkSession, d: String): DataFrame = {
-    val sp = edgeTable(s, d).filter(col("src") < PartOffset)
-      .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
-    sp.groupBy(col("pk"))
-      .agg(sort_array(collect_list(col("sk"))).as("sks"))
-      .filter(size(col("sks")) > 1 && size(col("sks")) <= ProjectionHubCap)
-      .select(expr("CAST(round(1e9 / ln(CAST(size(sks) AS DOUBLE))) AS BIGINT)")
-        .as("w_nano"),
-        explode(graft.operators.Dedup.pairsOf(col("sks"), Int.MaxValue)).as("p"))
-      .groupBy(col("p.id1").as("s1"), col("p.id2").as("s2"))
-      .agg(count(lit(1)).as("common"), sum(col("w_nano")).as("aa_nano"))
+  def adamicAdar(s: SparkSession, d: String): DataFrame =
+    supplierPairAgg(s, d)
+      .select(col("u").as("s1"), col("v").as("s2"), col("common"),
+        col("aa_nano"))
       .orderBy(col("aa_nano").desc, col("s1"), col("s2"))
       .limit(20)
-  }
 
   /** HITS hubs and authorities (Kleinberg 1999) — the OTHER classic
     * link-analysis fixpoint beside PageRank, and the natural one for a
@@ -286,10 +300,16 @@ object Graph {
     var h = sp.select(col("sk")).distinct().withColumn("h", lit(1000000L))
     var a = sp.select(col("pk")).distinct().withColumn("a", lit(1000000L))
     for (_ <- 1 to 3) {
+      // localCheckpoint per half-round (the bfs_hops frontier pattern):
+      // without it each round's max-collect re-executes the whole prior
+      // chain and the final top-20 replays everything again — measured
+      // 14.9 s vs ~1 s at sf0.1
       val a0 = sp.join(h, "sk").groupBy(col("pk")).agg(sum(col("h")).as("a0"))
+        .localCheckpoint()
       val am = a0.agg(max(col("a0"))).collect()(0).getLong(0) // 1-row scalar
       a = a0.select(col("pk"), expr(s"(a0 * 1000000) div ${am}L").as("a"))
       val h0 = sp.join(a, "pk").groupBy(col("sk")).agg(sum(col("a")).as("h0"))
+        .localCheckpoint()
       val hm = h0.agg(max(col("h0"))).collect()(0).getLong(0) // 1-row scalar
       h = h0.select(col("sk"), expr(s"(h0 * 1000000) div ${hm}L").as("h"))
     }
