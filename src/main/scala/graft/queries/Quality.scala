@@ -984,6 +984,67 @@ object Quality {
       .orderBy(col("source"))
   }
 
+  /** Ingest-order n-gram novelty — the "what does this document ADD"
+    * screen behind dedup-aware data valuation (a doc whose 8-grams all
+    * appeared in earlier docs contributes nothing a memorizing model
+    * hasn't seen; the planted near-duplicates read exactly 0 bp):
+    * per doc, the fraction of its 8-gram positions whose gram's FIRST
+    * occurrence (min doc_id — ingest order) is this doc. One gram
+    * aggregate for the first-occurrence table + one sort-merge join
+    * back (first-occurrence is corpus-sized — never broadcast, the
+    * dup_rate_by_source lesson) + a per-doc aggregate; exact bp.
+    * Complements [[distinctNgrams]] (within-source diversity) and
+    * `duplicate_spans` (who copied what) with the marginal-value view.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val g = docs(s, d)
+      .select(col("doc_id"), col("source"), Dedup.tokensNE(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 7),
+          i => concat_ws(" ", (0 to 7).map(k =>
+            element_at(col("ts"), i + k)): _*))).as("g"))
+    val first = g.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    g.join(first, Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_novel"),
+        expr("10000 * n_novel div n_grams").as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TextTiling-style topic-boundary detection (Hearst 1997, the
+    * block-comparison core): cut each ≥40-token document into 10-token
+    * blocks, score every inter-block gap by the exact Jaccard (in bp)
+    * of the adjacent blocks' distinct-token bags, and report the
+    * LOWEST-cohesion gap — the position a segmentation pass would cut
+    * first (RAG chunkers use exactly this signal to cut at topic
+    * shifts instead of fixed strides; compare [[Curation]]'s
+    * chunk_windows/chunk_overlap fixed cuts). Map-only per-doc block
+    * algebra (slice + array_intersect/union — no joins at all), then
+    * the per-doc argmin on the TopKPerGroup heap; (sim asc, gap)
+    * tie-break keeps the cut deterministic.
+    */
+  def topicBoundaries(s: SparkSession, d: String): DataFrame = {
+    val gaps = docs(s, d)
+      .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 40)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), expr("size(ts) div 10") - 1)).as("gap"))
+      .select(col("doc_id"), col("gap"),
+        expr("array_distinct(slice(ts, (gap - 1) * 10 + 1, 10))").as("b1"),
+        expr("array_distinct(slice(ts, gap * 10 + 1, 10))").as("b2"))
+      .select(col("doc_id"), col("gap"),
+        expr("10000 * size(array_intersect(b1, b2))" +
+          " div size(array_union(b1, b2))").as("sim_bp"))
+    graft.plans.TopKPerGroup(gaps, Seq("doc_id"),
+        Seq(col("sim_bp").asc, col("gap")), 1)
+      .select(col("doc_id"), col("gap").cast("long").as("boundary_gap"),
+        col("sim_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-wide heavy-hitter bigrams — the boilerplate-phrase screen
     * at bounded memory: which bigrams occupy more than 1/1024 of all
     * bigram slots, found via the two-pass Misra-Gries shape
@@ -1094,6 +1155,8 @@ object Quality {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ams_f2" -> amsF2,
+    "ngram_novelty" -> ngramNovelty,
+    "topic_boundaries" -> topicBoundaries,
     "cms_estimate" -> cmsEstimate,
     "boilerplate_ngrams" -> boilerplateNgrams,
     "heavy_hitters" -> heavyHitters,
@@ -1161,6 +1224,36 @@ object Quality {
          |SELECT f2::BIGINT AS exact_f2, est::BIGINT AS est_f2,
          |  ((10000 * abs(est - f2)) // f2)::BIGINT AS err_bp
          |FROM est, ex""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, source, $ToksNE AS ts FROM documents),
+         |g AS (SELECT doc_id, source,
+         |        unnest(list_transform(range(1, len(ts) - 6),
+         |          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+         |               || ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' '
+         |               || ts[i+6] || ' ' || ts[i+7])) AS g
+         |      FROM t WHERE len(ts) >= 8),
+         |f AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1)
+         |SELECT doc_id, source, count(*)::BIGINT AS n_grams,
+         |  sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+         |  (10000 * sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+         |     // count(*))::BIGINT AS novelty_bp
+         |FROM g JOIN f USING (g) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "topic_boundaries" ->
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
+         |gp AS (SELECT doc_id,
+         |         unnest(range(1, len(ts) // 10)) AS gap, ts
+         |       FROM t WHERE len(ts) >= 40),
+         |sim AS (SELECT doc_id, gap,
+         |    (10000 * len(list_intersect(
+         |       list_distinct(ts[(gap - 1) * 10 + 1 : (gap - 1) * 10 + 10]),
+         |       list_distinct(ts[gap * 10 + 1 : gap * 10 + 10])))
+         |     // len(list_distinct(ts[(gap - 1) * 10 + 1 : (gap - 1) * 10 + 10]
+         |          || ts[gap * 10 + 1 : gap * 10 + 10])))::BIGINT AS sim_bp
+         |  FROM gp)
+         |SELECT doc_id, gap::BIGINT AS boundary_gap, sim_bp FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY sim_bp, gap) AS rn FROM sim)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "cms_estimate" ->
       s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
          |hp AS (SELECT * FROM (VALUES (0, 5381, 33), (1, 4241, 31),

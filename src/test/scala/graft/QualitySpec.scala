@@ -135,6 +135,54 @@ class QualitySpec extends SparkSuite {
     assert(est > exact / 4 && est < exact * 4)
   }
 
+  test("ngram_novelty: first-occurrence shares match a plain-Scala recompute; dup docs read 0") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+      .filter(_._3.length >= 8).sortBy(_._1)
+    val grams = docs.flatMap { case (id, src, ts) =>
+      ts.sliding(8).map(g => (id, src, g.mkString(" "))) }
+    val first = grams.groupBy(_._3).map { case (g, occ) => g -> occ.map(_._1).min }
+    val expect = grams.groupBy(d => (d._1, d._2)).toSeq
+      .sortBy(_._1._1).map { case ((id, src), gs) =>
+        val nov = gs.count(g => first(g._3) == id)
+        (id, src, gs.length.toLong, nov.toLong, 10000L * nov / gs.length)
+      }
+    val got = Quality.ngramNovelty(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // the screen discriminates: fresh docs at 10000, planted dups at 0
+    assert(got.exists(_._5 == 10000L) && got.exists(_._5 == 0L))
+    // the first document is by definition fully novel
+    assert(got.head._5 == 10000L)
+  }
+
+  test("topic_boundaries: lowest-cohesion gap matches a plain-Scala block scan") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+      .filter(_._2.length >= 40)
+    def expectOf(ts: Array[String]): (Long, Long) = {
+      val nb = ts.length / 10
+      (1 until nb).map { gap =>
+        val b1 = ts.slice((gap - 1) * 10, gap * 10).distinct.toSet
+        val b2 = ts.slice(gap * 10, gap * 10 + 10).distinct.toSet
+        val sim = 10000L * b1.intersect(b2).size / b1.union(b2).size
+        (gap.toLong, sim)
+      }.minBy { case (g, s0) => (s0, g) }
+    }
+    val expect = docs.sortBy(_._1).map { case (id, ts) =>
+      val (g, s0) = expectOf(ts); (id, g, s0) }.toSeq
+    val got = Quality.topicBoundaries(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // cohesion varies: not every doc cuts at the same gap
+    assert(got.map(_._2).distinct.size > 1)
+  }
+
   test("boilerplate_ngrams: per-source shares match a plain-Scala recompute of the >=3-doc rule") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("source"), col("text")).collect()
