@@ -1706,6 +1706,34 @@ object Pipeline {
     docs(s, d).select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** Declared-label vs predicted-language agreement — the classifier-
+    * evaluation pair (accuracy + Cohen's kappa) for the marker-word
+    * language ID, computed EXACTLY: po and pe are integer rationals
+    * (diag count / n; Σ row_marginal·col_marginal / n²), so kappa =
+    * (po−pe)/(1−pe) reduces to one integer expression in micro units
+    * — κ·1e6 = 1e6·(agree·n − Σrc) div (n² − Σrc). Kappa corrects
+    * accuracy for chance agreement under the marginals — the number
+    * that exposes a majority-class predictor that raw accuracy
+    * rewards. One confusion aggregate (≤ langs² rows — dimension-
+    * sized at any corpus) + bounded marginal folds.
+    */
+  def langIdAgreement(s: SparkSession, d: String): DataFrame = {
+    val conf = docs(s, d)
+      .select(col("lang"), TextFns.langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("c"))
+    val marg = conf.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("lang") === col("pred"), col("c")).otherwise(0L)).as("agree"))
+    val rc = conf.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+      .join(conf.groupBy(col("pred")).agg(sum(col("c")).as("cl")),
+        col("lang") === col("pred"))
+      .agg(coalesce(sum(col("r") * col("cl")), lit(0L)).as("src"))
+    marg.crossJoin(broadcast(rc))
+      .select(col("n"), col("agree"),
+        expr("10000 * agree div n").as("acc_bp"),
+        expr("1000000 * (agree * n - src) div (n * n - src)").as("kappa_micro"))
+  }
+
   /** Heuristic quality score in [0,1]. */
   def qualityScore(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
@@ -2381,6 +2409,7 @@ object Pipeline {
     "embedding_cosine_pairs" -> embeddingCosinePairs,
     "text_stats" -> textStats,
     "lang_id" -> langId,
+    "lang_id_agreement" -> langIdAgreement,
     "quality_score" -> qualityScore,
     "doc_fingerprint" -> docFingerprint,
     "hashed_features" -> hashedFeatures,
@@ -3552,6 +3581,20 @@ object Pipeline {
         |  list_sum(list_transform(string_split_regex(text, '[ \t\n\r]'), t -> length(t)))::BIGINT AS sum_token_len
         | FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" -> langIdOracle,
+    "lang_id_agreement" ->
+      s"""WITH pred AS ($langIdOracle),
+         |conf AS (SELECT d.lang, p.lang_pred AS pred, count(*)::BIGINT AS c
+         |         FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+         |marg AS (SELECT sum(c)::BIGINT AS n,
+         |    coalesce(sum(CASE WHEN lang = pred THEN c END), 0)::BIGINT AS agree
+         |  FROM conf),
+         |rm AS (SELECT lang AS k, sum(c)::BIGINT AS r FROM conf GROUP BY 1),
+         |cm AS (SELECT pred AS k, sum(c)::BIGINT AS cl FROM conf GROUP BY 1),
+         |rc AS (SELECT coalesce(sum(r * cl), 0)::BIGINT AS src
+         |       FROM rm JOIN cm USING (k))
+         |SELECT n, agree, (10000 * agree // n)::BIGINT AS acc_bp,
+         |  (1000000 * (agree * n - src) // (n * n - src))::BIGINT AS kappa_micro
+         |FROM marg, rc""".stripMargin,
     "quality_score" -> QualityOracle,
     "curated_sample" ->
       s"""SELECT lang_pred, doc_id, quality FROM (

@@ -984,6 +984,40 @@ object Quality {
       .orderBy(col("source"))
   }
 
+  /** Filter-cascade survival funnel — the report a curation pipeline
+    * publishes BEFORE committing a rule battery: documents surviving
+    * each Gopher rule applied in declared order (length → word-length
+    * → stopword → repetition → uniqueness), with the per-stage drop
+    * in bp of the PREVIOUS stage's survivors. `quality_filters` says
+    * which rules fired per doc; this says where the corpus actually
+    * dies, which is what decides rule thresholds and ordering.
+    * Single-sourced on [[qualityFlags]] (the oracle shares the same
+    * battery CTE), one aggregate over the flag frame, a 6-row result
+    * at any corpus size.
+    */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = qualityFlags(s, d)
+    val stages = Seq(
+      ("1_all", lit(true)),
+      ("2_len", col("ok_len")),
+      ("3_wordlen", col("ok_len") && col("ok_wordlen")),
+      ("4_stop", col("ok_len") && col("ok_wordlen") && col("ok_stop")),
+      ("5_rep", col("ok_len") && col("ok_wordlen") && col("ok_stop")
+        && col("ok_rep")),
+      ("6_uniq", col("kept")))
+    val counts = f.agg(
+      sum(when(stages.head._2, 1L).otherwise(0L)).as("c0"),
+      stages.tail.zipWithIndex.map { case ((_, c), i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"c${i + 1}")
+      }: _*).collect()(0) // 1-row funnel scalars
+    val ns = (0 until stages.size).map(counts.getLong)
+    stages.zipWithIndex.map { case ((name, _), i) =>
+      val prev = if (i == 0) ns(0) else ns(i - 1)
+      (name, ns(i), if (prev == 0) 0L else 10000L * (prev - ns(i)) / prev)
+    }.toDF("stage", "n_surviving", "drop_bp").orderBy(col("stage"))
+  }
+
   /** Ingest-order n-gram novelty — the "what does this document ADD"
     * screen behind dedup-aware data valuation (a doc whose 8-grams all
     * appeared in earlier docs contributes nothing a memorizing model
@@ -1155,6 +1189,7 @@ object Quality {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ams_f2" -> amsF2,
+    "filter_funnel" -> filterFunnel,
     "ngram_novelty" -> ngramNovelty,
     "topic_boundaries" -> topicBoundaries,
     "cms_estimate" -> cmsEstimate,
@@ -1224,6 +1259,34 @@ object Quality {
          |SELECT f2::BIGINT AS exact_f2, est::BIGINT AS est_f2,
          |  ((10000 * abs(est - f2)) // f2)::BIGINT AS err_bp
          |FROM est, ex""".stripMargin,
+    "filter_funnel" ->
+      s"""WITH $QualityBatteryCte,
+         |fl AS (SELECT doc_id,
+         |    (n BETWEEN 5 AND 100000) AS ok_len,
+         |    (10 * sum_len >= 30 * n AND 10 * sum_len <= 100 * n) AS ok_wordlen,
+         |    (50 * n_stop >= n) AS ok_stop,
+         |    (5 * maxc < n) AS ok_rep,
+         |    (10 * n_uniq >= n) AS ok_uniq
+         |  FROM p),
+         |c AS (SELECT count(*)::BIGINT AS c0,
+         |    sum(CASE WHEN ok_len THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN ok_len AND ok_wordlen THEN 1 ELSE 0 END)::BIGINT AS c2,
+         |    sum(CASE WHEN ok_len AND ok_wordlen AND ok_stop
+         |        THEN 1 ELSE 0 END)::BIGINT AS c3,
+         |    sum(CASE WHEN ok_len AND ok_wordlen AND ok_stop AND ok_rep
+         |        THEN 1 ELSE 0 END)::BIGINT AS c4,
+         |    sum(CASE WHEN ok_len AND ok_wordlen AND ok_stop AND ok_rep
+         |        AND ok_uniq THEN 1 ELSE 0 END)::BIGINT AS c5
+         |  FROM fl)
+         |SELECT stage, ns AS n_surviving,
+         |  (CASE WHEN prev = 0 THEN 0
+         |        ELSE 10000 * (prev - ns) // prev END)::BIGINT AS drop_bp
+         |FROM (SELECT unnest(['1_all', '2_len', '3_wordlen', '4_stop',
+         |               '5_rep', '6_uniq']) AS stage,
+         |             unnest([c0, c1, c2, c3, c4, c5]) AS ns,
+         |             unnest([c0, c0, c1, c2, c3, c4]) AS prev
+         |      FROM c)
+         |ORDER BY stage""".stripMargin,
     "ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id, source, $ToksNE AS ts FROM documents),
          |g AS (SELECT doc_id, source,

@@ -256,6 +256,26 @@ class PipelineSpec extends SparkSuite {
     cases.foreach { case (id, _, exp) => assert(got(id) == exp, s"doc $id") }
   }
 
+  test("lang_id_agreement: accuracy and Cohen's kappa match a driver recompute") {
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), TextFns.langId(col("text")).as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toLong
+    val agree = rows.count(r => r._1 == r._2).toLong
+    val rm = rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cm = rows.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val src = rm.keys.map(k => rm(k) * cm.getOrElse(k, 0L)).sum
+    val expect = (n, agree, 10000L * agree / n,
+      1000000L * (agree * n - src) / (n * n - src))
+    val r = graft.queries.Pipeline.langIdAgreement(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == expect)
+    // the point of kappa: it is chance-corrected, so it must sit BELOW
+    // raw accuracy here (the marker heuristic is near chance level
+    // against the declared labels — kappa says so, accuracy hides it)
+    assert(r.getLong(3) < r.getLong(2) * 100,
+      "kappa_micro must fall below acc_bp on the chance-level heuristic")
+  }
+
   test("dedup_clusters_lsh equals the exact-Jaccard clusters on the oracle-able slice") {
     // dedup_clusters runs exact pairwise Jaccard on doc_id < 500 (the
     // DuckDB-feasible slice); the full-corpus LSH pipeline restricted to

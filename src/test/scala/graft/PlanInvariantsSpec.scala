@@ -116,6 +116,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "composes bm25's one-row corpus-stats broadcast + one-row DCG x IDCG cross",
     "decayed_revenue" -> "one-row max-day anchor scalar broadcast",
     "ams_f2" -> "one-row sketch-state x one-row exact-F2 cross",
+    "lang_id_agreement" ->
+      "one-row marginal-product scalar broadcast onto the one-row agreement",
     "mutual_knn" -> "bounded exact pair twin (vec_id<1000 both sides)",
   )
 

@@ -135,6 +135,40 @@ class QualitySpec extends SparkSuite {
     assert(est > exact / 4 && est < exact * 4)
   }
 
+  test("filter_funnel: cascade survival matches a plain-Scala replay of the battery order") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).split("[ \t\n\r]", -1).filter(_.nonEmpty))
+    case class F(len: Boolean, wl: Boolean, st: Boolean, rep: Boolean, un: Boolean)
+    val flags = docs.map { ts =>
+      val n = ts.length.toLong
+      val sumLen = ts.map(_.length.toLong).sum
+      val maxc = if (n == 0) 0L else ts.groupBy(identity).values.map(_.length).max.toLong
+      val nUniq = ts.distinct.length.toLong
+      val nStop = ts.count(t => t == "a" || t == "the").toLong
+      F(n >= 5 && n <= 100000,
+        10 * sumLen >= 30 * n && 10 * sumLen <= 100 * n,
+        50 * nStop >= n, 5 * maxc < n, 10 * nUniq >= n)
+    }
+    val ns = Seq(
+      flags.length.toLong,
+      flags.count(_.len).toLong,
+      flags.count(f => f.len && f.wl).toLong,
+      flags.count(f => f.len && f.wl && f.st).toLong,
+      flags.count(f => f.len && f.wl && f.st && f.rep).toLong,
+      flags.count(f => f.len && f.wl && f.st && f.rep && f.un).toLong)
+    val names = Seq("1_all", "2_len", "3_wordlen", "4_stop", "5_rep", "6_uniq")
+    val expect = names.zipWithIndex.map { case (nm, i) =>
+      val prev = if (i == 0) ns(0) else ns(i - 1)
+      (nm, ns(i), if (prev == 0) 0L else 10000L * (prev - ns(i)) / prev)
+    }
+    val got = Quality.filterFunnel(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // a funnel only narrows
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+  }
+
   test("ngram_novelty: first-occurrence shares match a plain-Scala recompute; dup docs read 0") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("source"), col("text")).collect()
