@@ -2299,6 +2299,60 @@ object Pipeline {
       .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
       .orderBy(col("doc_id"))
 
+  /** Split-stratification audit — the hygiene check that runs right
+    * after [[trainTestSplit]]: per metadata dimension (lang, source),
+    * each key's share WITHIN train vs WITHIN test, and the absolute
+    * delta in bp. A hash split is only valid for eval if the test
+    * slice is distributionally representative; a key whose share
+    * drifts (delta_bp large) biases every metric computed on the
+    * split. Shares are exact integer bp from two dimension-sized
+    * aggregates; the split rule is the single-sourced
+    * [[splitColumn]] hash — no RNG, so the audit is reproducible.
+    */
+  def splitBalance(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("lang"), col("source"),
+      splitColumn(col("doc_id")).as("split"))
+    def dim(name: String, c: String) = {
+      val counts = base.filter(col("split").isin("train", "test"))
+        .groupBy(col(c).as("key"), col("split")).agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy(col("split")).agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(tot), "split")
+        .select(lit(name).as("dim"), col("key"), col("split"),
+          expr("10000 * n div tot").as("share_bp"))
+        .groupBy(col("dim"), col("key"))
+        .agg(
+          coalesce(max(when(col("split") === "train", col("share_bp"))), lit(0L))
+            .as("train_bp"),
+          coalesce(max(when(col("split") === "test", col("share_bp"))), lit(0L))
+            .as("test_bp"))
+        .select(col("dim"), col("key"), col("train_bp"), col("test_bp"),
+          abs(col("train_bp") - col("test_bp")).as("delta_bp"))
+    }
+    dim("lang", "lang").union(dim("source", "source"))
+      .orderBy(col("dim"), col("key"))
+  }
+
+  /** Deterministic GROUP k-fold assignment, grouped by source — the
+    * leakage-aware cross-validation split (near-duplicates concentrate
+    * WITHIN sources — dup_rate_by_source measures exactly that — so a
+    * doc-level fold split leaks shared spans between train and held-out
+    * folds; putting each source wholly in one fold is the group-k-fold
+    * discipline that prevents it). fold = Knuth hash of the source
+    * string's djb2 (pure integer arithmetic, no RNG) mod 5; the report
+    * is the per-fold census a CV harness checks for balance before
+    * running. Dimension-sized aggregates only.
+    */
+  def kfoldAssign(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), size(Dedup.tokensNE(col("text"))).cast("long").as("nt"))
+      .withColumn("fold", pmod(pmod(TextFns.tokenHash31(col("source")),
+        lit(2147483647L)) * lit(2654435761L), lit(5L)))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        org.apache.spark.sql.functions.countDistinct(col("source"))
+          .as("n_sources"))
+      .orderBy(col("fold"))
+
   /** Quota sampling for corpus balancing: the top 5 documents per
     * predicted language by quality score — the custom heap-based
     * TopKPerGroup operator composed over the text-analysis functions
@@ -2335,6 +2389,8 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
     "train_test_split" -> trainTestSplit,
+    "split_balance" -> splitBalance,
+    "kfold_assign" -> kfoldAssign,
     "normalize_text" -> normalizeText,
     "curated_sample" -> curatedSample,
     "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
@@ -2833,6 +2889,38 @@ object Pipeline {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> root)
          |ORDER BY doc_id""".stripMargin,
+    "split_balance" ->
+      """WITH s AS (SELECT lang, source,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT lang, source,
+        |          ((doc_id % 2147483647) * 2654435761) % 100 AS b
+        |        FROM documents)),
+        |d AS (SELECT 'lang' AS dim, lang AS key, split FROM s
+        |      UNION ALL SELECT 'source', source, split FROM s),
+        |c AS (SELECT dim, key, split, count(*)::BIGINT AS n FROM d
+        |      WHERE split IN ('train', 'test') GROUP BY 1, 2, 3),
+        |t AS (SELECT dim, split, sum(n)::BIGINT AS tot FROM c GROUP BY 1, 2),
+        |sh AS (SELECT c.dim, c.key, c.split, (10000 * n // tot)::BIGINT AS bp
+        |       FROM c JOIN t ON c.dim = t.dim AND c.split = t.split)
+        |SELECT dim, key,
+        |  coalesce(max(CASE WHEN split = 'train' THEN bp END), 0)::BIGINT AS train_bp,
+        |  coalesce(max(CASE WHEN split = 'test' THEN bp END), 0)::BIGINT AS test_bp,
+        |  abs(coalesce(max(CASE WHEN split = 'train' THEN bp END), 0)
+        |    - coalesce(max(CASE WHEN split = 'test' THEN bp END), 0))::BIGINT AS delta_bp
+        |FROM sh GROUP BY 1, 2 ORDER BY dim, key""".stripMargin,
+    "kfold_assign" ->
+      s"""WITH t AS (SELECT source, len($ToksNE)::BIGINT AS nt FROM documents),
+         |f AS (SELECT source, nt,
+         |    ((list_reduce(list_prepend(5381::BIGINT,
+         |        list_transform(string_split(source, ''), c -> ord(c)::BIGINT)),
+         |        (a, b) -> (a * 33 + b) % 2147483648) % 2147483647)
+         |      * 2654435761) % 5 AS fold
+         |  FROM t)
+         |SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
+         |  sum(nt)::BIGINT AS n_tokens,
+         |  count(DISTINCT source)::BIGINT AS n_sources
+         |FROM f GROUP BY 1 ORDER BY fold""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'

@@ -1162,12 +1162,19 @@ object Quality {
     * corpus size — the HLL/MG/CMS mergeability discipline; E[Z²] = F2
     * exactly, which the spec checks on the fixture); the exact side
     * is the usual two-level count aggregate. All integers end to end.
+    * Sign extraction folds the hash through an ODD prime before the
+    * parity bit: the raw mod-2^31 djb2 parity collapses to the
+    * character-sum parity for every odd multiplier (a·m+b ≡ a+b mod 2
+    * and 2^31 is even), which would make all four "independent" rows
+    * the SAME estimator — a measured bug, fixed here; the odd-prime
+    * fold mixes every hash bit into the sign.
     */
   def amsF2(s: SparkSession, d: String): DataFrame = {
     val M = lit(2147483648L)
     def sign(t: org.apache.spark.sql.Column, seed: Long, mult: Long) =
       when(aggregate(split(t, ""), lit(seed),
-        (acc, ch) => (acc * mult + ascii(ch)) % M) % 2 === 0, lit(1L))
+        (acc, ch) => (acc * mult + ascii(ch)) % M)
+        % lit(1000000007L) % 2 === 0, lit(1L))
         .otherwise(lit(-1L))
     val toks = docs(s, d).select(explode(Dedup.tokensNE(col("text"))).as("t"))
     val zCols = CmsHashes.zipWithIndex.map { case ((s0, m), i) =>
@@ -1249,7 +1256,8 @@ object Quality {
          |sg AS (SELECT hp.row_id,
          |    CASE WHEN list_reduce(list_prepend(hp.seed::BIGINT,
          |       list_transform(string_split(t.tok, ''), c -> ord(c)::BIGINT)),
-         |       (a, b) -> (a * hp.mult + b) % 2147483648) % 2 = 0
+         |       (a, b) -> (a * hp.mult + b) % 2147483648)
+         |       % 1000000007 % 2 = 0
          |    THEN 1 ELSE -1 END AS s
          |  FROM t CROSS JOIN hp),
          |z AS (SELECT row_id, sum(s)::HUGEINT AS z FROM sg GROUP BY 1),

@@ -256,6 +256,59 @@ class PipelineSpec extends SparkSuite {
     cases.foreach { case (id, _, exp) => assert(got(id) == exp, s"doc $id") }
   }
 
+  test("split_balance: per-key train/test shares match a driver recompute") {
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def splitOf(id: Long): String = {
+      val b = (id % 2147483647L) * 2654435761L % 100L
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val tt = rows.map(r => (splitOf(r._1), r._2, r._3))
+      .filter(r => r._1 == "train" || r._1 == "test")
+    def dim(name: String, key: ((String, String, String)) => String) = {
+      val tot = tt.groupBy(_._1).map { case (s0, v) => s0 -> v.length.toLong }
+      tt.groupBy(r => (key(r), r._1)).map { case ((k, s0), v) =>
+        (k, s0) -> (10000L * v.length / tot(s0)) }
+    }
+    def table(name: String, key: ((String, String, String)) => String) = {
+      val sh = dim(name, key)
+      sh.keys.map(_._1).toSeq.distinct.sorted.map { k =>
+        val tr = sh.getOrElse((k, "train"), 0L)
+        val te = sh.getOrElse((k, "test"), 0L)
+        (name, k, tr, te, math.abs(tr - te))
+      }
+    }
+    val expect = table("lang", _._2) ++ table("source", _._3)
+    val got = graft.queries.Pipeline.splitBalance(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // the audit reads as balanced on the hash split (no key drifts by
+    // more than 10% absolute share)
+    assert(got.map(_._5).max < 1000L)
+  }
+
+  test("kfold_assign: group-by-source folds match a driver recompute and never split a source") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("[ \t\n\r]", -1).count(_.nonEmpty).toLong))
+    def foldOf(src: String): Long = {
+      val h = src.foldLeft(5381L)((a, c) => (a * 33 + c.toInt) % 2147483648L)
+      (h % 2147483647L) * 2654435761L % 5L
+    }
+    val expect = docs.groupBy(d => foldOf(d._1)).toSeq.sortBy(_._1)
+      .map { case (f, ds) =>
+        (f, ds.length.toLong, ds.map(_._2).sum, ds.map(_._1).distinct.length.toLong) }
+    val got = graft.queries.Pipeline.kfoldAssign(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // group integrity: every source sits in exactly one fold
+    assert(got.map(_._4).sum ==
+      docs.map(_._1).distinct.length.toLong)
+  }
+
   test("lang_id_agreement: accuracy and Cohen's kappa match a driver recompute") {
     val rows = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("lang"), TextFns.langId(col("text")).as("pred"))

@@ -118,7 +118,7 @@ class QualitySpec extends SparkSuite {
     val hashes = Seq((5381L, 33L), (4241L, 31L), (7919L, 37L), (104729L, 29L))
     def sign(t: String, seed: Long, mult: Long): Long = {
       val h = t.foldLeft(seed)((a, c) => (a * mult + c.toInt) % 2147483648L)
-      if (h % 2 == 0) 1L else -1L
+      if (h % 1000000007L % 2 == 0) 1L else -1L
     }
     val zs = hashes.map { case (s0, m) =>
       toks.foldLeft(0L)((a, t) => a + sign(t, s0, m)) }
@@ -133,6 +133,10 @@ class QualitySpec extends SparkSuite {
     // (Var[Z^2] <= 2*F2^2 per row; the 4-row mean stays within a small
     // constant factor on this fixture)
     assert(est > exact / 4 && est < exact * 4)
+    // the four rows are genuinely independent estimators (raw mod-2^31
+    // parity collapsed them all to the character-sum parity — the bug
+    // the odd-prime fold fixes)
+    assert(zs.distinct.size > 1, "sign rows must differ")
   }
 
   test("filter_funnel: cascade survival matches a plain-Scala replay of the battery order") {
