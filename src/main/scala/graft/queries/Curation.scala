@@ -629,6 +629,30 @@ object Curation {
         col("n_docs"), col("n_tokens"))
       .orderBy(col("bucket"))
 
+  /** Prefix-cache hit-rate estimate — the serving-cost report behind
+    * prompt/KV-prefix caching (a request whose leading tokens match an
+    * already-computed prefix reuses that KV state; the hit rate is the
+    * fraction of requests served from cache if each DISTINCT 32-token
+    * prefix is computed once): documents grouped by their exact
+    * 32-token prefix, cache_hits = Σ(group size − 1), hit_bp over all
+    * docs, plus the duplicate-prefix census. One hash aggregate on the
+    * prefix key + a bounded fold; exact integers. High hit rates here
+    * are the same planted-duplicate signal the dedup family measures —
+    * seen from the inference-cost side.
+    */
+  def prefixCacheHits(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(concat_ws(" ",
+        slice(Dedup.tokensNE(col("text")), 1, 32)).as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_prefixes"),
+        coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).as("n_shared_docs"),
+        coalesce(sum(when(col("n") > 1, col("n") - 1)), lit(0L)).as("cache_hits"))
+      .select(col("n_docs"), col("n_prefixes"), col("n_shared_docs"),
+        col("cache_hits"),
+        expr("10000 * cache_hits div n_docs").as("hit_bp"))
+
   /** NDCG@10 of the HYBRID (RRF-fused) ranking against lexically
     * graded relevance (Järvelin & Kekäläinen 2002) — the retrieval-
     * quality number that turns the repo's ranking stack into an
@@ -721,6 +745,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> dsirWeights,
     "retrieval_ndcg" -> retrievalNdcg,
+    "prefix_cache_hits" -> prefixCacheHits,
     "mixture_temperature" -> mixtureTemperature,
     "length_buckets" -> lengthBuckets,
     "span_masking" -> spanMasking,
@@ -772,6 +797,17 @@ object Curation {
        |        FROM sc GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "prefix_cache_hits" ->
+      s"""WITH p AS (SELECT coalesce(array_to_string(($ToksNE)[1:32], ' '), '')
+         |             AS prefix
+         |           FROM documents),
+         |g AS (SELECT prefix, count(*)::BIGINT AS n FROM p GROUP BY 1),
+         |a AS (SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_prefixes,
+         |    coalesce(sum(CASE WHEN n > 1 THEN n END), 0)::BIGINT AS n_shared_docs,
+         |    coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)::BIGINT AS cache_hits
+         |  FROM g)
+         |SELECT n_docs, n_prefixes, n_shared_docs, cache_hits,
+         |  (10000 * cache_hits // n_docs)::BIGINT AS hit_bp FROM a""".stripMargin,
     // reads this run's own hybrid_search dump ({OUT} substitution, the
     // ivf_recall pattern) so the fused ranking is single-sourced
     "retrieval_ndcg" ->

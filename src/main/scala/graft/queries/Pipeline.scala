@@ -1632,6 +1632,29 @@ object Pipeline {
           .otherwise(expr("10000 * n_caught div n_true")).as("recall_bp"))
   }
 
+  /** Candidate precision of the LSH banding — the other half of the
+    * [[lshRecall]] contract (recall says what the bands CATCH of the
+    * true ≥0.5 pairs; precision says what fraction of the generated
+    * candidates are worth verifying — it is the knob that prices the
+    * exact-verify stage: precision 2000 bp means 5× the verification
+    * work per true pair). Candidates restricted to the oracle-able
+    * doc_id < 500 slice (the ngram_jaccard twin domain) so the truth
+    * set is exact; published beside recall, the two numbers ARE the
+    * band-count/row-count tuning trade (more bands → recall up,
+    * precision down).
+    */
+  def lshPrecision(s: SparkSession, d: String): DataFrame = {
+    val exact = ngramJaccardPairs(s, d).select(col("id1"), col("id2"))
+    val cand = Dedup.minhashCandidates(docs(s, d))
+      .filter(col("id1") < 500 && col("id2") < 500)
+    val truePos = cand.join(exact, Seq("id1", "id2"), "left_semi")
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truePos.agg(count(lit(1)).as("n_true_pos")))
+      .select(col("n_cand"), col("n_true_pos"),
+        when(col("n_cand") === 0, lit(10000L))
+          .otherwise(expr("10000 * n_true_pos div n_cand")).as("precision_bp"))
+  }
+
   /** Same closure for the incremental gate: the asymmetric new-probes-old
     * band collisions (odd ids = incoming batch, even = corpus, as in
     * [[dedupIncrementalNear]]), recomputed by DuckDB as a parity-filtered
@@ -2413,6 +2436,7 @@ object Pipeline {
     "minhash_bands" -> minhashBands,
     "minhash_band_collisions" -> minhashBandCollisions,
     "lsh_recall" -> lshRecall,
+    "lsh_precision" -> lshPrecision,
     "minhash_incremental_collisions" -> minhashIncrementalCollisions,
     "dedup_simhash" -> dedupSimhash,
     "ngram_jaccard" -> ngramJaccard,
@@ -3533,6 +3557,17 @@ object Pipeline {
         |SELECT n_true, n_caught,
         |  (CASE WHEN n_true = 0 THEN 10000
         |        ELSE 10000 * n_caught // n_true END)::BIGINT AS recall_bp
+        |FROM ct, cc""".stripMargin,
+    "lsh_precision" ->
+      """WITH ex AS (SELECT id1, id2 FROM read_parquet('{OUT}/ngram_jaccard/*.parquet')),
+        |cd AS (SELECT id1, id2
+        |       FROM read_parquet('{OUT}/minhash_band_collisions/*.parquet')
+        |       WHERE id1 < 500 AND id2 < 500),
+        |ct AS (SELECT count(*)::BIGINT AS n_cand FROM cd),
+        |cc AS (SELECT count(*)::BIGINT AS n_true_pos FROM cd JOIN ex USING (id1, id2))
+        |SELECT n_cand, n_true_pos,
+        |  (CASE WHEN n_cand = 0 THEN 10000
+        |        ELSE 10000 * n_true_pos // n_cand END)::BIGINT AS precision_bp
         |FROM ct, cc""".stripMargin,
     "minhash_incremental_collisions" ->
       """WITH b AS (SELECT doc_id, band, bh

@@ -70,6 +70,25 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("prefix_cache_hits: census matches a driver recompute and the hit identity holds") {
+    val prefixes = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).split("[ \t\n\r]", -1).filter(_.nonEmpty)
+        .take(32).mkString(" "))
+    val groups = prefixes.groupBy(identity).values.map(_.length.toLong).toSeq
+    val nDocs = prefixes.length.toLong
+    val nPref = groups.size.toLong
+    val shared = groups.filter(_ > 1).sum
+    val hits = groups.filter(_ > 1).map(_ - 1).sum
+    val r = Curation.prefixCacheHits(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((nDocs, nPref, shared, hits, 10000L * hits / nDocs)))
+    // identity: hits are exactly the docs beyond one per distinct prefix
+    assert(r.getLong(3) == r.getLong(0) - r.getLong(1))
+    // the planted duplicates make the cache non-trivially useful
+    assert(r.getLong(3) > 0)
+  }
+
   test("retrieval_ndcg: DCG/IDCG match a driver recompute over the fused ranking") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()

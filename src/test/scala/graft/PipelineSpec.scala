@@ -256,6 +256,26 @@ class PipelineSpec extends SparkSuite {
     cases.foreach { case (id, _, exp) => assert(got(id) == exp, s"doc $id") }
   }
 
+  test("lsh_precision: agrees with lsh_recall's caught set and the candidate census") {
+    val p = graft.queries.Pipeline.lshPrecision(spark, sf0001).collect()(0)
+    val r = graft.queries.Pipeline.lshRecall(spark, sf0001).collect()(0)
+    // the two contracts share one intersection: every exact pair lives in
+    // the doc_id<500 slice, so recall's caught set IS precision's
+    // true-positive set
+    assert(p.getLong(1) == r.getLong(1),
+      "precision true-positives must equal recall's caught pairs")
+    assert(p.getLong(1) <= p.getLong(0))
+    // census: the slice-restricted candidates match the generator
+    val cand = graft.operators.Dedup.minhashCandidates(
+        graft.sources.Tables.documents(spark, sf0001))
+      .filter(col("id1") < 500 && col("id2") < 500).count()
+    assert(p.getLong(0) == cand)
+    // fixture read is PERFECT precision (non-dup pairs share ~no
+    // shingles, so 4-row bands cannot collide on them) — pin it so a
+    // banding change that starts paying false positives is visible
+    assert(p.getLong(2) == 10000L)
+  }
+
   test("split_balance: per-key train/test shares match a driver recompute") {
     val rows = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("lang"), col("source")).collect()

@@ -47,6 +47,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "hll_intersect" -> "one-row exact-count x one-row sketch-estimate join",
     "lsh_recall" ->
       "bounded ngram pair input (doc_id<500) + one-row x one-row count join",
+    "lsh_precision" ->
+      "bounded ngram pair input (doc_id<500) + one-row x one-row count join",
     "bigram_pmi" -> "one-row corpus-total scalar broadcast",
     "bm25" -> "one-row corpus-stats scalar broadcast",
     "cross_join_dims" -> "THE declared cross-join operator; both sides dimension tables",
