@@ -1041,6 +1041,30 @@ object Pipeline {
   def rpRecall(s: SparkSession, d: String): DataFrame =
     recallOf(embeddingTopk(s, d), rpTopk(s, d))
 
+  /** The ANN Pareto table — every lossy encoding's recall@20 contract
+    * and its storage cost in ONE frame (the decision table a serving
+    * deployment actually reads: raw floats are 256 B/vec; each row
+    * says what a cheaper encoding keeps of the true cosine top-20).
+    * Composes the existing per-method recall queries (their scan
+    * semantics stay single-sourced) and labels them with the physical
+    * bytes; [[quantizationError]] is the companion distortion view of
+    * the same ladder. The two-stage rows price the re-rank trick:
+    * same bytes scanned, +100 full-precision reads, recall restored.
+    */
+  def annPareto(s: SparkSession, d: String): DataFrame = {
+    val rows = Seq(
+      ("pq4", 4L, pqRecall(s, d)),
+      ("pq4_rerank", 4L, pqRerankRecall(s, d)),
+      ("bq8", 8L, bqRecall(s, d)),
+      ("bq8_rerank", 8L, bqRerankRecall(s, d)),
+      ("sq8_64", 64L, sq8Recall(s, d)),
+      ("rp16_128", 128L, rpRecall(s, d)))
+    rows.map { case (m, b, df) =>
+      df.select(lit(m).as("method"), lit(b).as("bytes_per_vec"),
+        col("recall_bp"))
+    }.reduce(_ union _).orderBy(col("method"))
+  }
+
   /** The byte-budget distortion table — mean squared reconstruction
     * error (exact integer micro², per vector) for every lossy encoding
     * the index stack ships: residual PQ (4 B/vec — error is the exact
@@ -2471,6 +2495,7 @@ object Pipeline {
     "rp_recall" -> rpRecall,
     "kcenter_coreset" -> kcenterCoreset,
     "quantization_error" -> quantizationError,
+    "ann_pareto" -> annPareto,
     "knn_label_consistency" -> knnLabelConsistency,
     "intrinsic_dim" -> intrinsicDim,
     "pca_power" -> pcaPower,
@@ -3074,6 +3099,23 @@ object Pipeline {
          |SELECT round::INT AS round, vec_id,
          |  radius::BIGINT AS radius_micro2
          |FROM cs7 ORDER BY round""".stripMargin,
+    // the Pareto table re-reads this run's own recall dumps — the
+    // ladder's contracts stay single-sourced
+    "ann_pareto" ->
+      """SELECT method, bytes_per_vec, recall_bp FROM (
+        |  SELECT 'pq4' AS method, 4::BIGINT AS bytes_per_vec, recall_bp
+        |  FROM read_parquet('{OUT}/pq_recall/*.parquet')
+        |  UNION ALL SELECT 'pq4_rerank', 4, recall_bp
+        |  FROM read_parquet('{OUT}/pq_rerank_recall/*.parquet')
+        |  UNION ALL SELECT 'bq8', 8, recall_bp
+        |  FROM read_parquet('{OUT}/bq_recall/*.parquet')
+        |  UNION ALL SELECT 'bq8_rerank', 8, recall_bp
+        |  FROM read_parquet('{OUT}/bq_rerank_recall/*.parquet')
+        |  UNION ALL SELECT 'sq8_64', 64, recall_bp
+        |  FROM read_parquet('{OUT}/sq8_recall/*.parquet')
+        |  UNION ALL SELECT 'rp16_128', 128, recall_bp
+        |  FROM read_parquet('{OUT}/rp_recall/*.parquet'))
+        |ORDER BY method""".stripMargin,
     // pq replayed from this run's own centroid/codebook/code dumps
     // ({OUT}); sq8/bq grids recomputed from the raw table
     "quantization_error" ->

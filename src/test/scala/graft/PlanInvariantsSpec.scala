@@ -87,6 +87,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "bq_rerank_recall" ->
       "composes embedding_topk/bq_rerank_topk's bounded broadcasts",
     "sq8_recall" -> "composes embedding_topk's one-row query-vector broadcast",
+    "ann_pareto" -> "union of the recall contracts' bounded one-row crosses",
     "knn_label_consistency" ->
       "bounded audit-batch broadcast (<=100 anchors via the vec_id cap)",
     "theil_sen" ->

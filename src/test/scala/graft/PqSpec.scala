@@ -441,6 +441,23 @@ class PqSpec extends SparkSuite {
       "top PC must explain more than an average axis")
   }
 
+  test("ann_pareto: table equals the individual recall contracts and re-rank never loses") {
+    val got = Pipeline.annPareto(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def bp(df: org.apache.spark.sql.DataFrame) = df.collect()(0).getLong(2)
+    val expect = Map(
+      "pq4" -> ((4L, bp(Pipeline.pqRecall(spark, sf0001)))),
+      "pq4_rerank" -> ((4L, bp(Pipeline.pqRerankRecall(spark, sf0001)))),
+      "bq8" -> ((8L, bp(Pipeline.bqRecall(spark, sf0001)))),
+      "bq8_rerank" -> ((8L, bp(Pipeline.bqRerankRecall(spark, sf0001)))),
+      "sq8_64" -> ((64L, bp(Pipeline.sq8Recall(spark, sf0001)))),
+      "rp16_128" -> ((128L, bp(Pipeline.rpRecall(spark, sf0001)))))
+    assert(got == expect)
+    // the re-rank rows must never fall below their raw-scan siblings
+    assert(got("pq4_rerank")._2 >= got("pq4")._2)
+    assert(got("bq8_rerank")._2 >= got("bq8")._2)
+  }
+
   test("quantization_error: three-method MSE table matches a plain-Scala recompute") {
     val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
       .map(r => r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
