@@ -672,6 +672,48 @@ object Insights {
           |AS gini_micro""".stripMargin)
   }
 
+  /** RFM customer segmentation — the classic commerce cohorting
+    * (Recency/Frequency/Monetary quartile codes, segment "444" = most
+    * recent + most frequent + highest spend): per customer, days since
+    * last order, order count, and total cents; each dimension quartile-
+    * coded 1–4 via the DISTRIBUTED AssignIds rank (range exchange —
+    * never a SinglePartition window; the quantile_transform posture ×3)
+    * under a total deterministic order (best first, custkey tie-break);
+    * segment = 100·R + 10·F + M. Output is the segment census with the
+    * exact average spend — the table a CRM campaign targets from. Three
+    * ranks + three co-partitioned joins on custkey + one bounded
+    * aggregate at any corpus size.
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+      expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max(col("day")).as("mx"))
+    val rfm = o.groupBy(col("ck")).agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("freq"), sum(col("cents")).as("mon"))
+      .crossJoin(broadcast(mx))
+      .select(col("ck"), (col("mx") - col("last_day")).as("rec"),
+        col("freq"), col("mon"))
+    val n = broadcast(rfm.groupBy().agg(count(lit(1)).as("nt")))
+    // best-first total orders; quartile 4 = best
+    def quart(name: String, ord: Seq[org.apache.spark.sql.Column]) =
+      graft.operators.AssignIds.byOrder(rfm, ord, "rn")
+        .crossJoin(n)
+        .selectExpr("ck", s"4 - ((rn - 1) * 4 div nt) AS q_$name")
+    val qr = quart("r", Seq(col("rec").asc, col("ck").asc))
+    val qf = quart("f", Seq(col("freq").desc, col("ck").asc))
+    val qm = quart("m", Seq(col("mon").desc, col("ck").asc))
+    rfm.join(qr, "ck").join(qf, "ck").join(qm, "ck")
+      .select((col("q_r") * 100 + col("q_f") * 10 + col("q_m")).as("segment"),
+        col("mon"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("mon")).as("total_cents"))
+      .select(col("segment").cast("long").as("segment"), col("n_customers"),
+        col("total_cents"),
+        expr("total_cents div n_customers").as("avg_cents"))
+      .orderBy(col("segment"))
+  }
+
   /** Rank-uniformizing quantile transform of customer spend — the
     * leakage-free ML preprocessing step (sklearn's QuantileTransformer
     * shape): each customer's total spend mapped to its empirical
@@ -923,6 +965,7 @@ object Insights {
     "ts_motif" -> tsMotif,
     "gini_spend" -> giniSpend,
     "quantile_transform" -> quantileTransform,
+    "rfm_segments" -> rfmSegments,
     "rolling_active_users" -> rollingActiveUsers,
     "benford_test" -> benfordTest,
     "weekday_index" -> weekdayIndex,
@@ -978,6 +1021,27 @@ object Insights {
         |f AS (SELECT l, b FROM r, nn WHERE r.i = nn.n)
         |SELECT h.h::BIGINT AS h, (l + h.h * b)::BIGINT AS forecast_cents
         |FROM f CROSS JOIN range(1, 8) h(h) ORDER BY h""".stripMargin,
+    "rfm_segments" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |m AS (SELECT max(day) AS mx FROM o),
+        |rfm AS (SELECT ck, mx - max(day) AS rec, count(*)::BIGINT AS freq,
+        |    sum(cents)::BIGINT AS mon
+        |  FROM o, m GROUP BY ck, mx),
+        |nt AS (SELECT count(*)::BIGINT AS nt FROM rfm),
+        |qr AS (SELECT ck, 4 - ((row_number() OVER (ORDER BY rec, ck) - 1) * 4
+        |         // nt) AS q_r FROM rfm, nt),
+        |qf AS (SELECT ck, 4 - ((row_number() OVER (ORDER BY freq DESC, ck) - 1)
+        |         * 4 // nt) AS q_f FROM rfm, nt),
+        |qm AS (SELECT ck, 4 - ((row_number() OVER (ORDER BY mon DESC, ck) - 1)
+        |         * 4 // nt) AS q_m FROM rfm, nt),
+        |seg AS (SELECT q_r * 100 + q_f * 10 + q_m AS segment, mon
+        |        FROM rfm JOIN qr USING (ck) JOIN qf USING (ck) JOIN qm USING (ck))
+        |SELECT segment::BIGINT AS segment, count(*)::BIGINT AS n_customers,
+        |  sum(mon)::BIGINT AS total_cents,
+        |  (sum(mon) // count(*))::BIGINT AS avg_cents
+        |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin,
     "haar_transform" ->
       s"""WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
          |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents

@@ -431,6 +431,35 @@ class InsightsSpec extends SparkSuite {
     got.foreach(t => assert(t._4 > 0.5 && t._4 < 2.0 && t._4 != 1.0))
   }
 
+  test("rfm_segments: quartile codes match a driver recompute and segments span the cube") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mx = orders.map(_._2).max
+    val rfm = orders.groupBy(_._1).map { case (ck, os) =>
+      (ck, mx - os.map(_._2).max, os.length.toLong, os.map(_._3).sum) }.toSeq
+    val nt = rfm.size.toLong
+    def codes(key: ((Long, Long, Long, Long)) => (Long, Long)): Map[Long, Long] =
+      rfm.sortBy(key).zipWithIndex
+        .map { case (r, i) => r._1 -> (4L - i.toLong * 4 / nt) }.toMap
+    val qr = codes(r => (r._2, r._1))
+    val qf = codes(r => (-r._3, r._1))
+    val qm = codes(r => (-r._4, r._1))
+    val expect = rfm.groupBy(r => qr(r._1) * 100 + qf(r._1) * 10 + qm(r._1))
+      .toSeq.sortBy(_._1).map { case (seg, rs) =>
+        val tot = rs.map(_._4).sum
+        (seg, rs.length.toLong, tot, tot / rs.length) }
+    val got = graft.queries.Insights.rfmSegments(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // quartile coding is balanced: each R-code holds ~nt/4 customers
+    val byR = expect.groupBy(_._1 / 100).map { case (q, xs) => q -> xs.map(_._2).sum }
+    byR.values.foreach(v => assert(math.abs(v - nt / 4) <= nt / 4 / 2 + 2))
+    // segments genuinely spread over the cube
+    assert(expect.size > 10)
+  }
+
   test("holt_forecast: integer Holt recurrences match a driver fold and extrapolate linearly") {
     val days = spark.read.parquet(s"$sf0001/orders.parquet")
       .selectExpr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day",

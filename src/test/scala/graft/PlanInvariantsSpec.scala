@@ -88,6 +88,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "composes embedding_topk/bq_rerank_topk's bounded broadcasts",
     "sq8_recall" -> "composes embedding_topk's one-row query-vector broadcast",
     "ann_pareto" -> "union of the recall contracts' bounded one-row crosses",
+    "rfm_segments" ->
+      "one-row max-day + one-row customer-count scalar broadcasts (x3 ranks)",
     "knn_label_consistency" ->
       "bounded audit-batch broadcast (<=100 anchors via the vec_id cap)",
     "theil_sen" ->
