@@ -1417,6 +1417,37 @@ object Pipeline {
       .orderBy(col("n_agree"), col("vec_id"))
   }
 
+  /** Embedding-space anisotropy (Ethayarajh 2019's diagnostic, exact):
+    * for near-unit vectors the expected cosine of a RANDOM pair is
+    * ≈ ‖μ‖²/E‖x‖² — a space where that ratio is high has all vectors
+    * crowded into a cone, which crushes cosine retrieval contrast (the
+    * reason embedding stacks monitor it and apply mean-centering /
+    * whitening before indexing; compare [[pcaPower]], which finds the
+    * cone's axis). Published as exact integers on the micro lattice:
+    * μ is the per-dim floor-average (kmeans convention), ‖μ‖² and the
+    * mean ‖x‖² are exact micro² (DECIMAL(38,0) accumulators), and the
+    * ratio is exact bp. One posexplode aggregate (64 bounded rows) +
+    * one map-only norm pass; two shuffles at any corpus size.
+    */
+  def embeddingAnisotropy(s: SparkSession, d: String): DataFrame = {
+    val q = Kmeans.quantized(Tables.embeddings(s, d))
+    val mu2 = q.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(expr("sx div n").as("m"))
+      .agg(sum((col("m") * col("m")).cast("decimal(38,0)")).as("mu2"))
+    val norms = q.select(expr(
+        "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT)," +
+          " (acc, e) -> acc + e)").as("n2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n2").cast("decimal(38,0)")).as("sn2"))
+    norms.crossJoin(broadcast(mu2))
+      .select(col("n_vecs"),
+        expr("CAST(mu2 AS BIGINT)").as("mu_norm2_micro2"),
+        expr("CAST(sn2 div n_vecs AS BIGINT)").as("mean_norm2_micro2"),
+        expr("CAST((10000 * mu2) div (sn2 div n_vecs) AS BIGINT)")
+          .as("anisotropy_bp"))
+  }
+
   /** Mutual nearest-neighbor pairs between the even/odd embedding
     * snapshots — the margin-free core of bitext/pair mining (Artetxe &
     * Schwenk 2019 mine parallel sentences as MUTUAL cross-lingual
@@ -2506,6 +2537,7 @@ object Pipeline {
     "embedding_drift" -> embeddingDrift,
     "mmd_drift" -> mmdDrift,
     "mutual_knn" -> mutualKnn,
+    "embedding_anisotropy" -> embeddingAnisotropy,
     "semantic_contamination" -> semanticContamination,
     "dedup_semantic" -> dedupSemantic,
     "embedding_neardup" -> embeddingNearDup,
@@ -3163,6 +3195,20 @@ object Pipeline {
         |    (sum(err) // count(*))::BIGINT FROM berr)
         |SELECT * FROM prow UNION ALL SELECT * FROM brow
         |UNION ALL SELECT * FROM srow ORDER BY method""".stripMargin,
+    "embedding_anisotropy" ->
+      """WITH e AS (SELECT list_transform(embedding,
+        |    x -> round(x::DOUBLE * 1000000)::BIGINT) AS v FROM embeddings),
+        |mu AS (SELECT t.i AS dim, sum(v[t.i]) // count(*) AS m
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+        |m2 AS (SELECT sum(m * m)::HUGEINT AS mu2 FROM mu),
+        |nr AS (SELECT count(*)::BIGINT AS n_vecs,
+        |    sum(list_reduce(list_transform(range(1, 65), j -> v[j] * v[j]),
+        |      (a, b) -> a + b))::HUGEINT AS sn2
+        |  FROM e)
+        |SELECT n_vecs, mu2::BIGINT AS mu_norm2_micro2,
+        |  (sn2 // n_vecs)::BIGINT AS mean_norm2_micro2,
+        |  ((10000 * mu2) // (sn2 // n_vecs))::BIGINT AS anisotropy_bp
+        |FROM nr, m2""".stripMargin,
     "mutual_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
         |p AS (SELECT a.vec_id AS x_id, b.vec_id AS y_id,

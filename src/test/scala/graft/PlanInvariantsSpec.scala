@@ -90,6 +90,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "ann_pareto" -> "union of the recall contracts' bounded one-row crosses",
     "rfm_segments" ->
       "one-row max-day + one-row customer-count scalar broadcasts (x3 ranks)",
+    "embedding_anisotropy" ->
+      "one-row mean-vector-norm scalar broadcast onto the one-row norm census",
     "knn_label_consistency" ->
       "bounded audit-batch broadcast (<=100 anchors via the vec_id cap)",
     "theil_sen" ->

@@ -540,6 +540,24 @@ class PqSpec extends SparkSuite {
     assert(got.map(_._2).distinct.size == got.size)
   }
 
+  test("embedding_anisotropy: exact ratio matches a driver recompute; fixture reads isotropic") {
+    val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => r.getSeq[Float](1).map(x => Math.round(x.toDouble * 1e6)).toArray)
+    val n = micro.length
+    val mu = Array.tabulate(64)(j => micro.map(_(j)).sum / n)
+    val mu2 = mu.map(m => BigInt(m) * m).sum
+    val sn2 = micro.map(v => BigInt(v.map(x => x * x).sum)).sum
+    val r = Pipeline.embeddingAnisotropy(spark, sf0001).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n.toLong, mu2.toLong, (sn2 / n).toLong,
+        (BigInt(10000) * mu2 / (sn2 / n)).toLong)))
+    // unit-norm vectors: mean squared norm sits at the 1e12 micro^2 unit
+    assert(math.abs(r.getLong(2) - 1000000000000L) < 2000000000L)
+    // the synthetic space is honestly ISOTROPIC (tiny mean vector): the
+    // diagnostic must say "no centering needed", not flatter itself
+    assert(r.getLong(3) < 500L)
+  }
+
   test("mmd_drift: linear-time estimator matches a driver recompute of the quadruple kernel") {
     val micro = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
       .map(r => r.getLong(0) ->
