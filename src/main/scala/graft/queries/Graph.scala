@@ -431,6 +431,45 @@ object Graph {
           .stripMargin)
   }
 
+  /** Local clustering-coefficient distribution of the co-purchase
+    * graph (Watts–Strogatz 1998): c_v = 2·T(v)/(deg_v(deg_v−1)) per
+    * node with deg ≥ 2, bucketed in tenths — the per-node companion of
+    * [[triangleCount]]'s global census (a global coefficient can hide
+    * a bimodal graph: cliques + a star average to the same number this
+    * histogram separates). Triangle MEMBERS come from the same
+    * degree-oriented edge-iterator ([[orientedEdges]]): at oriented
+    * edge (x, y), every z ∈ N⁺(x) ∩ N⁺(y) closes triangle {x, y, z},
+    * found exactly once; the intersection is exploded (identities,
+    * not just counts) and each triangle credits its three members.
+    * Exact integers end to end (bucket = (20·T) div (deg(deg−1));
+    * per-node c in micro, floor-averaged per bucket). Shuffle-bounded:
+    * the wedge join + one explode + two aggregates.
+    */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    val o = orientedEdges(s, d)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val oe = o.select(col("a.id").as("x"), col("b.id").as("y"))
+    val adj = oe.groupBy(col("x")).agg(sort_array(collect_list(col("y"))).as("ys"))
+    val tri = oe
+      .join(adj.select(col("x"), col("ys").as("xs")), Seq("x"))
+      .join(adj.select(col("x").as("y"), col("ys").as("ys2")), Seq("y"))
+      .select(col("x"), col("y"),
+        explode(array_intersect(col("xs"), col("ys2"))).as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("n"), "left").na.fill(0L, Seq("t"))
+      .select(expr("(20 * t) div (deg * (deg - 1))").as("bucket"),
+        expr("(2 * t * 1000000) div (deg * (deg - 1))").as("c_micro"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("sum(c_micro) div count(1)").as("avg_c_micro"))
+      .orderBy(col("bucket"))
+  }
+
   /** Generic k-core peeling over a symmetric (src, dst) edge list:
     * `rounds` synchronous rounds of "keep nodes with ≥ k surviving
     * neighbors". The k-core is the unique maximal subgraph where every
@@ -579,6 +618,7 @@ object Graph {
     "cosupply_neighbors" -> cosupplyNeighbors,
     "adamic_adar" -> adamicAdar,
     "hits_scores" -> hitsScores,
+    "clustering_coeff" -> clusteringCoeff,
     "triangle_count" -> triangleCount,
     "communities_lpa" -> communitiesLpa,
   )
@@ -822,6 +862,36 @@ object Graph {
         |r AS (SELECT *, row_number() OVER
         |        (PARTITION BY s1 ORDER BY jac_bp DESC, s2) AS rn FROM j)
         |SELECT s1, s2, common, jac_bp FROM r WHERE rn = 1 ORDER BY s1""".stripMargin,
+    "clustering_coeff" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |okc AS (SELECT ok FROM lp GROUP BY ok
+        |        HAVING count(*) > 1 AND count(*) <= 64),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM lp a JOIN okc USING (ok) JOIN lp b USING (ok)
+        |      WHERE a.pk < b.pk),
+        |deg AS (SELECT n, count(*)::BIGINT AS deg FROM
+        |          (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS x,
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS y,
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN du.deg ELSE dv.deg END AS xd,
+        |        CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS yd
+        |      FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |w AS (SELECT o1.x AS a, o1.y AS b, o2.y AS c
+        |      FROM o o1 JOIN o o2
+        |        ON o1.x = o2.x AND (o1.yd, o1.y) < (o2.yd, o2.y)),
+        |tl AS (SELECT a, b, c FROM w
+        |       WHERE EXISTS (SELECT 1 FROM o WHERE o.x = w.b AND o.y = w.c)),
+        |pn AS (SELECT n, count(*)::BIGINT AS t FROM
+        |         (SELECT unnest([a, b, c]) AS n FROM tl) GROUP BY 1),
+        |cc AS (SELECT deg.deg, coalesce(pn.t, 0)::BIGINT AS t
+        |       FROM deg LEFT JOIN pn USING (n) WHERE deg.deg >= 2),
+        |bk AS (SELECT (20 * t) // (deg * (deg - 1)) AS bucket,
+        |         (2 * t * 1000000) // (deg * (deg - 1)) AS c_micro FROM cc)
+        |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_nodes,
+        |  (sum(c_micro) // count(*))::BIGINT AS avg_c_micro
+        |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin,
     "triangle_count" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |okc AS (SELECT ok FROM lp GROUP BY ok

@@ -92,6 +92,35 @@ class GraphSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("clustering_coeff: bucket histogram matches a brute-force per-node census") {
+    val lp = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = lp.groupBy(_._1).values
+      .filter(v => v.length > 1 && v.length <= 64)
+      .flatMap { v =>
+        val ps = v.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val expect = adj.toSeq.filter(_._2.size >= 2).map { case (n, nb) =>
+      val ns = nb.toSeq
+      val t = (for (i <- ns.indices; j <- (i + 1) until ns.length
+        if edges.contains((math.min(ns(i), ns(j)), math.max(ns(i), ns(j)))))
+        yield 1).size.toLong
+      val deg = nb.size.toLong
+      ((20 * t) / (deg * (deg - 1)), (2 * t * 1000000L) / (deg * (deg - 1)))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.map(_._2).sum / xs.length) }
+    val got = graft.queries.Graph.clusteringCoeff(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the census covers every node of degree >= 2
+    assert(got.map(_._2).sum == adj.count(_._2.size >= 2).toLong)
+  }
+
   test("hits_scores: 3-round integer HITS matches a driver recompute") {
     val sp = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
