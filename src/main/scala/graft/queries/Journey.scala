@@ -335,6 +335,37 @@ object Journey {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** Per-state transition entropy — the predictability number on top
+    * of [[transitionMatrix]] (the matrix says WHERE users go next;
+    * H(next|cur) says how predictable that is: H ≈ 0 means a
+    * deterministic funnel step worth prefetching/caching, H near
+    * ln(k) means anything can happen). Same lead-window transition
+    * definition as the matrix (single-sourced semantics); per-(cur,
+    * next) terms −(c/n)·ln(c/n) are rounded ONCE to nano-nats from
+    * exact integer counts (the effective_sources discipline), summed
+    * exactly per state, with the effective branching factor e^H
+    * published in milli. One window + two dimension-sized aggregates.
+    */
+  def transitionEntropy(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val steps = ev(s, d)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("cur"), col("nxt"))
+    val counts = steps.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("cur")).agg(sum(col("c")).as("n"))
+    counts.join(totals, "cur")
+      .select(col("cur"), col("n"),
+        expr("CAST(round(-1e9 * (CAST(c AS DOUBLE) / n)" +
+          " * ln(CAST(c AS DOUBLE) / n)) AS BIGINT)").as("term"))
+      .groupBy(col("cur"), col("n"))
+      .agg(sum(col("term")).as("h_nano"))
+      .select(col("cur"), col("n").as("n_trans"), col("h_nano"),
+        expr("CAST(round(1000 * exp(CAST(h_nano AS DOUBLE) / 1e9)) AS BIGINT)")
+          .as("eff_branching_milli"))
+      .orderBy(col("cur"))
+  }
+
   // --- session path mining ----------------------------------------------
 
   /** Top-20 most common within-session event-type sequences (the
@@ -539,6 +570,7 @@ object Journey {
     "scd2_build" -> scd2Build,
     "scd2_lookup" -> scd2Lookup,
     "transition_matrix" -> transitionMatrix,
+    "transition_entropy" -> transitionEntropy,
     "attribution" -> attribution,
     "event_paths" -> eventPaths,
     "locf_fill" -> locfFill,
@@ -701,6 +733,22 @@ object Journey {
         |FROM f LEFT JOIN scd ON o_custkey = cust
         |  AND ship_day >= from_day AND (to_day IS NULL OR ship_day < to_day)
         |GROUP BY 1, 2 ORDER BY o_orderstatus, asof_st""".stripMargin,
+    "transition_entropy" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |st AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS nxt
+        |  FROM ev),
+        |c AS (SELECT cur, nxt, count(*)::BIGINT AS c FROM st WHERE nxt IS NOT NULL
+        |      GROUP BY 1, 2),
+        |t AS (SELECT cur, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+        |h AS (SELECT c.cur, t.n,
+        |        sum(CAST(round(-1e9 * (c.c::DOUBLE / t.n)
+        |          * ln(c.c::DOUBLE / t.n)) AS BIGINT))::BIGINT AS h_nano
+        |      FROM c JOIN t USING (cur) GROUP BY 1, 2)
+        |SELECT cur, n AS n_trans, h_nano,
+        |  CAST(round(1000 * exp(h_nano::DOUBLE / 1e9)) AS BIGINT)
+        |    AS eff_branching_milli
+        |FROM h ORDER BY cur""".stripMargin,
     "transition_matrix" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
         |st AS (SELECT event_type AS cur,

@@ -42,6 +42,26 @@ class Journey2Spec extends SparkSuite {
     }
   }
 
+  test("transition_entropy: nano-nat H matches a driver recompute from the matrix counts") {
+    val counts = Journey.transitionMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = counts.groupBy(_._1).toSeq.sortBy(_._1).map { case (cur, g) =>
+      val n = g.map(_._3).sum
+      val h = g.map { case (_, _, c) =>
+        math.round(-1e9 * (c.toDouble / n) * math.log(c.toDouble / n)) }.sum
+      (cur, n, h, math.round(1000 * math.exp(h.toDouble / 1e9)))
+    }
+    val got = Journey.transitionEntropy(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // entropy is bounded by the support: e^H can never exceed the number
+    // of observed next-states (equality only at the uniform matrix)
+    val support = counts.groupBy(_._1).map { case (k, g) => k -> g.length }
+    got.foreach { case (cur, _, _, eb) =>
+      assert(eb <= support(cur) * 1000L + 1,
+        s"$cur: effective branching must not exceed support") }
+  }
+
   test("neardup_knn: equals the window row_number formulation") {
     // independent formulation: exact Jaccard over string shingle sets +
     // window top-3 (the plan TopKPerGroup replaces at scale)
