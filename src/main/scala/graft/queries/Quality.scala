@@ -1018,6 +1018,41 @@ object Quality {
     }.toDF("stage", "n_surviving", "drop_bp").orderBy(col("stage"))
   }
 
+  /** Pairwise source-vocabulary overlap — the redundancy matrix at
+    * SOURCE granularity (source_dedup_matrix reports doc-level
+    * copying; this reports whether two sources even speak the same
+    * vocabulary — the signal that decides if they compete for the
+    * same mixture slot or cover different domains): exact Jaccard of
+    * the per-source distinct-token sets, in bp, for every source
+    * pair. Scale shape: the (token, source) distinct table is
+    * vocabulary-bounded; intersections come from ONE explode of each
+    * token's ≤|sources| sorted source list into ordered pairs (the
+    * dedup bucket posture — never a vocab×vocab self-join), unions
+    * via |A|+|B|−|A∩B| from the broadcast dimension-sized vocab
+    * sizes. Output is sources²/2 rows — dimension scale at any
+    * corpus size.
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ts = docs(s, d)
+      .select(col("source"), explode(Dedup.tokensNE(col("text"))).as("tok"))
+      .distinct()
+    val sizes = ts.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = ts.groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> transform(slice(ss, i + 2," +
+          " size(ss)), b -> struct(a AS s1, b AS s2))))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("nv").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("nv").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n_common"),
+        expr("10000 * n_common div (n1 + n2 - n_common)").as("jaccard_bp"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** Ingest-order n-gram novelty — the "what does this document ADD"
     * screen behind dedup-aware data valuation (a doc whose 8-grams all
     * appeared in earlier docs contributes nothing a memorizing model
@@ -1197,6 +1232,7 @@ object Quality {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ams_f2" -> amsF2,
     "filter_funnel" -> filterFunnel,
+    "source_overlap" -> sourceOverlap,
     "ngram_novelty" -> ngramNovelty,
     "topic_boundaries" -> topicBoundaries,
     "cms_estimate" -> cmsEstimate,
@@ -1295,6 +1331,19 @@ object Quality {
          |             unnest([c0, c0, c1, c2, c3, c4]) AS prev
          |      FROM c)
          |ORDER BY stage""".stripMargin,
+    "source_overlap" ->
+      s"""WITH ts AS (SELECT DISTINCT source, unnest($ToksNE) AS tok
+         |            FROM documents),
+         |sz AS (SELECT source, count(*)::BIGINT AS nv FROM ts GROUP BY 1),
+         |inter AS (SELECT a.source AS s1, b.source AS s2,
+         |    count(*)::BIGINT AS n_common
+         |  FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, n_common,
+         |  (10000 * n_common // (z1.nv + z2.nv - n_common))::BIGINT AS jaccard_bp
+         |FROM inter JOIN sz z1 ON z1.source = inter.s1
+         |JOIN sz z2 ON z2.source = inter.s2
+         |ORDER BY s1, s2""".stripMargin,
     "ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id, source, $ToksNE AS ts FROM documents),
          |g AS (SELECT doc_id, source,

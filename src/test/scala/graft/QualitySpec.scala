@@ -173,6 +173,28 @@ class QualitySpec extends SparkSuite {
     assert(got.map(_._2) == got.map(_._2).sorted.reverse)
   }
 
+  test("source_overlap: pairwise vocabulary Jaccard matches a plain-Scala recompute") {
+    val vocab = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+      .groupBy(_._1).map { case (src, ds) => src -> ds.flatMap(_._2).toSet }
+    val srcs = vocab.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+    } yield {
+      val (a, b) = (vocab(srcs(i)), vocab(srcs(j)))
+      val inter = a.intersect(b).size.toLong
+      (srcs(i), srcs(j), inter, 10000L * inter / (a.size + b.size - inter))
+    }).filter(_._3 > 0)
+    val got = Quality.sourceOverlap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // full upper-triangular census on this corpus (every source pair
+    // shares at least one token of the tiny common vocabulary)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2)
+  }
+
   test("ngram_novelty: first-occurrence shares match a plain-Scala recompute; dup docs read 0") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("source"), col("text")).collect()
