@@ -1018,6 +1018,39 @@ object Quality {
     }.toDF("stage", "n_surviving", "drop_bp").orderBy(col("stage"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-budget question made a
+    * table ("how big a vocabulary covers X% of the token mass?" — the
+    * number that sizes a word-level vocab and explains why subword
+    * tokenizers exist: the curve's tail IS the OOV problem): share of
+    * all token occurrences covered by the k most frequent types, for
+    * k on the power-of-2 ladder. Scale shape: one vocabulary count
+    * aggregate, the global frequency rank via the DISTRIBUTED
+    * AssignIds range exchange ((count desc, token) total order), and
+    * the bounded ~log₂|V|-row ladder fans out as a broadcast
+    * theta-join (the rich_club posture). Exact integers; zipf_fit
+    * models this same distribution, heaps_law its growth — this is
+    * the operational read. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val vc = docs(s, d)
+      .select(explode(Dedup.tokensNE(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.AssignIds.byOrder(vc,
+      Seq(col("c").desc, col("tok")), "rn")
+    val tot = vc.agg(sum(col("c")).as("total"), count(lit(1)).as("n_vocab"))
+    val ks = (0 to 9).map(1L << _)
+    val ladder = ks.foldLeft(Option.empty[DataFrame]) { (acc, k) =>
+      val row = ranked.filter(col("rn") <= k)
+        .agg(sum(col("c")).as("covered"))
+        .select(lit(k).as("k"), col("covered"))
+      Some(acc.map(_.union(row)).getOrElse(row))
+    }.get
+    ladder.crossJoin(broadcast(tot))
+      .select(col("k"), least(col("k"), col("n_vocab")).as("n_types"),
+        coalesce(col("covered"), lit(0L)).as("n_tokens_covered"),
+        expr("10000 * coalesce(covered, 0) div total").as("share_bp"))
+      .orderBy(col("k"))
+  }
+
   /** Pairwise source-vocabulary overlap — the redundancy matrix at
     * SOURCE granularity (source_dedup_matrix reports doc-level
     * copying; this reports whether two sources even speak the same
@@ -1233,6 +1266,7 @@ object Quality {
     "ams_f2" -> amsF2,
     "filter_funnel" -> filterFunnel,
     "source_overlap" -> sourceOverlap,
+    "vocab_coverage" -> vocabCoverage,
     "ngram_novelty" -> ngramNovelty,
     "topic_boundaries" -> topicBoundaries,
     "cms_estimate" -> cmsEstimate,
@@ -1331,6 +1365,19 @@ object Quality {
          |             unnest([c0, c0, c1, c2, c3, c4]) AS prev
          |      FROM c)
          |ORDER BY stage""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
+         |vc AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM vc),
+         |tot AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS n_vocab
+         |        FROM vc),
+         |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512])::BIGINT
+         |         AS k)
+         |SELECT k, least(k, n_vocab)::BIGINT AS n_types,
+         |  coalesce(sum(r.c), 0)::BIGINT AS n_tokens_covered,
+         |  (10000 * coalesce(sum(r.c), 0) // total)::BIGINT AS share_bp
+         |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rn <= ks.k
+         |GROUP BY k, n_vocab, total ORDER BY k""".stripMargin,
     "source_overlap" ->
       s"""WITH ts AS (SELECT DISTINCT source, unnest($ToksNE) AS tok
          |            FROM documents),

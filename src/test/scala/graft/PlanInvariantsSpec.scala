@@ -92,6 +92,8 @@ class PlanInvariantsSpec extends SparkSuite {
       "one-row max-day + one-row customer-count scalar broadcasts (x3 ranks)",
     "embedding_anisotropy" ->
       "one-row mean-vector-norm scalar broadcast onto the one-row norm census",
+    "vocab_coverage" ->
+      "bounded 10-row power-of-2 ladder + one-row total scalar broadcast",
     "knn_label_consistency" ->
       "bounded audit-batch broadcast (<=100 anchors via the vec_id cap)",
     "theil_sen" ->

@@ -173,6 +173,26 @@ class QualitySpec extends SparkSuite {
     assert(got.map(_._2) == got.map(_._2).sorted.reverse)
   }
 
+  test("vocab_coverage: power-of-2 ladder matches a plain-Scala recompute and saturates") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split("[ \t\n\r]", -1).filter(_.nonEmpty))
+    val counts = toks.groupBy(identity).toSeq
+      .map { case (t, v) => (t, v.length.toLong) }
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    val expect = (0 to 9).map(1L << _).map { k =>
+      val cov = counts.take(k.toInt).map(_._2).sum
+      (k, math.min(k, counts.size.toLong), cov, 10000L * cov / total)
+    }
+    val got = Quality.vocabCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // the curve is monotone and saturates at exactly the full mass
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    assert(got.last._4 == 10000L)
+  }
+
   test("source_overlap: pairwise vocabulary Jaccard matches a plain-Scala recompute") {
     val vocab = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"), col("text")).collect()
