@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_simhash64(array<long>)`  — 64-bit SimHash of element hashes
   *   - `graft_cosine(a, b)`            — cosine similarity of float arrays
   *   - `graft_sorted_intersect(a, b)`  — merge-loop intersect count
+  *   - `graft_sorted_intersect_elems(a, b)` — merge-loop intersect elements
   *   - `graft_counteq(arr, needle)`    — term frequency (count of equal elements)
   *   - `graft_toprun(sorted_arr)`      — longest run of a sorted array (mode/argmax)
   *   - `graft_morton(x, y)`            — Z-order bit interleave (ZOrder.morton2)
@@ -56,6 +57,9 @@ object GraftFunctions {
     "graft_cosine" -> arity("graft_cosine", 2)(es => CosineSimExpr(es.head, es(1))),
     "graft_sorted_intersect" ->
       arity("graft_sorted_intersect", 2)(es => SortedIntersectCountExpr(es.head, es(1))),
+    "graft_sorted_intersect_elems" ->
+      arity("graft_sorted_intersect_elems", 2)(
+        es => graft.functions.SortedIntersectExpr(es.head, es(1))),
     "graft_counteq" -> arity("graft_counteq", 2)(es => CountEqExpr(es.head, es(1))),
     "graft_toprun" -> arity("graft_toprun", 1)(es => graft.functions.TopRunExpr(es.head)),
     "graft_morton" ->

@@ -70,6 +70,30 @@ object SketchExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Intersection ELEMENTS of two sorted `array<long>` columns, as a
+    * sorted `array<long>` — the generator companion of
+    * [[sortedIntersectCount]] for when the identities matter (e.g.
+    * triangle membership credit). `array_intersect` computes the same
+    * multiset-free result but builds a per-row hash set; on id-sorted
+    * adjacency arrays one generated merge loop does it allocation-lean.
+    */
+  def sortedIntersect(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Per-edge triangle-credit rows for the local-clustering census, as
+    * ONE generated merge loop: for oriented edge (x, y) with sorted
+    * out-adjacencies xs/ys, returns
+    * `[(x, |xs∩ys|), (y, |xs∩ys|)] ++ [(z, 1) for z in xs∩ys]`
+    * (empty when the edge closes no triangle — explode then drops the
+    * row). Fusing the credit build into the intersect avoids
+    * materializing the intersection array and the interpreted
+    * per-element `transform` lambda that a compositional spelling pays
+    * on millions of edges.
+    */
+  def triCredits(x: Column, y: Column, xs: Column, ys: Column): Column =
+    Bridge.column(TriCreditsExpr(Bridge.expression(x), Bridge.expression(y),
+      Bridge.expression(xs), Bridge.expression(ys)))
+
   /** Nearest centroid of an `array<long>` vector against a constant
     * centroid table: struct(dist: bigint, cid: int) — exact integer
     * squared L2, ties to the smaller cid, the whole k×dims argmin as ONE
@@ -491,6 +515,148 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Merge-loop intersection of two SORTED `array<long>` columns, emitting
+  * the common elements as a sorted `array<long>`. Duplicate handling
+  * matches [[SortedIntersectCountExpr]] exactly (each matched pair
+  * advances both cursors), so `size(sortedIntersect(a, b)) ==
+  * sortedIntersectCount(a, b)` by construction. The output buffer is
+  * sized min(|a|, |b|) and trimmed once — no per-element boxing, no
+  * hash set (`array_intersect` allocates one per row).
+  */
+case class SortedIntersectExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with RequiresArrayOf {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def requiredElementType: DataType = LongType
+  override protected def typedChildren: Seq[Expression] = Seq(left, right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val buf = new Array[Long](math.min(x.numElements(), y.numElements()))
+    var i = 0; var j = 0; var n = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { buf(n) = xv; n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val buf = ctx.freshName("buf")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |long[] $buf = new long[Math.min($a.numElements(), $b.numElements())];
+         |int $i = 0; int $j = 0; int $n = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $buf[$n++] = $xv; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($buf, $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Triangle-credit generator (see [[SketchExprs.triCredits]]): one merge
+  * loop over two SORTED `array<long>` adjacencies emitting
+  * array<struct<n,t>> credit rows. Null-intolerant like the other
+  * merge-loop expressions: any null child yields null.
+  */
+case class TriCreditsExpr(x: Expression, y: Expression,
+    xs: Expression, ys: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with RequiresArrayOf {
+  override def first: Expression = x
+  override def second: Expression = y
+  override def third: Expression = xs
+  override def fourth: Expression = ys
+  override protected def requiredElementType: DataType = LongType
+  override protected def typedChildren: Seq[Expression] = Seq(xs, ys)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("t", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    super.checkInputDataTypes() match {
+      case f: TypeCheckResult.TypeCheckFailure => f
+      case _ if x.dataType != LongType || y.dataType != LongType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires bigint endpoints, got " +
+            s"${x.dataType.simpleString}/${y.dataType.simpleString}")
+      case ok => ok
+    }
+  }
+
+  override def nullSafeEval(xv: Any, yv: Any, xsv: Any, ysv: Any): Any = {
+    val a = xsv.asInstanceOf[ArrayData]
+    val b = ysv.asInstanceOf[ArrayData]
+    val buf = new Array[Long](math.min(a.numElements(), b.numElements()))
+    var i = 0; var j = 0; var n = 0
+    while (i < a.numElements() && j < b.numElements()) {
+      val av = a.getLong(i); val bv = b.getLong(j)
+      if (av == bv) { buf(n) = av; n += 1; i += 1; j += 1 }
+      else if (av < bv) i += 1
+      else j += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n + 2)
+    val cnt = n.toLong
+    out(0) = org.apache.spark.sql.catalyst.InternalRow(
+      xv.asInstanceOf[Long], cnt)
+    out(1) = org.apache.spark.sql.catalyst.InternalRow(
+      yv.asInstanceOf[Long], cnt)
+    var k = 0
+    while (k < n) {
+      out(k + 2) = org.apache.spark.sql.catalyst.InternalRow(buf(k), 1L)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xv, yv, a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val buf = ctx.freshName("buf")
+      val av = ctx.freshName("av"); val bv = ctx.freshName("bv")
+      val out = ctx.freshName("out"); val k = ctx.freshName("k")
+      val rowCls = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      val arrCls = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      s"""
+         |long[] $buf = new long[Math.min($a.numElements(), $b.numElements())];
+         |int $i = 0; int $j = 0; int $n = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $av = $a.getLong($i); long $bv = $b.getLong($j);
+         |  if ($av == $bv) { $buf[$n++] = $av; $i++; $j++; }
+         |  else if ($av < $bv) { $i++; } else { $j++; }
+         |}
+         |Object[] $out = new Object[$n == 0 ? 0 : $n + 2];
+         |if ($n > 0) {
+         |  $out[0] = new $rowCls(new Object[]{ java.lang.Long.valueOf($xv), java.lang.Long.valueOf($n) });
+         |  $out[1] = new $rowCls(new Object[]{ java.lang.Long.valueOf($yv), java.lang.Long.valueOf($n) });
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $out[$k + 2] = new $rowCls(new Object[]{ java.lang.Long.valueOf($buf[$k]), java.lang.Long.valueOf(1L) });
+         |  }
+         |}
+         |${ev.value} = new $arrCls($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): TriCreditsExpr =
+    copy(x = newFirst, y = newSecond, xs = newThird, ys = newFourth)
 }
 
 /** tf(needle, tokens): count of array elements byte-equal to `needle`

@@ -73,19 +73,34 @@ object Dedup {
     * its RDD sweep (they are not DfCache-protected), so only direct
     * library consumers need to call the sweep themselves.
     */
-  private val persistedTemps =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+  private val persistedTemps = new java.util.ArrayDeque[DataFrame]()
+
+  /** FIFO cap on the registry: direct library callers who never invoke
+    * [[sweepTemporaries]] must not accumulate cached bucket aggregates
+    * for the JVM lifetime, so registration past the cap evicts (and
+    * unpersists) the oldest entry. 8 live bucket aggregates comfortably
+    * covers every in-repo composition (the widest, ann_pareto, holds 3
+    * lazy pair frames at once); unpersisting an entry a janitor already
+    * swept is a no-op.
+    */
+  private val MaxTemps = 8
+
+  private def registerTemp(df: DataFrame): Unit = persistedTemps.synchronized {
+    persistedTemps.add(df)
+    while (persistedTemps.size > MaxTemps) {
+      try persistedTemps.poll().unpersist(blocking = false)
+      catch { case _: Exception => () }
+    }
+  }
 
   /** Unpersist every temporary this module has persisted. Safe to call
     * any time: a later re-invocation of the operator re-persists what it
     * needs (at worst the bucket aggregate recomputes once).
     */
-  def sweepTemporaries(): Unit = {
-    val it = persistedTemps.iterator()
-    while (it.hasNext) {
-      try it.next().unpersist(blocking = false)
+  def sweepTemporaries(): Unit = persistedTemps.synchronized {
+    while (!persistedTemps.isEmpty) {
+      try persistedTemps.poll().unpersist(blocking = false)
       catch { case _: Exception => () }
-      it.remove()
     }
   }
 
@@ -363,7 +378,7 @@ object Dedup {
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .persist()
-    persistedTemps.add(buckets)
+    registerTemp(buckets)
     val small = buckets.filter(size(col("ids")) <= giantBucketThreshold)
       .select(explode(pairsOf(col("ids"), Int.MaxValue)).as("p"))
       .select(col("p.id1"), col("p.id2"))

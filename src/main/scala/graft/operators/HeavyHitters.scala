@@ -92,28 +92,34 @@ object HeavyHitters {
     trim(rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap, k)
   }
 
-  /** Pass 2: exact counts of the broadcast candidate keys only, closed
-    * with the `count > N div k` threshold — the output is exactly the
-    * keys above threshold whenever `cands` is a superset of them
-    * (which both the batch MG pass and the maintained streaming summary
-    * guarantee).
+  /** Pass 2: exact counts of the broadcast candidate keys AND the total
+    * N in the same scan, closed with the `count > N div k` threshold —
+    * the output is exactly the keys above threshold whenever `cands` is
+    * a superset of them (which both the batch MG pass and the maintained
+    * streaming summary guarantee). The LEFT join keeps non-candidate
+    * rows in a single null-key group, so the grouped frame (≤ k+1 rows)
+    * carries both the per-candidate counts and, as its row-count sum,
+    * the exact N — one evaluation of `items`, not a separate total
+    * aggregate. The total is read back with an unpartitioned window over
+    * that k-bounded frame (bounded by declaration, like the rich_club
+    * ladder — never data-sized).
     */
   def verified(items: Dataset[String], cands: DataFrame, k: Int): DataFrame = {
-    val tot = items.toDF("x").agg(count(lit(1)).as("n"))
     items.toDF("item")
       .join(broadcast(cands.select(col("cand")).distinct()),
-        col("item") === col("cand"))
-      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(tot))
-      .filter(col("cnt") > expr(s"n div $k"))
-      .select(col("item"), col("cnt"))
+        col("item") === col("cand"), "left")
+      .groupBy(col("cand")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over())
+      .filter(col("cand").isNotNull && col("cnt") > expr(s"n div $k"))
+      .select(col("cand").as("item"), col("cnt"))
       .orderBy(col("item"))
   }
 
   /** The exact keys with count > N div k, computed at O(k)-bounded task
     * memory via the two-pass shape above. Output: (item, cnt), ordered
-    * by item. The input is evaluated twice (the declared cost of the
-    * shape); persist upstream if the stream is expensive to recompute.
+    * by item. The input is evaluated twice — the MG candidate pass and
+    * the count-and-total verify pass (the declared cost of the shape);
+    * persist upstream if the stream is expensive to recompute.
     */
   def topOver(items: Dataset[String], k: Int): DataFrame =
     verified(items, mgCandidates(items, k), k)

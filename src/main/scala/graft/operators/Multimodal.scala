@@ -95,6 +95,34 @@ object Multimodal {
       }
       b.array()
     }
+
+    /** Same image under a BITMAPV5 (124-byte DIB) header, bfOffBits =
+      * 138: byte-for-byte identical pixel stream at a different offset.
+      * The first 40 DIB bytes share BITMAPINFOHEADER's field layout
+      * (width 18, height 22, bpp 28), so every header-field guard reads
+      * the same values — only a codec that honors bfOffBits decodes the
+      * same pixels. Zero-filled V5 extension fields are valid BI_RGB.
+      */
+    def buildV5(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val rb = rowBytes(width)
+      val off = 14 + 124
+      val total = off + rb * height
+      val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(total).putInt(0).putInt(off)
+      b.putInt(124).putInt(width).putInt(height)
+        .putShort(1).putShort(24)
+        .putInt(0).putInt(rb * height)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      b.position(off) // allocate() zero-fills the V4/V5 extension fields
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < rb) { b.put(((x + y * 31 + seed) & 0xFF).toByte); x += 1 }
+        y += 1
+      }
+      b.array()
+    }
   }
 
   /** Real pure-JVM BMP-container decoder: validates each frame's magic,
@@ -319,13 +347,20 @@ object Multimodal {
       // hold (the WavFrameCodec per-chunk-overrun posture).
       require(w > 0 && h > 0 && w <= 32768 && h <= 32768 && bb.getShort(28) == 24,
         s"doc ${in.doc_id}: unsupported BMP ${w}x$h")
+      // Pixel base comes from bfOffBits (bytes 10-13), NOT a hardcoded
+      // 54: a 24-bit BMP with a BITMAPV4/V5 header passes every guard
+      // above but stores pixels past the longer header — hardcoding 54
+      // would silently hash header bytes as pixels.
+      val off = bb.getInt(10)
+      require(off >= 54 && off <= bytes.length,
+        s"doc ${in.doc_id}: bad BMP pixel offset $off")
       val rb = (w * 3 + 3) / 4 * 4
-      require(bytes.length >= 54L + rb.toLong * h,
+      require(bytes.length >= off.toLong + rb.toLong * h,
         s"doc ${in.doc_id}: truncated pixel data")
       for (py <- 0 until 4; px <- 0 until 4) yield {
         val sy = py * h / 4
         val sx = px * w / 4
-        val base = 54 + sy * rb + sx * 3
+        val base = off + sy * rb + sx * 3
         ThumbPixel(in.doc_id, px, py,
           bytes(base) & 0xFF, bytes(base + 1) & 0xFF, bytes(base + 2) & 0xFF)
       }
@@ -374,15 +409,20 @@ object Multimodal {
       val h = bb.getInt(22)
       require(w > 0 && h > 0 && w <= 32768 && h <= 32768 && bb.getShort(28) == 24,
         s"doc ${in.doc_id}: unsupported BMP ${w}x$h")
+      // bfOffBits-derived pixel base, same rationale as BmpThumbCodec:
+      // BITMAPV4/V5 headers put pixels past byte 54.
+      val off = bb.getInt(10)
+      require(off >= 54 && off <= bytes.length,
+        s"doc ${in.doc_id}: bad BMP pixel offset $off")
       val rb = (w * 3 + 3) / 4 * 4
-      require(bytes.length >= 54L + rb.toLong * h,
+      require(bytes.length >= off.toLong + rb.toLong * h,
         s"doc ${in.doc_id}: truncated pixel data")
       val gray = new Array[Long](64)
       var sum = 0L
       var i = 0
       while (i < 64) {
         val py = i / 8; val px = i % 8
-        val base = 54 + (py * h / 8) * rb + (px * w / 8) * 3
+        val base = off + (py * h / 8) * rb + (px * w / 8) * 3
         val g = (bytes(base) & 0xFF).toLong + (bytes(base + 1) & 0xFF) +
           (bytes(base + 2) & 0xFF)
         gray(i) = g; sum += g; i += 1

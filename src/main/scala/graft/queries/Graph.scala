@@ -340,6 +340,8 @@ object Graph {
 
   private val copurchaseCache = new graft.DfCache("graph.copurchase")
   private val orientedCache = new graft.DfCache("graph.oriented")
+  private val copurchaseDegCache = new graft.DfCache("graph.copurchasedeg")
+  private val outAdjCache = new graft.DfCache("graph.outadj")
 
   /** Distinct part–part co-purchase edge list (u < v: parts appearing
     * together in at least one order). Materialized graph artifact like
@@ -370,11 +372,39 @@ object Graph {
     * (Suri & Vassilvitskii, WWW'11). Persisted artifact: both the
     * wedge side and the closing side of [[triangleCount]] read it.
     */
+  /** Node degrees of the co-purchase graph — persisted artifact shared
+    * by the triangle family (census, per-node coefficients) and
+    * [[orientedEdges]]'s orientation pass: one union + groupBy over the
+    * persisted edge list, never recomputed per query.
+    */
+  def copurchaseDegrees(s: SparkSession, d: String): DataFrame =
+    copurchaseDegCache.getOrElseUpdate((s, d), {
+      val e = copurchaseEdges(s, d)
+      e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .persist()
+    })
+
+  /** Sorted out-adjacency of the degree-oriented edge list — the probe
+    * table both triangle queries broadcast: exactly one (node, sorted
+    * id array) row per out-degree-positive node, m longs total.
+    * Persisted artifact (the supplierPairAgg sharing pattern): the
+    * collect_list aggregate is the most expensive stage of the triangle
+    * family, and census + coefficient + any future motif query all read
+    * the identical table.
+    */
+  def outAdjacency(s: SparkSession, d: String): DataFrame =
+    outAdjCache.getOrElseUpdate((s, d), {
+      orientedEdges(s, d)
+        .select(col("a.id").as("x"), col("b.id").as("y"))
+        .groupBy(col("x")).agg(sort_array(collect_list(col("y"))).as("ys"))
+        .persist()
+    })
+
   def orientedEdges(s: SparkSession, d: String): DataFrame =
     orientedCache.getOrElseUpdate((s, d), {
       val e = copurchaseEdges(s, d)
-      val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val deg = copurchaseDegrees(s, d)
       val uFirst = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
       e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
@@ -408,10 +438,9 @@ object Graph {
   def triangleCount(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
     val o = orientedEdges(s, d)
-    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val deg = copurchaseDegrees(s, d)
     val oe = o.select(col("a.id").as("x"), col("b.id").as("y"))
-    val adj = oe.groupBy(col("x")).agg(sort_array(collect_list(col("y"))).as("ys"))
+    val adj = outAdjacency(s, d)
     val small = e.count() <= BroadcastEdgeLimit
     def side(df: DataFrame) = if (small) broadcast(df) else df
     val nTri = oe
@@ -442,24 +471,36 @@ object Graph {
     * found exactly once; the intersection is exploded (identities,
     * not just counts) and each triangle credits its three members.
     * Exact integers end to end (bucket = (20·T) div (deg(deg−1));
-    * per-node c in micro, floor-averaged per bucket). Shuffle-bounded:
-    * the wedge join + one explode + two aggregates.
+    * per-node c in micro, floor-averaged per bucket). Same physical
+    * posture as [[triangleCount]]: the m-long adjacency table rides
+    * both probe joins broadcast under [[BroadcastEdgeLimit]] (shuffle
+    * fallback above it), and the intersection elements come from the
+    * native sorted-merge generator
+    * [[graft.functions.SketchExprs.sortedIntersect]] over the
+    * id-sorted out-adjacency arrays — `array_intersect` builds a
+    * per-row hash set for arrays that are already sorted.
     */
   def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
     val o = orientedEdges(s, d)
-    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val deg = copurchaseDegrees(s, d)
     val oe = o.select(col("a.id").as("x"), col("b.id").as("y"))
-    val adj = oe.groupBy(col("x")).agg(sort_array(collect_list(col("y"))).as("ys"))
-    val tri = oe
-      .join(adj.select(col("x"), col("ys").as("xs")), Seq("x"))
-      .join(adj.select(col("x").as("y"), col("ys").as("ys2")), Seq("y"))
-      .select(col("x"), col("y"),
-        explode(array_intersect(col("xs"), col("ys2"))).as("z"))
-    val perNode = tri
-      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    val adj = outAdjacency(s, d)
+    val small = e.count() <= BroadcastEdgeLimit
+    def side(df: DataFrame) = if (small) broadcast(df) else df
+    // ONE explode of fused credit structs: at oriented edge (x, y),
+    // x and y each earn |N⁺(x)∩N⁺(y)| (every triangle this edge
+    // closes), each closing z earns 1 — T + 2·E' credit rows instead of
+    // 3·T exploded member rows, and the whole intersect→credit build is
+    // one generated merge loop ([[SketchExprs.triCredits]]; the
+    // compositional array_intersect/transform spelling interprets a
+    // lambda per element across millions of edges)
+    val perNode = oe
+      .join(side(adj.select(col("x"), col("ys").as("xs"))), Seq("x"))
+      .join(side(adj.select(col("x").as("y"), col("ys").as("ys2"))), Seq("y"))
+      .select(explode(graft.functions.SketchExprs
+        .triCredits(col("x"), col("y"), col("xs"), col("ys2"))).as("c"))
+      .groupBy(col("c.n").as("n")).agg(sum(col("c.t")).as("t"))
     deg.filter(col("deg") >= 2)
       .join(perNode, Seq("n"), "left").na.fill(0L, Seq("t"))
       .select(expr("(20 * t) div (deg * (deg - 1))").as("bucket"),

@@ -1802,14 +1802,21 @@ object Pipeline {
     val marg = conf.agg(
       sum(col("c")).as("n"),
       sum(when(col("lang") === col("pred"), col("c")).otherwise(0L)).as("agree"))
+    // DECIMAL(38,0) promotion (the q1_pricing/kmeans_profile posture):
+    // per-cell r·cl and agree·n overflow int64 near ~3e9 docs, where
+    // Spark would silently wrap while DuckDB raises — promote the
+    // products so both engines stay exact; `div` lands back on BIGINT.
     val rc = conf.groupBy(col("lang")).agg(sum(col("c")).as("r"))
       .join(conf.groupBy(col("pred")).agg(sum(col("c")).as("cl")),
         col("lang") === col("pred"))
-      .agg(coalesce(sum(col("r") * col("cl")), lit(0L)).as("src"))
+      .agg(coalesce(sum(expr("CAST(r AS DECIMAL(38,0)) * cl")),
+        lit(0L).cast("decimal(38,0)")).as("src"))
     marg.crossJoin(broadcast(rc))
       .select(col("n"), col("agree"),
-        expr("10000 * agree div n").as("acc_bp"),
-        expr("1000000 * (agree * n - src) div (n * n - src)").as("kappa_micro"))
+        expr("(10000 * CAST(agree AS DECIMAL(38,0))) div n").as("acc_bp"),
+        expr("""(1000000 * (CAST(agree AS DECIMAL(38,0)) * n - src))
+          | div (CAST(n AS DECIMAL(38,0)) * n - src)""".stripMargin)
+          .as("kappa_micro"))
   }
 
   /** Heuristic quality score in [0,1]. */
@@ -3801,10 +3808,11 @@ object Pipeline {
          |  FROM conf),
          |rm AS (SELECT lang AS k, sum(c)::BIGINT AS r FROM conf GROUP BY 1),
          |cm AS (SELECT pred AS k, sum(c)::BIGINT AS cl FROM conf GROUP BY 1),
-         |rc AS (SELECT coalesce(sum(r * cl), 0)::BIGINT AS src
+         |rc AS (SELECT coalesce(sum(r::HUGEINT * cl), 0)::HUGEINT AS src
          |       FROM rm JOIN cm USING (k))
-         |SELECT n, agree, (10000 * agree // n)::BIGINT AS acc_bp,
-         |  (1000000 * (agree * n - src) // (n * n - src))::BIGINT AS kappa_micro
+         |SELECT n, agree, (10000 * agree::HUGEINT // n)::BIGINT AS acc_bp,
+         |  (1000000 * (agree::HUGEINT * n - src)
+         |   // (n::HUGEINT * n - src))::BIGINT AS kappa_micro
          |FROM marg, rc""".stripMargin,
     "quality_score" -> QualityOracle,
     "curated_sample" ->

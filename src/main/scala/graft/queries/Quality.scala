@@ -1031,19 +1031,22 @@ object Quality {
     * models this same distribution, heaps_law its growth — this is
     * the operational read. */
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val vc = docs(s, d)
       .select(explode(Dedup.tokensNE(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val ranked = graft.operators.AssignIds.byOrder(vc,
       Seq(col("c").desc, col("tok")), "rn")
     val tot = vc.agg(sum(col("c")).as("total"), count(lit(1)).as("n_vocab"))
-    val ks = (0 to 9).map(1L << _)
-    val ladder = ks.foldLeft(Option.empty[DataFrame]) { (acc, k) =>
-      val row = ranked.filter(col("rn") <= k)
-        .agg(sum(col("c")).as("covered"))
-        .select(lit(k).as("k"), col("covered"))
-      Some(acc.map(_.union(row)).getOrElse(row))
-    }.get
+    // ONE broadcast theta-join over the ranked table (the rich_club
+    // ladder idiom): each rank row fans out to every cutoff it covers,
+    // so the AssignIds range-exchange subtree evaluates once — a
+    // per-cutoff union of aggregates would re-run it |ladder| times.
+    // rn starts at 1, so every k >= 1 keeps >= 1 row on a non-empty
+    // vocabulary and the group-by never drops a ladder rung.
+    val ks = broadcast((0 to 9).map(1L << _).toDF("k"))
+    val ladder = ranked.join(ks, col("rn") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("c")).as("covered"))
     ladder.crossJoin(broadcast(tot))
       .select(col("k"), least(col("k"), col("n_vocab")).as("n_types"),
         coalesce(col("covered"), lit(0L)).as("n_tokens_covered"),

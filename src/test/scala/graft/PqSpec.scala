@@ -889,6 +889,14 @@ class PqSpec extends SparkSuite {
     // corrupted magic must throw, not fabricate pixels
     val bad = bytes.clone(); bad(0) = 'X'.toByte
     intercept[IllegalArgumentException](codec.thumb(MediaIn(2L, bad)))
+    // BITMAPV5 header (bfOffBits=138): same image, longer header — the
+    // codec must honor bfOffBits, not hash header bytes as pixels
+    assert(codec.thumb(MediaIn(7L, BmpFile.buildV5(w, h, seed))) == px)
+    // a lying pixel offset (past the buffer) must throw, not read junk
+    val lied = bytes.clone()
+    java.nio.ByteBuffer.wrap(lied).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, bytes.length + 1)
+    intercept[IllegalArgumentException](codec.thumb(MediaIn(3L, lied)))
   }
 
   test("image_phash: aHash bits come from the real decoded gray grid") {
@@ -918,6 +926,10 @@ class PqSpec extends SparkSuite {
     // corrupted magic must throw, not fabricate a hash
     val bad = BmpFile.build(w, h, seed); bad(0) = 'X'.toByte
     intercept[IllegalArgumentException](codec.ahash(MediaIn(9L, bad)))
+    // BITMAPV5 header: identical pixels at bfOffBits=138 must hash
+    // identically (the offset-honoring contract, thumbnail sibling)
+    val r5 = codec.ahash(MediaIn(7L, BmpFile.buildV5(w, h, seed)))
+    assert(r5 == r)
   }
 
   test("audio frame energies come from the decoded PCM stream") {

@@ -610,6 +610,13 @@ class ScaleSpec extends SparkSuite {
     // any wedge-sized stream exists because none is materialized
     val tc = planOf("triangle_count")
     assert(tc.contains("BroadcastHashJoin"), tc.take(1200))
+    // clustering_coeff shares the posture: both adjacency probes ride
+    // the measured BroadcastEdgeLimit gate, and triangle identities
+    // come from the native sorted-merge generator, not array_intersect
+    val cc = planOf("clustering_coeff")
+    assert("BroadcastHashJoin".r.findAllIn(cc).size >= 2, cc.take(1500))
+    assert(!cc.contains("array_intersect") && cc.contains("tricreditsexpr"),
+      cc.take(1500))
     // cosupply: the dimension-sized degree table broadcasts on BOTH
     // probe joins (the AQE small-SF misestimate is overridden)
     assert("BroadcastHashJoin".r.findAllIn(planOf("cosupply_neighbors")).size >= 2,

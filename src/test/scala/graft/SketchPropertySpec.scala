@@ -91,6 +91,39 @@ class SketchPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sorted-intersect elements equal the sorted set intersection, " +
+      "and size agrees with the count expression") {
+    check("isect-elems")(Prop.forAll(Gen.listOf(anyLong), Gen.listOf(anyLong)) {
+      (xs, ys) =>
+        val (sa, sb) = (xs.toSet, ys.toSet)
+        val got = SortedIntersectExpr(arrLit(sa.toSeq.sorted), arrLit(sb.toSeq.sorted))
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+        got == (sa & sb).toSeq.sorted && got.size ==
+          SortedIntersectCountExpr(arrLit(sa.toSeq.sorted), arrLit(sb.toSeq.sorted))
+            .eval(null).asInstanceOf[Int]
+    })
+  }
+
+  test("tri-credits emits (x,|∩|),(y,|∩|) then (z,1) per intersection element") {
+    check("tri-credits")(Prop.forAll(
+      anyLong, anyLong, Gen.listOf(anyLong), Gen.listOf(anyLong)) {
+      (x, y, xs, ys) =>
+        val (sa, sb) = (xs.toSet, ys.toSet)
+        val inter = (sa & sb).toSeq.sorted
+        val got = TriCreditsExpr(Literal(x), Literal(y),
+            arrLit(sa.toSeq.sorted), arrLit(sb.toSeq.sorted))
+          .eval(null).asInstanceOf[ArrayData]
+        val rows = (0 until got.numElements()).map { i =>
+          val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+        }
+        val want =
+          if (inter.isEmpty) Seq.empty
+          else Seq((x, inter.size.toLong), (y, inter.size.toLong)) ++
+            inter.map(z => (z, 1L))
+        rows == want
+    })
+  }
+
   // --- nearest centroid -------------------------------------------------
   test("nearest-centroid equals the brute-force argmin with (dist, cid) ties") {
     val gen = for {
