@@ -14,7 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_simhash64(array<long>)`  — 64-bit SimHash of element hashes
   *   - `graft_cosine(a, b)`            — cosine similarity of float arrays
   *   - `graft_sorted_intersect(a, b)`  — merge-loop intersect count
-  *   - `graft_sorted_intersect_elems(a, b)` — merge-loop intersect elements
+  *   - `graft_sorted_intersect_elems(a, b)` — merge-loop intersect elements.
+  *     NOT a drop-in `array_intersect`: both inputs must be SORTED
+  *     ascending (unsorted arrays silently miss matches), and duplicates
+  *     are emitted once per matched pair (set-semantics inputs assumed —
+  *     no output dedup). Same preconditions for the count variant.
   *   - `graft_counteq(arr, needle)`    — term frequency (count of equal elements)
   *   - `graft_toprun(sorted_arr)`      — longest run of a sorted array (mode/argmax)
   *   - `graft_morton(x, y)`            — Z-order bit interleave (ZOrder.morton2)

@@ -350,10 +350,15 @@ object Multimodal {
       // Pixel base comes from bfOffBits (bytes 10-13), NOT a hardcoded
       // 54: a 24-bit BMP with a BITMAPV4/V5 header passes every guard
       // above but stores pixels past the longer header — hardcoding 54
-      // would silently hash header bytes as pixels.
+      // would silently hash header bytes as pixels. Cross-check against
+      // the declared DIB header size (bytes 14-17): a file declaring a
+      // 124-byte V5 header but lying with bfOffBits=60 would otherwise
+      // pass and hash header-extension bytes as pixels. The truncation
+      // require below bounds the upper extent.
       val off = bb.getInt(10)
-      require(off >= 54 && off <= bytes.length,
-        s"doc ${in.doc_id}: bad BMP pixel offset $off")
+      val dib = bb.getInt(14)
+      require(dib >= 40 && off >= 14 + dib,
+        s"doc ${in.doc_id}: bad BMP pixel offset $off (DIB $dib)")
       val rb = (w * 3 + 3) / 4 * 4
       require(bytes.length >= off.toLong + rb.toLong * h,
         s"doc ${in.doc_id}: truncated pixel data")
@@ -409,11 +414,14 @@ object Multimodal {
       val h = bb.getInt(22)
       require(w > 0 && h > 0 && w <= 32768 && h <= 32768 && bb.getShort(28) == 24,
         s"doc ${in.doc_id}: unsupported BMP ${w}x$h")
-      // bfOffBits-derived pixel base, same rationale as BmpThumbCodec:
-      // BITMAPV4/V5 headers put pixels past byte 54.
+      // bfOffBits-derived pixel base cross-checked against the declared
+      // DIB header size, same rationale as BmpThumbCodec: BITMAPV4/V5
+      // headers put pixels past byte 54, and a lying bfOffBits below
+      // 14 + DIB would hash header-extension bytes as pixels.
       val off = bb.getInt(10)
-      require(off >= 54 && off <= bytes.length,
-        s"doc ${in.doc_id}: bad BMP pixel offset $off")
+      val dib = bb.getInt(14)
+      require(dib >= 40 && off >= 14 + dib,
+        s"doc ${in.doc_id}: bad BMP pixel offset $off (DIB $dib)")
       val rb = (w * 3 + 3) / 4 * 4
       require(bytes.length >= off.toLong + rb.toLong * h,
         s"doc ${in.doc_id}: truncated pixel data")
@@ -523,6 +531,219 @@ object Multimodal {
     audioPayloads(spark, docs).mapPartitions { it =>
       val codec = new WavFrameCodec
       it.flatMap(codec.frames)
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // JPEG/PNG via the JDK's javax.imageio — the formats a real image
+  // corpus actually ships. The pure-JVM BMP path above stays as the
+  // byte-independence contract (its reader shares zero code with its
+  // builder); this path swaps the decoder behind the same seam, which
+  // is exactly the production move the MediaCodec scaladoc promises.
+  // --------------------------------------------------------------------
+
+  /** Deterministic-pixel image builder for the ImageIO path: the SAME
+    * planted arithmetic as [[BmpFile.build]]'s frame 0 — pixel (x, y)
+    * carries b = (3x + 31y + seed) mod 256, g = +1, r = +2 with y the
+    * decoder's top-down row — so the existing `image_thumb` /
+    * `image_phash` oracle SQL applies verbatim to the PNG payloads
+    * (PNG is lossless; every decoder returns the planted bytes
+    * exactly). JPEG is lossy, so JPEG payloads back only the metadata
+    * query and the near-tolerance specs, never an exact pixel oracle.
+    */
+  object ImageIoFile {
+    private def plant(width: Int, height: Int, seed: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val base = x * 3 + y * 31 + seed
+          val b = (base & 0xFF).toInt
+          val g = ((base + 1) & 0xFF).toInt
+          val r = ((base + 2) & 0xFF).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def buildPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(plant(width, height, seed), "png", baos)
+      baos.toByteArray
+    }
+
+    /** Max-quality, no-chroma-subsampling JPEG of the planted image —
+      * still lossy (DCT rounding), which is why JPEG payloads never sit
+      * behind an exact pixel oracle.
+      */
+    def buildJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(1.0f)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(plant(width, height, seed), null, null), params)
+      } finally { ios.close(); writer.dispose() }
+      baos.toByteArray
+    }
+  }
+
+  /** Decoded geometry + container format of an ImageIO payload. */
+  case class ImageMeta(doc_id: Long, format: String, w: Int, h: Int)
+
+  /** JPEG/PNG decoder behind the MediaCodec seam, built on the JDK's
+    * javax.imageio (present in every JRE — zero added dependencies,
+    * works offline and headless). Format is sniffed from the payload
+    * MAGIC (PNG `89 50 4E 47`, JPEG `FF D8 FF`), never from
+    * side-channel metadata; anything else — including truncated or
+    * bit-flipped streams ImageIO refuses — throws, because a decode
+    * stage must fail loudly, not fabricate pixels. Decode is per-record
+    * on the executor inside `mapPartitions` (codec constructed once per
+    * partition; `ImageIO.setUseCache(false)` keeps the JDK from
+    * spilling every decode through a temp FILE — the default disk
+    * cache would serialize executor threads on tmpdir I/O).
+    */
+  final class ImageIoCodec extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def sniff(bytes: Array[Byte]): String =
+      if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'
+        && bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF
+        && (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) "jpeg"
+      else throw new IllegalArgumentException(
+        s"unrecognized image magic (${bytes.take(4).map(b => f"$b%02x").mkString(" ")})")
+
+    def decode(in: MediaIn): (String, java.awt.image.BufferedImage) = {
+      val fmt = sniff(in.media)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(in.media))
+        catch { // ImageIO throws IIOException/IndexOOB on torn streams
+          case e: Exception => throw new IllegalArgumentException(
+            s"doc ${in.doc_id}: corrupt $fmt payload", e)
+        }
+      require(img != null, s"doc ${in.doc_id}: undecodable $fmt payload")
+      (fmt, img)
+    }
+
+    def meta(in: MediaIn): ImageMeta = {
+      val (fmt, img) = decode(in)
+      ImageMeta(in.doc_id, fmt, img.getWidth, img.getHeight)
+    }
+
+    /** 4×4 nearest-neighbor thumbnail — the [[BmpThumbCodec]] sampler
+      * (floor-scaled source coordinates) over the decoded raster.
+      */
+    def thumb(in: MediaIn): Seq[ThumbPixel] = {
+      val (_, img) = decode(in)
+      val w = img.getWidth; val h = img.getHeight
+      for (py <- 0 until 4; px <- 0 until 4) yield {
+        val rgb = img.getRGB(px * w / 4, py * h / 4)
+        ThumbPixel(in.doc_id, px, py, rgb & 0xFF, (rgb >> 8) & 0xFF, (rgb >> 16) & 0xFF)
+      }
+    }
+
+    /** 64-bit perceptual average-hash — the [[BmpAHashCodec]] grid and
+      * bit-packing over the decoded raster.
+      */
+    def ahash(in: MediaIn): ImageHash = {
+      val (_, img) = decode(in)
+      val w = img.getWidth; val h = img.getHeight
+      val gray = new Array[Long](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+        val g = ((rgb & 0xFF) + ((rgb >> 8) & 0xFF) + ((rgb >> 16) & 0xFF)).toLong
+        gray(i) = g; sum += g; i += 1
+      }
+      val mean = sum / 64
+      var lo = 0L; var hi = 0L
+      i = 0
+      while (i < 64) {
+        if (gray(i) > mean) {
+          if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+        }
+        i += 1
+      }
+      ImageHash(in.doc_id, w, h, mean, lo, hi)
+    }
+  }
+
+  /** PNG payload per doc — the [[payloads]] geometry (w 4-15, h 4-14,
+    * seed doc_id*31: frame 0's planted arithmetic) through the JDK PNG
+    * encoder. Single-frame on purpose: PNG has no container framing.
+    */
+  def pngPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaIn] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), octet_length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val nl = n.toLong
+        MediaIn(id, ImageIoFile.buildPng(
+          4 + (nl % 12).toInt, 4 + ((nl * 31) % 11).toInt, id * 31))
+      }
+  }
+
+  /** Mixed-format payload table: even doc_ids get PNG, odd get JPEG —
+    * the corpus shape a real image pipeline ingests (format sniffed
+    * per record, one codec seam).
+    */
+  def mixedImagePayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaIn] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), octet_length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val nl = n.toLong
+        val w = 4 + (nl % 12).toInt
+        val h = 4 + ((nl * 31) % 11).toInt
+        MediaIn(id, if (id % 2 == 0) ImageIoFile.buildPng(w, h, id * 31)
+        else ImageIoFile.buildJpeg(w, h, id * 31))
+      }
+  }
+
+  /** Thumbnails over the PNG payloads — the [[thumbnails]] stage with
+    * the JDK decoder swapped in behind the seam. Same 100 TB posture:
+    * map-only, no shuffle, 48 B out per image.
+    */
+  def pngThumbnails(spark: SparkSession, docs: DataFrame): Dataset[ThumbPixel] = {
+    import spark.implicits._
+    pngPayloads(spark, docs).mapPartitions { it =>
+      val codec = new ImageIoCodec
+      it.flatMap(codec.thumb)
+    }
+  }
+
+  /** aHash over the PNG payloads — [[imageHashes]] with the JDK decoder. */
+  def pngImageHashes(spark: SparkSession, docs: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    pngPayloads(spark, docs).mapPartitions { it =>
+      val codec = new ImageIoCodec
+      it.map(codec.ahash)
+    }
+  }
+
+  /** Format + geometry for the mixed PNG/JPEG corpus — the triage scan
+    * an ingest pipeline runs before routing payloads to per-format
+    * stages. Map-only; geometry is exact for BOTH formats (JPEG's loss
+    * is in pixels, never dimensions), which is what makes this the
+    * oracle-gated JPEG query.
+    */
+  def imageCodecMeta(spark: SparkSession, docs: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    mixedImagePayloads(spark, docs).mapPartitions { it =>
+      val codec = new ImageIoCodec
+      it.map(codec.meta)
     }
   }
 }

@@ -2084,6 +2084,34 @@ object Pipeline {
     Multimodal.imageHashes(s, docs(s, d)).toDF()
       .orderBy(col("doc_id"))
 
+  /** [[imageThumb]] with the JDK javax.imageio decoder behind the same
+    * seam, over real PNG payloads ([[Multimodal.pngThumbnails]]) — the
+    * format an actual image corpus ships. PNG is lossless, so the
+    * planted-pixel oracle is exact; the pure-JVM BMP twin above stays
+    * as the byte-independence contract.
+    */
+  def imageThumbPng(s: SparkSession, d: String): DataFrame =
+    Multimodal.pngThumbnails(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("py"), col("px"))
+
+  /** [[imagePhash]] over the PNG payloads via javax.imageio — same
+    * 8-byte Hamming-probe codes, production decoder.
+    */
+  def imagePhashPng(s: SparkSession, d: String): DataFrame =
+    Multimodal.pngImageHashes(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  /** Format triage over a MIXED PNG/JPEG corpus (even doc_ids PNG, odd
+    * JPEG): magic-sniffed format + decoded geometry per payload — the
+    * ingest scan that routes payloads to per-format stages. Geometry is
+    * exact for both formats (JPEG's loss is in pixels, not dimensions),
+    * which makes this the oracle-gated JPEG decode query; JPEG pixel
+    * fidelity is spec-gated with a tolerance instead (lossy by design).
+    */
+  def imageCodecMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageCodecMeta(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
   /** The FRAME-SAMPLE stage of the audio pipeline: 64-sample PCM frame
     * energies decoded from each payload's data chunk
     * ([[Multimodal.audioFrames]]) — chunk-walked, little-endian-read,
@@ -2566,6 +2594,9 @@ object Pipeline {
     "multimodal_audio" -> multimodalAudio,
     "image_thumb" -> imageThumb,
     "image_phash" -> imagePhash,
+    "image_thumb_png" -> imageThumbPng,
+    "image_phash_png" -> imagePhashPng,
+    "image_codec_meta" -> imageCodecMeta,
     "audio_energy" -> audioEnergy,
     "audio_fingerprint" -> audioFingerprint,
     "range_join" -> rangeJoin,
@@ -4009,6 +4040,50 @@ object Pipeline {
         |  ((base + 0) % 256)::INT AS b, ((base + 1) % 256)::INT AS g,
         |  ((base + 2) % 256)::INT AS r
         |FROM v ORDER BY doc_id, py, px""".stripMargin,
+    // javax.imageio twins: the PNG payloads plant the SAME pixel
+    // arithmetic as BMP frame 0 and PNG is lossless, so the oracle SQL
+    // is verbatim the BMP one — the Spark side reaches the same bytes
+    // only by running the JDK PNG decoder over the encoded stream
+    "image_thumb_png" ->
+      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+        |    doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+        |  FROM geo CROSS JOIN range(0, 4) x(i) CROSS JOIN range(0, 4) y(i)),
+        |v AS (SELECT doc_id, px, py,
+        |    (px * w // 4) * 3 + (py * h // 4) * 31 + seed AS base
+        |  FROM grid)
+        |SELECT doc_id, px::INT AS px, py::INT AS py,
+        |  ((base + 0) % 256)::INT AS b, ((base + 1) % 256)::INT AS g,
+        |  ((base + 2) % 256)::INT AS r
+        |FROM v ORDER BY doc_id, py, px""".stripMargin,
+    "image_phash_png" ->
+      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+        |    doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+        |  FROM geo CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
+        |v AS (SELECT doc_id, py * 8 + px AS idx,
+        |    ((base + 0) % 256) + ((base + 1) % 256) + ((base + 2) % 256) AS gray
+        |  FROM (SELECT doc_id, px, py,
+        |          (px * w // 8) * 3 + (py * h // 8) * 31 + seed AS base FROM grid)),
+        |m AS (SELECT doc_id, (sum(gray) // 64)::BIGINT AS gray_mean FROM v GROUP BY 1),
+        |bits AS (SELECT v.doc_id,
+        |    sum(CASE WHEN idx < 32 AND gray > gray_mean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
+        |    sum(CASE WHEN idx >= 32 AND gray > gray_mean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
+        |  FROM v JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT g.doc_id, w::INT AS w, h::INT AS h, gray_mean, hash_lo, hash_hi
+        |FROM geo g JOIN m USING (doc_id) JOIN bits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // mixed PNG/JPEG triage: format comes from the builder's parity
+    // rule, geometry from the shared arithmetic — the Spark side must
+    // magic-sniff and decode real encoded streams to agree
+    "image_codec_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  (4 + n % 12)::INT AS w, (4 + (n * 31) % 11)::INT AS h
+        |FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // frame-energy twin: sample s of the planted PCM stream is
     // (seed*31 + s*7) mod 32768 with seed = doc_id*17 + n; the oracle
     // windows that arithmetic into 64-sample frames, the Spark side

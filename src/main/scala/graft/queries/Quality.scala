@@ -1047,7 +1047,14 @@ object Quality {
     val ks = broadcast((0 to 9).map(1L << _).toDF("k"))
     val ladder = ranked.join(ks, col("rn") <= col("k"))
       .groupBy(col("k")).agg(sum(col("c")).as("covered"))
-    ladder.crossJoin(broadcast(tot))
+    // Left-join the ladder back onto the full rung set: on an EMPTY
+    // vocabulary the theta-join above emits zero rows, but the contract
+    // (and the DuckDB oracle's ks CROSS JOIN tot LEFT JOIN r) is all 10
+    // rungs with covered = 0. On any non-empty vocabulary rn starts at
+    // 1, so every rung already survives and this join is the identity.
+    // Both sides are ≤ 10 rows — the broadcast is a constant.
+    val full = ks.join(broadcast(ladder), Seq("k"), "left")
+    full.crossJoin(broadcast(tot))
       .select(col("k"), least(col("k"), col("n_vocab")).as("n_types"),
         coalesce(col("covered"), lit(0L)).as("n_tokens_covered"),
         expr("10000 * coalesce(covered, 0) div total").as("share_bp"))

@@ -897,6 +897,13 @@ class PqSpec extends SparkSuite {
     java.nio.ByteBuffer.wrap(lied).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(10, bytes.length + 1)
     intercept[IllegalArgumentException](codec.thumb(MediaIn(3L, lied)))
+    // a V5 file (declared 124-byte DIB) lying bfOffBits=60 must throw:
+    // the truncation guard alone would pass (the file is long enough)
+    // and the codec would silently hash header-extension bytes as pixels
+    val liedV5 = BmpFile.buildV5(w, h, seed)
+    java.nio.ByteBuffer.wrap(liedV5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 60)
+    intercept[IllegalArgumentException](codec.thumb(MediaIn(4L, liedV5)))
   }
 
   test("image_phash: aHash bits come from the real decoded gray grid") {
@@ -930,6 +937,74 @@ class PqSpec extends SparkSuite {
     // identically (the offset-honoring contract, thumbnail sibling)
     val r5 = codec.ahash(MediaIn(7L, BmpFile.buildV5(w, h, seed)))
     assert(r5 == r)
+    // V5 file lying bfOffBits below 14 + declared DIB size must throw
+    // (the thumbnail sibling's DIB cross-check)
+    val liedV5 = BmpFile.buildV5(w, h, seed)
+    java.nio.ByteBuffer.wrap(liedV5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 60)
+    intercept[IllegalArgumentException](codec.ahash(MediaIn(10L, liedV5)))
+  }
+
+  test("imageio codec: PNG decode is exact, JPEG near, corrupt streams throw") {
+    import Multimodal.{BmpAHashCodec, BmpFile, ImageIoCodec, ImageIoFile, MediaIn}
+    val codec = new ImageIoCodec
+    val (w, h, seed) = (7, 5, 99L)
+    // PNG is lossless: thumb pixels equal the planted arithmetic exactly,
+    // and the aHash matches the pure-JVM BMP codec's hash of the same
+    // planted image — two decoders, two container formats, one raster
+    val png = ImageIoFile.buildPng(w, h, seed)
+    assert(codec.sniff(png) == "png")
+    codec.thumb(MediaIn(7L, png)).foreach { p =>
+      val base = (p.px * w / 4) * 3 + (p.py * h / 4) * 31 + seed
+      assert(p.b == (base & 0xFF) && p.g == ((base + 1) & 0xFF)
+        && p.r == ((base + 2) & 0xFF), s"png pixel (${p.px},${p.py})")
+    }
+    val viaPng = codec.ahash(MediaIn(7L, png))
+    val viaBmp = new BmpAHashCodec().ahash(MediaIn(7L, BmpFile.build(w, h, seed)))
+    assert(viaPng == viaBmp)
+    // JPEG is lossy by design: geometry is exact, the DC (mean gray) and
+    // the aHash bits move only within the measured q=1.0 rounding band
+    // (max mean err 4, max Hamming 4 across the full fixture geometry
+    // range — asserted at 2x slack)
+    val jpg = ImageIoFile.buildJpeg(w, h, seed)
+    assert(codec.sniff(jpg) == "jpeg")
+    val m = codec.meta(MediaIn(3L, jpg))
+    assert(m.format == "jpeg" && m.w == w && m.h == h)
+    val viaJpg = codec.ahash(MediaIn(3L, jpg))
+    assert(math.abs(viaJpg.gray_mean - viaPng.gray_mean) <= 8)
+    val ham = java.lang.Long.bitCount(viaJpg.hash_lo ^ viaPng.hash_lo) +
+      java.lang.Long.bitCount(viaJpg.hash_hi ^ viaPng.hash_hi)
+    assert(ham <= 8, s"jpeg ahash drifted $ham bits from the lossless hash")
+    // corrupt streams must throw, not fabricate pixels: wrong magic,
+    // truncated PNG, bit-flipped PNG header chunk, truncated JPEG
+    intercept[IllegalArgumentException](codec.meta(MediaIn(1L, Array[Byte](1, 2, 3, 4))))
+    intercept[IllegalArgumentException](
+      codec.thumb(MediaIn(2L, java.util.Arrays.copyOf(png, png.length / 2))))
+    val flipped = png.clone(); flipped(20) = (flipped(20) ^ 0x55).toByte
+    intercept[IllegalArgumentException](codec.thumb(MediaIn(4L, flipped)))
+    intercept[IllegalArgumentException](
+      codec.ahash(MediaIn(5L, java.util.Arrays.copyOf(jpg, jpg.length / 2))))
+  }
+
+  test("image_codec_meta / png twins: mixed-format corpus decodes to the planted geometry") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val expect = docs.select(col("doc_id"), octet_length(col("text")).as("n"))
+      .collect().map { r =>
+        val (id, n) = (r.getLong(0), r.getInt(1).toLong)
+        (id, if (id % 2 == 0) "png" else "jpeg",
+          4 + (n % 12).toInt, 4 + ((n * 31) % 11).toInt)
+      }.sortBy(_._1).toSeq
+    val got = Pipeline.imageCodecMeta(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == expect)
+    // the PNG thumbnail query agrees row-for-row with the pure-JVM BMP
+    // one: same planted raster through two independent decoders
+    val bmpSide = Pipeline.imageThumb(spark, sf0001).collect().toSeq
+    val pngSide = Pipeline.imageThumbPng(spark, sf0001).collect().toSeq
+    assert(pngSide == bmpSide)
+    val bmpHash = Pipeline.imagePhash(spark, sf0001).collect().toSeq
+    val pngHash = Pipeline.imagePhashPng(spark, sf0001).collect().toSeq
+    assert(pngHash == bmpHash)
   }
 
   test("audio frame energies come from the decoded PCM stream") {

@@ -193,6 +193,18 @@ class QualitySpec extends SparkSuite {
     assert(got.last._4 == 10000L)
   }
 
+  test("vocab_coverage: an empty documents table still emits all 10 ladder rungs") {
+    // the oracle's `ks CROSS JOIN tot LEFT JOIN r` always produces the
+    // full rung set; the Spark side must not let the theta-join drop
+    // them when the vocabulary is empty (zero docs or all-delimiter text)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab-empty").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = Quality.vocabCoverage(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == (0 to 9).map(1L << _).map(k => (k, 0L, 0L)))
+  }
+
   test("source_overlap: pairwise vocabulary Jaccard matches a plain-Scala recompute") {
     val vocab = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"), col("text")).collect()
