@@ -1,0 +1,528 @@
+package graft.queries
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Kmeans, Multimodal, Pq}
+import graft.sources.Tables
+import graft.streaming.Sessions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier-C media / temporal queries: the multimodal decode pipeline
+  * (BMP byte-independence path + javax.imageio JPEG/PNG path, WAV
+  * chunk-walk), sessionization, event JSON, and the temporal join
+  * family (range / as-of / overlap, tumbling / sliding windows). One
+  * of the three cohesive modules [[Pipeline]] composes.
+  */
+private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type =>
+
+  /** Batch sessionization (gaps-and-islands). */
+  def sessionize(s: SparkSession, d: String): DataFrame = Sessions.sessionize(s, d)
+
+  /** Native session_window sessionization (streaming-compatible operator
+    * run in batch).
+    */
+  def sessionWindow(s: SparkSession, d: String): DataFrame = Sessions.sessionWindowAgg(s, d)
+
+  /** JSON scalar functions over events.props. */
+  def eventsJson(s: SparkSession, d: String): DataFrame =
+    Sessions.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** Range join (scale-correct binned implementation): every event joined
+    * to its enclosing session, counted per session. The count must equal
+    * the session's n_events — a self-checking invariant, and the DuckDB
+    * oracle performs the same range join directly.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val sessions = Sessions.sessionTable(s, d)
+      .select(col("user_id"), col("start_ms"), col("end_ms"))
+    val ev = Sessions.events(s, d).select(col("user_id"), col("ts_ms"))
+    graft.operators.RangeJoin.binned(ev, sessions,
+        keys = Seq("user_id"), pt = "ts_ms", lo = "start_ms", hi = "end_ms",
+        binWidth = Sessions.GapMs)
+      .groupBy(col("user_id"), col("start_ms"))
+      .agg(count(lit(1)).as("n_in_range"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  /** As-of join: each event picks up the most recent session start at or
+    * before its timestamp (= its own session) — point-in-time join over
+    * the events table, checked against DuckDB's native ASOF JOIN.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val sessions = Sessions.sessionTable(s, d)
+      .select(col("user_id"), col("start_ms"), col("session_seq"))
+      .withColumnRenamed("start_ms", "ts_ms") // as-of ts on the build side
+    val ev = Sessions.events(s, d).select(col("user_id"), col("event_id"), col("ts_ms"))
+    graft.operators.AsOfJoin.lastValue(ev, sessions,
+        keyCol = "user_id", tsCol = "ts_ms", payloadCol = "session_seq")
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  /** Forward as-of join: each event picks up the NEAREST session start
+    * at or after its timestamp (null for events after their user's last
+    * session start) — the mirror of asof_join, checked against DuckDB's
+    * ASOF LEFT JOIN with a <= condition.
+    */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val sessions = Sessions.sessionTable(s, d)
+      .select(col("user_id"), col("start_ms"), col("session_seq"))
+      .withColumnRenamed("start_ms", "ts_ms")
+    val ev = Sessions.events(s, d).select(col("user_id"), col("event_id"), col("ts_ms"))
+    graft.operators.AsOfJoin.nextValue(ev, sessions,
+        keyCol = "user_id", tsCol = "ts_ms", payloadCol = "session_seq")
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  /** Interval-overlap join: pairs of events of the same user within 5
+    * minutes of each other (each event widened to a 5-minute interval;
+    * overlap ⇔ |Δts| <= 5 min), counted per user. Runs on the binned
+    * overlap operator — equi-join on (user, bin) with first-shared-bin
+    * dedup, never a nested loop.
+    */
+  def overlapJoin(s: SparkSession, d: String): DataFrame = {
+    val winMs = 300000L
+    val ev = Sessions.events(s, d).select(col("user_id"), col("event_id"), col("ts_ms"))
+    val a = ev.select(col("user_id"), col("event_id").as("id1"), col("ts_ms").as("lo1"))
+      .withColumn("hi1", col("lo1") + lit(winMs))
+    val b = ev.select(col("user_id"), col("event_id").as("id2"), col("ts_ms").as("lo2"))
+      .withColumn("hi2", col("lo2") + lit(winMs))
+    graft.operators.RangeJoin.overlap(a, b, Seq("user_id"),
+        lo1 = "lo1", hi1 = "hi1", lo2 = "lo2", hi2 = "hi2", binWidth = winMs)
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Tumbling-window aggregation: events per (1-hour window, type) via
+    * the native `window()` operator (streaming-compatible; run in batch).
+    */
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    Sessions.events(s, d)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
+  /** Sliding-window aggregation (1-hour window, 30-minute slide): every
+    * event lands in exactly two overlapping windows; the oracle models
+    * that as the union of the two slide-aligned assignments.
+    */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Sessions.events(s, d)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .groupBy(window(col("tstamp"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
+  /** Distinct aggregates (count-distinct reducer shape). */
+  def countDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** Multimodal metadata via the per-partition codec. frame_samples is
+    * flattened to a comma-joined string for the oracle compare (array
+    * cells are unhashable on the driver's pandas side).
+    */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMeta(s, docs(s, d)).toDF()
+      .withColumn("frame_samples", Shared.csv(col("frame_samples")))
+      .orderBy(col("doc_id"))
+
+  /** The frame-sampling fan-out a feature extractor consumes: one row
+    * per sampled frame (payload, ordinal, frame index) via posexplode of
+    * the decoded sample list — the batch shape a video pipeline hands to
+    * the per-frame model stage.
+    */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMeta(s, docs(s, d)).toDF()
+      .select(col("doc_id"), posexplode(col("frame_samples")).as(Seq("pos", "fi")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("sample_ord"),
+        col("fi").cast("int").as("frame_idx"))
+      .orderBy(col("doc_id"), col("sample_ord"))
+
+  /** Audio metadata via the same per-partition codec seam as
+    * [[multimodalMeta]] but a second real container format (RIFF/WAVE
+    * with a planted skippable chunk) — the codec seam generalizing
+    * beyond one format is the claim under test.
+    */
+  def multimodalAudio(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  /** The RESIZE stage of the media pipeline: a real nearest-neighbor 4×4
+    * thumbnail sampled from each payload's decoded frame-0 pixel array
+    * ([[Multimodal.thumbnails]]) — the Spark side reads actual BMP
+    * bytes (header parse, stride arithmetic, pixel indexing); the oracle
+    * re-derives the same bytes from what the BUILDER planted, so the two
+    * meet only through the byte layout, like multimodal_meta.
+    */
+  def imageThumb(s: SparkSession, d: String): DataFrame =
+    Multimodal.thumbnails(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("py"), col("px"))
+
+  /** Perceptual average-hash of every image payload — the multimodal
+    * dedup fingerprint ([[graft.operators.Multimodal.BmpAHashCodec]]):
+    * the map-only feature-extract stage whose 8-byte codes feed the
+    * same Hamming probe machinery as [[bqTopk]]. Decoded from the real
+    * BMP bytes; the oracle recomputes the planted pixel arithmetic —
+    * two independent paths meeting only through the hash.
+    */
+  def imagePhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageHashes(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  /** [[imageThumb]] with the JDK javax.imageio decoder behind the same
+    * seam, over real PNG payloads ([[Multimodal.pngThumbnails]]) — the
+    * format an actual image corpus ships. PNG is lossless, so the
+    * planted-pixel oracle is exact; the pure-JVM BMP twin above stays
+    * as the byte-independence contract.
+    */
+  def imageThumbPng(s: SparkSession, d: String): DataFrame =
+    Multimodal.pngThumbnails(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("py"), col("px"))
+
+  /** [[imagePhash]] over the PNG payloads via javax.imageio — same
+    * 8-byte Hamming-probe codes, production decoder.
+    */
+  def imagePhashPng(s: SparkSession, d: String): DataFrame =
+    Multimodal.pngImageHashes(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  /** Format triage over a MIXED PNG/JPEG corpus (even doc_ids PNG, odd
+    * JPEG): magic-sniffed format + decoded geometry per payload — the
+    * ingest scan that routes payloads to per-format stages. Geometry is
+    * exact for both formats (JPEG's loss is in pixels, not dimensions),
+    * which makes this the oracle-gated JPEG decode query; JPEG pixel
+    * fidelity is spec-gated with a tolerance instead (lossy by design).
+    */
+  def imageCodecMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageCodecMeta(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
+  /** The FRAME-SAMPLE stage of the audio pipeline: 64-sample PCM frame
+    * energies decoded from each payload's data chunk
+    * ([[Multimodal.audioFrames]]) — chunk-walked, little-endian-read,
+    * exact integer Σ sample² per frame. Same builder/reader independence
+    * contract as [[imageThumb]].
+    */
+  def audioEnergy(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFrames(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Audio fingerprint — the energy-DELTA-SIGN hash over the decoded
+    * PCM frame energies (the Shazam-family trick reduced to its core:
+    * a loudness-contour bit string is robust to gain changes because
+    * only the SIGN of each frame-to-frame energy step survives): bit i
+    * of a doc's fingerprint is set iff frame i+1 is louder than frame
+    * i. Frames come from the REAL chunk-walked WAV decode
+    * ([[Multimodal.audioFrames]] — ≤16 frames/doc by the builder's
+    * geometry, so the per-doc window is bounded); the oracle re-derives
+    * the planted sample arithmetic. 8-byte codes per clip at any audio
+    * length — the audio analog of [[imagePhash]], feeding the same
+    * Hamming probe machinery.
+    */
+  def audioFingerprint(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Multimodal.audioFrames(s, docs(s, d)).toDF()
+      .withColumn("nxt", lead(col("energy"), 1).over(w)) // bounded per-doc
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(when(col("nxt") > col("energy"),
+          expr("shiftleft(1L, frame_idx)")).otherwise(0L)), lit(0L)).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared gaps-and-islands CTE (ms precision, > gap starts a session):
+    * the single definition both the `sessionize` and `range_join` oracles
+    * build on, so the session semantics cannot drift between them.
+    */
+  private[queries] val IslandsCte: String =
+    s"""e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > ${Sessions.GapMs}
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+       |s AS (
+       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+       |    ORDER BY ts_ms, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM e)""".stripMargin
+
+  private[queries] val mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> sessionize,
+    "sessionize_incremental" -> ((s, d) => Sessions.sessionizeIncremental(s, d)),
+    "session_window" -> sessionWindow,
+    "events_json" -> eventsJson,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_frames" -> multimodalFrames,
+    "multimodal_audio" -> multimodalAudio,
+    "image_thumb" -> imageThumb,
+    "image_phash" -> imagePhash,
+    "image_thumb_png" -> imageThumbPng,
+    "image_phash_png" -> imagePhashPng,
+    "image_codec_meta" -> imageCodecMeta,
+    "audio_energy" -> audioEnergy,
+    "audio_fingerprint" -> audioFingerprint,
+    "range_join" -> rangeJoin,
+    "asof_join" -> asofJoin,
+    "asof_forward" -> asofForward,
+    "overlap_join" -> overlapJoin,
+    "tumbling_window" -> tumblingWindow,
+    "sliding_window" -> slidingWindow,
+    "count_distinct" -> countDistinct,
+  )
+
+  private[queries] val mediaOracles: Map[String, String] = Map(
+    "sessionize" ->
+      s"""WITH $IslandsCte
+         |SELECT user_id, session_seq::BIGINT AS session_seq,
+         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+         |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+         | FROM s GROUP BY user_id, session_seq
+         | ORDER BY user_id, session_seq""".stripMargin,
+    // the incremental fold must be indistinguishable from the full
+    // recompute — same oracle text as sessionize IS the contract
+    "sessionize_incremental" ->
+      s"""WITH $IslandsCte
+         |SELECT user_id, session_seq::BIGINT AS session_seq,
+         |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+         |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+         | FROM s GROUP BY user_id, session_seq
+         | ORDER BY user_id, session_seq""".stripMargin,
+    "session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${Sessions.GapMs * 1000}
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |s AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM e)
+         |SELECT user_id, (min(ts_us) // 1000)::BIGINT AS start_ms,
+         |  ((max(ts_us) + ${Sessions.GapMs * 1000}) // 1000)::BIGINT AS end_ms,
+         |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+         | FROM s GROUP BY user_id, session_seq
+         | ORDER BY user_id, start_ms""".stripMargin,
+    "range_join" ->
+      s"""WITH $IslandsCte,
+         |sess AS (
+         |  SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         |  FROM s GROUP BY user_id, session_seq)
+         |SELECT ev.user_id, sess.start_ms, count(*)::BIGINT AS n_in_range
+         | FROM (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events) ev
+         | JOIN sess ON ev.user_id = sess.user_id
+         |          AND ev.ts_ms BETWEEN sess.start_ms AND sess.end_ms
+         | GROUP BY ev.user_id, sess.start_ms
+         | ORDER BY ev.user_id, sess.start_ms""".stripMargin,
+    "asof_join" ->
+      s"""WITH $IslandsCte,
+         |sess AS (
+         |  SELECT user_id, session_seq, min(ts_ms) AS start_ms
+         |  FROM s GROUP BY user_id, session_seq)
+         |SELECT ev.user_id, ev.event_id, ev.ts_ms, sess.session_seq::BIGINT AS session_seq
+         | FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) ev
+         | ASOF JOIN sess ON ev.user_id = sess.user_id AND ev.ts_ms >= sess.start_ms
+         | ORDER BY ev.user_id, ev.ts_ms, ev.event_id""".stripMargin,
+    "asof_forward" ->
+      s"""WITH $IslandsCte,
+         |sess AS (
+         |  SELECT user_id, session_seq, min(ts_ms) AS start_ms
+         |  FROM s GROUP BY user_id, session_seq)
+         |SELECT ev.user_id, ev.event_id, ev.ts_ms, sess.session_seq::BIGINT AS session_seq
+         | FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events) ev
+         | ASOF LEFT JOIN sess ON ev.user_id = sess.user_id AND ev.ts_ms <= sess.start_ms
+         | ORDER BY ev.user_id, ev.ts_ms, ev.event_id""".stripMargin,
+    "overlap_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT a.user_id, count(*)::BIGINT AS n_pairs
+        | FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |   AND a.ts_ms <= b.ts_ms + 300000 AND b.ts_ms <= a.ts_ms + 300000
+        | GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "tumbling_window" ->
+      """SELECT ((epoch_us(ts) // 3600000000) * 3600000) AS win_start_ms,
+        |  event_type, count(*)::BIGINT AS n
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sliding_window" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 1000 AS ts_ms, event_type FROM events),
+        |w AS (
+        |  SELECT (ts_ms // 1800000) * 1800000 AS win_start_ms, event_type FROM ev
+        |  UNION ALL
+        |  SELECT ((ts_ms // 1800000) - 1) * 1800000, event_type FROM ev)
+        |SELECT win_start_ms, event_type, count(*)::BIGINT AS n
+        | FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts,
+        |  count(DISTINCT l_suppkey)::BIGINT AS n_supps, count(*)::BIGINT AS cnt
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle re-derives what the BMP BUILDER planted (geometry is a
+    // fixed function of the text byte length); the Spark side arrives at
+    // the same numbers only by PARSING the container bytes — builder and
+    // reader are independent code paths meeting at the byte level
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, 1 + octet_length(encode(text)) % 5 AS f FROM documents),
+        |s AS (SELECT doc_id, 1::INT AS sample_ord, 0::INT AS frame_idx FROM m
+        |  UNION ALL SELECT doc_id, 2::INT, (f // 2)::INT FROM m
+        |  UNION ALL SELECT doc_id, 3::INT, (f - 1)::INT FROM m)
+        |SELECT doc_id, sample_ord, frame_idx FROM s
+        |ORDER BY doc_id, sample_ord""".stripMargin,
+    "multimodal_meta" ->
+      """WITH g AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h, 1 + n % 5 AS f
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents))
+        |SELECT doc_id,
+        |  (f * (54 + ((w * 3 + 3) // 4) * 4 * h))::BIGINT AS n_bytes,
+        |  w::INT AS width, h::INT AS height, f::INT AS n_frames,
+        |  concat('0,', f // 2, ',', f - 1) AS frame_samples
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // resize twin: the oracle re-derives the 4x4 nearest-neighbor sample
+    // from the builder's pixel arithmetic (byte at row sy, position p is
+    // (p + sy*31 + doc_id*31) mod 256 in frame 0); the Spark side gets
+    // the same bytes only by parsing the real BMP header and indexing
+    // the pixel array
+    "image_phash" ->
+      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+        |    doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+        |  FROM geo CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
+        |v AS (SELECT doc_id, py * 8 + px AS idx,
+        |    ((base + 0) % 256) + ((base + 1) % 256) + ((base + 2) % 256) AS gray
+        |  FROM (SELECT doc_id, px, py,
+        |          (px * w // 8) * 3 + (py * h // 8) * 31 + seed AS base FROM grid)),
+        |m AS (SELECT doc_id, (sum(gray) // 64)::BIGINT AS gray_mean FROM v GROUP BY 1),
+        |bits AS (SELECT v.doc_id,
+        |    sum(CASE WHEN idx < 32 AND gray > gray_mean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
+        |    sum(CASE WHEN idx >= 32 AND gray > gray_mean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
+        |  FROM v JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT g.doc_id, w::INT AS w, h::INT AS h, gray_mean, hash_lo, hash_hi
+        |FROM geo g JOIN m USING (doc_id) JOIN bits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "image_thumb" ->
+      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+        |    doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+        |  FROM geo CROSS JOIN range(0, 4) x(i) CROSS JOIN range(0, 4) y(i)),
+        |v AS (SELECT doc_id, px, py,
+        |    (px * w // 4) * 3 + (py * h // 4) * 31 + seed AS base
+        |  FROM grid)
+        |SELECT doc_id, px::INT AS px, py::INT AS py,
+        |  ((base + 0) % 256)::INT AS b, ((base + 1) % 256)::INT AS g,
+        |  ((base + 2) % 256)::INT AS r
+        |FROM v ORDER BY doc_id, py, px""".stripMargin,
+    // javax.imageio twins: the PNG payloads plant the SAME pixel
+    // arithmetic as BMP frame 0 and PNG is lossless, so the oracle SQL
+    // is verbatim the BMP one — the Spark side reaches the same bytes
+    // only by running the JDK PNG decoder over the encoded stream
+    "image_thumb_png" ->
+      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+        |    doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+        |  FROM geo CROSS JOIN range(0, 4) x(i) CROSS JOIN range(0, 4) y(i)),
+        |v AS (SELECT doc_id, px, py,
+        |    (px * w // 4) * 3 + (py * h // 4) * 31 + seed AS base
+        |  FROM grid)
+        |SELECT doc_id, px::INT AS px, py::INT AS py,
+        |  ((base + 0) % 256)::INT AS b, ((base + 1) % 256)::INT AS g,
+        |  ((base + 2) % 256)::INT AS r
+        |FROM v ORDER BY doc_id, py, px""".stripMargin,
+    "image_phash_png" ->
+      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+        |    doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+        |  FROM geo CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
+        |v AS (SELECT doc_id, py * 8 + px AS idx,
+        |    ((base + 0) % 256) + ((base + 1) % 256) + ((base + 2) % 256) AS gray
+        |  FROM (SELECT doc_id, px, py,
+        |          (px * w // 8) * 3 + (py * h // 8) * 31 + seed AS base FROM grid)),
+        |m AS (SELECT doc_id, (sum(gray) // 64)::BIGINT AS gray_mean FROM v GROUP BY 1),
+        |bits AS (SELECT v.doc_id,
+        |    sum(CASE WHEN idx < 32 AND gray > gray_mean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
+        |    sum(CASE WHEN idx >= 32 AND gray > gray_mean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
+        |  FROM v JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT g.doc_id, w::INT AS w, h::INT AS h, gray_mean, hash_lo, hash_hi
+        |FROM geo g JOIN m USING (doc_id) JOIN bits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // mixed PNG/JPEG triage: format comes from the builder's parity
+    // rule, geometry from the shared arithmetic — the Spark side must
+    // magic-sniff and decode real encoded streams to agree
+    "image_codec_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  (4 + n % 12)::INT AS w, (4 + (n * 31) % 11)::INT AS h
+        |FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // frame-energy twin: sample s of the planted PCM stream is
+    // (seed*31 + s*7) mod 32768 with seed = doc_id*17 + n; the oracle
+    // windows that arithmetic into 64-sample frames, the Spark side
+    // chunk-walks the RIFF bytes and squares what it reads
+    "audio_fingerprint" ->
+      """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,
+        |    doc_id * 17 + n AS seed FROM g),
+        |t AS (SELECT doc_id, seed, ns * ch AS total FROM p),
+        |f AS (SELECT doc_id, seed, total,
+        |    unnest(range(0, (total + 63) // 64)) AS fi FROM t),
+        |sm AS (SELECT doc_id, fi, ((seed * 31 + s * 7) % 32768) AS v
+        |  FROM (SELECT doc_id, fi, seed,
+        |          unnest(range(fi * 64, least(total, fi * 64 + 64))) AS s FROM f)),
+        |e AS (SELECT doc_id, fi, sum(v * v)::BIGINT AS energy FROM sm GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, fi, energy,
+        |         lead(energy) OVER (PARTITION BY doc_id ORDER BY fi) AS nxt FROM e)
+        |SELECT doc_id, count(*)::BIGINT AS n_frames,
+        |  coalesce(sum(CASE WHEN nxt > energy THEN 1::BIGINT << fi::INT ELSE 0::BIGINT END), 0)::BIGINT AS fp
+        |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "audio_energy" ->
+      """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,
+        |    doc_id * 17 + n AS seed FROM g),
+        |t AS (SELECT doc_id, seed, ns * ch AS total FROM p),
+        |f AS (SELECT doc_id, seed, total,
+        |    unnest(range(0, (total + 63) // 64)) AS fi FROM t),
+        |sm AS (SELECT doc_id, fi, ((seed * 31 + s * 7) % 32768) AS v
+        |  FROM (SELECT doc_id, fi, seed,
+        |          unnest(range(fi * 64, least(total, fi * 64 + 64))) AS s FROM f))
+        |SELECT doc_id, fi::INT AS frame_idx, count(*)::BIGINT AS n_sam,
+        |  sum(v * v)::BIGINT AS energy
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
+    // same builder/reader independence as multimodal_meta: the oracle
+    // re-derives what the WAV BUILDER planted from the text length; the
+    // Spark side gets there only by chunk-walking the RIFF bytes
+    "multimodal_audio" ->
+      """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |p AS (SELECT doc_id,
+        |    CASE n % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+        |    1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns, (n % 10) * 2 AS lb FROM g)
+        |SELECT doc_id, (52 + lb + ns * ch * 2)::BIGINT AS n_bytes,
+        |  sr::INT AS sample_rate, ch::INT AS channels, ns::BIGINT AS n_samples,
+        |  (ns * 1000 // sr)::BIGINT AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
+  )
+}
