@@ -118,18 +118,26 @@ object Bench {
         if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
       }
     }
-    def pass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def pass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // sweep in finally: a FAILING query must also release its persisted
       // temporaries, or they tax every subsequent query's memory/GC —
       // exactly the cross-query contamination the janitor exists to stop.
       // The clock is read INSIDE the try so the sweep stays untimed.
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      catch {
+        case t: Throwable =>
+          // one stderr line per failure: a -1.0 in the JSON with no
+          // cause is undiagnosable after the run (r13 lesson — a
+          // transient sf3 failure left nothing to read)
+          System.err.println((s"[bench] FAILED $name: ${t.getClass.getName}: " +
+            String.valueOf(t.getMessage).linesIterator.take(1).mkString).take(400))
+          -1.0
+      }
       finally sweepTemporaries()
     }
-    val pass1 = names.map { case (_, fn) => pass(fn) }
-    val pass2 = names.map { case (_, fn) => pass(fn) }
+    val pass1 = names.map { case (n, fn) => pass(n, fn) }
+    val pass2 = names.map { case (n, fn) => pass(n, fn) }
     val results = names.zip(pass1.zip(pass2)).map { case ((name, _), (a, b)) =>
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }

@@ -772,6 +772,35 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
     when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
   }
 
+  /** Cross-split near-dup LEAKAGE census — the audit that motivates
+    * group-aware splitting (kfold_assign): a doc-level hash split sends
+    * near-duplicate pairs across the train/valid/test boundary, and
+    * every leaked pair lets the model train on (a paraphrase of) a
+    * held-out example — held-out loss then flatters the model. Cells:
+    * unordered split-label pairs over the exact ≥0.5-Jaccard pair list
+    * (the cached ngram_jaccard artifact — pair semantics single-sourced
+    * with dedup_clusters), with count, share in bp, and the leak flag
+    * (off-diagonal cells ARE the leakage; the fixture honestly reads
+    * ~half the near-dup pairs crossing the split — the number that
+    * justifies source-level folds). Scale shape: one pair-list-sized
+    * aggregate onto a ≤6-cell table + one scalar broadcast; the pair
+    * list is the bucketed blocking artifact, never an all-pairs scan.
+    */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val lab = ngramJaccardPairs(s, d)
+      .select(splitColumn(col("id1")).as("sa"), splitColumn(col("id2")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+    val cells = lab.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = cells.agg(sum(col("n_pairs")).as("t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        expr("10000 * n_pairs div t").as("share_bp"),
+        (col("split_a") =!= col("split_b")).cast("int").as("is_leak"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   def trainTestSplit(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
@@ -935,6 +964,7 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
   private[queries] val dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
     "train_test_split" -> trainTestSplit,
+    "split_leakage" -> splitLeakage,
     "split_balance" -> splitBalance,
     "kfold_assign" -> kfoldAssign,
     "normalize_text" -> normalizeText,
@@ -1056,6 +1086,23 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
         |       ELSE 'test' END AS split
         |FROM (SELECT doc_id, ((doc_id % 2147483647) * 2654435761) % 100 AS b FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "split_leakage" ->
+      s"""WITH $JaccardPairsCte,
+         |lab AS (SELECT
+         |  CASE WHEN ((id1 % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN ((id1 % 2147483647) * 2654435761) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS sa,
+         |  CASE WHEN ((id2 % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN ((id2 % 2147483647) * 2654435761) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS sb
+         |  FROM jpairs),
+         |cells AS (SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |    count(*)::BIGINT AS n_pairs FROM lab GROUP BY 1, 2),
+         |tot AS (SELECT sum(n_pairs)::BIGINT AS t FROM cells)
+         |SELECT split_a, split_b, n_pairs,
+         |  (10000 * n_pairs // t)::BIGINT AS share_bp,
+         |  (split_a <> split_b)::INT AS is_leak
+         |FROM cells CROSS JOIN tot ORDER BY split_a, split_b""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id, length(norm)::INT AS norm_len, sha256(norm) AS norm_sha
         |FROM (SELECT doc_id,

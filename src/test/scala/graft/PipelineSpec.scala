@@ -309,6 +309,32 @@ class PipelineSpec extends SparkSuite {
     assert(got.map(_._5).max < 1000L)
   }
 
+  test("split_leakage: cross-split near-dup census matches a driver recompute") {
+    def splitOf(id: Long): String = {
+      val b = (id % 2147483647L) * 2654435761L % 100L
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    // independent pair labels from the exact pair list + the split rule
+    val pairs = graft.queries.Pipeline.ngramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cells = pairs.map { case (a, b) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tot = cells.values.sum
+    val expect = cells.toSeq.sortBy(_._1).map { case ((a, b), n) =>
+      (a, b, n, 10000L * n / tot, if (a != b) 1 else 0)
+    }
+    val got = graft.queries.Pipeline.splitLeakage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got == expect)
+    // the number that motivates kfold_assign's group folds: a doc-level
+    // hash split leaks a REAL share of near-dup pairs across the boundary
+    assert(got.exists(r => r._5 == 1 && r._3 > 0),
+      "fixture must exhibit cross-split leakage for the audit to mean anything")
+  }
+
   test("kfold_assign: group-by-source folds match a driver recompute and never split a source") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"), col("text")).collect()
