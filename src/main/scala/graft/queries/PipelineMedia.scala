@@ -212,6 +212,60 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     Multimodal.imageCodecMeta(s, docs(s, d)).toDF()
       .orderBy(col("doc_id"))
 
+  /** Hash-exact IMAGE dedup census — the dedup_exact of the multimodal
+    * column (LAION-style corpus hygiene: byte-identical re-uploads and
+    * trivial re-encodes collapse to one aHash): one row per distinct
+    * 64-bit perceptual hash with member count and representative (min
+    * doc_id — the dedup_exact keep-min convention). The fixture
+    * honestly exhibits real collapse (303 distinct hashes over 500
+    * images, max cluster 41 — tiny smooth gradients hash alike). Scale
+    * shape: ONE hash aggregate over the map-only decode stream — no
+    * pairs, no shuffle beyond the 16-byte-key groupBy, any corpus size.
+    */
+  def imageDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageHashes(s, docs(s, d)).toDF()
+      .groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("rep_doc"))
+      .select(col("rep_doc"), col("n_members"), col("hash_lo"), col("hash_hi"))
+      .orderBy(col("rep_doc"))
+
+  /** Near-duplicate IMAGE pairs by aHash Hamming distance ≤ 3, found
+    * via 4×16-bit band buckets — the Hamming-space LSH with a PROVABLE
+    * recall contract: 3 bit flips can touch at most 3 of the 4 bands
+    * (pigeonhole), so every ≤3-distance pair shares an untouched band
+    * and the band join is LOSSLESS, never heuristic — which is exactly
+    * why the DuckDB oracle may verify with plain exact Hamming and
+    * still hash-match. Audit-bounded to doc_id < 500 (the
+    * knn_label_consistency posture: the declared query is the bounded
+    * audit; at corpus scale the same band buckets run corpus-wide with
+    * the LSH giant-bucket pre-shard, candidates ∝ bucket mass, never
+    * all-pairs). Output: (id1, id2, hamming) per verified pair.
+    */
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val h = Multimodal.imageHashes(s, docs(s, d).filter(col("doc_id") < 500))
+      .toDF().select(col("doc_id"), col("hash_lo"), col("hash_hi"))
+    val bands = h.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
+        col("hash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.hash_lo").as("l1"), col("a.hash_hi").as("h1"),
+        col("b.hash_lo").as("l2"), col("b.hash_hi").as("h2"))
+      .distinct() // a pair may collide in several bands — count it once
+    cand
+      .select(col("id1"), col("id2"),
+        (expr("bit_count(l1 ^ l2)") + expr("bit_count(h1 ^ h2)")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** The FRAME-SAMPLE stage of the audio pipeline: 64-sample PCM frame
     * energies decoded from each payload's data chunk
     * ([[Multimodal.audioFrames]]) — chunk-walked, little-endian-read,
@@ -278,6 +332,8 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "image_thumb_png" -> imageThumbPng,
     "image_phash_png" -> imagePhashPng,
     "image_codec_meta" -> imageCodecMeta,
+    "image_dedup" -> imageDedup,
+    "image_neardup" -> imageNearDup,
     "audio_energy" -> audioEnergy,
     "audio_fingerprint" -> audioFingerprint,
     "range_join" -> rangeJoin,
@@ -289,7 +345,44 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "count_distinct" -> countDistinct,
   )
 
+  /** Shared DuckDB fragment: the planted-arithmetic aHash bits table
+    * (geo/grid/v/m/bits chain) — single-sourced across the image_phash
+    * twins and the image dedup/neardup oracles so the hash definition
+    * cannot drift between them. `bound` restricts the document domain
+    * (e.g. " WHERE doc_id < 500" for the audit-bounded pair oracle).
+    */
+  private[queries] def AHashBitsCte(bound: String): String =
+    s"""geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+       |    doc_id * 31 AS seed
+       |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents$bound)),
+       |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
+       |  FROM geo CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
+       |v AS (SELECT doc_id, py * 8 + px AS idx,
+       |    ((base + 0) % 256) + ((base + 1) % 256) + ((base + 2) % 256) AS gray
+       |  FROM (SELECT doc_id, px, py,
+       |          (px * w // 8) * 3 + (py * h // 8) * 31 + seed AS base FROM grid)),
+       |m AS (SELECT doc_id, (sum(gray) // 64)::BIGINT AS gray_mean FROM v GROUP BY 1),
+       |bits AS (SELECT v.doc_id,
+       |    sum(CASE WHEN idx < 32 AND gray > gray_mean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
+       |    sum(CASE WHEN idx >= 32 AND gray > gray_mean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
+       |  FROM v JOIN m USING (doc_id) GROUP BY 1)""".stripMargin
+
   private[queries] val mediaOracles: Map[String, String] = Map(
+    "image_dedup" ->
+      s"""WITH ${AHashBitsCte("")}
+         |SELECT min(doc_id)::BIGINT AS rep_doc, count(*)::BIGINT AS n_members,
+         |  hash_lo, hash_hi
+         |FROM bits GROUP BY hash_lo, hash_hi ORDER BY rep_doc""".stripMargin,
+    // plain exact Hamming — legitimate because the Spark side's 4x16
+    // banding is pigeonhole-lossless at threshold 3 (see imageNearDup)
+    "image_neardup" ->
+      s"""WITH ${AHashBitsCte(" WHERE doc_id < 500")}
+         |SELECT id1, id2, ham::INT AS hamming FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    bit_count(xor(a.hash_lo, b.hash_lo))
+         |      + bit_count(xor(a.hash_hi, b.hash_hi)) AS ham
+         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+         |WHERE ham <= 3 ORDER BY id1, id2""".stripMargin,
     "sessionize" ->
       s"""WITH $IslandsCte
          |SELECT user_id, session_seq::BIGINT AS session_seq,
@@ -405,23 +498,10 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     // the same bytes only by parsing the real BMP header and indexing
     // the pixel array
     "image_phash" ->
-      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
-        |    doc_id * 31 AS seed
-        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
-        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
-        |  FROM geo CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
-        |v AS (SELECT doc_id, py * 8 + px AS idx,
-        |    ((base + 0) % 256) + ((base + 1) % 256) + ((base + 2) % 256) AS gray
-        |  FROM (SELECT doc_id, px, py,
-        |          (px * w // 8) * 3 + (py * h // 8) * 31 + seed AS base FROM grid)),
-        |m AS (SELECT doc_id, (sum(gray) // 64)::BIGINT AS gray_mean FROM v GROUP BY 1),
-        |bits AS (SELECT v.doc_id,
-        |    sum(CASE WHEN idx < 32 AND gray > gray_mean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
-        |    sum(CASE WHEN idx >= 32 AND gray > gray_mean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
-        |  FROM v JOIN m USING (doc_id) GROUP BY 1)
-        |SELECT g.doc_id, w::INT AS w, h::INT AS h, gray_mean, hash_lo, hash_hi
-        |FROM geo g JOIN m USING (doc_id) JOIN bits USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH ${AHashBitsCte("")}\n" +
+        """SELECT g.doc_id, w::INT AS w, h::INT AS h, gray_mean, hash_lo, hash_hi
+          |FROM geo g JOIN m USING (doc_id) JOIN bits USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
     "image_thumb" ->
       """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
         |    doc_id * 31 AS seed
@@ -453,23 +533,10 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
         |  ((base + 2) % 256)::INT AS r
         |FROM v ORDER BY doc_id, py, px""".stripMargin,
     "image_phash_png" ->
-      """WITH geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
-        |    doc_id * 31 AS seed
-        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
-        |grid AS (SELECT doc_id, w, h, seed, x.i AS px, y.i AS py
-        |  FROM geo CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
-        |v AS (SELECT doc_id, py * 8 + px AS idx,
-        |    ((base + 0) % 256) + ((base + 1) % 256) + ((base + 2) % 256) AS gray
-        |  FROM (SELECT doc_id, px, py,
-        |          (px * w // 8) * 3 + (py * h // 8) * 31 + seed AS base FROM grid)),
-        |m AS (SELECT doc_id, (sum(gray) // 64)::BIGINT AS gray_mean FROM v GROUP BY 1),
-        |bits AS (SELECT v.doc_id,
-        |    sum(CASE WHEN idx < 32 AND gray > gray_mean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
-        |    sum(CASE WHEN idx >= 32 AND gray > gray_mean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
-        |  FROM v JOIN m USING (doc_id) GROUP BY 1)
-        |SELECT g.doc_id, w::INT AS w, h::INT AS h, gray_mean, hash_lo, hash_hi
-        |FROM geo g JOIN m USING (doc_id) JOIN bits USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH ${AHashBitsCte("")}\n" +
+        """SELECT g.doc_id, w::INT AS w, h::INT AS h, gray_mean, hash_lo, hash_hi
+          |FROM geo g JOIN m USING (doc_id) JOIN bits USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
     // mixed PNG/JPEG triage: format comes from the builder's parity
     // rule, geometry from the shared arithmetic — the Spark side must
     // magic-sniff and decode real encoded streams to agree

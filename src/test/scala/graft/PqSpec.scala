@@ -986,6 +986,38 @@ class PqSpec extends SparkSuite {
       codec.ahash(MediaIn(5L, java.util.Arrays.copyOf(jpg, jpg.length / 2))))
   }
 
+  test("image_dedup / image_neardup: hash clusters and banded pairs match brute force") {
+    val hs = graft.operators.Multimodal
+      .imageHashes(spark, graft.sources.Tables.documents(spark, sf0001)).collect()
+      .map(h => (h.doc_id, h.hash_lo, h.hash_hi))
+    // dedup census = plain groupBy of the collected hashes
+    val expectClusters = hs.groupBy(h => (h._2, h._3)).map { case ((lo, hi), v) =>
+      (v.map(_._1).min, v.length.toLong, lo, hi)
+    }.toSeq.sortBy(_._1)
+    val gotClusters = Pipeline.imageDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotClusters == expectClusters)
+    assert(gotClusters.exists(_._2 > 1), "fixture must exhibit hash collapse")
+    // banded near-dup pairs = brute-force Hamming <= 3 over all pairs:
+    // the pigeonhole contract (3 flips touch <= 3 of 4 bands, so some
+    // band survives intact) makes the band join lossless at this
+    // threshold — equality with brute force IS the recall proof
+    val bounded = hs.filter(_._1 < 500)
+    val expectPairs = (for {
+      i <- bounded.indices; j <- (i + 1) until bounded.length
+    } yield {
+      val (a, b) = (bounded(i), bounded(j))
+      val (id1, id2) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+      val ham = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      (id1, id2, ham)
+    }).filter(_._3 <= 3).sortBy(p => (p._1, p._2))
+    val gotPairs = Pipeline.imageNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(gotPairs == expectPairs)
+    assert(gotPairs.nonEmpty, "fixture must exhibit near-dup images")
+  }
+
   test("image_codec_meta / png twins: mixed-format corpus decodes to the planted geometry") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val expect = docs.select(col("doc_id"), octet_length(col("text")).as("n"))
