@@ -288,7 +288,10 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     * length — the audio analog of [[imagePhash]], feeding the same
     * Hamming probe machinery.
     */
-  def audioFingerprint(s: SparkSession, d: String): DataFrame = {
+  // fingerprint frame without the output sort, so the dedup census and
+  // the summary can aggregate it directly (a sort below an aggregate is
+  // pure waste); single definition keeps the fp semantics from drifting
+  private[queries] def audioFingerprintOf(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     Multimodal.audioFrames(s, docs(s, d)).toDF()
@@ -297,7 +300,48 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .agg(count(lit(1)).as("n_frames"),
         coalesce(sum(when(col("nxt") > col("energy"),
           expr("shiftleft(1L, frame_idx)")).otherwise(0L)), lit(0L)).as("fp"))
-      .orderBy(col("doc_id"))
+  }
+
+  def audioFingerprint(s: SparkSession, d: String): DataFrame =
+    audioFingerprintOf(s, d).orderBy(col("doc_id"))
+
+  /** Fingerprint-exact AUDIO dedup census — [[imageDedup]] for the
+    * audio column (re-encoded/gain-shifted uploads of the same clip
+    * share the energy-contour code by construction): one row per
+    * distinct (n_frames, fp) with member count + keep-min rep. The
+    * fixture honestly collapses (71 distinct codes / 500 clips — short
+    * clips with few contour bits). ONE hash aggregate at any scale.
+    */
+  def audioDedup(s: SparkSession, d: String): DataFrame =
+    audioFingerprintOf(s, d)
+      .groupBy(col("n_frames"), col("fp"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("rep_doc"))
+      .select(col("rep_doc"), col("n_members"), col("n_frames"), col("fp"))
+      .orderBy(col("rep_doc"))
+
+  /** The dedup dataset-card row set: exact-key duplicate rate for EACH
+    * modality in one table — text (content equality), image (64-bit
+    * aHash), audio (energy-contour fingerprint) — the first read of a
+    * mixed-modality corpus audit ("which modality carries the
+    * redundancy?"). Three independent hash aggregates (the map-only
+    * decode streams never join), a 3-row result at any corpus size.
+    */
+  def modalityDedupSummary(s: SparkSession, d: String): DataFrame = {
+    val img = Multimodal.imageHashes(s, docs(s, d)).toDF()
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("hash_lo"), col("hash_hi")).as("n_distinct"))
+    val aud = audioFingerprintOf(s, d)
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("n_frames"), col("fp")).as("n_distinct"))
+    val rows = aud.select(lit("audio").as("modality"), col("n_items"), col("n_distinct"))
+      .union(img.select(lit("image"), col("n_items"), col("n_distinct")))
+      .union(docs(s, d).agg(count(lit(1)).as("n_items"),
+        count_distinct(col("text")).as("n_distinct"))
+        .select(lit("text"), col("n_items"), col("n_distinct")))
+    rows.select(col("modality"), col("n_items"), col("n_distinct"),
+        (col("n_items") - col("n_distinct")).as("n_dupes"),
+        expr("10000 * (n_items - n_distinct) div n_items").as("dup_bp"))
+      .orderBy(col("modality"))
   }
 
   /** Shared gaps-and-islands CTE (ms precision, > gap starts a session):
@@ -334,6 +378,8 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "image_codec_meta" -> imageCodecMeta,
     "image_dedup" -> imageDedup,
     "image_neardup" -> imageNearDup,
+    "audio_dedup" -> audioDedup,
+    "modality_dedup_summary" -> modalityDedupSummary,
     "audio_energy" -> audioEnergy,
     "audio_fingerprint" -> audioFingerprint,
     "range_join" -> rangeJoin,
@@ -366,6 +412,27 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
        |    sum(CASE WHEN idx < 32 AND gray > gray_mean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
        |    sum(CASE WHEN idx >= 32 AND gray > gray_mean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
        |  FROM v JOIN m USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** Shared DuckDB fragment: the planted-PCM energy-contour fingerprint
+    * table `fps(doc_id, n_frames, fp)` — single-sourced across the
+    * audio_fingerprint / audio_dedup / modality card oracles.
+    */
+  private[queries] def AudioFpCte: String =
+    """g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+      |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,
+      |    doc_id * 17 + n AS seed FROM g),
+      |t AS (SELECT doc_id, seed, ns * ch AS total FROM p),
+      |f AS (SELECT doc_id, seed, total,
+      |    unnest(range(0, (total + 63) // 64)) AS fi FROM t),
+      |sm AS (SELECT doc_id, fi, ((seed * 31 + s * 7) % 32768) AS v
+      |  FROM (SELECT doc_id, fi, seed,
+      |          unnest(range(fi * 64, least(total, fi * 64 + 64))) AS s FROM f)),
+      |e AS (SELECT doc_id, fi, sum(v * v)::BIGINT AS energy FROM sm GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, fi, energy,
+      |         lead(energy) OVER (PARTITION BY doc_id ORDER BY fi) AS nxt FROM e),
+      |fps AS (SELECT doc_id, count(*)::BIGINT AS n_frames,
+      |  coalesce(sum(CASE WHEN nxt > energy THEN 1::BIGINT << fi::INT ELSE 0::BIGINT END), 0)::BIGINT AS fp
+      |FROM dl GROUP BY doc_id)""".stripMargin
 
   private[queries] val mediaOracles: Map[String, String] = Map(
     "image_dedup" ->
@@ -551,21 +618,30 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     // windows that arithmetic into 64-sample frames, the Spark side
     // chunk-walks the RIFF bytes and squares what it reads
     "audio_fingerprint" ->
-      """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
-        |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,
-        |    doc_id * 17 + n AS seed FROM g),
-        |t AS (SELECT doc_id, seed, ns * ch AS total FROM p),
-        |f AS (SELECT doc_id, seed, total,
-        |    unnest(range(0, (total + 63) // 64)) AS fi FROM t),
-        |sm AS (SELECT doc_id, fi, ((seed * 31 + s * 7) % 32768) AS v
-        |  FROM (SELECT doc_id, fi, seed,
-        |          unnest(range(fi * 64, least(total, fi * 64 + 64))) AS s FROM f)),
-        |e AS (SELECT doc_id, fi, sum(v * v)::BIGINT AS energy FROM sm GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, fi, energy,
-        |         lead(energy) OVER (PARTITION BY doc_id ORDER BY fi) AS nxt FROM e)
-        |SELECT doc_id, count(*)::BIGINT AS n_frames,
-        |  coalesce(sum(CASE WHEN nxt > energy THEN 1::BIGINT << fi::INT ELSE 0::BIGINT END), 0)::BIGINT AS fp
-        |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      (s"WITH $AudioFpCte\n" +
+        """SELECT doc_id, n_frames, fp FROM fps ORDER BY doc_id""").stripMargin,
+    "audio_dedup" ->
+      (s"WITH $AudioFpCte\n" +
+        """SELECT min(doc_id)::BIGINT AS rep_doc, count(*)::BIGINT AS n_members,
+          |  n_frames, fp
+          |FROM fps GROUP BY n_frames, fp ORDER BY rep_doc""".stripMargin),
+    // three independent exact-key censuses, one card: text content
+    // equality, image aHash, audio contour fingerprint
+    "modality_dedup_summary" ->
+      (s"WITH ${AHashBitsCte("")},\n$AudioFpCte,\n" +
+        """card AS (
+          |  SELECT 'audio' AS modality, count(*)::BIGINT AS n_items,
+          |    count(DISTINCT (n_frames, fp))::BIGINT AS n_distinct FROM fps
+          |  UNION ALL
+          |  SELECT 'image', count(*)::BIGINT,
+          |    count(DISTINCT (hash_lo, hash_hi))::BIGINT FROM bits
+          |  UNION ALL
+          |  SELECT 'text', count(*)::BIGINT,
+          |    count(DISTINCT text)::BIGINT FROM documents)
+          |SELECT modality, n_items, n_distinct,
+          |  (n_items - n_distinct)::BIGINT AS n_dupes,
+          |  (10000 * (n_items - n_distinct) // n_items)::BIGINT AS dup_bp
+          |FROM card ORDER BY modality""".stripMargin),
     "audio_energy" ->
       """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
         |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,

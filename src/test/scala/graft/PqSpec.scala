@@ -1018,6 +1018,33 @@ class PqSpec extends SparkSuite {
     assert(gotPairs.nonEmpty, "fixture must exhibit near-dup images")
   }
 
+  test("audio_dedup / modality_dedup_summary: censuses match driver recomputes") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val fps = Pipeline.audioFingerprint(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expectAudio = fps.groupBy(f => (f._2, f._3)).map { case ((nf, fp), v) =>
+      (v.map(_._1).min, v.length.toLong, nf, fp)
+    }.toSeq.sortBy(_._1)
+    val gotAudio = Pipeline.audioDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotAudio == expectAudio)
+    assert(gotAudio.exists(_._2 > 1), "fixture must exhibit fingerprint collapse")
+    // the card: per-modality (n_items, n_distinct) from independent keys
+    val nTxt = docs.select(col("text")).collect().map(_.getString(0))
+    val imgs = graft.operators.Multimodal.imageHashes(spark, docs).collect()
+      .map(h => (h.hash_lo, h.hash_hi))
+    def row(m: String, n: Long, d0: Long) =
+      (m, n, d0, n - d0, 10000L * (n - d0) / n)
+    val expect = Seq(
+      row("audio", fps.length.toLong, fps.map(f => (f._2, f._3)).distinct.length.toLong),
+      row("image", imgs.length.toLong, imgs.distinct.length.toLong),
+      row("text", nTxt.length.toLong, nTxt.distinct.length.toLong))
+    val got = Pipeline.modalityDedupSummary(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
   test("image_codec_meta / png twins: mixed-format corpus decodes to the planted geometry") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val expect = docs.select(col("doc_id"), octet_length(col("text")).as("n"))
