@@ -31,6 +31,32 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
       .limit(20)
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate (here:
+    * the candidate's document is English), the serving feature every
+    * production vector store leads with (RAG over one tenant/language/
+    * date range). Strategy is PRE-filter: the predicate joins in and
+    * shrinks the candidate set BEFORE any score is computed — correct
+    * at any selectivity, where post-filtering (search-then-drop) under-
+    * fills k whenever selectivity < k/corpus and silently returns fewer
+    * than k results. At 100 TB the same shape composes with the IVF
+    * probe (filter the probed cells' candidate stream, over-fetch by
+    * 1/selectivity before the exact re-rank); the declared query is the
+    * exact filtered scan the recall contracts would measure against.
+    */
+  def annFilteredTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val allowed = docs(s, d).filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(allowed, "vec_id") // pre-filter: candidates shrink before scoring
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** Per-cell IVF centroids in exact integer space (explode dims, sum
     * longs, divide once — double sums are NOT order-stable across
     * partitions, integer sums are). Computed once per (session, sfDir)
@@ -1692,6 +1718,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
 
   private[queries] val annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_topk" -> embeddingTopk,
+    "ann_filtered_topk" -> annFilteredTopk,
     "ivf_recall" -> ivfRecall,
     "embedding_topk_ivf" -> embeddingTopkIvf,
     "embedding_topk_ivf_tuned" -> embeddingTopkIvfTuned,
@@ -2309,6 +2336,18 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
     "embedding_topk_ivf" -> ivfTopkOracle(nprobe = 3),
     "embedding_topk_ivf_tuned" -> ivfTopkOracle(nprobe = 8),
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en')
+        |SELECT vec_id, sim FROM (
+        |  SELECT e.vec_id,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (a,b) -> a+b))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b))), 6) AS sim
+        |  FROM embeddings e JOIN allowed a ON e.vec_id = a.doc_id, q
+        |  WHERE e.vec_id <> 0)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
     "ivf_recall_curve" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |qd AS (SELECT list_transform(qe, x -> x::DOUBLE) AS v FROM q),

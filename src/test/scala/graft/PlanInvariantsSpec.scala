@@ -38,6 +38,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "weighted_sample" -> "one-row scalar threshold",
     "token_budget_sample" -> "one-row running-budget scalar",
     "embedding_topk" -> "one-row query-vector broadcast",
+    "ann_filtered_topk" -> "one-row query-vector broadcast (pre-filtered candidates)",
+    "split_leakage" -> "one-row pair-total scalar broadcast onto the <=6-cell table",
     "embedding_topk_ivf" -> "<=nprobe-row centroid set broadcast",
     "embedding_neardup" -> "hyperplane-LSH bucket join; scalar hyperplanes",
     "typo_pairs" -> "one-row scalar (vocab-size) broadcast",

@@ -1018,6 +1018,34 @@ class PqSpec extends SparkSuite {
     assert(gotPairs.nonEmpty, "fixture must exhibit near-dup images")
   }
 
+  test("ann_filtered_topk: pre-filtered exact top-k matches a driver recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val allowed = docs.filter(col("lang") === "en")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val qv = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = vecs.toSeq
+      .filter { case (id, _) => id != 0L && allowed(id) }
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Pipeline.annFilteredTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+    // the predicate binds: every hit is allowed, and the filtered list
+    // differs from the unfiltered one (non-en vectors rank in the top-20)
+    assert(got.forall(r => allowed(r._1)))
+    val unfiltered = Pipeline.embeddingTopk(spark, sf0001).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got.map(_._1) != unfiltered)
+  }
+
   test("audio_dedup / modality_dedup_summary: censuses match driver recomputes") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val fps = Pipeline.audioFingerprint(spark, sf0001).collect()
