@@ -57,6 +57,48 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
       .limit(20)
   }
 
+  /** [[annFilteredTopk]]'s predicate applied INSIDE the tuned IVF probe
+    * (nprobe = 8, [[embeddingTopkIvfTuned]]'s operating point): the
+    * 100 TB deployment shape of filtered search — the predicate table
+    * joins the probed cells' candidate stream BEFORE scoring, so the
+    * probe scans nprobe/ncells of the index and the filter pays only on
+    * that slice. Recall loss relative to the exact filtered scan comes
+    * only from unprobed cells, which is exactly what
+    * [[annFilteredRecall]] publishes.
+    */
+  def annFilteredTopkIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val qd = q.select(transform(col("q_emb"), x => x.cast("double")).as("qd"))
+    val cellRank = centroids(s, d).crossJoin(broadcast(qd))
+      .select(col("label"),
+        round(VectorFns.cosineDouble(col("centroid"), col("qd")), 6).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("label"))
+      .limit(8)
+      .select(col("label"))
+    val allowed = docs(s, d).filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    emb.join(broadcast(cellRank), "label")
+      .join(allowed, "vec_id")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Recall@20 of the filtered IVF probe against the exact filtered
+    * scan — the contract a filtered-search deployment publishes beside
+    * the unfiltered one (ivf_recall_tuned): filtering can only SHRINK
+    * per-cell candidate sets, so this is the number that tells you
+    * whether the nprobe chosen for unfiltered traffic still holds under
+    * the predicate. Oracle recomputes the overlap from this run's own
+    * dumps of both sides (the ivf_recall closure).
+    */
+  def annFilteredRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(annFilteredTopk(s, d), annFilteredTopkIvf(s, d))
+
   /** Per-cell IVF centroids in exact integer space (explode dims, sum
     * longs, divide once — double sums are NOT order-stable across
     * partitions, integer sums are). Computed once per (session, sfDir)
@@ -1686,8 +1728,12 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     * integer-lattice centroids, ranks cells by query cosine, and
     * brute-forces only the probed cells, exactly as the Spark plan does.
     */
-  private[queries] def ivfTopkOracle(nprobe: Int): String =
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+  private[queries] def ivfTopkOracle(nprobe: Int, filtered: Boolean = false): String = {
+    val allowedCte =
+      if (filtered) "allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),\n" else ""
+    val allowedJoin = if (filtered) " JOIN allowed a ON e.vec_id = a.doc_id" else ""
+    s"""WITH $allowedCte
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qd AS (SELECT list_transform(qe, x -> x::DOUBLE) AS v FROM q),
        |flat AS (
        |  SELECT label, i AS dim,
@@ -1712,13 +1758,16 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
        |      list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b)
        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (a,b) -> a+b))
        |         * sqrt(list_reduce(list_transform(range(1,65), i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE), (a,b) -> a+b))), 6) AS sim
-       |  FROM embeddings e JOIN cellrank USING (label), q
+       |  FROM embeddings e JOIN cellrank USING (label)$allowedJoin, q
        |  WHERE e.vec_id <> 0)
        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+  }
 
   private[queries] val annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_topk" -> embeddingTopk,
     "ann_filtered_topk" -> annFilteredTopk,
+    "ann_filtered_topk_ivf" -> annFilteredTopkIvf,
+    "ann_filtered_recall" -> annFilteredRecall,
     "ivf_recall" -> ivfRecall,
     "embedding_topk_ivf" -> embeddingTopkIvf,
     "embedding_topk_ivf_tuned" -> embeddingTopkIvfTuned,
@@ -2336,6 +2385,12 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
     "embedding_topk_ivf" -> ivfTopkOracle(nprobe = 3),
     "embedding_topk_ivf_tuned" -> ivfTopkOracle(nprobe = 8),
+    "ann_filtered_topk_ivf" -> ivfTopkOracle(nprobe = 8, filtered = true),
+    "ann_filtered_recall" ->
+      """SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
+        |  (10000 * count(*) // 20)::BIGINT AS recall_bp
+        |FROM read_parquet('{OUT}/ann_filtered_topk/*.parquet') e
+        |JOIN read_parquet('{OUT}/ann_filtered_topk_ivf/*.parquet') i USING (vec_id)""".stripMargin,
     "ann_filtered_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en')

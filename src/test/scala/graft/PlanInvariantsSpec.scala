@@ -39,6 +39,10 @@ class PlanInvariantsSpec extends SparkSuite {
     "token_budget_sample" -> "one-row running-budget scalar",
     "embedding_topk" -> "one-row query-vector broadcast",
     "ann_filtered_topk" -> "one-row query-vector broadcast (pre-filtered candidates)",
+    "ann_filtered_topk_ivf" ->
+      "one-row query-vector + <=nprobe-row centroid broadcasts (filtered probe)",
+    "ann_filtered_recall" ->
+      "composes the two filtered top-k probes; same one-row scalar crosses",
     "split_leakage" -> "one-row pair-total scalar broadcast onto the <=6-cell table",
     "embedding_topk_ivf" -> "<=nprobe-row centroid set broadcast",
     "embedding_neardup" -> "hyperplane-LSH bucket join; scalar hyperplanes",

@@ -1046,6 +1046,20 @@ class PqSpec extends SparkSuite {
     assert(got.map(_._1) != unfiltered)
   }
 
+  test("ann_filtered_topk_ivf / ann_filtered_recall: probe respects the predicate, recall is the overlap") {
+    val allowed = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").collect().map(_.getAs[Long]("doc_id")).toSet
+    val exact = Pipeline.annFilteredTopk(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val probed = Pipeline.annFilteredTopkIvf(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(probed.nonEmpty && probed.forall(allowed))
+    // probe hits are a subset of what brute force over probed cells
+    // would return; recall is exactly the published overlap
+    val hit = exact.count(probed.toSet)
+    val got = Pipeline.annFilteredRecall(spark, sf0001).collect().head
+    assert(got.getLong(0) == 20L && got.getLong(1) == hit.toLong
+      && got.getLong(2) == 10000L * hit / 20)
+  }
+
   test("audio_dedup / modality_dedup_summary: censuses match driver recomputes") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val fps = Pipeline.audioFingerprint(spark, sf0001).collect()
