@@ -292,6 +292,37 @@ class StreamingSpec extends SparkSuite {
     assert(snap() == expect)
   }
 
+  test("streaming image-hash census converges to the batch image_dedup counts across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-imgstream")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val countsDir = base.resolve("counts").toString
+    val ckpt = base.resolve("ck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-imgstream-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit =
+      graft.streaming.Drift.streamingImageHashCounts(spark, sf0001,
+        streamDir.toString, countsDir, ckpt).awaitTermination()
+    // two ingest batches with a full stop/start between them
+    stageFlat(docs.filter(col("doc_id") % 2 === 0), "p1.parquet")
+    runOnce()
+    stageFlat(docs.filter(col("doc_id") % 2 === 1), "p2.parquet")
+    runOnce()
+    val got = graft.streaming.MaintainedCounts.readCounts(spark, countsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the maintained table IS the batch census of everything ingested
+    val expect = graft.operators.Multimodal.imageHashes(spark, docs).collect()
+      .groupBy(h => f"${h.hash_hi}%X:${h.hash_lo}%X")
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(got == expect,
+      "streamed image-hash census must equal the batch census after full replay")
+  }
+
   test("drift bucket commit is atomic: crash between bucket commits, restart, batch equality") {
     import graft.streaming.Drift
     val base = java.nio.file.Files.createTempDirectory("graft-drift-crash")
