@@ -229,6 +229,29 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .select(col("rep_doc"), col("n_members"), col("hash_lo"), col("hash_hi"))
       .orderBy(col("rep_doc"))
 
+  /** Incremental-ingest IMAGE dedup — [[imageDedup]]'s census used as
+    * the ingest-time gate (the dedup_incremental posture on the
+    * multimodal column): a replayed ingest window (doc_id ≥ 250) keeps
+    * only payloads whose perceptual hash is UNSEEN in the already-
+    * ingested corpus (doc_id < 300 — the ranges overlap, modeling a
+    * restart from an earlier checkpoint, so the 250–299 slice is
+    * guaranteed already-seen and must drop). Left-anti join on the
+    * 16-byte hash key; at scale the seen side is the MATERIALIZED
+    * census (the [[graft.streaming.MaintainedCounts]] table the
+    * streaming instance maintains), hash-bucketed so each batch
+    * anti-joins at O(batch) without reshuffling the corpus.
+    */
+  def imageDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val seen = Multimodal.imageHashes(s, dd.filter(col("doc_id") < 300)).toDF()
+      .select(col("hash_lo").as("sl"), col("hash_hi").as("sh")).distinct()
+    Multimodal.imageHashes(s, dd.filter(col("doc_id") >= 250)).toDF()
+      .join(seen,
+        col("hash_lo") === col("sl") && col("hash_hi") === col("sh"), "left_anti")
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-duplicate IMAGE pairs by aHash Hamming distance ≤ 3, found
     * via 4×16-bit band buckets — the Hamming-space LSH with a PROVABLE
     * recall contract: 3 bit flips can touch at most 3 of the 4 bands
@@ -377,6 +400,7 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "image_phash_png" -> imagePhashPng,
     "image_codec_meta" -> imageCodecMeta,
     "image_dedup" -> imageDedup,
+    "image_dedup_incremental" -> imageDedupIncremental,
     "image_neardup" -> imageNearDup,
     "audio_dedup" -> audioDedup,
     "modality_dedup_summary" -> modalityDedupSummary,
@@ -440,6 +464,13 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
          |SELECT min(doc_id)::BIGINT AS rep_doc, count(*)::BIGINT AS n_members,
          |  hash_lo, hash_hi
          |FROM bits GROUP BY hash_lo, hash_hi ORDER BY rep_doc""".stripMargin,
+    "image_dedup_incremental" ->
+      (s"WITH ${AHashBitsCte("")}\n" +
+        """SELECT b.doc_id, b.hash_lo, b.hash_hi FROM bits b
+          |WHERE b.doc_id >= 250 AND NOT EXISTS (
+          |  SELECT 1 FROM bits e WHERE e.doc_id < 300
+          |    AND e.hash_lo = b.hash_lo AND e.hash_hi = b.hash_hi)
+          |ORDER BY doc_id""".stripMargin),
     // plain exact Hamming — legitimate because the Spark side's 4x16
     // banding is pigeonhole-lossless at threshold 3 (see imageNearDup)
     "image_neardup" ->

@@ -1060,6 +1060,22 @@ class PqSpec extends SparkSuite {
       && got.getLong(2) == 10000L * hit / 20)
   }
 
+  test("image_dedup_incremental: the ingest gate drops exactly the already-seen hashes") {
+    val hs = graft.operators.Multimodal
+      .imageHashes(spark, graft.sources.Tables.documents(spark, sf0001)).collect()
+      .map(h => (h.doc_id, h.hash_lo, h.hash_hi))
+    val seen = hs.filter(_._1 < 300).map(h => (h._2, h._3)).toSet
+    val expect = hs.filter(_._1 >= 250).filterNot(h => seen((h._2, h._3)))
+      .sortBy(_._1).toSeq
+    val got = Pipeline.imageDedupIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // the overlap slice (250-299) is guaranteed already-seen and drops
+    assert(got.forall(_._1 >= 300))
+    assert(got.nonEmpty && got.size < hs.count(_._1 >= 300),
+      "the gate must drop some genuinely-new docs whose hash collides too")
+  }
+
   test("audio_dedup / modality_dedup_summary: censuses match driver recomputes") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val fps = Pipeline.audioFingerprint(spark, sf0001).collect()
