@@ -53,7 +53,7 @@ object Pipeline extends PipelineDedup with PipelineAnn with PipelineMedia {
   }
 
   /** The full tier-C query surface — the three modules' maps, disjoint
-    * by construction (composition checked in CoreQueriesSpec).
+    * by construction (composition checked in PipelineModulesSpec).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     dedupQueries ++ annQueries ++ mediaQueries
