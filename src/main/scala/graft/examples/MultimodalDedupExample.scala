@@ -1,0 +1,74 @@
+package graft.examples
+
+import graft.operators.Multimodal
+import graft.queries.Pipeline
+import org.apache.spark.sql.functions._
+
+/** End-to-end multimodal dedup lifecycle over the documents table's
+  * media payloads — the composition the round-13 image/audio operators
+  * exist for (the media analog of [[CurationPipelineExample]]):
+  *
+  *   1. TRIAGE: magic-sniff the mixed PNG/JPEG corpus and decode
+  *      geometry per payload (`image_codec_meta` — the routing scan an
+  *      ingest pipeline runs before per-format stages)
+  *   2. FINGERPRINT: 64-bit perceptual aHash per image and the
+  *      energy-contour code per audio clip — map-only decode stages,
+  *      constant bytes out per payload
+  *   3. CENSUS: collapse each modality to exact-key clusters
+  *      (`image_dedup` / `audio_dedup`) and publish the 3-row modality
+  *      dedup card — which modality carries the redundancy?
+  *   4. NEAR-DUP: Hamming≤3 image pairs via the 4×16-bit band buckets
+  *      (pigeonhole-lossless at this threshold — LSH with a proof)
+  *   5. GATE: replay an ingest window through the incremental hash
+  *      gate (`image_dedup_incremental`) — the O(batch) anti-join a
+  *      streaming deployment runs against the maintained census
+  *      ([[graft.streaming.MaintainedCounts]])
+  *
+  * Every stage is a declared, oracle-gated query; this harness just
+  * composes them the way a corpus-hygiene job would.
+  * Usage: runMain graft.examples.MultimodalDedupExample <sfDir>
+  */
+object MultimodalDedupExample {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.GraftSession.getOrCreate(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. triage the mixed-format corpus
+    val meta = Pipeline.imageCodecMeta(spark, sfDir)
+    val byFormat = meta.groupBy(col("format")).agg(count(lit(1)).as("n"))
+      .orderBy(col("format")).collect()
+    println(s"[mmdedup] formats: " +
+      byFormat.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+
+    // 2-3. per-modality exact-key censuses + the card
+    val card = Pipeline.modalityDedupSummary(spark, sfDir).collect()
+    card.foreach { r =>
+      println(f"[mmdedup] ${r.getString(0)}%-5s items=${r.getLong(1)}%5d " +
+        f"distinct=${r.getLong(2)}%5d dupes=${r.getLong(3)}%5d " +
+        f"(${r.getLong(4)}%4d bp)")
+    }
+    val clusters = Pipeline.imageDedup(spark, sfDir)
+    val biggest = clusters.orderBy(col("n_members").desc).limit(1).collect()(0)
+    println(s"[mmdedup] largest image cluster: rep=${biggest.getLong(0)} " +
+      s"members=${biggest.getLong(1)}")
+
+    // 4. near-dup pairs the exact census cannot see (hamming 1-3)
+    val near = Pipeline.imageNearDup(spark, sfDir)
+      .filter(col("hamming") > 0).count()
+    println(s"[mmdedup] near-dup (1<=hamming<=3) image pairs: $near")
+
+    // 5. the ingest gate: what a replayed batch would actually keep
+    val kept = Pipeline.imageDedupIncremental(spark, sfDir).count()
+    println(s"[mmdedup] replayed batch survivors through the hash gate: $kept")
+
+    // sanity the harness is real: the card's image row must agree with
+    // the census it summarizes
+    val imgRow = card.find(_.getString(0) == "image").get
+    require(imgRow.getLong(2) == clusters.count(),
+      "modality card and census disagree")
+    println("[mmdedup] done: card/census consistent")
+    spark.stop()
+  }
+}

@@ -1060,6 +1060,21 @@ class PqSpec extends SparkSuite {
       && got.getLong(2) == 10000L * hit / 20)
   }
 
+  test("imageio codec: PNG roundtrip is exact over the full fixture geometry range") {
+    import Multimodal.{BmpAHashCodec, BmpFile, ImageIoCodec, ImageIoFile, MediaIn}
+    val codec = new ImageIoCodec
+    val bmp = new BmpAHashCodec
+    // every (w, h) the payload builders can emit (w 4-15, h 4-14), two
+    // seeds each: the JDK decoder must return the planted raster exactly
+    // (PNG is lossless) — pinned via hash equality with the independent
+    // pure-JVM BMP codec on the same planted image
+    for (w <- 4 to 15; h <- 4 to 14; seed <- Seq(0L, 31L * (w * 16 + h))) {
+      val viaPng = codec.ahash(MediaIn(1L, ImageIoFile.buildPng(w, h, seed)))
+      val viaBmp = bmp.ahash(MediaIn(1L, BmpFile.build(w, h, seed)))
+      assert(viaPng == viaBmp, s"geometry ${w}x$h seed $seed")
+    }
+  }
+
   test("image_dedup_incremental: the ingest gate drops exactly the already-seen hashes") {
     val hs = graft.operators.Multimodal
       .imageHashes(spark, graft.sources.Tables.documents(spark, sf0001)).collect()
