@@ -265,8 +265,13 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     * all-pairs). Output: (id1, id2, hamming) per verified pair.
     */
   def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    // persist: the band self-join references this frame on BOTH sides,
+    // and without storage each side re-runs the payload decode (the
+    // tf_idf lesson — when two branches must see one evaluation, say so
+    // with storage). Swept by the bench janitor like every query-local
+    // temporary.
     val h = Multimodal.imageHashes(s, docs(s, d).filter(col("doc_id") < 500))
-      .toDF().select(col("doc_id"), col("hash_lo"), col("hash_hi"))
+      .toDF().select(col("doc_id"), col("hash_lo"), col("hash_hi")).persist()
     val bands = h.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
       posexplode(array(
         col("hash_lo").bitwiseAND(lit(65535L)),
