@@ -70,19 +70,45 @@ object GraftFunctions {
       arity("graft_morton", 2)(es => graft.functions.ZOrder.morton2Expr(es.head, es(1))),
   )
 
-  /** Register all graft functions on a live session. */
+  private def infoOf(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usages.getOrElse(name, name), "")
+
+  /** Register all graft functions on a live session — with their
+    * [[ExpressionInfo]], so `DESCRIBE FUNCTION graft_*` states the
+    * contract on this path too, not only via [[GraftExtensions]].
+    */
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), infoOf(name), builder)
     }
+
+  /** `DESCRIBE FUNCTION` text per registered name — the SQL-user-facing
+    * contract line, including the preconditions the Column-API scaladoc
+    * states (the sorted-intersect pair would otherwise read as a
+    * drop-in array_intersect, which it is not).
+    */
+  private val usages: Map[String, String] = Map(
+    "graft_djb2" -> "graft_djb2(str) - the reference engine's djb2 hash (unsigned 32-bit).",
+    "graft_djb2_pid" -> ("graft_djb2_pid(str, p) - reference partition id: " +
+      "djb2(str) % p with p an integer literal."),
+    "graft_simhash64" -> "graft_simhash64(array<bigint>) - 64-bit SimHash of element hashes.",
+    "graft_cosine" -> "graft_cosine(a, b) - cosine similarity of two float arrays.",
+    "graft_sorted_intersect" -> ("graft_sorted_intersect(a, b) - merge-loop intersect COUNT. " +
+      "Preconditions: both arrays SORTED ascending with set semantics " +
+      "(unsorted input silently miscounts; duplicates count per matched pair)."),
+    "graft_sorted_intersect_elems" -> ("graft_sorted_intersect_elems(a, b) - merge-loop " +
+      "intersect ELEMENTS. NOT a drop-in array_intersect: both arrays must be SORTED " +
+      "ascending with set semantics; duplicates are emitted once per matched pair, no dedup."),
+    "graft_counteq" -> "graft_counteq(arr, needle) - count of elements equal to needle (term frequency).",
+    "graft_toprun" -> ("graft_toprun(sorted_arr) - value and length of the longest run of a " +
+      "SORTED array (the grouped mode/argmax)."),
+    "graft_morton" -> "graft_morton(x, y) - Z-order bit interleave of two non-negative ints.",
+  )
 
   private[graft] def inject(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>
-      e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name),
-        builder))
+      e.injectFunction((FunctionIdentifier(name), infoOf(name), builder))
     }
 }
 

@@ -24,6 +24,19 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(r.getLong(4) == 5381L) // single element: bits of the element itself
   }
 
+  test("DESCRIBE FUNCTION on registered graft_* functions states the preconditions") {
+    // a SQL user must see the sorted/set-semantics contract from
+    // DESCRIBE, without reading Scala sources
+    GraftFunctions.register(spark)
+    val txt = spark.sql("DESCRIBE FUNCTION graft_sorted_intersect_elems")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(txt.contains("NOT a drop-in array_intersect")
+      && txt.contains("SORTED"), txt)
+    val txt2 = spark.sql("DESCRIBE FUNCTION graft_djb2_pid")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(txt2.contains("integer literal"), txt2)
+  }
+
   test("graft_sorted_intersect_elems equals array_intersect on sorted " +
       "arrays, through the CODEGEN'd dataframe path") {
     GraftFunctions.register(spark)
