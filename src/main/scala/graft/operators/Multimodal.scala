@@ -353,11 +353,15 @@ object Multimodal {
       // would silently hash header bytes as pixels. Cross-check against
       // the declared DIB header size (bytes 14-17): a file declaring a
       // 124-byte V5 header but lying with bfOffBits=60 would otherwise
-      // pass and hash header-extension bytes as pixels. The truncation
-      // require below bounds the upper extent.
+      // pass and hash header-extension bytes as pixels. The cross-check
+      // runs in LONG arithmetic with a dib cap and an explicit 54 floor:
+      // `14 + dib` in Int overflows negative for dib near Int.MaxValue,
+      // letting any bfOffBits (even 0) pass the very check meant to stop
+      // it. No real DIB header exceeds 124 bytes (V5); 1024 is a roomy
+      // cap. The truncation require below bounds the upper extent.
       val off = bb.getInt(10)
       val dib = bb.getInt(14)
-      require(dib >= 40 && off >= 14 + dib,
+      require(dib >= 40 && dib <= 1024 && off >= 54 && off >= 14L + dib,
         s"doc ${in.doc_id}: bad BMP pixel offset $off (DIB $dib)")
       val rb = (w * 3 + 3) / 4 * 4
       require(bytes.length >= off.toLong + rb.toLong * h,
@@ -415,12 +419,14 @@ object Multimodal {
       require(w > 0 && h > 0 && w <= 32768 && h <= 32768 && bb.getShort(28) == 24,
         s"doc ${in.doc_id}: unsupported BMP ${w}x$h")
       // bfOffBits-derived pixel base cross-checked against the declared
-      // DIB header size, same rationale as BmpThumbCodec: BITMAPV4/V5
-      // headers put pixels past byte 54, and a lying bfOffBits below
-      // 14 + DIB would hash header-extension bytes as pixels.
+      // DIB header size, same rationale (and same long-arithmetic /
+      // dib-cap / 54-floor posture) as BmpThumbCodec: BITMAPV4/V5
+      // headers put pixels past byte 54, a lying bfOffBits below
+      // 14 + DIB would hash header-extension bytes as pixels, and an
+      // Int `14 + dib` overflows negative for hostile dib values.
       val off = bb.getInt(10)
       val dib = bb.getInt(14)
-      require(dib >= 40 && off >= 14 + dib,
+      require(dib >= 40 && dib <= 1024 && off >= 54 && off >= 14L + dib,
         s"doc ${in.doc_id}: bad BMP pixel offset $off (DIB $dib)")
       val rb = (w * 3 + 3) / 4 * 4
       require(bytes.length >= off.toLong + rb.toLong * h,
@@ -744,6 +750,208 @@ object Multimodal {
     mixedImagePayloads(spark, docs).mapPartitions { it =>
       val codec = new ImageIoCodec
       it.map(codec.meta)
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // VIDEO via animated GIF — the third media modality, through the same
+  // javax.imageio seam as the PNG/JPEG path (pure JDK, zero new deps).
+  // GIF is palette-indexed, so grayscale frames (<= 256 distinct
+  // colors) round-trip LOSSLESSLY — which is what puts real multi-frame
+  // decode behind EXACT planted-pixel oracles, the same property PNG
+  // gives the still-image path. A production deployment swaps the GIF
+  // reader for an H.264 frame grabber behind the same seam.
+  // --------------------------------------------------------------------
+
+  /** Animated-GIF builder: `nFrames` full-size grayscale frames written
+    * through the JDK GIF sequence writer. Frame `f` plants pixel
+    * gray(x, y) = (3x + 31y + 7f + seed) mod 256 — the still-image
+    * arithmetic plus a per-frame term, so per-frame decode is
+    * distinguishable from decoding frame 0 n times. The reader
+    * ([[GifCodec]]) never sees these arguments — only the bytes.
+    */
+  object GifFile {
+    def build(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      // Interlace OFF, explicitly: the JDK writer interlaces by default
+      // and its interlace round-trip PERMUTES ROWS at h=4 (pass 2 of the
+      // 8/8-4/8-2/4-1/2 schedule starts at row 4, which doesn't exist) —
+      // found empirically; h>=5 round-trips either way. Non-progressive
+      // streams round-trip exactly at every geometry this builder emits.
+      val params = writer.getDefaultWriteParam
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              img.getRaster.setSample(x, y, 0,
+                ((3L * x + 31L * y + 7L * f + seed) & 0xFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), params)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      baos.toByteArray
+    }
+  }
+
+  /** One sampled video frame (first / middle / last — the
+    * [[MediaMeta.frame_samples]] convention over a REAL container) with
+    * a decoded pixel witness: `p00` is the frame's gray value at (0,0),
+    * which only per-frame decode can produce.
+    */
+  case class VideoFrameSample(doc_id: Long, sample_ord: Int, frame_idx: Int,
+      n_frames: Int, p00: Int)
+
+  /** Per-video dedup fingerprint: frame count, frame-0 aHash (the
+    * [[ImageHash]] grid and bit-packing over the single gray channel),
+    * and the brightness CONTOUR — bit f set iff frame f+1's grid mean
+    * exceeds frame f's (the [[graft.queries.Pipeline]] audio
+    * energy-contour trick in the image domain: robust to uniform
+    * brightness shifts, sensitive to temporal structure).
+    */
+  case class VideoHash(doc_id: Long, n_frames: Int, hash_lo: Long,
+      hash_hi: Long, contour_fp: Long)
+
+  /** Animated-GIF decoder behind the ImageIO seam. The magic check is
+    * OURS ("GIF87a"/"GIF89a"), not the JDK's: the format-named reader
+    * demonstrably decodes a stream whose magic was corrupted (it trusts
+    * the caller's format choice), so a codec that skipped the sniff
+    * would fabricate frames from non-GIF bytes. Truncated or torn
+    * streams make the reader throw IIOException mid-walk; both paths
+    * surface as IllegalArgumentException — decode fails loudly, never
+    * fabricates. Frames are written full-size by [[GifFile]], so
+    * `read(f)` yields each frame's complete raster without disposal
+    * compositing.
+    */
+  final class GifCodec extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def sniff(bytes: Array[Byte]): Unit = {
+      val ok = bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+      if (!ok) throw new IllegalArgumentException(
+        s"bad GIF magic (${bytes.take(6).map(b => f"$b%02x").mkString(" ")})")
+    }
+
+    private def withFrames[T](in: MediaIn)(
+        body: (Int, Int => java.awt.image.BufferedImage) => T): T = {
+      sniff(in.media)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(in.media)), false)
+        val n =
+          try reader.getNumImages(true)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"doc ${in.doc_id}: corrupt GIF container", e) }
+        require(n > 0, s"doc ${in.doc_id}: GIF with zero frames")
+        body(n, f =>
+          try reader.read(f)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"doc ${in.doc_id}: corrupt GIF frame $f", e) })
+      } finally reader.dispose()
+    }
+
+    /** First/middle/last frame samples with the decoded (0,0) gray. */
+    def frameSamples(in: MediaIn): Seq[VideoFrameSample] =
+      withFrames(in) { (n, read) =>
+        Seq(1 -> 0, 2 -> (n / 2), 3 -> (n - 1)).map { case (ord, fi) =>
+          VideoFrameSample(in.doc_id, ord, fi, n, read(fi).getRGB(0, 0) & 0xFF)
+        }
+      }
+
+    /** Frame-0 aHash + whole-video brightness contour. */
+    def videoHash(in: MediaIn): VideoHash =
+      withFrames(in) { (n, read) =>
+        val means = new Array[Long](n)
+        var lo = 0L; var hi = 0L
+        var f = 0
+        while (f < n) {
+          val img = read(f)
+          val w = img.getWidth; val h = img.getHeight
+          val gray = new Array[Long](64)
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            gray(i) = (img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xFF).toLong
+            sum += gray(i); i += 1
+          }
+          means(f) = sum / 64
+          if (f == 0) { // frame-0 aHash, the ImageHash bit convention
+            i = 0
+            while (i < 64) {
+              if (gray(i) > means(0)) {
+                if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+              }
+              i += 1
+            }
+          }
+          f += 1
+        }
+        var cfp = 0L
+        f = 0
+        while (f < n - 1) {
+          if (means(f + 1) > means(f)) cfp |= (1L << f)
+          f += 1
+        }
+        VideoHash(in.doc_id, n, lo, hi, cfp)
+      }
+  }
+
+  /** Animated-GIF payload per doc: the image-path geometry (w 4-15,
+    * h 4-14, seed doc_id*31) with 2-5 frames — a real multi-frame
+    * container per document, built by the JDK encoder.
+    */
+  def videoPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaIn] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), octet_length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val nl = n.toLong
+        MediaIn(id, GifFile.build(
+          4 + (nl % 12).toInt, 4 + ((nl * 31) % 11).toInt,
+          2 + (nl % 4).toInt, id * 31))
+      }
+  }
+
+  /** Frame-sample fan-out over real video containers — the
+    * `multimodal_frames` shape with actual per-frame decode behind it.
+    * Map-only, bounded output (3 rows per video at any frame count).
+    */
+  def videoFrameSamples(spark: SparkSession, docs: DataFrame): Dataset[VideoFrameSample] = {
+    import spark.implicits._
+    videoPayloads(spark, docs).mapPartitions { it =>
+      val codec = new GifCodec
+      it.flatMap(codec.frameSamples)
+    }
+  }
+
+  /** Per-video fingerprints — the map-only decode stream the video
+    * dedup census aggregates. Same 100 TB posture as [[imageHashes]]:
+    * no shuffle, ~20 fingerprint bytes out per video of any length.
+    */
+  def videoHashes(spark: SparkSession, docs: DataFrame): Dataset[VideoHash] = {
+    import spark.implicits._
+    videoPayloads(spark, docs).mapPartitions { it =>
+      val codec = new GifCodec
+      it.map(codec.videoHash)
     }
   }
 }

@@ -294,6 +294,61 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** VIDEO frame-sample fan-out — the `multimodal_frames` shape over a
+    * REAL multi-frame container: each doc's animated GIF is decoded by
+    * the JDK reader ([[graft.operators.Multimodal.GifCodec]]) and its
+    * first/middle/last frames sampled, each row carrying the decoded
+    * (0,0) gray as a per-frame pixel witness (frame f plants a +7f
+    * term, so only true per-frame decode matches the oracle). GIF's
+    * palette model makes grayscale frames lossless — the PNG exactness
+    * property extended to the video column. Map-only; 3 rows per video
+    * at any frame count.
+    */
+  def videoFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoFrameSamples(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("sample_ord"))
+
+  /** VIDEO dedup census — [[imageDedup]] for the video column: one row
+    * per distinct (n_frames, frame-0 aHash, brightness contour)
+    * fingerprint with member count and keep-min rep. The contour bits
+    * (bit f set iff frame f+1's 8×8-grid mean exceeds frame f's) are
+    * the audio energy-contour trick in the image domain: re-encoded
+    * uploads of the same clip share the fingerprint, uniform-brightness
+    * shifts don't break it, temporal re-cuts do. ONE hash aggregate
+    * over the map-only decode stream — no pairs at any corpus size.
+    */
+  def videoDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoHashes(s, docs(s, d)).toDF()
+      .groupBy(col("n_frames"), col("hash_lo"), col("hash_hi"), col("contour_fp"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("rep_doc"))
+      .select(col("rep_doc"), col("n_members"), col("n_frames"),
+        col("hash_lo"), col("hash_hi"), col("contour_fp"))
+      .orderBy(col("rep_doc"))
+
+  /** CROSS-MODAL consistency audit — the recaptioned-reupload report a
+    * LAION-style curation run reads: image-hash clusters (the
+    * [[imageDedup]] census key) whose members do NOT all share one
+    * text, i.e. the same picture travelling under different captions.
+    * Exact-text distinctness is the text-dedup cluster relation
+    * (dedup_exact's content-equality key), so `n_texts > 1` means the
+    * image cluster spans text clusters. One doc_id-equi join (decode
+    * stream × captions) + one hash aggregate — no pairs at any scale;
+    * totals reconcile against [[modalityDedupSummary]] (spec-pinned:
+    * Σ(n_members−1) over all image clusters = the card's image dupes).
+    */
+  def crossmodalMismatch(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    Multimodal.imageHashes(s, dd).toDF()
+      .join(dd.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("hash_lo"), col("hash_hi"))
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_members"),
+        count_distinct(col("text")).as("n_texts"))
+      .filter(col("n_members") >= 2 && col("n_texts") > 1)
+      .select(col("rep_doc"), col("n_members"), col("n_texts"),
+        col("hash_lo"), col("hash_hi"))
+      .orderBy(col("rep_doc"))
+  }
+
   /** The FRAME-SAMPLE stage of the audio pipeline: 64-sample PCM frame
     * energies decoded from each payload's data chunk
     * ([[Multimodal.audioFrames]]) — chunk-walked, little-endian-read,
@@ -407,6 +462,9 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "image_dedup" -> imageDedup,
     "image_dedup_incremental" -> imageDedupIncremental,
     "image_neardup" -> imageNearDup,
+    "video_frames" -> videoFrames,
+    "video_dedup" -> videoDedup,
+    "crossmodal_mismatch" -> crossmodalMismatch,
     "audio_dedup" -> audioDedup,
     "modality_dedup_summary" -> modalityDedupSummary,
     "audio_energy" -> audioEnergy,
@@ -463,7 +521,65 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       |  coalesce(sum(CASE WHEN nxt > energy THEN 1::BIGINT << fi::INT ELSE 0::BIGINT END), 0)::BIGINT AS fp
       |FROM dl GROUP BY doc_id)""".stripMargin
 
+  /** Shared DuckDB fragment: the planted VIDEO fingerprint table
+    * `vh(doc_id, n_frames, hash_lo, hash_hi, contour_fp)` — frame f of
+    * doc's GIF plants gray(x, y) = (3x + 31y + 7f + doc_id*31) mod 256;
+    * the fragment re-derives the 8×8-grid frame means, frame-0 aHash
+    * bits and the brightness-contour bits from that arithmetic. The
+    * Spark side reaches the same numbers only by decoding the real
+    * animated-GIF bytes frame by frame.
+    */
+  private[queries] def VideoHashCte: String =
+    """geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+      |    2 + n % 4 AS f, doc_id * 31 AS seed
+      |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+      |fr AS (SELECT doc_id, w, h, f, seed, unnest(range(0, f)) AS fi FROM geo),
+      |grid AS (SELECT doc_id, w, h, seed, fi, x.i AS px, y.i AS py
+      |  FROM fr CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
+      |v AS (SELECT doc_id, fi, py * 8 + px AS idx,
+      |    (3 * (px * w // 8) + 31 * (py * h // 8) + 7 * fi + seed) % 256 AS gray
+      |  FROM grid),
+      |fm AS (SELECT doc_id, fi, (sum(gray) // 64)::BIGINT AS fmean
+      |  FROM v GROUP BY 1, 2),
+      |b0 AS (SELECT v.doc_id,
+      |    sum(CASE WHEN idx < 32 AND gray > fmean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
+      |    sum(CASE WHEN idx >= 32 AND gray > fmean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
+      |  FROM v JOIN fm ON v.doc_id = fm.doc_id AND v.fi = fm.fi
+      |  WHERE v.fi = 0 GROUP BY 1),
+      |ct AS (SELECT doc_id,
+      |    coalesce(sum(CASE WHEN nxt > fmean THEN 1::BIGINT << fi::INT ELSE 0::BIGINT END), 0)::BIGINT AS contour_fp
+      |  FROM (SELECT doc_id, fi, fmean,
+      |          lead(fmean) OVER (PARTITION BY doc_id ORDER BY fi) AS nxt FROM fm)
+      |  GROUP BY doc_id),
+      |vh AS (SELECT geo.doc_id, f AS n_frames, hash_lo, hash_hi, contour_fp
+      |  FROM geo JOIN b0 ON geo.doc_id = b0.doc_id
+      |           JOIN ct ON geo.doc_id = ct.doc_id)""".stripMargin
+
   private[queries] val mediaOracles: Map[String, String] = Map(
+    "video_frames" ->
+      """WITH p AS (SELECT doc_id, 2 + n % 4 AS f, doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |s AS (SELECT doc_id, 1::INT AS sample_ord, 0::BIGINT AS fi, f, seed FROM p
+        |  UNION ALL SELECT doc_id, 2::INT, f // 2, f, seed FROM p
+        |  UNION ALL SELECT doc_id, 3::INT, f - 1, f, seed FROM p)
+        |SELECT doc_id, sample_ord, fi::INT AS frame_idx, f::INT AS n_frames,
+        |  ((7 * fi + seed) % 256)::INT AS p00
+        |FROM s ORDER BY doc_id, sample_ord""".stripMargin,
+    "video_dedup" ->
+      (s"WITH $VideoHashCte\n" +
+        """SELECT min(doc_id)::BIGINT AS rep_doc, count(*)::BIGINT AS n_members,
+          |  n_frames::INT AS n_frames, hash_lo, hash_hi, contour_fp
+          |FROM vh GROUP BY n_frames, hash_lo, hash_hi, contour_fp
+          |ORDER BY rep_doc""".stripMargin),
+    "crossmodal_mismatch" ->
+      (s"WITH ${AHashBitsCte("")},\n" +
+        """t AS (SELECT b.doc_id, b.hash_lo, b.hash_hi, d.text
+          |  FROM bits b JOIN documents d ON b.doc_id = d.doc_id)
+          |SELECT min(doc_id)::BIGINT AS rep_doc, count(*)::BIGINT AS n_members,
+          |  count(DISTINCT text)::BIGINT AS n_texts, hash_lo, hash_hi
+          |FROM t GROUP BY hash_lo, hash_hi
+          |HAVING count(*) >= 2 AND count(DISTINCT text) > 1
+          |ORDER BY rep_doc""".stripMargin),
     "image_dedup" ->
       s"""WITH ${AHashBitsCte("")}
          |SELECT min(doc_id)::BIGINT AS rep_doc, count(*)::BIGINT AS n_members,

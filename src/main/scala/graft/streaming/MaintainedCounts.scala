@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   *     replay is indistinguishable from a clean run (crash-injection
   *     spec in StreamingSpec);
   *   - superseded versions are GC'd after each commit (marker-first, so
-  *     a crash mid-GC only delays cleanup).
+  *     a crash mid-GC only delays cleanup). The IMMEDIATE GC assumes the
+  *     declared foreachBatch SINGLE-WRITER/SINGLE-READER contract: a
+  *     concurrent reader in ANOTHER process that listed the old version
+  *     mid-scan would fail its read when that version vanishes. External
+  *     readers need a one-version GC grace (delete `v=b` only once
+  *     `v>b+1` is committed) or a read-repair retry loop — neither is
+  *     wired here because the streaming instances own their tables.
   */
 object MaintainedCounts {
 

@@ -904,6 +904,15 @@ class PqSpec extends SparkSuite {
     java.nio.ByteBuffer.wrap(liedV5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(10, 60)
     intercept[IllegalArgumentException](codec.thumb(MediaIn(4L, liedV5)))
+    // hostile DIB size near Int.MaxValue: `14 + dib` in INT arithmetic
+    // overflows negative, so the cross-check would pass ANY bfOffBits —
+    // here one pointing INTO the header (off=14) — and silently sample
+    // header bytes as pixels. The guard must run in long arithmetic
+    // (and cap dib), so this throws.
+    val hostile = bytes.clone()
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 14).putInt(14, Int.MaxValue)
+    intercept[IllegalArgumentException](codec.thumb(MediaIn(5L, hostile)))
   }
 
   test("image_phash: aHash bits come from the real decoded gray grid") {
@@ -943,6 +952,12 @@ class PqSpec extends SparkSuite {
     java.nio.ByteBuffer.wrap(liedV5).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(10, 60)
     intercept[IllegalArgumentException](codec.ahash(MediaIn(10L, liedV5)))
+    // hostile DIB size near Int.MaxValue overflowing `14 + dib` in Int:
+    // the thumbnail sibling's long-arithmetic/dib-cap regression
+    val hostile = BmpFile.build(w, h, seed)
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 14).putInt(14, Int.MaxValue)
+    intercept[IllegalArgumentException](codec.ahash(MediaIn(11L, hostile)))
   }
 
   test("imageio codec: PNG decode is exact, JPEG near, corrupt streams throw") {
@@ -1137,6 +1152,110 @@ class PqSpec extends SparkSuite {
     val bmpHash = Pipeline.imagePhash(spark, sf0001).collect().toSeq
     val pngHash = Pipeline.imagePhashPng(spark, sf0001).collect().toSeq
     assert(pngHash == bmpHash)
+  }
+
+  test("gif codec: animated frames round-trip losslessly, corrupt streams throw") {
+    import Multimodal.{GifCodec, GifFile, MediaIn}
+    val codec = new GifCodec
+    // full builder geometry range (w 4-15, h 4-14, 2-5 frames): every
+    // decoded frame pixel equals the planted arithmetic. h=4 is the
+    // REGRESSION geometry — the JDK writer's default interlacing
+    // permutes rows there (pass 2 of the interlace schedule starts at
+    // the nonexistent row 4), which is why GifFile writes progressive-
+    // mode-disabled streams.
+    for (w <- Seq(4, 7, 15); h <- Seq(4, 5, 14); nf <- Seq(2, 5)) {
+      val seed = 31L * (w * 16 + h) + nf
+      val samples = codec.frameSamples(MediaIn(1L, GifFile.build(w, h, nf, seed)))
+      assert(samples.map(s => (s.sample_ord, s.frame_idx, s.n_frames)) ==
+        Seq((1, 0, nf), (2, nf / 2, nf), (3, nf - 1, nf)), s"${w}x$h nf=$nf")
+      samples.foreach { s =>
+        assert(s.p00 == ((7L * s.frame_idx + seed) & 0xFF).toInt,
+          s"${w}x$h nf=$nf frame ${s.frame_idx}")
+      }
+      // videoHash vs an independent recompute of the planted grid
+      val vh = codec.videoHash(MediaIn(1L, GifFile.build(w, h, nf, seed)))
+      val means = (0 until nf).map { f =>
+        (0 until 64).map { i =>
+          (3L * ((i % 8) * w / 8) + 31L * ((i / 8) * h / 8) + 7L * f + seed) & 0xFF
+        }.sum / 64
+      }
+      val gray0 = (0 until 64).map { i =>
+        (3L * ((i % 8) * w / 8) + 31L * ((i / 8) * h / 8) + seed) & 0xFF
+      }
+      var lo = 0L; var hi = 0L
+      (0 until 64).foreach { i =>
+        if (gray0(i) > means(0)) {
+          if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+        }
+      }
+      val cfp = (0 until nf - 1).map(f => if (means(f + 1) > means(f)) 1L << f else 0L).sum
+      assert(vh == Multimodal.VideoHash(1L, nf, lo, hi, cfp), s"${w}x$h nf=$nf")
+    }
+    val good = GifFile.build(7, 5, 3, 99L)
+    // corrupt magic must throw FROM OUR SNIFF: the JDK format-named
+    // reader demonstrably decodes a magic-corrupted stream (it trusts
+    // the caller's format choice), so skipping the sniff would fabricate
+    // frames from non-GIF bytes
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](codec.frameSamples(MediaIn(2L, bad)))
+    // truncated stream must throw, not yield partial frames
+    intercept[IllegalArgumentException](
+      codec.videoHash(MediaIn(3L, good.take(good.length / 2))))
+  }
+
+  test("video_frames / video_dedup: per-frame decode and census match driver recomputes") {
+    val geo = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    // video_frames: first/middle/last with the planted (0,0) witness
+    val expectFrames = geo.flatMap { case (id, n) =>
+      val nf = 2 + (n % 4).toInt
+      Seq((1, 0), (2, nf / 2), (3, nf - 1)).map { case (ord, fi) =>
+        (id, ord, fi, nf, ((7L * fi + id * 31) & 0xFF).toInt)
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val gotFrames = Pipeline.videoFrames(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(gotFrames == expectFrames)
+    // video_dedup census = plain groupBy of the per-doc fingerprints
+    val vhs = graft.operators.Multimodal
+      .videoHashes(spark, graft.sources.Tables.documents(spark, sf0001)).collect()
+    val expectCensus = vhs.groupBy(v => (v.n_frames, v.hash_lo, v.hash_hi, v.contour_fp))
+      .map { case ((nf, lo, hi, fp), v) =>
+        (v.map(_.doc_id).min, v.length.toLong, nf, lo, hi, fp)
+      }.toSeq.sortBy(_._1)
+    val gotCensus = Pipeline.videoDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(gotCensus == expectCensus)
+  }
+
+  test("crossmodal_mismatch: recaptioned-reupload clusters reconcile with the modality card") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val txt = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val hs = graft.operators.Multimodal.imageHashes(spark, docs).collect()
+    val clusters = hs.groupBy(h => (h.hash_lo, h.hash_hi))
+    val expect = clusters.toSeq.flatMap { case ((lo, hi), v) =>
+      val texts = v.map(m => txt(m.doc_id)).distinct.length.toLong
+      if (v.length >= 2 && texts > 1)
+        Some((v.map(_.doc_id).min, v.length.toLong, texts, lo, hi))
+      else None
+    }.sortBy(_._1)
+    val got = Pipeline.crossmodalMismatch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture must exhibit image-dup/text-differs clusters")
+    // reconciliation with the dataset card: total image dupes =
+    // sum(n_members - 1) over ALL image-hash clusters, and every
+    // reported mismatch cluster is one of those dup clusters
+    val card = Pipeline.modalityDedupSummary(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val imgDupes = clusters.values.map(v => (v.length - 1).toLong).sum
+    assert(card("image") == imgDupes)
+    val dupReps = clusters.values.filter(_.length >= 2).map(_.map(_.doc_id).min).toSet
+    assert(got.forall(g => dupReps(g._1)))
   }
 
   test("audio frame energies come from the decoded PCM stream") {

@@ -35,10 +35,20 @@ def main(paths):
                   f"(+{len(set(r) - keys)}/-{len(keys - set(r))}); "
                   "comparing the intersection")
             keys &= set(r)
-    mins = {k: min(r[k] for r in runs) for k in keys}
+    # Bench records a failed query as -1.0; a failure is NOT a fast run,
+    # so drop non-positive samples before taking the min — otherwise one
+    # transient failure silently deflates the band total and corrupts
+    # the slowest-10 ranking.
+    mins = {}
+    for k in keys:
+        ok = [r[k] for r in runs if r[k] > 0]
+        if not ok:
+            print(f"WARN: {k} failed in every run (excluded from the band)")
+            continue
+        mins[k] = min(ok)
     for p, r in zip(paths, runs):
         print(f"run total {sum(r[k] for k in keys):8.1f} s  {p}")
-    print(f"MINIMA total {sum(mins.values()):6.1f} s over {len(keys)} queries"
+    print(f"MINIMA total {sum(mins.values()):6.1f} s over {len(mins)} queries"
           " (the band number)")
     print("slowest-10 (minima):")
     for k, v in sorted(mins.items(), key=lambda kv: -kv[1])[:10]:
