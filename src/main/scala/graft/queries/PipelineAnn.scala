@@ -99,6 +99,87 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
   def annFilteredRecall(s: SparkSession, d: String): DataFrame =
     recallOf(annFilteredTopk(s, d), annFilteredTopkIvf(s, d))
 
+  /** The filtered ladder's PRODUCTION operating point — the over-fetch
+    * move [[annFilteredTopkIvf]]'s scaladoc names, made a measured
+    * query: probe (nprobe=3 trained cells from the materialized
+    * `cell=<cid>` index, [[ivfPqRerank]]'s stage 1) → ADC shortlist
+    * OVER-FETCHED by 2·k/selectivity → exact integer-L2 re-rank UNDER
+    * THE PREDICATE. The compressed index is predicate-AGNOSTIC (4-byte
+    * codes carry no metadata — the common deployment, where rebuilding
+    * per-tenant indexes is off the table), so the predicate can only be
+    * applied after the index scan; a plain top-k shortlist would then
+    * under-fill k whenever selectivity < k/shortlist, which is exactly
+    * what the 1/selectivity over-fetch prevents. Selectivity comes from
+    * one bounded corpus-stats aggregate (a serving layer reads table
+    * statistics); the predicate itself pays only on the O(shortlist)
+    * re-rank slice. [[annFilteredRerankRecall]] publishes what the
+    * composition costs vs the exact filtered scan.
+    */
+  def annFilteredRerank(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 3
+    val k = 20
+    val emb = Tables.embeddings(s, d)
+    val model = kmeansModel(s, d)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
+    val probed = model.zipWithIndex.map { case (c, cid) =>
+      var dsum = 0L; var i = 0
+      while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
+      (dsum, cid)
+    }.sorted.take(nprobe).map(_._2)
+    val dt = Pq.distTables(pqModel(s, d), model, qv)
+    // the over-fetch operating point: 2x margin on k/selectivity,
+    // integer arithmetic so the oracle lands on the same count.
+    // bounded: one 2-column corpus-stats row (table statistics).
+    val stats = docs(s, d).agg(count(lit(1)).as("n"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("na")).collect()(0)
+    val nShort = (2L * k * stats.getLong(0) / stats.getLong(1)).toInt
+    val shortlist = s.read.parquet(pqIndexPath(s, d))
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Pq.adcScorePacked(col("cell"), col("code32"), dt).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(nShort)
+      .select(col("vec_id"))
+    val allowed = docs(s, d).filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    Kmeans.quantized(emb)
+      .join(broadcast(shortlist), "vec_id") // O(shortlist) rows from here on
+      .join(allowed, "vec_id") // the predicate pays only on that slice
+      .select(col("vec_id"),
+        graft.functions.SketchExprs.nearestCentroid(col("v"), Array(qv))
+          .getField("dist").as("dist_micro2"))
+      .orderBy(col("dist_micro2"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@20 of the over-fetched filtered re-rank against the EXACT
+    * filtered integer-L2 scan — the row that completes the filtered
+    * recall ladder the way [[pqRerankRecall]] completes the unfiltered
+    * one: it prices the whole composition (unprobed cells + ADC loss +
+    * predicate-after-index) in one published number. Oracle recomputes
+    * the overlap from this run's own rerank dump (the recall-family
+    * closure).
+    */
+  def annFilteredRerankRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
+    val allowed = docs(s, d).filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val exact = Kmeans.quantized(emb)
+      .filter(col("vec_id") =!= 0)
+      .join(allowed, "vec_id")
+      .select(col("vec_id"),
+        graft.functions.SketchExprs.nearestCentroid(col("v"), Array(qv))
+          .getField("dist").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"))
+    recallOf(exact, annFilteredRerank(s, d))
+  }
+
   /** Per-cell IVF centroids in exact integer space (explode dims, sum
     * longs, divide once — double sums are NOT order-stable across
     * partitions, integer sums are). Computed once per (session, sfDir)
@@ -1768,6 +1849,8 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     "ann_filtered_topk" -> annFilteredTopk,
     "ann_filtered_topk_ivf" -> annFilteredTopkIvf,
     "ann_filtered_recall" -> annFilteredRecall,
+    "ann_filtered_rerank" -> annFilteredRerank,
+    "ann_filtered_rerank_recall" -> annFilteredRerankRecall,
     "ivf_recall" -> ivfRecall,
     "embedding_topk_ivf" -> embeddingTopkIvf,
     "embedding_topk_ivf_tuned" -> embeddingTopkIvfTuned,
@@ -2391,6 +2474,43 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         |  (10000 * count(*) // 20)::BIGINT AS recall_bp
         |FROM read_parquet('{OUT}/ann_filtered_topk/*.parquet') e
         |JOIN read_parquet('{OUT}/ann_filtered_topk_ivf/*.parquet') i USING (vec_id)""".stripMargin,
+    // the IVF-PQ ADC stage (probe + {OUT} codes/codebooks closure),
+    // shortlist widened to the same 2*k/selectivity over-fetch the
+    // Spark side derives from corpus stats, exact re-rank only under
+    // the predicate — predicate-agnostic index, filtered serving
+    "ann_filtered_rerank" ->
+      (s"WITH $IvfPqAdcCte,\n" +
+        """allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+          |params AS (SELECT (2 * 20 * (SELECT count(*) FROM documents))
+          |    // (SELECT count(*) FROM allowed) AS nshort),
+          |sl AS (SELECT vec_id FROM (
+          |    SELECT vec_id, row_number() OVER (ORDER BY adc, vec_id) AS rn FROM sc)
+          |  WHERE rn <= (SELECT nshort FROM params))
+          |SELECT vec_id, dist_micro2 FROM (
+          |  SELECT e.vec_id,
+          |    sum((e.v[t.i] - q.v[t.i]) * (e.v[t.i] - q.v[t.i]))::BIGINT AS dist_micro2
+          |  FROM e JOIN sl USING (vec_id)
+          |  JOIN allowed a ON e.vec_id = a.doc_id
+          |  CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+          |  GROUP BY 1)
+          |ORDER BY dist_micro2, vec_id LIMIT 20""".stripMargin),
+    "ann_filtered_rerank_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |ex AS (SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |      sum((e.v[t.i] - q.qv[t.i]) * (e.v[t.i] - q.qv[t.i])) AS dist
+        |    FROM e JOIN allowed a ON e.vec_id = a.doc_id
+        |    CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+        |    WHERE e.vec_id <> 0 GROUP BY 1)
+        |  ORDER BY dist, vec_id LIMIT 20),
+        |rr AS (SELECT vec_id FROM read_parquet('{OUT}/ann_filtered_rerank/*.parquet'))
+        |SELECT 20::BIGINT AS k, count(*)::BIGINT AS n_hit,
+        |  (10000 * count(*) // 20)::BIGINT AS recall_bp
+        |FROM ex JOIN rr USING (vec_id)""".stripMargin,
     "ann_filtered_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en')

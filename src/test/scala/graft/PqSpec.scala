@@ -1075,6 +1075,48 @@ class PqSpec extends SparkSuite {
       && got.getLong(2) == 10000L * hit / 20)
   }
 
+  test("ann_filtered_rerank: over-fetched shortlist fills k under the predicate, recall matches") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val allowed = docs.filter(col("lang") === "en")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val got = Pipeline.annFilteredRerank(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the point of the 2*k/selectivity over-fetch: k results survive the
+    // predicate (a plain top-k shortlist would under-fill here —
+    // selectivity is well under 1), and every one satisfies it
+    assert(got.size == 20 && got.forall(r => allowed(r._1)))
+    // exact filtered integer-L2 truth side, recomputed on the driver
+    val q = graft.operators.Kmeans
+      .quantized(graft.sources.Tables.embeddings(spark, sf0001)
+        .filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray
+    val exact = graft.operators.Kmeans
+      .quantized(graft.sources.Tables.embeddings(spark, sf0001))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v")).collect()
+      .filter(r => allowed(r.getLong(0)))
+      .map { r =>
+        val v = r.getSeq[Long](1)
+        (r.getLong(0), v.indices.map(i => { val d = v(i) - q(i); d * d }).sum)
+      }.sortBy(p => (p._2, p._1)).take(20)
+    // the re-ranked distances are the EXACT distances of whatever the
+    // shortlist proposed (re-rank never approximates)
+    val exactDist = exact.toMap ++ graft.operators.Kmeans
+      .quantized(graft.sources.Tables.embeddings(spark, sf0001))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v")).collect()
+      .map { r =>
+        val v = r.getSeq[Long](1)
+        (r.getLong(0), v.indices.map(i => { val d = v(i) - q(i); d * d }).sum)
+      }.toMap
+    got.foreach { case (id, dist) => assert(dist == exactDist(id), s"vec $id") }
+    // the recall row is exactly the overlap with the exact filtered scan
+    val hit = exact.map(_._1).count(got.map(_._1).toSet)
+    val rec = Pipeline.annFilteredRerankRecall(spark, sf0001).collect().head
+    assert(rec.getLong(0) == 20L && rec.getLong(1) == hit.toLong
+      && rec.getLong(2) == 10000L * hit / 20)
+  }
+
   test("imageio codec: PNG roundtrip is exact over the full fixture geometry range") {
     import Multimodal.{BmpAHashCodec, BmpFile, ImageIoCodec, ImageIoFile, MediaIn}
     val codec = new ImageIoCodec
