@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   *      energy-contour code per audio clip — map-only decode stages,
   *      constant bytes out per payload
   *   3. CENSUS: collapse each modality to exact-key clusters
-  *      (`image_dedup` / `audio_dedup`) and publish the 3-row modality
-  *      dedup card — which modality carries the redundancy?
+  *      (`image_dedup` / `audio_dedup` / `video_dedup`, round 14) and
+  *      publish the 4-row modality dedup card — which modality carries
+  *      the redundancy?
   *   4. NEAR-DUP: Hamming≤3 image pairs via the 4×16-bit band buckets
   *      (pigeonhole-lossless at this threshold — LSH with a proof)
   *   5. GATE: replay an ingest window through the incremental hash
   *      gate (`image_dedup_incremental`) — the O(batch) anti-join a
   *      streaming deployment runs against the maintained census
   *      ([[graft.streaming.MaintainedCounts]])
+  *   6. RECONCILE: the cross-modal mismatch report
+  *      (`crossmodal_mismatch`, round 14) — image clusters whose
+  *      members carry different captions, the recaptioned-reupload
+  *      signal a curation run acts on
   *
   * Every stage is a declared, oracle-gated query; this harness just
   * composes them the way a corpus-hygiene job would.
@@ -63,11 +68,18 @@ object MultimodalDedupExample {
     val kept = Pipeline.imageDedupIncremental(spark, sfDir).count()
     println(s"[mmdedup] replayed batch survivors through the hash gate: $kept")
 
-    // sanity the harness is real: the card's image row must agree with
-    // the census it summarizes
+    // 6. the recaptioned-reupload report: same picture, different text
+    val mismatch = Pipeline.crossmodalMismatch(spark, sfDir).count()
+    println(s"[mmdedup] image clusters spanning >1 caption: $mismatch")
+
+    // sanity the harness is real: the card's image and video rows must
+    // agree with the censuses they summarize
     val imgRow = card.find(_.getString(0) == "image").get
     require(imgRow.getLong(2) == clusters.count(),
       "modality card and census disagree")
+    val vidRow = card.find(_.getString(0) == "video").get
+    require(vidRow.getLong(2) == Pipeline.videoDedup(spark, sfDir).count(),
+      "modality card and video census disagree")
     println("[mmdedup] done: card/census consistent")
     spark.stop()
   }

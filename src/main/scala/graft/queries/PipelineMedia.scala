@@ -404,10 +404,11 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
 
   /** The dedup dataset-card row set: exact-key duplicate rate for EACH
     * modality in one table — text (content equality), image (64-bit
-    * aHash), audio (energy-contour fingerprint) — the first read of a
-    * mixed-modality corpus audit ("which modality carries the
-    * redundancy?"). Three independent hash aggregates (the map-only
-    * decode streams never join), a 3-row result at any corpus size.
+    * aHash), audio (energy-contour fingerprint), video (frame-count +
+    * frame-0 aHash + brightness contour, round 14) — the first read of
+    * a mixed-modality corpus audit ("which modality carries the
+    * redundancy?"). Four independent hash aggregates (the map-only
+    * decode streams never join), a 4-row result at any corpus size.
     */
   def modalityDedupSummary(s: SparkSession, d: String): DataFrame = {
     val img = Multimodal.imageHashes(s, docs(s, d)).toDF()
@@ -416,11 +417,16 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     val aud = audioFingerprintOf(s, d)
       .agg(count(lit(1)).as("n_items"),
         count_distinct(col("n_frames"), col("fp")).as("n_distinct"))
+    val vid = Multimodal.videoHashes(s, docs(s, d)).toDF()
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("n_frames"), col("hash_lo"), col("hash_hi"),
+          col("contour_fp")).as("n_distinct"))
     val rows = aud.select(lit("audio").as("modality"), col("n_items"), col("n_distinct"))
       .union(img.select(lit("image"), col("n_items"), col("n_distinct")))
       .union(docs(s, d).agg(count(lit(1)).as("n_items"),
         count_distinct(col("text")).as("n_distinct"))
         .select(lit("text"), col("n_items"), col("n_distinct")))
+      .union(vid.select(lit("video"), col("n_items"), col("n_distinct")))
     rows.select(col("modality"), col("n_items"), col("n_distinct"),
         (col("n_items") - col("n_distinct")).as("n_dupes"),
         expr("10000 * (n_items - n_distinct) div n_items").as("dup_bp"))
@@ -530,30 +536,30 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     * animated-GIF bytes frame by frame.
     */
   private[queries] def VideoHashCte: String =
-    """geo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
+    """vgeo AS (SELECT doc_id, 4 + n % 12 AS w, 4 + (n * 31) % 11 AS h,
       |    2 + n % 4 AS f, doc_id * 31 AS seed
       |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
-      |fr AS (SELECT doc_id, w, h, f, seed, unnest(range(0, f)) AS fi FROM geo),
-      |grid AS (SELECT doc_id, w, h, seed, fi, x.i AS px, y.i AS py
-      |  FROM fr CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
-      |v AS (SELECT doc_id, fi, py * 8 + px AS idx,
+      |vfr AS (SELECT doc_id, w, h, f, seed, unnest(range(0, f)) AS fi FROM vgeo),
+      |vgrid AS (SELECT doc_id, w, h, seed, fi, x.i AS px, y.i AS py
+      |  FROM vfr CROSS JOIN range(0, 8) x(i) CROSS JOIN range(0, 8) y(i)),
+      |vpx AS (SELECT doc_id, fi, py * 8 + px AS idx,
       |    (3 * (px * w // 8) + 31 * (py * h // 8) + 7 * fi + seed) % 256 AS gray
-      |  FROM grid),
-      |fm AS (SELECT doc_id, fi, (sum(gray) // 64)::BIGINT AS fmean
-      |  FROM v GROUP BY 1, 2),
-      |b0 AS (SELECT v.doc_id,
+      |  FROM vgrid),
+      |vfm AS (SELECT doc_id, fi, (sum(gray) // 64)::BIGINT AS fmean
+      |  FROM vpx GROUP BY 1, 2),
+      |vb0 AS (SELECT vpx.doc_id,
       |    sum(CASE WHEN idx < 32 AND gray > fmean THEN 1::BIGINT << idx ELSE 0::BIGINT END)::BIGINT AS hash_lo,
       |    sum(CASE WHEN idx >= 32 AND gray > fmean THEN 1::BIGINT << (idx - 32) ELSE 0::BIGINT END)::BIGINT AS hash_hi
-      |  FROM v JOIN fm ON v.doc_id = fm.doc_id AND v.fi = fm.fi
-      |  WHERE v.fi = 0 GROUP BY 1),
-      |ct AS (SELECT doc_id,
+      |  FROM vpx JOIN vfm ON vpx.doc_id = vfm.doc_id AND vpx.fi = vfm.fi
+      |  WHERE vpx.fi = 0 GROUP BY 1),
+      |vct AS (SELECT doc_id,
       |    coalesce(sum(CASE WHEN nxt > fmean THEN 1::BIGINT << fi::INT ELSE 0::BIGINT END), 0)::BIGINT AS contour_fp
       |  FROM (SELECT doc_id, fi, fmean,
-      |          lead(fmean) OVER (PARTITION BY doc_id ORDER BY fi) AS nxt FROM fm)
+      |          lead(fmean) OVER (PARTITION BY doc_id ORDER BY fi) AS nxt FROM vfm)
       |  GROUP BY doc_id),
-      |vh AS (SELECT geo.doc_id, f AS n_frames, hash_lo, hash_hi, contour_fp
-      |  FROM geo JOIN b0 ON geo.doc_id = b0.doc_id
-      |           JOIN ct ON geo.doc_id = ct.doc_id)""".stripMargin
+      |vh AS (SELECT vgeo.doc_id, f AS n_frames, hash_lo, hash_hi, contour_fp
+      |  FROM vgeo JOIN vb0 ON vgeo.doc_id = vb0.doc_id
+      |            JOIN vct ON vgeo.doc_id = vct.doc_id)""".stripMargin
 
   private[queries] val mediaOracles: Map[String, String] = Map(
     "video_frames" ->
@@ -777,10 +783,12 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
         """SELECT min(doc_id)::BIGINT AS rep_doc, count(*)::BIGINT AS n_members,
           |  n_frames, fp
           |FROM fps GROUP BY n_frames, fp ORDER BY rep_doc""".stripMargin),
-    // three independent exact-key censuses, one card: text content
-    // equality, image aHash, audio contour fingerprint
+    // four independent exact-key censuses, one card: text content
+    // equality, image aHash, audio contour fingerprint, video
+    // frame-0-aHash+contour (round 14). The video CTE's names don't
+    // collide with AHashBitsCte's geo/grid/v/m chain (fr/fm/b0/ct/vh).
     "modality_dedup_summary" ->
-      (s"WITH ${AHashBitsCte("")},\n$AudioFpCte,\n" +
+      (s"WITH ${AHashBitsCte("")},\n$AudioFpCte,\n$VideoHashCte,\n" +
         """card AS (
           |  SELECT 'audio' AS modality, count(*)::BIGINT AS n_items,
           |    count(DISTINCT (n_frames, fp))::BIGINT AS n_distinct FROM fps
@@ -789,7 +797,10 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
           |    count(DISTINCT (hash_lo, hash_hi))::BIGINT FROM bits
           |  UNION ALL
           |  SELECT 'text', count(*)::BIGINT,
-          |    count(DISTINCT text)::BIGINT FROM documents)
+          |    count(DISTINCT text)::BIGINT FROM documents
+          |  UNION ALL
+          |  SELECT 'video', count(*)::BIGINT,
+          |    count(DISTINCT (n_frames, hash_lo, hash_hi, contour_fp))::BIGINT FROM vh)
           |SELECT modality, n_items, n_distinct,
           |  (n_items - n_distinct)::BIGINT AS n_dupes,
           |  (10000 * (n_items - n_distinct) // n_items)::BIGINT AS dup_bp

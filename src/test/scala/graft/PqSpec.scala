@@ -1163,12 +1163,15 @@ class PqSpec extends SparkSuite {
     val nTxt = docs.select(col("text")).collect().map(_.getString(0))
     val imgs = graft.operators.Multimodal.imageHashes(spark, docs).collect()
       .map(h => (h.hash_lo, h.hash_hi))
+    val vids = graft.operators.Multimodal.videoHashes(spark, docs).collect()
+      .map(v => (v.n_frames, v.hash_lo, v.hash_hi, v.contour_fp))
     def row(m: String, n: Long, d0: Long) =
       (m, n, d0, n - d0, 10000L * (n - d0) / n)
     val expect = Seq(
       row("audio", fps.length.toLong, fps.map(f => (f._2, f._3)).distinct.length.toLong),
       row("image", imgs.length.toLong, imgs.distinct.length.toLong),
-      row("text", nTxt.length.toLong, nTxt.distinct.length.toLong))
+      row("text", nTxt.length.toLong, nTxt.distinct.length.toLong),
+      row("video", vids.length.toLong, vids.distinct.length.toLong))
     val got = Pipeline.modalityDedupSummary(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSeq
