@@ -662,12 +662,23 @@ object Dedup {
   }
 
   /** Exact-cosine verify of a candidate pair set: two hash joins to fetch
-    * the vectors, one native codegen'd cosine per pair.
+    * the vectors, one native codegen'd cosine per pair. The joins are
+    * PINNED to shuffle-hash building the VECTOR side: the candidate
+    * frame sits above a bucket aggregate + pair explode, so Catalyst
+    * estimates it at the aggregate's row count (≈ #buckets) while its
+    * true size is Σ bucket² pairs — auto-broadcast then picks the pair
+    * side as the build relation and dies building a multi-hundred-
+    * million-row hashed relation ("Not enough memory to build and
+    * broadcast", reproduced at sf3: the r13 bench ghost). The pair list
+    * must only ever be STREAMED; the keyed vector slice is the side a
+    * join may materialize.
     */
   private def cosineVerify(emb: DataFrame, candidates: DataFrame, minCos: Double): DataFrame =
     candidates
-      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
-      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        .hint("shuffle_hash"), "id1")
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+        .hint("shuffle_hash"), "id2")
       .withColumn("cos_sim", round(VectorFns.cosine(col("e1"), col("e2")), 6))
       .filter(col("cos_sim") >= minCos)
       .select(col("id1"), col("id2"), col("cos_sim"))
