@@ -349,6 +349,48 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .orderBy(col("rep_doc"))
   }
 
+  /** Incremental-ingest VIDEO dedup — [[imageDedupIncremental]]'s
+    * replayed-window gate on the video column: the batch (doc_id ≥ 250)
+    * keeps only videos whose (n_frames, frame-0 aHash, contour)
+    * fingerprint is UNSEEN in the ingested corpus (doc_id < 300 — the
+    * overlap models a checkpoint replay, so the 250–299 slice provably
+    * drops). Left-anti on the ~20-byte fingerprint key; at scale the
+    * seen side is the materialized census, hash-bucketed → O(batch)
+    * per ingest, the same posture across all three modality gates.
+    */
+  def videoDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val seen = Multimodal.videoHashes(s, dd.filter(col("doc_id") < 300)).toDF()
+      .select(col("n_frames").as("sn"), col("hash_lo").as("sl"),
+        col("hash_hi").as("sh"), col("contour_fp").as("sc")).distinct()
+    Multimodal.videoHashes(s, dd.filter(col("doc_id") >= 250)).toDF()
+      .join(seen,
+        col("n_frames") === col("sn") && col("hash_lo") === col("sl") &&
+          col("hash_hi") === col("sh") && col("contour_fp") === col("sc"),
+        "left_anti")
+      .select(col("doc_id"), col("n_frames"), col("hash_lo"), col("hash_hi"),
+        col("contour_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental-ingest AUDIO dedup — the same replayed-window gate on
+    * the audio column's (n_frames, energy-contour fp) key, completing
+    * the ingest-gate symmetry across all three media modalities. The
+    * fixture's strong audio collapse (71 distinct codes / 500 clips)
+    * makes this the harshest of the three gates: most of the replayed
+    * batch drops as already-heard.
+    */
+  def audioDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val seen = audioFingerprintOfDocs(s, dd.filter(col("doc_id") < 300))
+      .select(col("n_frames").as("sn"), col("fp").as("sf")).distinct()
+    audioFingerprintOfDocs(s, dd.filter(col("doc_id") >= 250))
+      .join(seen, col("n_frames") === col("sn") && col("fp") === col("sf"),
+        "left_anti")
+      .select(col("doc_id"), col("n_frames"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The FRAME-SAMPLE stage of the audio pipeline: 64-sample PCM frame
     * energies decoded from each payload's data chunk
     * ([[Multimodal.audioFrames]]) — chunk-walked, little-endian-read,
@@ -373,17 +415,23 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     */
   // fingerprint frame without the output sort, so the dedup census and
   // the summary can aggregate it directly (a sort below an aggregate is
-  // pure waste); single definition keeps the fp semantics from drifting
-  private[queries] def audioFingerprintOf(s: SparkSession, d: String): DataFrame = {
+  // pure waste); single definition keeps the fp semantics from drifting.
+  // Takes the document frame (not just the dir) so the incremental gate
+  // can fingerprint a doc_id slice through the SAME definition.
+  private[queries] def audioFingerprintOfDocs(s: SparkSession,
+      dd: org.apache.spark.sql.DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    Multimodal.audioFrames(s, docs(s, d)).toDF()
+    Multimodal.audioFrames(s, dd).toDF()
       .withColumn("nxt", lead(col("energy"), 1).over(w)) // bounded per-doc
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames"),
         coalesce(sum(when(col("nxt") > col("energy"),
           expr("shiftleft(1L, frame_idx)")).otherwise(0L)), lit(0L)).as("fp"))
   }
+
+  private[queries] def audioFingerprintOf(s: SparkSession, d: String): DataFrame =
+    audioFingerprintOfDocs(s, docs(s, d))
 
   def audioFingerprint(s: SparkSession, d: String): DataFrame =
     audioFingerprintOf(s, d).orderBy(col("doc_id"))
@@ -470,6 +518,8 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "image_neardup" -> imageNearDup,
     "video_frames" -> videoFrames,
     "video_dedup" -> videoDedup,
+    "video_dedup_incremental" -> videoDedupIncremental,
+    "audio_dedup_incremental" -> audioDedupIncremental,
     "crossmodal_mismatch" -> crossmodalMismatch,
     "audio_dedup" -> audioDedup,
     "modality_dedup_summary" -> modalityDedupSummary,
@@ -577,6 +627,22 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
           |  n_frames::INT AS n_frames, hash_lo, hash_hi, contour_fp
           |FROM vh GROUP BY n_frames, hash_lo, hash_hi, contour_fp
           |ORDER BY rep_doc""".stripMargin),
+    "video_dedup_incremental" ->
+      (s"WITH $VideoHashCte\n" +
+        """SELECT v.doc_id, n_frames::INT AS n_frames, hash_lo, hash_hi,
+          |  contour_fp
+          |FROM vh v WHERE v.doc_id >= 250 AND NOT EXISTS (
+          |  SELECT 1 FROM vh e WHERE e.doc_id < 300
+          |    AND e.n_frames = v.n_frames AND e.hash_lo = v.hash_lo
+          |    AND e.hash_hi = v.hash_hi AND e.contour_fp = v.contour_fp)
+          |ORDER BY doc_id""".stripMargin),
+    "audio_dedup_incremental" ->
+      (s"WITH $AudioFpCte\n" +
+        """SELECT f.doc_id, n_frames, fp
+          |FROM fps f WHERE f.doc_id >= 250 AND NOT EXISTS (
+          |  SELECT 1 FROM fps e WHERE e.doc_id < 300
+          |    AND e.n_frames = f.n_frames AND e.fp = f.fp)
+          |ORDER BY doc_id""".stripMargin),
     "crossmodal_mismatch" ->
       (s"WITH ${AHashBitsCte("")},\n" +
         """t AS (SELECT b.doc_id, b.hash_lo, b.hash_hi, d.text

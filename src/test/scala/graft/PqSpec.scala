@@ -1148,6 +1148,38 @@ class PqSpec extends SparkSuite {
       "the gate must drop some genuinely-new docs whose hash collides too")
   }
 
+  test("video/audio incremental gates drop exactly the already-seen fingerprints") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    // video gate: the image_dedup_incremental contract on the 4-part key
+    val vhs = graft.operators.Multimodal.videoHashes(spark, docs).collect()
+    val vseen = vhs.filter(_.doc_id < 300)
+      .map(v => (v.n_frames, v.hash_lo, v.hash_hi, v.contour_fp)).toSet
+    val vexpect = vhs.filter(_.doc_id >= 250)
+      .filterNot(v => vseen((v.n_frames, v.hash_lo, v.hash_hi, v.contour_fp)))
+      .sortBy(_.doc_id)
+      .map(v => (v.doc_id, v.n_frames, v.hash_lo, v.hash_hi, v.contour_fp)).toSeq
+    val vgot = Pipeline.videoDedupIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(vgot == vexpect)
+    // the replayed overlap slice (250-299) is guaranteed already-seen
+    assert(vgot.nonEmpty && vgot.forall(_._1 >= 300))
+    // audio gate on the (n_frames, fp) key
+    val fps = Pipeline.audioFingerprint(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val aseen = fps.filter(_._1 < 300).map(f => (f._2, f._3)).toSet
+    val aexpect = fps.filter(_._1 >= 250).filterNot(f => aseen((f._2, f._3)))
+      .sortBy(_._1).toSeq
+    val agot = Pipeline.audioDedupIncremental(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(agot == aexpect)
+    assert(agot.forall(_._1 >= 300))
+    // the fixture's strong audio collapse (71 codes / 500 clips) makes
+    // the audio gate the harshest of the three: it must keep FEWER
+    // survivors than the video gate over the same replayed batch
+    assert(agot.size < vgot.size)
+  }
+
   test("audio_dedup / modality_dedup_summary: censuses match driver recomputes") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val fps = Pipeline.audioFingerprint(spark, sf0001).collect()
