@@ -818,6 +818,14 @@ object Multimodal {
   case class VideoFrameSample(doc_id: Long, sample_ord: Int, frame_idx: Int,
       n_frames: Int, p00: Int)
 
+  /** One decoded frame's 8×8-grid brightness mean — the per-frame
+    * feature stream the shot-boundary census consumes (a real video
+    * curation pass samples frames AT cuts, not uniformly; the cut
+    * census is the first read of that pipeline).
+    */
+  case class VideoFrameMean(doc_id: Long, frame_idx: Int, n_frames: Int,
+      fmean: Long)
+
   /** Per-video dedup fingerprint: frame count, frame-0 aHash (the
     * [[ImageHash]] grid and bit-packing over the single gray channel),
     * and the brightness CONTOUR — bit f set iff frame f+1's grid mean
@@ -874,6 +882,25 @@ object Multimodal {
       withFrames(in) { (n, read) =>
         Seq(1 -> 0, 2 -> (n / 2), 3 -> (n - 1)).map { case (ord, fi) =>
           VideoFrameSample(in.doc_id, ord, fi, n, read(fi).getRGB(0, 0) & 0xFF)
+        }
+      }
+
+    /** Per-frame 8×8-grid means — the [[videoHash]] mean arithmetic
+      * exposed as a frame stream (shot-boundary detection needs the
+      * mean SEQUENCE, not just the contour signs).
+      */
+    def frameMeans(in: MediaIn): Seq[VideoFrameMean] =
+      withFrames(in) { (n, read) =>
+        (0 until n).map { f =>
+          val img = read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var i = 0
+          while (i < 64) {
+            sum += (img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xFF).toLong
+            i += 1
+          }
+          VideoFrameMean(in.doc_id, f, n, sum / 64)
         }
       }
 
@@ -940,6 +967,18 @@ object Multimodal {
     videoPayloads(spark, docs).mapPartitions { it =>
       val codec = new GifCodec
       it.flatMap(codec.frameSamples)
+    }
+  }
+
+  /** Per-frame grid-mean stream over real video containers — map-only
+    * decode, ≤5 rows per video (the builder's frame-count geometry);
+    * the shot-boundary census groups it per doc with a bounded window.
+    */
+  def videoFrameMeans(spark: SparkSession, docs: DataFrame): Dataset[VideoFrameMean] = {
+    import spark.implicits._
+    videoPayloads(spark, docs).mapPartitions { it =>
+      val codec = new GifCodec
+      it.flatMap(codec.frameMeans)
     }
   }
 

@@ -373,6 +373,117 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .orderBy(col("doc_id"))
   }
 
+  /** Near-duplicate VIDEO pairs — [[imageNearDup]] on the video column:
+    * re-encodes of the same clip whose frame-0 aHash drifted by ≤3 bits
+    * but whose temporal structure (frame count + brightness contour) is
+    * intact. Candidates come from the SAME pigeonhole-lossless 4×16-bit
+    * banding as image_neardup (3 flips touch ≤3 of 4 bands, so every
+    * ≤3-distance pair shares an untouched band — the band join misses
+    * nothing, which is why the plain-exact-Hamming oracle can
+    * hash-match), further blocked by (n_frames, contour_fp) equality so
+    * only temporally-compatible clips ever pair. Audit-bounded to
+    * doc_id < 500; at corpus scale the same bands run corpus-wide with
+    * the giant-bucket pre-shard, candidates ∝ bucket mass, never
+    * all-pairs.
+    */
+  def videoNearDup(s: SparkSession, d: String): DataFrame = {
+    // persisted for the same reason as image_neardup: the band self-join
+    // reads this frame on both sides and each side would otherwise
+    // re-run the GIF decode of every payload.
+    val h = Multimodal.videoHashes(s, docs(s, d).filter(col("doc_id") < 500))
+      .toDF().select(col("doc_id"), col("n_frames"), col("hash_lo"),
+        col("hash_hi"), col("contour_fp")).persist()
+    val bands = h.select(col("doc_id"), col("n_frames"), col("hash_lo"),
+      col("hash_hi"), col("contour_fp"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L)),
+        col("hash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "band_val")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.n_frames") === col("b.n_frames") &&
+          col("a.contour_fp") === col("b.contour_fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n_frames").as("n_frames"),
+        col("a.hash_lo").as("l1"), col("a.hash_hi").as("h1"),
+        col("b.hash_lo").as("l2"), col("b.hash_hi").as("h2"))
+      .distinct() // a pair may collide in several bands — count it once
+      .select(col("id1"), col("id2"), col("n_frames"),
+        (expr("bit_count(l1 ^ l2)") + expr("bit_count(h1 ^ h2)")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Near-duplicate AUDIO pairs — the neardup completing the modality
+    * symmetry (image/video have one): clips of the same length whose
+    * energy-contour fingerprints differ by 1–2 sign bits (a re-encode
+    * that flipped a borderline loudness step). Hamming 0 is EXCLUDED —
+    * exact collapse is [[audioDedup]]'s census and the fixture's strong
+    * audio collapse (71 codes / 500 clips) would otherwise drown the
+    * near misses in exact-pair noise. Candidates from 4×4-bit band
+    * buckets over the ≤16-bit fingerprint (pigeonhole: ≤3 flips leave
+    * ≥1 of 4 bands untouched — lossless at threshold 2 with margin),
+    * blocked by n_frames equality. Audit-bounded to doc_id < 500, same
+    * corpus-scale posture as the other neardups.
+    */
+  def audioNearDup(s: SparkSession, d: String): DataFrame = {
+    val h = audioFingerprintOfDocs(s, docs(s, d).filter(col("doc_id") < 500))
+      .persist() // both band-join sides; avoids a second WAV decode pass
+    val bands = h.select(col("doc_id"), col("n_frames"), col("fp"),
+      posexplode(array(
+        col("fp").bitwiseAND(lit(15L)),
+        shiftright(col("fp"), 4).bitwiseAND(lit(15L)),
+        shiftright(col("fp"), 8).bitwiseAND(lit(15L)),
+        shiftright(col("fp"), 12).bitwiseAND(lit(15L))))
+        .as(Seq("band_idx", "band_val")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.n_frames") === col("b.n_frames") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n_frames").as("n_frames"),
+        col("a.fp").as("f1"), col("b.fp").as("f2"))
+      .distinct()
+      .select(col("id1"), col("id2"), col("n_frames"),
+        expr("bit_count(f1 ^ f2)").as("hamming"))
+      .filter(col("hamming") >= 1 && col("hamming") <= 2)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** VIDEO shot-boundary census — cuts are where consecutive decoded
+    * frame means jump by more than 16 gray levels (a hard cut moves the
+    * whole-frame brightness; gradual pans don't): per video, the cut
+    * count and the cut frame indices. This is the first read of a
+    * cut-aware sampling pipeline (sample frames AT shot boundaries
+    * instead of uniformly — the `video_frames` first/middle/last
+    * convention upgraded by content). Map-only decode stream + one
+    * bounded per-doc window (≤5 frames/doc by the builder's geometry)
+    * + one aggregate; no pairs, no unbounded state at any corpus size.
+    */
+  def videoSceneCuts(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Multimodal.videoFrameMeans(s, docs(s, d)).toDF()
+      .withColumn("prev", lag(col("fmean"), 1).over(w)) // bounded per-doc
+      .withColumn("is_cut",
+        col("prev").isNotNull && abs(col("fmean") - col("prev")) > 16)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        // collect_list drops the nulls of non-cut frames; numeric sort
+        // BEFORE the string cast so the csv is index-ordered (matches
+        // the oracle's ORDER BY fi inside string_agg) at any frame count
+        array_join(transform(sort_array(collect_list(
+          when(col("is_cut"), col("frame_idx")))), _.cast("string")), ",")
+          .as("cuts"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental-ingest AUDIO dedup — the same replayed-window gate on
     * the audio column's (n_frames, energy-contour fp) key, completing
     * the ingest-gate symmetry across all three media modalities. The
@@ -519,6 +630,9 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "video_frames" -> videoFrames,
     "video_dedup" -> videoDedup,
     "video_dedup_incremental" -> videoDedupIncremental,
+    "video_neardup" -> videoNearDup,
+    "video_scene_cuts" -> videoSceneCuts,
+    "audio_neardup" -> audioNearDup,
     "audio_dedup_incremental" -> audioDedupIncremental,
     "crossmodal_mismatch" -> crossmodalMismatch,
     "audio_dedup" -> audioDedup,
@@ -636,6 +750,42 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
           |    AND e.n_frames = v.n_frames AND e.hash_lo = v.hash_lo
           |    AND e.hash_hi = v.hash_hi AND e.contour_fp = v.contour_fp)
           |ORDER BY doc_id""".stripMargin),
+    // plain exact Hamming over the bounded domain — legitimate because
+    // the Spark side's 4x16 banding is pigeonhole-lossless at threshold
+    // 3 and the (n_frames, contour_fp) block only removes pairs both
+    // sides agree can't be near-dups
+    "video_neardup" ->
+      (s"WITH $VideoHashCte\n" +
+        """SELECT id1, id2, n_frames::INT AS n_frames, ham::INT AS hamming FROM (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_frames,
+          |    bit_count(xor(a.hash_lo, b.hash_lo))
+          |      + bit_count(xor(a.hash_hi, b.hash_hi)) AS ham
+          |  FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+          |    AND a.n_frames = b.n_frames AND a.contour_fp = b.contour_fp
+          |  WHERE a.doc_id < 500 AND b.doc_id < 500)
+          |WHERE ham <= 3 ORDER BY id1, id2""".stripMargin),
+    "audio_neardup" ->
+      (s"WITH $AudioFpCte\n" +
+        """SELECT id1, id2, n_frames, ham::INT AS hamming FROM (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_frames,
+          |    bit_count(xor(a.fp, b.fp)) AS ham
+          |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+          |    AND a.n_frames = b.n_frames
+          |  WHERE a.doc_id < 500 AND b.doc_id < 500)
+          |WHERE ham BETWEEN 1 AND 2 ORDER BY id1, id2""".stripMargin),
+    "video_scene_cuts" ->
+      (s"WITH $VideoHashCte,\n" +
+        """dl AS (SELECT doc_id, fi, fmean,
+          |    lag(fmean) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+          |  FROM vfm)
+          |SELECT d.doc_id, g.f::INT AS n_frames,
+          |  count(CASE WHEN prev IS NOT NULL AND abs(fmean - prev) > 16
+          |             THEN 1 END)::BIGINT AS n_cuts,
+          |  coalesce(string_agg(
+          |    CASE WHEN prev IS NOT NULL AND abs(fmean - prev) > 16
+          |         THEN fi::VARCHAR END, ',' ORDER BY fi), '') AS cuts
+          |FROM dl d JOIN vgeo g ON d.doc_id = g.doc_id
+          |GROUP BY d.doc_id, g.f ORDER BY d.doc_id""".stripMargin),
     "audio_dedup_incremental" ->
       (s"WITH $AudioFpCte\n" +
         """SELECT f.doc_id, n_frames, fp

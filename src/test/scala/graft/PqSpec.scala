@@ -1307,6 +1307,62 @@ class PqSpec extends SparkSuite {
     assert(gotCensus == expectCensus)
   }
 
+  test("video_neardup / audio_neardup: banded joins equal brute-force Hamming") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 500)
+    // video: brute force over the per-doc fingerprints, blocked the same
+    // way the query declares (n_frames + contour equality, Hamming <= 3)
+    val vhs = graft.operators.Multimodal.videoHashes(spark, docs).collect()
+    val expectV = (for {
+      a <- vhs; b <- vhs
+      if a.doc_id < b.doc_id && a.n_frames == b.n_frames &&
+        a.contour_fp == b.contour_fp
+      ham = java.lang.Long.bitCount(a.hash_lo ^ b.hash_lo) +
+        java.lang.Long.bitCount(a.hash_hi ^ b.hash_hi)
+      if ham <= 3
+    } yield (a.doc_id, b.doc_id, a.n_frames, ham)).toSeq.sortBy(r => (r._1, r._2))
+    val gotV = Pipeline.videoNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(gotV == expectV)
+    assert(gotV.nonEmpty, "fixture must exhibit near-dup videos")
+    // audio: Hamming in [1, 2] (exact collapse is audio_dedup's census —
+    // the near report must never contain a 0-distance pair)
+    val fps = Pipeline.audioFingerprint(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 < 500)
+    val expectA = (for {
+      a <- fps; b <- fps
+      if a._1 < b._1 && a._2 == b._2
+      ham = java.lang.Long.bitCount(a._3 ^ b._3)
+      if ham >= 1 && ham <= 2
+    } yield (a._1, b._1, a._2, ham)).toSeq.sortBy(r => (r._1, r._2))
+    val gotA = Pipeline.audioNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(gotA == expectA)
+    assert(gotA.forall(_._4 >= 1), "no exact-dup pair may leak into the near report")
+  }
+
+  test("video_scene_cuts: census matches a driver recompute of the decoded frame means") {
+    import Multimodal.MediaIn
+    val codec = new Multimodal.GifCodec
+    val geo = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    val expect = geo.map { case (id, n) =>
+      val payload = Multimodal.GifFile.build(
+        4 + (n % 12).toInt, 4 + ((n * 31) % 11).toInt, 2 + (n % 4).toInt, id * 31)
+      val means = codec.frameMeans(MediaIn(id, payload)).map(_.fmean)
+      val cuts = (1 until means.length)
+        .filter(f => math.abs(means(f) - means(f - 1)) > 16)
+      (id, means.length, cuts.length.toLong, cuts.mkString(","))
+    }.sortBy(_._1).toSeq
+    val got = Pipeline.videoSceneCuts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expect)
+    assert(got.exists(_._3 > 0), "fixture must exhibit at least one hard cut")
+    assert(got.forall(r => r._3 <= r._2 - 1), "cuts are frame transitions")
+  }
+
   test("crossmodal_mismatch: recaptioned-reupload clusters reconcile with the modality card") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val txt = docs.select(col("doc_id"), col("text")).collect()
