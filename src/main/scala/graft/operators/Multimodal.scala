@@ -821,10 +821,12 @@ object Multimodal {
   /** One decoded frame's 8×8-grid brightness mean — the per-frame
     * feature stream the shot-boundary census consumes (a real video
     * curation pass samples frames AT cuts, not uniformly; the cut
-    * census is the first read of that pipeline).
+    * census is the first read of that pipeline). `p00` is the frame's
+    * decoded (0,0) gray — the per-frame pixel witness the cut-aware
+    * sampler carries (only true per-frame decode matches it).
     */
   case class VideoFrameMean(doc_id: Long, frame_idx: Int, n_frames: Int,
-      fmean: Long)
+      fmean: Long, p00: Int)
 
   /** Per-video dedup fingerprint: frame count, frame-0 aHash (the
     * [[ImageHash]] grid and bit-packing over the single gray channel),
@@ -900,7 +902,7 @@ object Multimodal {
             sum += (img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xFF).toLong
             i += 1
           }
-          VideoFrameMean(in.doc_id, f, n, sum / 64)
+          VideoFrameMean(in.doc_id, f, n, sum / 64, img.getRGB(0, 0) & 0xFF)
         }
       }
 

@@ -484,6 +484,28 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .orderBy(col("doc_id"))
   }
 
+  /** Cut-aware frame sampling — the stage [[videoSceneCuts]] motivates,
+    * composed end-to-end: one row per SHOT START (frame 0 plus every
+    * hard-cut frame), each carrying the decoded (0,0) gray witness —
+    * the frame set a feature extractor should actually embed (one
+    * representative per shot beats uniform first/middle/last when the
+    * content is cut-structured). Per doc: shot_ord is the 1-based shot
+    * number; reconciles with the census by construction (rows per doc =
+    * n_cuts + 1, spec-pinned). Same map-only decode stream + bounded
+    * per-doc windows; output ≤ n_frames rows per video.
+    */
+  def videoFramesAtCuts(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Multimodal.videoFrameMeans(s, docs(s, d)).toDF()
+      .withColumn("prev", lag(col("fmean"), 1).over(w)) // bounded per-doc
+      .filter(col("prev").isNull || abs(col("fmean") - col("prev")) > 16)
+      .withColumn("shot_ord", row_number().over(w))
+      .select(col("doc_id"), col("shot_ord"), col("frame_idx"),
+        col("n_frames"), col("p00"))
+      .orderBy(col("doc_id"), col("shot_ord"))
+  }
+
   /** Incremental-ingest AUDIO dedup — the same replayed-window gate on
     * the audio column's (n_frames, energy-contour fp) key, completing
     * the ingest-gate symmetry across all three media modalities. The
@@ -632,6 +654,7 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "video_dedup_incremental" -> videoDedupIncremental,
     "video_neardup" -> videoNearDup,
     "video_scene_cuts" -> videoSceneCuts,
+    "video_frames_at_cuts" -> videoFramesAtCuts,
     "audio_neardup" -> audioNearDup,
     "audio_dedup_incremental" -> audioDedupIncremental,
     "crossmodal_mismatch" -> crossmodalMismatch,
@@ -786,6 +809,18 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
           |         THEN fi::VARCHAR END, ',' ORDER BY fi), '') AS cuts
           |FROM dl d JOIN vgeo g ON d.doc_id = g.doc_id
           |GROUP BY d.doc_id, g.f ORDER BY d.doc_id""".stripMargin),
+    "video_frames_at_cuts" ->
+      (s"WITH $VideoHashCte,\n" +
+        """dl AS (SELECT doc_id, fi, fmean,
+          |    lag(fmean) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+          |  FROM vfm),
+          |st AS (SELECT doc_id, fi,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS shot_ord
+          |  FROM dl WHERE prev IS NULL OR abs(fmean - prev) > 16)
+          |SELECT s.doc_id, shot_ord::INT AS shot_ord, fi::INT AS frame_idx,
+          |  g.f::INT AS n_frames, ((7 * fi + g.seed) % 256)::INT AS p00
+          |FROM st s JOIN vgeo g ON s.doc_id = g.doc_id
+          |ORDER BY s.doc_id, shot_ord""".stripMargin),
     "audio_dedup_incremental" ->
       (s"WITH $AudioFpCte\n" +
         """SELECT f.doc_id, n_frames, fp

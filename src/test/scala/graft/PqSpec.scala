@@ -1363,6 +1363,28 @@ class PqSpec extends SparkSuite {
     assert(got.forall(r => r._3 <= r._2 - 1), "cuts are frame transitions")
   }
 
+  test("video_frames_at_cuts: one decoded witness row per shot, reconciling with the cut census") {
+    val got = Pipeline.videoFramesAtCuts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    // per doc: frame 0 is always shot 1, shot_ords are 1..k contiguous,
+    // and row count = the census's n_cuts + 1
+    val cuts = Pipeline.videoSceneCuts(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == cuts.keySet, "every video has at least one shot")
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 == 1 && sorted.head._3 == 0, s"doc $id: shot 1 is frame 0")
+      assert(sorted.map(_._2).toSeq == (1 to rows.length), s"doc $id: contiguous shot_ord")
+      assert(rows.length.toLong == cuts(id) + 1, s"doc $id: shots = cuts + 1")
+    }
+    // the pixel witness is the real decoded (0,0) gray of THAT frame:
+    // frame f plants (7f + doc_id*31) mod 256
+    assert(got.forall { case (id, _, fi, _, p00) =>
+      p00 == (((7L * fi + id * 31) % 256 + 256) % 256).toInt })
+    assert(got.exists(_._2 > 1), "fixture must exhibit multi-shot videos")
+  }
+
   test("crossmodal_mismatch: recaptioned-reupload clusters reconcile with the modality card") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val txt = docs.select(col("doc_id"), col("text")).collect()
