@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   *      (`crossmodal_mismatch`, round 14) — image clusters whose
   *      members carry different captions, the recaptioned-reupload
   *      signal a curation run acts on
+  *   7. SEGMENT + SAMPLE: the shot-boundary census
+  *      (`video_scene_cuts`) and the cut-aware sampler
+  *      (`video_frames_at_cuts`) — the frame set a feature extractor
+  *      embeds, one representative per shot instead of uniform
+  *      first/middle/last; plus the video/audio near-dup reports
+  *      completing the neardup symmetry
   *
   * Every stage is a declared, oracle-gated query; this harness just
   * composes them the way a corpus-hygiene job would.
@@ -71,6 +77,19 @@ object MultimodalDedupExample {
     // 6. the recaptioned-reupload report: same picture, different text
     val mismatch = Pipeline.crossmodalMismatch(spark, sfDir).count()
     println(s"[mmdedup] image clusters spanning >1 caption: $mismatch")
+
+    // 7. shot structure: census -> cut-aware sample, plus the neardup
+    // symmetry across the other two modalities
+    val cut = Pipeline.videoSceneCuts(spark, sfDir)
+      .agg(sum(col("n_cuts")).as("cuts"), count(lit(1)).as("vids")).collect()(0)
+    val shots = Pipeline.videoFramesAtCuts(spark, sfDir).count()
+    println(s"[mmdedup] shot structure: ${cut.getLong(0)} hard cuts over " +
+      s"${cut.getLong(1)} videos -> $shots shot-start frames sampled")
+    require(shots == cut.getLong(0) + cut.getLong(1),
+      "sampler and census disagree (shots != cuts + videos)")
+    val vnear = Pipeline.videoNearDup(spark, sfDir).filter(col("hamming") > 0).count()
+    val anear = Pipeline.audioNearDup(spark, sfDir).count()
+    println(s"[mmdedup] near-dup pairs: video(1<=ham<=3)=$vnear audio(1<=ham<=2)=$anear")
 
     // sanity the harness is real: the card's image and video rows must
     // agree with the censuses they summarize
