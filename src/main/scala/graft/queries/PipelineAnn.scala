@@ -362,6 +362,36 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         col("nc.dist").as("dist_micro2"))
       .orderBy(col("vec_id"))
 
+  /** Incremental IVF index INGEST — the dedup_incremental posture on
+    * the vector index (production IVF serving trains the coarse
+    * quantizer rarely and assigns every arriving batch against the
+    * FROZEN model): a bounded arrival batch (vec_id < 500, the audit
+    * convention) is assigned to its nearest trained cell by exact
+    * integer squared L2 ([[kmeansAssign]]'s argmin, O(batch × k), the
+    * corpus never rescanned), then collapsed to the per-cell delta
+    * census an index-health monitor reads — which cells grew, and at
+    * what quantization cost (Σ dist). All k cells are emitted (0-added
+    * cells included): a batch that loads one cell is the skew signal
+    * that triggers re-training. At 100 TB: the model is a broadcast
+    * scalar, the batch a few thousand rows — the whole op is
+    * O(batch × k) regardless of index size.
+    */
+  def ivfIngest(s: SparkSession, d: String): DataFrame = {
+    val model = kmeansModel(s, d)
+    val added = graft.operators.Kmeans.quantized(
+        Tables.embeddings(s, d).filter(col("vec_id") < 500))
+      .select(graft.operators.Kmeans.nearest(model).as("nc"))
+      .select(col("nc.cid").cast("long").as("cluster_id"), col("nc.dist").as("d"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_added"), sum(col("d")).as("sum_dist_micro2"))
+    s.range(model.length.toLong).select(col("id").as("cluster_id"))
+      .join(added, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("sum_dist_micro2"), lit(0L)).as("sum_dist_micro2"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Trained RESIDUAL PQ codebooks per (session, dir) — M independent
     * k-means runs over the sliced residuals v − coarse_centroid(cell(v))
     * (true IVFADC, Jégou 2011 §IV.A — see [[Pq]]), cached like
@@ -1858,6 +1888,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     "ivf_recall_curve" -> ivfRecallCurve,
     "kmeans_centroids" -> kmeansCentroids,
     "kmeans_assign" -> kmeansAssign,
+    "ivf_ingest" -> ivfIngest,
     "pq_codebooks" -> pqCodebooks,
     "pq_codes" -> pqCodes,
     "embedding_topk_pq" -> embeddingTopkPq,
@@ -2166,6 +2197,22 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
         |SELECT vec_id, cid::BIGINT AS cluster_id, dist::BIGINT AS dist_micro2
         |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // the ingest batch assigned against the SAME trained lattice the
+    // kmeans_assign oracle re-derives; per-cell census over all 8 cells
+    "ivf_ingest" ->
+      s"""WITH $KmeansTrainCte,
+        |bd AS (SELECT e.vec_id, c.cid,
+        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+        |  FROM e CROSS JOIN c2 c WHERE e.vec_id < 500 GROUP BY 1, 2),
+        |ba AS (SELECT vec_id, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM bd),
+        |w AS (SELECT cid, count(*)::BIGINT AS n_added,
+        |    sum(dist)::BIGINT AS sum_dist_micro2
+        |  FROM ba WHERE rn = 1 GROUP BY cid)
+        |SELECT r.i::BIGINT AS cluster_id, coalesce(n_added, 0)::BIGINT AS n_added,
+        |  coalesce(sum_dist_micro2, 0)::BIGINT AS sum_dist_micro2
+        |FROM range(0, 8) r(i) LEFT JOIN w ON r.i = w.cid
+        |ORDER BY cluster_id""".stripMargin,
     "pq_codebooks" ->
       s"""WITH $PqTrainCte
         |SELECT sub::INT AS sub, cid::INT AS cluster_id, (dim - 1)::INT AS dim,

@@ -1363,6 +1363,25 @@ class PqSpec extends SparkSuite {
     assert(got.forall(r => r._3 <= r._2 - 1), "cuts are frame transitions")
   }
 
+  test("ivf_ingest: per-cell delta census reconciles with the full assignment pass") {
+    val assign = Pipeline.kmeansAssign(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = assign.filter(_._1 < 500)
+    val expect = batch.groupBy(_._2).map { case (cid, v) =>
+      cid -> ((v.length.toLong, v.map(_._3).sum))
+    }
+    val got = Pipeline.ivfIngest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0L until 8L), "all 8 cells emitted, ordered")
+    got.filter(_._2 > 0).foreach { case (cid, n, sd) =>
+      assert(expect(cid) == ((n, sd)), s"cell $cid delta mismatch")
+    }
+    assert(got.map(_._2).sum == batch.length.toLong, "census covers the whole batch")
+    got.filter(_._2 == 0).foreach { case (cid, _, sd) =>
+      assert(!expect.contains(cid) && sd == 0L, s"cell $cid must be empty")
+    }
+  }
+
   test("video_frames_at_cuts: one decoded witness row per shot, reconciling with the cut census") {
     val got = Pipeline.videoFramesAtCuts(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
