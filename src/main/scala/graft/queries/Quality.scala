@@ -984,6 +984,50 @@ object Quality {
       .orderBy(col("source"))
   }
 
+  /** The SCRUB [[boilerplateNgrams]] motivates — the operator that
+    * actually EDITS the corpus (CCNet-style shared-span removal made a
+    * rewrite, not just a dashboard): every token position covered by
+    * any boilerplate 5-gram occurrence (same ≥3-distinct-docs rule as
+    * the report) is dropped, and the document is re-emitted as the
+    * ordered remaining tokens plus the removal accounting. Every doc
+    * appears — fully-scrubbed docs emit empty text, short docs pass
+    * through untouched. Scale shape: the boilerplate set is built with
+    * the same two-level hash aggregate as the report; coverage is one
+    * sort-merge join on the gram key + one positional anti-join — the
+    * membership set is corpus-sized in the worst case and is never
+    * broadcast (the dup_rate_by_source lesson); the per-doc
+    * re-assembly sorts only within a doc (collect_list of a ≤doc-length
+    * struct, the bounded-group contract).
+    */
+  def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+    val g = t.filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ts")) - 4),
+        i => struct(i.as("i"), concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1), element_at(col("ts"), i + 2),
+          element_at(col("ts"), i + 3), element_at(col("ts"), i + 4)).as("g")))).as("sg"))
+      .select(col("doc_id"), col("sg.i").as("i"), col("sg.g").as("g"))
+    val boiler = g.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 3).select(col("g"))
+    val covered = g.join(boiler, Seq("g"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("p"))
+      .distinct()
+    val toks = t.select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e.getField("tok")), " ").as("clean_text"))
+    t.select(col("doc_id"), size(col("ts")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Filter-cascade survival funnel — the report a curation pipeline
     * publishes BEFORE committing a rule battery: documents surviving
     * each Gopher rule applied in declared order (length → word-length
@@ -1281,6 +1325,7 @@ object Quality {
     "topic_boundaries" -> topicBoundaries,
     "cms_estimate" -> cmsEstimate,
     "boilerplate_ngrams" -> boilerplateNgrams,
+    "boilerplate_scrub" -> boilerplateScrub,
     "heavy_hitters" -> heavyHitters,
     "token_kl_drift" -> tokenKlDrift,
     "distinct_ngrams" -> distinctNgrams,
@@ -1473,6 +1518,30 @@ object Quality {
          |  count(DISTINCT CASE WHEN b.g IS NOT NULL THEN g.g END)::BIGINT
          |    AS n_boiler_grams
          |FROM g LEFT JOIN b USING (g) GROUP BY source ORDER BY source""".stripMargin,
+    // same gram unit + >=3-distinct-docs rule as the report; coverage =
+    // every position inside a boilerplate gram occurrence
+    "boilerplate_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
+         |g AS (SELECT doc_id, i, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+         |        || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+         |      FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+         |            FROM t WHERE len(ts) >= 5)),
+         |b AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+         |                     FROM g GROUP BY 1) WHERE nd >= 3),
+         |cov AS (SELECT DISTINCT doc_id, i + r.off AS p
+         |        FROM g JOIN b USING (g), range(0, 5) r(off)),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |          unnest(range(1, len(ts) + 1)) AS p FROM t),
+         |k AS (SELECT tok.doc_id, count(*)::BIGINT AS n_kept,
+         |        string_agg(tok.tok, ' ' ORDER BY tok.p) AS txt
+         |      FROM tok LEFT JOIN cov
+         |        ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |      WHERE cov.p IS NULL GROUP BY 1)
+         |SELECT t.doc_id, len(ts)::BIGINT AS n_toks,
+         |  (len(ts) - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(k.txt, '') AS clean_text
+         |FROM t LEFT JOIN k ON t.doc_id = k.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "distinct_ngrams" ->
       s"""WITH t AS (SELECT source, $ToksNE AS ts FROM documents),
          |u AS (SELECT source, count(*)::BIGINT AS n1,

@@ -299,6 +299,30 @@ class QualitySpec extends SparkSuite {
     assert(rows.exists(_._3 > 0) && rows.exists(_._3 == 0))
   }
 
+  test("boilerplate_scrub: rewrite matches a plain-Scala recompute of span coverage") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+    val grams = docs.filter(_._2.length >= 5).flatMap { case (id, ts) =>
+      ts.sliding(5).zipWithIndex.map { case (g, i0) => (id, i0 + 1, g.mkString(" ")) } }
+    val boiler = grams.map(g => (g._3, g._1)).distinct
+      .groupBy(_._1).filter(_._2.length >= 3).keySet
+    val expect = docs.map { case (id, ts) =>
+      val covered = grams.filter(g => g._1 == id && boiler(g._3))
+        .flatMap(g => g._2 to g._2 + 4).toSet
+      val kept = ts.zipWithIndex.collect { case (t, i0) if !covered(i0 + 1) => t }
+      (id, ts.length.toLong, (ts.length - kept.length).toLong, kept.mkString(" "))
+    }.sortBy(_._1).toSeq
+    val got = Quality.boilerplateScrub(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expect)
+    // the scrub must actually edit the fixture without erasing it
+    assert(got.exists(_._3 > 0) && got.exists(r => r._3 == 0 && r._2 > 0))
+    // clean text token count always reconciles with the accounting
+    assert(got.forall(r =>
+      r._4.split(" ").count(_.nonEmpty).toLong == r._2 - r._3))
+  }
+
   test("quality_filters: flags recompute brute-force and kept is their AND") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
