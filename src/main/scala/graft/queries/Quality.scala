@@ -250,6 +250,42 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** The decontamination EDIT in the direction production actually runs
+    * it: [[contaminationCheck]] flags test docs already leaked into
+    * train, but the pass an LLM pipeline ships is the REVERSE — drop
+    * TRAIN documents that leak benchmark content (the eval set is
+    * fixed; the training corpus is what gets edited). A train doc is
+    * dropped when ≥20% of its distinct 3-gram shingles occur anywhere
+    * in the test split. Same deliberately-non-pairwise shape with the
+    * roles swapped: train shingles semi-join the distinct TEST shingle
+    * set — and because the eval side is tiny at any corpus size, the
+    * membership set is genuinely broadcastable at 100 TB (the opposite
+    * asymmetry of contamination_check, where the train set shards).
+    * Emits every train doc with its match accounting + dropped flag —
+    * the survivors ARE the decontaminated corpus, the flag is the audit.
+    */
+  def decontaminateTrain(s: SparkSession, d: String): DataFrame = {
+    val sets = Dedup.shingleHashSets(docs(s, d))
+      .withColumn("split", Pipeline.splitColumn(col("doc_id")))
+    val testSh = sets.filter(col("split") === "test")
+      .select(explode(col("hs")).as("h")).distinct()
+    // same single-reference explode discipline as contaminationCheck:
+    // hs is expression-built; a second reference re-runs the shingle
+    // pipeline per exploded row
+    val train = sets.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val matched = train.join(testSh, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    sets.filter(col("split") === "train")
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (lit(5L) * coalesce(col("n_matched"), lit(0L)) >= col("n_sh"))
+          .as("dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- unigram LM surprisal --------------------------------------------
 
   /** Per-document unigram surprisal (−Σ ln p(token), the LM-likelihood
@@ -1336,6 +1372,7 @@ object Quality {
     "hll_intersect" -> hllIntersect,
     "neardup_knn" -> neardupKnn,
     "contamination_check" -> contaminationCheck,
+    "decontaminate_train" -> decontaminateTrain,
     "doc_surprisal" -> docSurprisal,
     "bigram_surprisal" -> bigramSurprisal,
     "bpe_fertility" -> bpeFertility,
@@ -1664,6 +1701,28 @@ object Quality {
          |base AS (SELECT doc_id, max(n_sh)::BIGINT AS n_sh FROM te GROUP BY 1)
          |SELECT b.doc_id, b.n_sh, coalesce(m.n_matched, 0)::BIGINT AS n_matched,
          |  (5 * coalesce(m.n_matched, 0) >= b.n_sh) AS contaminated
+         |FROM base b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // contamination_check with the roles swapped: train docs audited
+    // against the distinct TEST shingle set
+    "decontaminate_train" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+         |  FROM (SELECT doc_id, $ToksNE AS ts FROM documents)
+         |  WHERE len(ts) >= 3),
+         |s AS (SELECT doc_id, sh,
+         |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |             ELSE 'test' END AS split
+         |      FROM (SELECT doc_id, sh,
+         |              ((doc_id % 2147483647) * 2654435761) % 100 AS b FROM t)),
+         |te AS (SELECT DISTINCT unnest(sh) AS h FROM s WHERE split = 'test'),
+         |tr AS (SELECT doc_id, len(sh)::BIGINT AS n_sh, unnest(sh) AS h
+         |       FROM s WHERE split = 'train'),
+         |m AS (SELECT tr.doc_id, count(*)::BIGINT AS n_matched
+         |      FROM tr JOIN te USING (h) GROUP BY 1),
+         |base AS (SELECT doc_id, max(n_sh)::BIGINT AS n_sh FROM tr GROUP BY 1)
+         |SELECT b.doc_id, b.n_sh, coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+         |  (5 * coalesce(m.n_matched, 0) >= b.n_sh) AS dropped
          |FROM base b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
     "char_ngram_profile" ->
       s"""WITH w AS (SELECT lang, unnest($ToksNE) AS w FROM documents),

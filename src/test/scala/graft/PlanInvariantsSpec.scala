@@ -48,6 +48,7 @@ class PlanInvariantsSpec extends SparkSuite {
     "embedding_neardup" -> "hyperplane-LSH bucket join; scalar hyperplanes",
     "typo_pairs" -> "one-row scalar (vocab-size) broadcast",
     "contamination_check" -> "one-row scalar corpus-size broadcast",
+    "decontaminate_train" -> "one-row scalar corpus-size broadcast (mirrored roles)",
     "assoc_rules" -> "one-row basket-total scalar broadcast",
     "benford_test" -> "one-row row-count scalar broadcast",
     "hll_intersect" -> "one-row exact-count x one-row sketch-estimate join",

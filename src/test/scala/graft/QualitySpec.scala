@@ -323,6 +323,28 @@ class QualitySpec extends SparkSuite {
       r._4.split(" ").count(_.nonEmpty).toLong == r._2 - r._3))
   }
 
+  test("decontaminate_train: train-vs-benchmark audit matches a plain-Scala recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+      .filter(_._2.length >= 3)
+      .map { case (id, ts) => (id, ts.sliding(3).map(_.mkString(" ")).toSet) }
+    def split(id: Long): String = {
+      val b = ((id % 2147483647L) * 2654435761L) % 100L
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val testSh = docs.filter(d => split(d._1) == "test").flatMap(_._2).toSet
+    val expect = docs.filter(d => split(d._1) == "train").map { case (id, sh) =>
+      val m = sh.count(testSh).toLong
+      (id, sh.size.toLong, m, 5L * m >= sh.size)
+    }.sortBy(_._1).toSeq
+    val got = Quality.decontaminateTrain(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == expect)
+    // the pass must fire on the fixture without dropping everything
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
   test("quality_filters: flags recompute brute-force and kept is their AND") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()

@@ -524,6 +524,11 @@ class ScaleSpec extends SparkSuite {
     // contamination_check: the train side reaches the probe as a
     // LeftSemi equi-join (the O(shingles) decontamination shape)
     assert(planOf("contamination_check").contains("LeftSemi"))
+    // decontaminate_train: the mirrored edit keeps the same shape —
+    // LeftSemi probe, equi-joins only
+    val dt = planOf("decontaminate_train")
+    assert(dt.contains("LeftSemi") && !dt.contains("CartesianProduct"),
+      dt.take(800))
   }
 
   test("plan guards: round-5 batch keeps the scale shape") {
