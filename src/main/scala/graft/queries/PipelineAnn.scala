@@ -1511,6 +1511,45 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
       .orderBy(col("vec_id"))
   }
 
+  /** The SemDeDup THRESHOLD CURVE — the tuning read published before
+    * committing [[dedupSemantic]]'s cosine threshold (Abbas et al. 2023
+    * §4 sweep the threshold and pick by downstream loss; the curve of
+    * drop-rate vs threshold is the artifact that decision reads): for
+    * each rung t ∈ {0.20, 0.25, …, 0.50}, how many vectors the keep-min
+    * rule would drop. ONE within-cell pair pass (the dedup_semantic
+    * candidate structure, O(Σ cell²), never all-pairs) reduced to each
+    * vector's MAX similarity to any lower-id same-cell neighbor — the
+    * 7-rung fan-out then reads that 1-column frame, so sweeping costs
+    * one extra bounded theta-join, not 7 pair passes. Thresholds
+    * compare in exact micro-units (sim is 6dp-rounded on both engines).
+    * All rungs emit (0-drop rungs included — the vocab_coverage
+    * posture); curve(0.35) reconciles with dedup_semantic by spec.
+    */
+  def semdedupThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    val model = kmeansModel(s, d)
+    val cells = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      graft.functions.SketchExprs.nearestCentroid(
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")),
+        model).getField("cid").cast("long").as("cluster_id"))
+    val a = cells.select(col("cluster_id"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = cells.select(col("cluster_id"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    val maxLower = a.join(b, Seq("cluster_id"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id2").as("vec_id"),
+        round(VectorFns.cosine(col("e1"), col("e2")), 6).as("sim"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("max_sim"))
+    val rungs = s.range(4, 11).select((col("id") * 5).cast("int").as("t_pct"))
+    val hits = broadcast(rungs).join(maxLower,
+        round(col("max_sim") * 1e6).cast("long") >= col("t_pct").cast("long") * 10000L)
+      .groupBy(col("t_pct")).agg(count(lit(1)).as("nd"))
+    val tot = cells.agg(count(lit(1)).as("n_total"))
+    rungs.join(hits, Seq("t_pct"), "left").crossJoin(broadcast(tot))
+      .select(col("t_pct"), coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (col("n_total") - coalesce(col("nd"), lit(0L))).as("n_kept"),
+        expr("10000 * coalesce(nd, 0) div n_total").as("drop_bp"))
+      .orderBy(col("t_pct"))
+  }
+
   /** SEMANTIC train/test contamination — the embedding-level leak check
     * that n-gram [[graft.queries.Quality]] `contamination_check` cannot
     * see (a paraphrased eval question shares no shingles with its
@@ -1923,6 +1962,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     "embedding_anisotropy" -> embeddingAnisotropy,
     "semantic_contamination" -> semanticContamination,
     "dedup_semantic" -> dedupSemantic,
+    "semdedup_threshold_curve" -> semdedupThresholdCurve,
     "embedding_neardup" -> embeddingNearDup,
     "embedding_cosine_pairs" -> embeddingCosinePairs,
   )
@@ -2473,6 +2513,35 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         |SELECT a.vec_id, a.cid::BIGINT AS cluster_id,
         |  (a.vec_id NOT IN (SELECT id2 FROM drp)) AS kept
         |FROM asg a ORDER BY a.vec_id""".stripMargin,
+    // same cell/pair chain as dedup_semantic, reduced to per-vector max
+    // similarity then swept over the 7 threshold rungs in micro-units
+    "semdedup_threshold_curve" ->
+      s"""WITH $KmeansTrainCte,
+        |d3 AS (SELECT e.vec_id, c.cid,
+        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
+        |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d3)
+        |  WHERE rn = 1),
+        |em AS (SELECT a.vec_id, a.cid, b.embedding
+        |       FROM asg a JOIN embeddings b USING (vec_id)),
+        |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+        |    round(
+        |      list_reduce(list_transform(range(1,65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (u,w) -> u+w)
+        |      / (sqrt(list_reduce(list_transform(range(1,65), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (u,w) -> u+w))
+        |         * sqrt(list_reduce(list_transform(range(1,65), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (u,w) -> u+w))), 6) AS sim
+        |  FROM em x JOIN em y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+        |ml AS (SELECT id2 AS vec_id, max(sim) AS max_sim FROM p GROUP BY 1),
+        |r AS (SELECT (i * 5)::INT AS t_pct FROM range(4, 11) t(i)),
+        |hc AS (SELECT t_pct, count(*)::BIGINT AS nd
+        |       FROM r JOIN ml ON round(ml.max_sim * 1000000) >= r.t_pct * 10000
+        |       GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_total FROM asg)
+        |SELECT r.t_pct, coalesce(hc.nd, 0)::BIGINT AS n_dropped,
+        |  (n.n_total - coalesce(hc.nd, 0))::BIGINT AS n_kept,
+        |  (10000 * coalesce(hc.nd, 0) // n.n_total)::BIGINT AS drop_bp
+        |FROM r LEFT JOIN hc USING (t_pct) CROSS JOIN n ORDER BY t_pct""".stripMargin,
     "semantic_contamination" ->
       s"""WITH $KmeansTrainCte,
         |d3 AS (SELECT e.vec_id, c.cid,

@@ -49,6 +49,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "typo_pairs" -> "one-row scalar (vocab-size) broadcast",
     "contamination_check" -> "one-row scalar corpus-size broadcast",
     "decontaminate_train" -> "one-row scalar corpus-size broadcast (mirrored roles)",
+    "semdedup_threshold_curve" ->
+      "7-rung threshold broadcast theta-join onto the 1-col max-sim frame + 1-row total scalar",
     "assoc_rules" -> "one-row basket-total scalar broadcast",
     "benford_test" -> "one-row row-count scalar broadcast",
     "hll_intersect" -> "one-row exact-count x one-row sketch-estimate join",

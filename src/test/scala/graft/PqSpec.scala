@@ -1382,6 +1382,23 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("semdedup_threshold_curve: monotone and reconciles with dedup_semantic at 0.35") {
+    val curve = Pipeline.semdedupThresholdCurve(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.map(_._1).toSeq == Seq(20, 25, 30, 35, 40, 45, 50))
+    // drop count is non-increasing in the threshold (a stricter rung
+    // can only drop a subset)
+    assert(curve.sliding(2).forall(w => w(0)._2 >= w(1)._2))
+    // the 0.35 rung IS dedup_semantic's drop count — the curve and the
+    // committed operator cannot disagree about the shipped threshold
+    val kept35 = Pipeline.dedupSemantic(spark, sf0001)
+      .filter(col("kept")).count()
+    val rung35 = curve.find(_._1 == 35).get
+    assert(rung35._3 == kept35, s"curve n_kept ${rung35._3} != dedup_semantic $kept35")
+    assert(curve.forall(r => r._2 + r._3 == rung35._2 + rung35._3), "totals constant")
+    assert(curve.head._2 > curve.last._2, "fixture must spread across rungs")
+  }
+
   test("video_frames_at_cuts: one decoded witness row per shot, reconciling with the cut census") {
     val got = Pipeline.videoFramesAtCuts(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
