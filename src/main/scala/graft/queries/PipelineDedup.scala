@@ -860,6 +860,35 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
           .as("n_sources"))
       .orderBy(col("fold"))
 
+  /** Cluster-grouped k-fold — the EXACT fix [[splitLeakage]] motivates:
+    * [[kfoldAssign]] groups by source (coarse — a whole source per
+    * fold), but the leakage audit measures near-dup PAIRS crossing the
+    * split, and the surgical group is the near-dup CLUSTER itself.
+    * Every doc folds by its dedup-cluster root (the materialized
+    * [[ccLabels]] artifact; singletons root at their own doc_id), so a
+    * near-dup pair can NEVER straddle folds — cluster members share a
+    * root by construction, and the spec pins measured cross-fold
+    * leakage at exactly zero over the same pair artifact split_leakage
+    * reads. fold = Knuth hash of the root mod 5 (pure integer, no
+    * RNG). Per-fold census; one left join against the cluster labels
+    * (duplicate-fraction-sized, NOT broadcast — the dup_rate_by_source
+    * posture) + one 5-row aggregate at any corpus size.
+    */
+  def clusterKfold(s: SparkSession, d: String): DataFrame = {
+    val lab = ccLabels(s, d).select(col("id").as("doc_id"), col("label"))
+    docs(s, d)
+      .select(col("doc_id"), size(Dedup.tokensNE(col("text"))).cast("long").as("nt"))
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("label"), col("doc_id")))
+      .withColumn("fold",
+        pmod(pmod(col("grp"), lit(2147483647L)) * lit(2654435761L), lit(5L)))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.countDistinct(col("grp")).as("n_groups"),
+        sum(col("nt")).as("n_tokens"))
+      .orderBy(col("fold"))
+  }
+
   /** Quota sampling for corpus balancing: the top 5 documents per
     * predicted language by quality score — the custom heap-based
     * TopKPerGroup operator composed over the text-analysis functions
@@ -967,6 +996,7 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
     "split_leakage" -> splitLeakage,
     "split_balance" -> splitBalance,
     "kfold_assign" -> kfoldAssign,
+    "cluster_kfold" -> clusterKfold,
     "normalize_text" -> normalizeText,
     "curated_sample" -> curatedSample,
     "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
@@ -1080,6 +1110,26 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
          |  sum(nt)::BIGINT AS n_tokens,
          |  count(DISTINCT source)::BIGINT AS n_sources
          |FROM f GROUP BY 1 ORDER BY fold""".stripMargin,
+    // fold by the near-dup cluster root (recursive-CC over the same
+    // jpairs relation the dedup_clusters oracle hash-matches; singleton
+    // docs root at themselves), then the 5-row census
+    "cluster_kfold" ->
+      s"""WITH RECURSIVE
+         |$JaccardPairsCte,
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM jpairs
+         |          UNION SELECT id2, id1 FROM jpairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id, coalesce(c.root, d.doc_id) AS grp,
+         |        len($ToksNE)::BIGINT AS nt
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT (((grp % 2147483647) * 2654435761) % 5)::BIGINT AS fold,
+         |  count(*)::BIGINT AS n_docs, count(DISTINCT grp)::BIGINT AS n_groups,
+         |  sum(nt)::BIGINT AS n_tokens
+         |FROM g GROUP BY 1 ORDER BY fold""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'

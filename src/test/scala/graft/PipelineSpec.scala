@@ -335,6 +335,42 @@ class PipelineSpec extends SparkSuite {
       "fixture must exhibit cross-split leakage for the audit to mean anything")
   }
 
+  test("cluster_kfold: census recomputes and cross-fold leakage is exactly zero") {
+    def foldOf(grp: Long): Long = (grp % 2147483647L) * 2654435761L % 5L
+    // independent union-find over the declared pair list — the spec does
+    // not reuse the production CC operator it is checking against
+    val pairList = graft.queries.Pipeline.ngramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split("[ \t\n\r]", -1).count(_.nonEmpty).toLong))
+    def grpOf(id: Long): Long = find(id)
+    val expect = docs.groupBy(d => foldOf(grpOf(d._1))).toSeq.sortBy(_._1)
+      .map { case (f, ds) =>
+        (f, ds.length.toLong, ds.map(d => grpOf(d._1)).distinct.length.toLong,
+          ds.map(_._2).sum) }
+    val got = graft.queries.Pipeline.clusterKfold(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // THE contract split_leakage motivates: under cluster-grouped folds,
+    // zero near-dup pairs cross a fold boundary (over the same pair
+    // artifact the leakage audit reads — where the doc-level split
+    // measurably leaked)
+    assert(pairList.nonEmpty)
+    val crossed = pairList.count { case (a, b) => foldOf(grpOf(a)) != foldOf(grpOf(b)) }
+    assert(crossed == 0, s"$crossed near-dup pairs crossed a cluster fold")
+  }
+
   test("kfold_assign: group-by-source folds match a driver recompute and never split a source") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"), col("text")).collect()
