@@ -889,6 +889,49 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
       .orderBy(col("fold"))
   }
 
+  /** Fold-strategy leakage comparison — the 3-row decision card that
+    * closes the split-hygiene arc ([[splitLeakage]] found the problem,
+    * [[kfoldAssign]] and [[clusterKfold]] are the candidate fixes, this
+    * measures all three on the same pair artifact): for each fold
+    * strategy — doc (Knuth hash of doc_id mod 5), source (whole source
+    * per fold), cluster (near-dup cluster root per fold) — the count
+    * and bp share of near-dup pairs crossing a fold boundary. The
+    * cluster row reads ZERO by construction (cluster members share a
+    * root), the doc row reads the leakage a naive split pays, and the
+    * source row sits between (cross-source near-dups leak) — the
+    * measured ranking a CV design review wants on one screen. One
+    * per-doc fold frame, two pair-list equi-joins, three 1-row
+    * aggregates; pair-list-sized work at any corpus.
+    */
+  def foldStrategyCompare(s: SparkSession, d: String): DataFrame = {
+    def knuth(c: org.apache.spark.sql.Column) =
+      pmod(pmod(c, lit(2147483647L)) * lit(2654435761L), lit(5L))
+    val lab = ccLabels(s, d).select(col("id").as("doc_id"), col("label"))
+    val folds = docs(s, d).select(col("doc_id"), col("source"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        knuth(col("doc_id")).as("f_doc"),
+        knuth(pmod(TextFns.tokenHash31(col("source")), lit(2147483647L)))
+          .as("f_src"),
+        knuth(coalesce(col("label"), col("doc_id"))).as("f_cluster"))
+    val p = ngramJaccardPairs(s, d).select(col("id1"), col("id2"))
+      .join(folds.select(col("doc_id").as("id1"), col("f_doc").as("d1"),
+        col("f_src").as("s1"), col("f_cluster").as("c1")), Seq("id1"))
+      .join(folds.select(col("doc_id").as("id2"), col("f_doc").as("d2"),
+        col("f_src").as("s2"), col("f_cluster").as("c2")), Seq("id2"))
+    val agg = p.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("d1") =!= col("d2"), 1L).otherwise(0L)).as("x_doc"),
+      sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)).as("x_src"),
+      sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L)).as("x_cluster"))
+    // stack, not a 3-branch union: one evaluation of the pair joins
+    agg.select(col("n_pairs"),
+        expr("stack(3, 'cluster', x_cluster, 'doc', x_doc, 'source', x_src)")
+          .as(Seq("strategy", "n_crossed")))
+      .select(col("strategy"), col("n_pairs"), col("n_crossed"),
+        expr("10000 * n_crossed div n_pairs").as("crossed_bp"))
+      .orderBy(col("strategy"))
+  }
+
   /** Quota sampling for corpus balancing: the top 5 documents per
     * predicted language by quality score — the custom heap-based
     * TopKPerGroup operator composed over the text-analysis functions
@@ -997,6 +1040,7 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
     "split_balance" -> splitBalance,
     "kfold_assign" -> kfoldAssign,
     "cluster_kfold" -> clusterKfold,
+    "fold_strategy_compare" -> foldStrategyCompare,
     "normalize_text" -> normalizeText,
     "curated_sample" -> curatedSample,
     "token_budget_sample" -> ((s, d) => tokenBudgetSample(s, d)),
@@ -1130,6 +1174,41 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
          |  count(*)::BIGINT AS n_docs, count(DISTINCT grp)::BIGINT AS n_groups,
          |  sum(nt)::BIGINT AS n_tokens
          |FROM g GROUP BY 1 ORDER BY fold""".stripMargin,
+    // the three fold recipes (doc hash / source djb2 / cluster root)
+    // applied to both ends of every jpair, one aggregate, 3-row card
+    "fold_strategy_compare" ->
+      s"""WITH RECURSIVE
+         |$JaccardPairsCte,
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM jpairs
+         |          UNION SELECT id2, id1 FROM jpairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         |fd AS (SELECT d.doc_id,
+         |    ((d.doc_id % 2147483647) * 2654435761) % 5 AS f_doc,
+         |    ((list_reduce(list_prepend(5381::BIGINT,
+         |        list_transform(string_split(d.source, ''), c -> ord(c)::BIGINT)),
+         |        (a, b) -> (a * 33 + b) % 2147483648) % 2147483647)
+         |      * 2654435761) % 5 AS f_src,
+         |    ((coalesce(c.root, d.doc_id) % 2147483647) * 2654435761) % 5 AS f_cluster
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |px AS (SELECT a.f_doc AS d1, a.f_src AS s1, a.f_cluster AS c1,
+         |         b.f_doc AS d2, b.f_src AS s2, b.f_cluster AS c2
+         |       FROM jpairs p JOIN fd a ON p.id1 = a.doc_id
+         |                     JOIN fd b ON p.id2 = b.doc_id),
+         |ag AS (SELECT count(*)::BIGINT AS n_pairs,
+         |    sum(CASE WHEN d1 <> d2 THEN 1 ELSE 0 END)::BIGINT AS x_doc,
+         |    sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END)::BIGINT AS x_src,
+         |    sum(CASE WHEN c1 <> c2 THEN 1 ELSE 0 END)::BIGINT AS x_cluster
+         |  FROM px),
+         |st AS (SELECT 'cluster' AS strategy, n_pairs, x_cluster AS n_crossed FROM ag
+         |  UNION ALL SELECT 'doc', n_pairs, x_doc FROM ag
+         |  UNION ALL SELECT 'source', n_pairs, x_src FROM ag)
+         |SELECT strategy, n_pairs, n_crossed,
+         |  (10000 * n_crossed // n_pairs)::BIGINT AS crossed_bp
+         |FROM st ORDER BY strategy""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'

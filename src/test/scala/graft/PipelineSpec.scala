@@ -371,6 +371,19 @@ class PipelineSpec extends SparkSuite {
     assert(crossed == 0, s"$crossed near-dup pairs crossed a cluster fold")
   }
 
+  test("fold_strategy_compare: the 3-row card ranks the strategies and the cluster row is zero") {
+    val got = graft.queries.Pipeline.foldStrategyCompare(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq("cluster", "doc", "source"))
+    val n = got.head._2
+    assert(n > 0 && got.forall(_._2 == n), "one shared pair total")
+    val byS = got.map(r => r._1 -> r._3).toMap
+    assert(byS("cluster") == 0L, "cluster folds leak nothing by construction")
+    assert(byS("doc") > 0L, "the doc-level split must exhibit the leakage the audit found")
+    // bp is the integer share of the same total
+    assert(got.forall(r => r._4 == 10000L * r._3 / n))
+  }
+
   test("kfold_assign: group-by-source folds match a driver recompute and never split a source") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"), col("text")).collect()
