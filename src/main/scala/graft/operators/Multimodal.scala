@@ -483,7 +483,16 @@ object Multimodal {
   final class WavFrameCodec {
     val FrameLen = 64
 
-    def frames(in: MediaIn): Seq[AudioFrame] = {
+    def frames(in: MediaIn): Seq[AudioFrame] = framesStrided(in, 1)
+
+    /** [[frames]] over the stream decimated by `stride` (keep sample
+      * 0, stride, 2·stride, … of the flat interleaved stream) — the
+      * naive sample-rate reducer (no anti-alias filter; the exact
+      * integer arithmetic contract is the point, like the
+      * nearest-neighbor thumbnail on the image path).
+      */
+    def framesStrided(in: MediaIn, stride: Int): Seq[AudioFrame] = {
+      require(stride >= 1)
       val bytes = in.media
       def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
       require(bytes.length >= 44, s"doc ${in.doc_id}: truncated payload (${bytes.length} B)")
@@ -511,7 +520,8 @@ object Multimodal {
       }
       require(bits == 16, s"doc ${in.doc_id}: unsupported bit depth $bits")
       require(dataOff >= 0, s"doc ${in.doc_id}: missing data chunk")
-      val total = dataSize / 2 // interleaved 16-bit samples
+      val total0 = dataSize / 2 // interleaved 16-bit samples
+      val total = (total0 + stride - 1) / stride // kept after decimation
       val nFrames = (total + FrameLen - 1) / FrameLen
       (0 until nFrames).map { fi =>
         val lo = fi * FrameLen
@@ -519,7 +529,7 @@ object Multimodal {
         var s = lo
         var energy = 0L
         while (s < hi) {
-          val v = bb.getShort(dataOff + 2 * s).toLong
+          val v = bb.getShort(dataOff + 2 * (s * stride)).toLong
           energy += v * v
           s += 1
         }
@@ -537,6 +547,18 @@ object Multimodal {
     audioPayloads(spark, docs).mapPartitions { it =>
       val codec = new WavFrameCodec
       it.flatMap(codec.frames)
+    }
+  }
+
+  /** [[audioFrames]] over the decimate-by-2 stream — the sample-rate
+    * reduction stage (the audio analog of the image thumbnail resize):
+    * same map-only posture, half the data read per payload.
+    */
+  def audioFramesDownsampled(spark: SparkSession, docs: DataFrame): Dataset[AudioFrame] = {
+    import spark.implicits._
+    audioPayloads(spark, docs).mapPartitions { it =>
+      val codec = new WavFrameCodec
+      it.flatMap(codec.framesStrided(_, 2))
     }
   }
 

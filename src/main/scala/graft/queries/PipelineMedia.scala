@@ -534,6 +534,20 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     Multimodal.audioFrames(s, docs(s, d)).toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** The RESAMPLE stage of the audio pipeline — [[imageThumb]]'s role
+    * on the audio column: frame energies of the decimate-by-2 stream
+    * (keep every 2nd sample of the flat interleaved PCM — the naive
+    * 44.1k→22.05k reducer; no anti-alias filter, the exact integer
+    * arithmetic contract is the point). The oracle re-derives the
+    * planted samples at even indices; the Spark side reaches the same
+    * numbers only by chunk-walking the real RIFF bytes with stride 2.
+    * Map-only, half the decoded data per payload, same bounded output
+    * as [[audioEnergy]].
+    */
+  def audioDownsample(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFramesDownsampled(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Audio fingerprint — the energy-DELTA-SIGN hash over the decoded
     * PCM frame energies (the Shazam-family trick reduced to its core:
     * a loudness-contour bit string is robust to gain changes because
@@ -661,6 +675,7 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "audio_dedup" -> audioDedup,
     "modality_dedup_summary" -> modalityDedupSummary,
     "audio_energy" -> audioEnergy,
+    "audio_downsample" -> audioDownsample,
     "audio_fingerprint" -> audioFingerprint,
     "range_join" -> rangeJoin,
     "asof_join" -> asofJoin,
@@ -1066,6 +1081,21 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
         |sm AS (SELECT doc_id, fi, ((seed * 31 + s * 7) % 32768) AS v
         |  FROM (SELECT doc_id, fi, seed,
         |          unnest(range(fi * 64, least(total, fi * 64 + 64))) AS s FROM f))
+        |SELECT doc_id, fi::INT AS frame_idx, count(*)::BIGINT AS n_sam,
+        |  sum(v * v)::BIGINT AS energy
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
+    // the decimated twin of audio_energy: kept sample j carries planted
+    // sample 2j, (total+1)//2 samples survive, same 64-sample framing
+    "audio_downsample" ->
+      """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+        |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,
+        |    doc_id * 17 + n AS seed FROM g),
+        |t AS (SELECT doc_id, seed, (ns * ch + 1) // 2 AS total FROM p),
+        |f AS (SELECT doc_id, seed, total,
+        |    unnest(range(0, (total + 63) // 64)) AS fi FROM t),
+        |sm AS (SELECT doc_id, fi, ((seed * 31 + (2 * j) * 7) % 32768) AS v
+        |  FROM (SELECT doc_id, fi, seed,
+        |          unnest(range(fi * 64, least(total, fi * 64 + 64))) AS j FROM f))
         |SELECT doc_id, fi::INT AS frame_idx, count(*)::BIGINT AS n_sam,
         |  sum(v * v)::BIGINT AS energy
         |FROM sm GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,

@@ -1449,6 +1449,27 @@ class PqSpec extends SparkSuite {
     assert(got.forall(g => dupReps(g._1)))
   }
 
+  test("audio_downsample: decimated energies recompute from the real bytes via stride 2") {
+    import Multimodal.MediaIn
+    val codec = new Multimodal.WavFrameCodec
+    val payloads = Multimodal.audioPayloads(spark,
+      graft.sources.Tables.documents(spark, sf0001)).collect()
+    val expect = payloads.flatMap(p => codec.framesStrided(MediaIn(p.doc_id, p.media), 2))
+      .map(f => (f.doc_id, f.frame_idx, f.n_sam, f.energy))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val got = Pipeline.audioDownsample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // decimation halves the sample count: per doc, kept = (total+1)/2
+    val fullByDoc = payloads.map(p =>
+      p.doc_id -> codec.frames(MediaIn(p.doc_id, p.media)).map(_.n_sam).sum).toMap
+    val downByDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(downByDoc.forall { case (id, n) => n == (fullByDoc(id) + 1) / 2 })
+    // stride 1 IS the plain frame stream (the generalization is exact)
+    val p0 = MediaIn(payloads.head.doc_id, payloads.head.media)
+    assert(codec.framesStrided(p0, 1) == codec.frames(p0))
+  }
+
   test("audio frame energies come from the decoded PCM stream") {
     import Multimodal.{MediaIn, WavFile, WavFrameCodec}
     val codec = new WavFrameCodec
