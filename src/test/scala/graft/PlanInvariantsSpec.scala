@@ -51,6 +51,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "decontaminate_train" -> "one-row scalar corpus-size broadcast (mirrored roles)",
     "semdedup_threshold_curve" ->
       "7-rung threshold broadcast theta-join onto the 1-col max-sim frame + 1-row total scalar",
+    "fold_strategy_compare" ->
+      "bounded ngram pair artifact (doc_id<500) input + 1-row aggregate stack card",
     "assoc_rules" -> "one-row basket-total scalar broadcast",
     "benford_test" -> "one-row row-count scalar broadcast",
     "hll_intersect" -> "one-row exact-count x one-row sketch-estimate join",
