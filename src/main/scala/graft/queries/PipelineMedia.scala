@@ -628,6 +628,29 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .orderBy(col("modality"))
   }
 
+  /** The NEAR-dup dataset-card — [[modalityDedupSummary]]'s sibling for
+    * the drifted-copy population the exact censuses cannot see: one row
+    * per media modality with its near-dup pair count and the number of
+    * distinct documents involved, over the same bounded audit domain
+    * and thresholds as the three declared neardup queries (image
+    * Hamming ≤ 3, audio contour Hamming 1–2, video frame-0 Hamming ≤ 3
+    * under the temporal block). Each modality is ONE pass over its
+    * banded pair frame (pairs exploded to ids so the pair count and the
+    * distinct-doc count come from a single aggregate — no 1-row
+    * crosses); three bounded rows at any corpus size.
+    */
+  def modalityNeardupSummary(s: SparkSession, d: String): DataFrame = {
+    def statsOf(pairs: DataFrame, name: String): DataFrame =
+      pairs.select(explode(array(col("id1"), col("id2"))).as("id"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          count_distinct(col("id")).as("n_docs"))
+        .select(lit(name).as("modality"), col("n_pairs"), col("n_docs"))
+    statsOf(audioNearDup(s, d), "audio")
+      .union(statsOf(imageNearDup(s, d), "image"))
+      .union(statsOf(videoNearDup(s, d), "video"))
+      .orderBy(col("modality"))
+  }
+
   /** Shared gaps-and-islands CTE (ms precision, > gap starts a session):
     * the single definition both the `sessionize` and `range_join` oracles
     * build on, so the session semantics cannot drift between them.
@@ -674,6 +697,7 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "crossmodal_mismatch" -> crossmodalMismatch,
     "audio_dedup" -> audioDedup,
     "modality_dedup_summary" -> modalityDedupSummary,
+    "modality_neardup_summary" -> modalityNeardupSummary,
     "audio_energy" -> audioEnergy,
     "audio_downsample" -> audioDownsample,
     "audio_fingerprint" -> audioFingerprint,
@@ -1071,6 +1095,36 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
           |  (n_items - n_distinct)::BIGINT AS n_dupes,
           |  (10000 * (n_items - n_distinct) // n_items)::BIGINT AS dup_bp
           |FROM card ORDER BY modality""".stripMargin),
+    // the three neardup pair relations (same thresholds/blocks as the
+    // declared queries) exploded to ids: pair count and distinct-doc
+    // count from one aggregate per modality, like the Spark side
+    "modality_neardup_summary" ->
+      (s"WITH ${AHashBitsCte(" WHERE doc_id < 500")},\n$AudioFpCte,\n$VideoHashCte,\n" +
+        """ip AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+          |  WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+          |      + bit_count(xor(a.hash_hi, b.hash_hi)) <= 3),
+          |ap AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id AND a.n_frames = b.n_frames
+          |  WHERE a.doc_id < 500 AND b.doc_id < 500
+          |    AND bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 2),
+          |vp AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          |  FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+          |    AND a.n_frames = b.n_frames AND a.contour_fp = b.contour_fp
+          |  WHERE a.doc_id < 500 AND b.doc_id < 500
+          |    AND bit_count(xor(a.hash_lo, b.hash_lo))
+          |      + bit_count(xor(a.hash_hi, b.hash_hi)) <= 3),
+          |card AS (
+          |  SELECT 'audio' AS modality, (count(*) // 2)::BIGINT AS n_pairs,
+          |    count(DISTINCT id)::BIGINT AS n_docs
+          |  FROM (SELECT unnest([id1, id2]) AS id FROM ap)
+          |  UNION ALL
+          |  SELECT 'image', (count(*) // 2)::BIGINT, count(DISTINCT id)::BIGINT
+          |  FROM (SELECT unnest([id1, id2]) AS id FROM ip)
+          |  UNION ALL
+          |  SELECT 'video', (count(*) // 2)::BIGINT, count(DISTINCT id)::BIGINT
+          |  FROM (SELECT unnest([id1, id2]) AS id FROM vp))
+          |SELECT modality, n_pairs, n_docs FROM card ORDER BY modality""".stripMargin),
     "audio_energy" ->
       """WITH g AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
         |p AS (SELECT doc_id, 1 + n % 2 AS ch, 100 + (n * 7) % 400 AS ns,

@@ -1342,6 +1342,22 @@ class PqSpec extends SparkSuite {
     assert(gotA.forall(_._4 >= 1), "no exact-dup pair may leak into the near report")
   }
 
+  test("modality_neardup_summary: the card reconciles with the three neardup queries") {
+    def statsFrom(rows: Array[(Long, Long)]): (Long, Long) =
+      (rows.length.toLong, rows.flatMap(r => Seq(r._1, r._2)).distinct.length.toLong)
+    val img = statsFrom(Pipeline.imageNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    val aud = statsFrom(Pipeline.audioNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    val vid = statsFrom(Pipeline.videoNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    val got = Pipeline.modalityNeardupSummary(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("audio", "image", "video"))
+    assert(got("image") == img && got("audio") == aud && got("video") == vid)
+    assert(got.values.forall(_._1 > 0), "every modality exhibits near-dups in the fixture")
+  }
+
   test("video_scene_cuts: census matches a driver recompute of the decoded frame means") {
     import Multimodal.MediaIn
     val codec = new Multimodal.GifCodec
