@@ -684,28 +684,99 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos_sim"))
       .orderBy(col("id1"), col("id2"))
 
-  /** IVF-style near-dup: candidates are pairs within the same coarse cell
-    * (`cellCol` — here the table's shipped cluster label; at 100 TB the
-    * cell id comes from a k-means coarse quantizer trained on a sample,
-    * exactly the IVF pattern). Work is sum of per-cell pair counts, never
-    * global n^2; exact cosine verifies every candidate.
+  /** Members of any one cell a single join task may hold before the
+    * triangle shard splits it (see [[embeddingNearDupFrom]]): 4096
+    * keeps a worst-case sub-bucket's pair work at ~(2·4096)²/2 ≈ 34M
+    * cosines — a few seconds per task — while balanced √n cells stay
+    * far below it (ns = 1, zero replication) at any realistic corpus.
+    */
+  val DefaultCellShard = 4096
+
+  /** IVF-style near-dup: candidates are pairs within the same coarse
+    * cell of a k-means quantizer TRAINED HERE at k = `ncells` (default
+    * 0 → the √n rule, [[Kmeans.ncellsFor]] — the FAISS/IVFADC sizing),
+    * exactly the SemDeDup recipe (Abbas et al. 2023: cluster count
+    * grows with the corpus). Consumers holding a cached/shared model
+    * (the dedup_semantic family) call [[embeddingNearDupFrom]] directly.
+    */
+  def embeddingNearDup(emb: DataFrame, minCos: Double = 0.35,
+      ncells: Int = 0,
+      shardAbove: Int = DefaultCellShard): DataFrame = {
+    val k = if (ncells > 0) ncells else Kmeans.ncellsFor(emb.count())
+    embeddingNearDupFrom(emb, Kmeans.train(emb, k, iters = 2),
+      minCos, shardAbove)
+  }
+
+  /** Within-cell exact-cosine near-dup pairs under an already-trained
+    * coarse quantizer — the verify stage of the SemDeDup recipe. With
+    * balanced √n-wide cells the pair pass is O(n^1.5) — sub-quadratic
+    * at any corpus size, where a FIXED cell count degrades to O(n²/k).
+    *
+    * The candidate generator is a cell equi-JOIN, never a per-cell
+    * collect (pairs stream through the join; no row ever holds a cell),
+    * with the triangle shard built in UNIFORMLY: every member carries
+    * shard g = xxhash64(vec_id) mod ns (ns = ceil(cell_size /
+    * shardAbove), from a broadcast ≤k-row cell census) and replicates
+    * into its ns shard-PAIR keys (cell, min(g,j), max(g,j)); the join
+    * on those keys emits a cross-shard pair in exactly the one
+    * sub-bucket (min(g_a,g_b), max(g_a,g_b)) and a same-shard pair once
+    * under the `g1 = g2 = g` guard — exact-once by construction, no
+    * dedup-distinct, and no join task ever holds more than ~2·shardAbove
+    * members of one cell. Balanced cells have ns = 1: the scheme
+    * degenerates to the plain equi-join with zero replication, so the
+    * skew guard is free until a cell actually piles up. Exact cosine
+    * (6-dp, the embedding_cosine_pairs rounding) verifies every
+    * candidate — approximate recall (within-cell by declared
+    * semantics), exact precision.
     *
     * Use this for moderate thresholds, where sign-LSH bit-match
     * probabilities are too low to retain recall; use
     * [[embeddingNearDupLsh]] for true near-duplicates (cos >= ~0.9).
     */
-  def embeddingNearDup(emb: DataFrame, minCos: Double = 0.35,
-      cellCol: String = "label",
-      starBucketThreshold: Int = Int.MaxValue): DataFrame = {
-    tuneBucketAgg(emb)
-    val candidates = emb
-      .select(col(cellCol).as("cell"), col("vec_id"))
-      .groupBy(col("cell"))
-      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"), starBucketThreshold)).as("p"))
-      .select(col("p.id1"), col("p.id2"))
-    cosineVerify(emb, candidates, minCos)
+  def embeddingNearDupFrom(emb: DataFrame, model: Array[Array[Long]],
+      minCos: Double = 0.35,
+      shardAbove: Int = DefaultCellShard): DataFrame =
+    embeddingNearDupPairsFrom(emb, model, minCos, shardAbove)
+      .orderBy(col("id1"), col("id2"))
+
+  /** [[embeddingNearDupFrom]] without the presentation sort — the pair
+    * frame consumers aggregate (dedup_semantic's drop set, the
+    * threshold curve's per-vector max); a global sort below an
+    * aggregate is wasted work.
+    */
+  def embeddingNearDupPairsFrom(emb: DataFrame, model: Array[Array[Long]],
+      minCos: Double = 0.35,
+      shardAbove: Int = DefaultCellShard): DataFrame = {
+    val c = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.SketchExprs.nearestCentroid(
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")),
+        model).getField("cid").as("cell"))
+    val ns = c.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)).cast("double") / shardAbove).cast("int").as("ns"))
+    // persisted: the shard frame feeds BOTH sides of the self-join and
+    // each side would otherwise re-run the scan + argmin assignment
+    // (the image_neardup lesson); swept by the janitor via registerTemp.
+    val sh = c.join(broadcast(ns), "cell")
+      .withColumn("g", pmod(xxhash64(col("vec_id")), col("ns")).cast("int"))
+      .select(col("cell"), col("g"),
+        explode(sequence(lit(0), col("ns") - 1)).as("j"),
+        col("vec_id"), col("embedding"))
+      .select(col("cell"),
+        least(col("g"), col("j")).as("g1"), greatest(col("g"), col("j")).as("g2"),
+        col("g"), col("vec_id"), col("embedding"))
+      .persist()
+    registerTemp(sh)
+    val a = sh.select(col("cell"), col("g1"), col("g2"), col("g").as("ga"),
+      col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = sh.select(col("cell"), col("g1"), col("g2"), col("g").as("gb"),
+      col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, Seq("cell", "g1", "g2"))
+      .filter(col("id1") < col("id2"))
+      .filter(col("ga") =!= col("gb") ||
+        (col("g1") === col("ga") && col("g2") === col("ga")))
+      .select(col("id1"), col("id2"),
+        round(VectorFns.cosine(col("e1"), col("e2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
   }
 
   /** High-threshold near-dup via random-hyperplane LSH: 8 tables x 12

@@ -318,17 +318,47 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
       .select(lit(20L).as("k"), col("n_hit"),
         expr("10000 * n_hit div 20").as("recall_bp"))
 
+  /** The coarse quantizer's cell count — the ONE definition every
+    * consumer of [[kmeansModel]] derives its cell domain from: the
+    * Scala train call, [[KmeansTrainCte]]'s init LIMIT, and the
+    * ivf_ingest oracle's `range(0, k)` all interpolate this constant,
+    * so the cell domain cannot silently drift between the engine and
+    * the oracle if k is ever retuned.
+    */
+  private[queries] val CoarseK = 8
+
   /** Trained k-means model per (session, dir) — the coarse-quantizer
-    * training run ([[graft.operators.Kmeans]]): 2 Lloyd rounds at k=8
-    * over the integer-micro lattice, cached like the BPE merge table
-    * (trained once, shipped to every consumer).
+    * training run ([[graft.operators.Kmeans]]): 2 Lloyd rounds at
+    * k=[[CoarseK]] over the integer-micro lattice, cached like the BPE
+    * merge table (trained once, shipped to every consumer).
     */
   private[queries] val kmeansCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Long]]]()
 
   def kmeansModel(s: SparkSession, d: String): Array[Array[Long]] =
     kmeansCache.getOrElseUpdate((s, d),
-      graft.operators.Kmeans.train(Tables.embeddings(s, d), k = 8, iters = 2))
+      graft.operators.Kmeans.train(Tables.embeddings(s, d), k = CoarseK, iters = 2))
+
+  /** The SEMANTIC-dedup quantizer per (session, dir) — the k ≈ √n
+    * sizing SemDeDup prescribes (Abbas et al. 2023: cluster count
+    * grows with the corpus, keeping cells ~√n wide so the within-cell
+    * pair pass is O(n^1.5), never O(n²/k) — the FAISS/IVFADC rule
+    * [[graft.operators.Kmeans.ncellsFor]], whose trade
+    * `ivf_size_profile` publishes measured). Trained separately from
+    * [[kmeansModel]]: the serving index keeps its fixed-k profile (its
+    * PQ codebooks and recall curves are calibrated against it), while
+    * the dedup family's cell budget must scale with the corpus or the
+    * verify stage becomes the corpus's one quadratic pass.
+    */
+  private[queries] val semanticCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Array[Array[Long]]]()
+
+  def semanticModel(s: SparkSession, d: String): Array[Array[Long]] =
+    semanticCache.getOrElseUpdate((s, d), {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Kmeans.train(emb,
+        k = graft.operators.Kmeans.ncellsFor(emb.count()), iters = 2)
+    })
 
   /** The trained coarse-quantizer centroids, one row per (cluster, dim)
     * in integer micros — the REAL k-means behind what embedding_topk_ivf
@@ -343,7 +373,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     // sessionize/dedup_near convention — the build cost is measured by
     // the producer, consumers read the warmed artifact), refreshing the
     // cache for kmeans_assign
-    val model = graft.operators.Kmeans.train(Tables.embeddings(s, d), k = 8, iters = 2)
+    val model = graft.operators.Kmeans.train(Tables.embeddings(s, d), k = CoarseK, iters = 2)
     kmeansCache.put((s, d), model)
     model.zipWithIndex.flatMap { case (c, cid) =>
       c.zipWithIndex.map { case (v, dim) => (cid, dim, v) }
@@ -1481,29 +1511,30 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
-    * corpus by the TRAINED k-means cells ([[kmeansModel]]) and drop any
-    * vector that has a within-cell neighbor with exact cosine ≥ 0.35
-    * (6-dp rounded, the embedding_cosine_pairs threshold) and a smaller
-    * vec_id — keep-lowest-id, the deterministic representative rule.
-    * The cluster equi-join bounds candidate pairs to O(Σ cell²) instead
-    * of all-pairs; at 100 TB k scales with the corpus (k ≈ √n keeps
-    * cells ~√n wide), which is exactly the SemDeDup recipe — the method
-    * trades the LSH families' hash buckets for learned cells, catching
+    * corpus by the TRAINED k-means cells ([[semanticModel]] — k ≈ √n,
+    * the paper's own sizing) and drop any vector that has a within-cell
+    * neighbor with exact cosine ≥ 0.35 (6-dp rounded, the
+    * embedding_cosine_pairs threshold) and a smaller vec_id —
+    * keep-lowest-id, the deterministic representative rule. The cluster
+    * equi-join bounds candidate pairs to O(Σ cell²); with k riding √n
+    * that is O(n^1.5) on balanced cells — sub-quadratic at any corpus
+    * size, where a fixed k degrades to O(n²/k) — and the method trades
+    * the LSH families' hash buckets for learned cells, catching
     * paraphrase-level duplicates surface hashes miss. Cell assignment
     * is the map-only codegen argmin; the only shuffle is the equi-join
     * on cluster_id.
     */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val model = kmeansModel(s, d)
-    val cells = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+    val model = semanticModel(s, d)
+    val emb = Tables.embeddings(s, d)
+    val cells = emb.select(col("vec_id"),
       graft.functions.SketchExprs.nearestCentroid(
         transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")),
         model).getField("cid").cast("long").as("cluster_id"))
-    val a = cells.select(col("cluster_id"), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = cells.select(col("cluster_id"), col("vec_id").as("id2"), col("embedding").as("e2"))
-    val dropped = a.join(b, Seq("cluster_id"))
-      .filter(col("id1") < col("id2"))
-      .filter(round(VectorFns.cosine(col("e1"), col("e2")), 6) >= 0.35)
+    // the ONE bounded within-cell pair generator (skew-sharded equi-join,
+    // Dedup.embeddingNearDupPairsFrom) feeds the whole semantic family
+    val dropped = graft.operators.Dedup
+      .embeddingNearDupPairsFrom(emb, model, minCos = 0.35)
       .select(col("id2").as("vec_id")).distinct()
       .withColumn("dup", lit(true))
     cells.join(dropped, Seq("vec_id"), "left")
@@ -1526,23 +1557,19 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     * posture); curve(0.35) reconciles with dedup_semantic by spec.
     */
   def semdedupThresholdCurve(s: SparkSession, d: String): DataFrame = {
-    val model = kmeansModel(s, d)
-    val cells = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      graft.functions.SketchExprs.nearestCentroid(
-        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")),
-        model).getField("cid").cast("long").as("cluster_id"))
-    val a = cells.select(col("cluster_id"), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = cells.select(col("cluster_id"), col("vec_id").as("id2"), col("embedding").as("e2"))
-    val maxLower = a.join(b, Seq("cluster_id"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id2").as("vec_id"),
-        round(VectorFns.cosine(col("e1"), col("e2")), 6).as("sim"))
+    val model = semanticModel(s, d)
+    val emb = Tables.embeddings(s, d)
+    // the shared bounded pair generator at the LOWEST rung (0.20) — one
+    // pair pass serves all 7 rungs; sims below every rung are never hits
+    val maxLower = graft.operators.Dedup
+      .embeddingNearDupPairsFrom(emb, model, minCos = 0.20)
+      .select(col("id2").as("vec_id"), col("cos_sim").as("sim"))
       .groupBy(col("vec_id")).agg(max(col("sim")).as("max_sim"))
     val rungs = s.range(4, 11).select((col("id") * 5).cast("int").as("t_pct"))
     val hits = broadcast(rungs).join(maxLower,
         round(col("max_sim") * 1e6).cast("long") >= col("t_pct").cast("long") * 10000L)
       .groupBy(col("t_pct")).agg(count(lit(1)).as("nd"))
-    val tot = cells.agg(count(lit(1)).as("n_total"))
+    val tot = emb.agg(count(lit(1)).as("n_total"))
     rungs.join(hits, Seq("t_pct"), "left").crossJoin(broadcast(tot))
       .select(col("t_pct"), coalesce(col("nd"), lit(0L)).as("n_dropped"),
         (col("n_total") - coalesce(col("nd"), lit(0L))).as("n_kept"),
@@ -1566,7 +1593,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     * cell restriction, so the declared semantics are exactly gated.
     */
   def semanticContamination(s: SparkSession, d: String): DataFrame = {
-    val model = kmeansModel(s, d)
+    val model = semanticModel(s, d)
     val cells = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       graft.functions.SketchExprs.nearestCentroid(
         transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")),
@@ -1582,11 +1609,14 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
       .orderBy(col("test_id"), col("train_id"))
   }
 
-  /** LSH-bucketed embedding near-dup pairs (approximate recall, exact
-    * cosine verify).
+  /** Within-cell embedding near-dup pairs under the √n SEMANTIC
+    * quantizer (approximate recall, exact cosine verify) — the pair
+    * drill-down of [[dedupSemantic]], reading the same cached
+    * [[semanticModel]] so the train cost is paid once per (session,
+    * dir) across the family.
     */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDup(Tables.embeddings(s, d))
+    Dedup.embeddingNearDupFrom(Tables.embeddings(s, d), semanticModel(s, d))
 
   /** Bounded exact-cosine twin of embedding_neardup's verify stage: all
     * (id1 < id2) pairs of the vec_id < 300 slice with rounded cosine >=
@@ -1633,12 +1663,17 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     * coalesce. Dims are 1-based here (DuckDB list indexing); outputs
     * convert to the 0-based Spark convention.
     */
-  private[queries] def KmeansTrainCte: String =
-    """e AS (SELECT vec_id,
+  /** [[KmeansTrainCte]] with a parameterizable init LIMIT (a SQL
+    * expression — [[SemKSql]] passes the data-derived √n scalar), so
+    * the fixed-k index family and the √n semantic-dedup family unroll
+    * the SAME two Lloyd rounds from one definition.
+    */
+  private[queries] def KmeansTrainCteK(limitSql: String): String =
+    s"""e AS (SELECT vec_id,
       |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
       |  FROM embeddings),
       |i0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-      |  FROM e ORDER BY vec_id LIMIT 8),
+      |  FROM e ORDER BY vec_id LIMIT $limitSql),
       |c0 AS (SELECT cid, t.i AS dim, cv[t.i] AS c
       |  FROM i0 CROSS JOIN range(1, 65) t(i)),
       |d1 AS (SELECT e.vec_id, c.cid,
@@ -1665,6 +1700,17 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
       |  GROUP BY 1, 2),
       |c2 AS (SELECT c1.cid, c1.dim, coalesce(u2.c, c1.c) AS c
       |  FROM c1 LEFT JOIN u2 USING (cid, dim))""".stripMargin
+
+  private[queries] def KmeansTrainCte: String = KmeansTrainCteK(CoarseK.toString)
+
+  /** The √n cell count as a DuckDB scalar — [[graft.operators.Kmeans
+    * .ncellsFor]] re-derived from the data by the oracle itself (the
+    * ivf_size_profile sqrtK convention), so the semantic family's cell
+    * domain is single-sourced on both engines: k can never silently
+    * diverge between the Scala train call and the SQL unroll.
+    */
+  private[queries] val SemKSql =
+    "(SELECT greatest(2, round(sqrt(count(*))))::INT FROM e)"
 
   /** One unrolled power-iteration round for the pca_power oracle:
     * d$t (per-row dot against the previous direction), w$t (per-dim
@@ -2251,7 +2297,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         |  FROM ba WHERE rn = 1 GROUP BY cid)
         |SELECT r.i::BIGINT AS cluster_id, coalesce(n_added, 0)::BIGINT AS n_added,
         |  coalesce(sum_dist_micro2, 0)::BIGINT AS sum_dist_micro2
-        |FROM range(0, 8) r(i) LEFT JOIN w ON r.i = w.cid
+        |FROM range(0, $CoarseK) r(i) LEFT JOIN w ON r.i = w.cid
         |ORDER BY cluster_id""".stripMargin,
     "pq_codebooks" ->
       s"""WITH $PqTrainCte
@@ -2493,7 +2539,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         |  (10000 * top.lc // t.n_vecs)::BIGINT AS purity_bp
         |FROM tot t JOIN top USING (cid) ORDER BY cluster_id""".stripMargin,
     "dedup_semantic" ->
-      s"""WITH $KmeansTrainCte,
+      s"""WITH ${KmeansTrainCteK(SemKSql)},
         |d3 AS (SELECT e.vec_id, c.cid,
         |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
         |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
@@ -2516,7 +2562,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     // same cell/pair chain as dedup_semantic, reduced to per-vector max
     // similarity then swept over the 7 threshold rungs in micro-units
     "semdedup_threshold_curve" ->
-      s"""WITH $KmeansTrainCte,
+      s"""WITH ${KmeansTrainCteK(SemKSql)},
         |d3 AS (SELECT e.vec_id, c.cid,
         |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
         |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),
@@ -2543,7 +2589,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
         |  (10000 * coalesce(hc.nd, 0) // n.n_total)::BIGINT AS drop_bp
         |FROM r LEFT JOIN hc USING (t_pct) CROSS JOIN n ORDER BY t_pct""".stripMargin,
     "semantic_contamination" ->
-      s"""WITH $KmeansTrainCte,
+      s"""WITH ${KmeansTrainCteK(SemKSql)},
         |d3 AS (SELECT e.vec_id, c.cid,
         |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
         |  FROM e CROSS JOIN c2 c GROUP BY 1, 2),

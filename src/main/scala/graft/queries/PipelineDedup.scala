@@ -928,7 +928,11 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
         expr("stack(3, 'cluster', x_cluster, 'doc', x_doc, 'source', x_src)")
           .as(Seq("strategy", "n_crossed")))
       .select(col("strategy"), col("n_pairs"), col("n_crossed"),
-        expr("10000 * n_crossed div n_pairs").as("crossed_bp"))
+        // n_pairs = 0 guard (the lsh_recall n_true=0 posture): Spark's
+        // div yields NULL on 0 while DuckDB's // raises — a corpus with
+        // no near-dup pairs must read 0 bp on both engines, not diverge
+        expr("CASE WHEN n_pairs = 0 THEN 0L ELSE 10000 * n_crossed div n_pairs END")
+          .as("crossed_bp"))
       .orderBy(col("strategy"))
   }
 
@@ -1207,7 +1211,8 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
          |  UNION ALL SELECT 'doc', n_pairs, x_doc FROM ag
          |  UNION ALL SELECT 'source', n_pairs, x_src FROM ag)
          |SELECT strategy, n_pairs, n_crossed,
-         |  (10000 * n_crossed // n_pairs)::BIGINT AS crossed_bp
+         |  (CASE WHEN n_pairs = 0 THEN 0
+         |        ELSE 10000 * n_crossed // n_pairs END)::BIGINT AS crossed_bp
          |FROM st ORDER BY strategy""".stripMargin,
     "train_test_split" ->
       """SELECT doc_id,

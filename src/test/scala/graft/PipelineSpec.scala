@@ -180,6 +180,63 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("embedding near-dup: triangle pre-shard is lossless (pair-set equality)") {
+    import graft.sources.Tables
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    // ncells=4 over 500 vectors → ~125-member cells; shardAbove=16 forces
+    // every cell through the shard-pair path (ns up to 8), while
+    // Int.MaxValue takes the direct all-pairs explode. The verified
+    // outputs must be SET-equal — the pre-shard is a layout change, not
+    // a semantics change.
+    def pairsWith(shardAbove: Int) =
+      Dedup.embeddingNearDup(emb, minCos = 0.35, ncells = 4,
+          shardAbove = shardAbove)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val sharded = pairsWith(16)
+    val direct = pairsWith(Int.MaxValue)
+    assert(sharded == direct,
+      s"pre-shard lost/invented pairs: only-sharded=${sharded.diff(direct).take(5)} " +
+        s"only-direct=${direct.diff(sharded).take(5)}")
+    assert(direct.nonEmpty, "forced-shard fixture found no pairs — spec vacuous")
+  }
+
+  test("embedding near-dup equals a plain-Scala within-cell brute force") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val model = graft.operators.Kmeans.train(emb,
+      k = graft.operators.Kmeans.ncellsFor(n), iters = 2)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).toArray
+        val v = e.map(x => math.round(x.toDouble * 1e6))
+        val cid = model.zipWithIndex.map { case (c, i) =>
+          (c.indices.map(j => (v(j) - c(j)) * (v(j) - c(j))).sum, i)
+        }.min._2
+        (r.getLong(0), cid, e)
+      }
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ref = (for {
+      cell <- rows.groupBy(_._2).values
+      sorted = cell.sortBy(_._1)
+      j <- sorted.indices; i <- 0 until j
+      s0 = sim(sorted(i)._3, sorted(j)._3) if s0 >= 0.35
+    } yield (sorted(i)._1, sorted(j)._1, s0)).toSet
+    val got = Pipeline.embeddingNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref, s"within-cell brute force disagrees: got=${got.size} ref=${ref.size}")
+    assert(ref.nonEmpty, "no near-dups under the trained cells — spec vacuous")
+  }
+
   test("embedding near-dup: exact cosine verified, threshold respected") {
     import graft.sources.Tables
     val rows = Pipeline.embeddingNearDup(spark, sf0001).collect()

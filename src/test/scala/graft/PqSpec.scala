@@ -686,7 +686,7 @@ class PqSpec extends SparkSuite {
   }
 
   test("semantic_contamination: within-cell test/train leaks match a plain-Scala recompute") {
-    val model = Pipeline.kmeansModel(spark, sf0001)
+    val model = Pipeline.semanticModel(spark, sf0001)
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
@@ -742,7 +742,7 @@ class PqSpec extends SparkSuite {
   }
 
   test("dedup_semantic: keep-lowest-id rule matches a plain-Scala recompute") {
-    val model = Pipeline.kmeansModel(spark, sf0001)
+    val model = Pipeline.semanticModel(spark, sf0001)
     val rows = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
