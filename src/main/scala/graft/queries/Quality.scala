@@ -67,6 +67,189 @@ object Quality {
       (okLen && okWordlen && okStop && okRep && okUniq).as("kept"))
   }
 
+  // --- Trained quality classifier --------------------------------------
+
+  /** Threshold-grid resolution of the trained scorer: 257 integer rungs
+    * spanning the observed score range. Errors per rung come from ONE
+    * broadcast sweep over the score frame (the semdedup_threshold_curve
+    * posture) — never a global sort/window — so threshold training
+    * stays two shuffle-bounded aggregates at any corpus size.
+    */
+  private[queries] val QmGrid = 256L
+
+  /** Hashed-ratio feature rows (doc_id, bucket, x): the hashing-trick
+    * space `hashed_features` already declares (tokenHash31 mod 64),
+    * with term counts normalized to integer per-mille of the doc's
+    * token count — the battery's rules are RATIO tests, so the
+    * learnable signal is in ratios, not raw counts (a raw-count model
+    * mostly learns document length; measured during design).
+    */
+  private def qmFeatures(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (graft.functions.TextFns.tokenHash31(col("t")) % 64).cast("int")
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+    val n = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n"))
+    tf.join(n, "doc_id")
+      .select(col("doc_id"), col("bucket"), expr("1000 * tf div n").as("x"))
+  }
+
+  /** Training labels: the Gopher battery's own kept verdict as ±1 — the
+    * standard bootstrap for a production quality scorer (train a cheap
+    * model on rule labels, apply it where the rules are too slow or
+    * too brittle; GPT-3/CCNet train theirs against a reference corpus,
+    * same shape).
+    */
+  private def qmLabels(s: SparkSession, d: String): DataFrame =
+    qualityFlags(s, d).select(col("doc_id"),
+      when(col("kept"), 1L).otherwise(-1L).as("y"))
+
+  /** Train the quality scorer: a nearest-class-centroid (Rocchio)
+    * direction over the hashed-ratio features plus an empirically
+    * trained decision threshold — returns (w[64], theta).
+    *
+    * Why not a perceptron/logistic: measured during design — the
+    * full-batch perceptron (the only order-invariant integer-exact
+    * perceptron; per-row SGD order is not reproducible on a shuffled
+    * corpus) oscillates between the all-kept and all-dropped states on
+    * these imbalanced conjunction labels (88% kept) and lands on the
+    * majority class (kappa 0) at every round count and feature scaling
+    * tried; logistic needs exp(), which no integer lattice carries.
+    * The Rocchio direction + 1-D grid ERM is deterministic,
+    * order-invariant (all sums over sets), exactly integer (floor-div
+    * centroids, the kmeans_centroids convention), and measured
+    * kappa ≈ 0.52–0.64 on the fixtures against the battery.
+    *
+    * Distributed shape: ONE (y, bucket) aggregate builds both class
+    * centroids (≤128 rows collected); ONE map pass scores the corpus
+    * against the 64-weight broadcast; ONE bounded 257-rung broadcast
+    * sweep picks theta = argmin(training errors, tie → smallest) — no
+    * global sort, no window, no driver-side loop over rows. At 100 TB
+    * every stage is a map or a bounded-key aggregate.
+    */
+  private[queries] def qmTrainModel(s: SparkSession, d: String): (Array[Long], Long) = {
+    val labels = qmLabels(s, d)
+    val fl = qmFeatures(s, d).join(labels, "doc_id").persist()
+    try {
+      val cents = fl.groupBy(col("y"), col("bucket"))
+        .agg(sum(col("x")).as("sx")).collect() // bounded: ≤ 2 × 64 rows
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val cnts = labels.groupBy(col("y")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (nPos, nNeg) = (cnts.getOrElse(1L, 0L), cnts.getOrElse(-1L, 0L))
+      // single-class corpus → zero direction (scores all 0, theta from
+      // the degenerate grid): the model abstains rather than divides
+      val w = Array.tabulate(64) { b =>
+        if (nPos == 0L || nNeg == 0L) 0L
+        else cents.getOrElse((1L, b), 0L) / nPos - cents.getOrElse((-1L, b), 0L) / nNeg
+      }
+      val sc = qmScoresOf(labels, fl.drop("y"), w).persist()
+      try {
+        val mm = sc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"))
+          .collect()(0) // one row
+        val (smin, smax) = (mm.getLong(0), mm.getLong(1))
+        val span = smax - smin + 2
+        val grid = s.range(0, QmGrid + 1)
+          .select(expr(s"$smin - 1 + id * $span div $QmGrid").as("theta"))
+        val best = sc.crossJoin(broadcast(grid))
+          .groupBy(col("theta"))
+          .agg(sum(when(col("y") === 1L && col("s") <= col("theta"), 1L)
+            .when(col("y") === -1L && col("s") > col("theta"), 1L)
+            .otherwise(0L)).as("err"))
+          .orderBy(col("err"), col("theta")).limit(1)
+          .collect()(0) // one row: the trained threshold
+        (w, best.getLong(0))
+      } finally sc.unpersist()
+    } finally fl.unpersist()
+  }
+
+  /** Score frame (doc_id, y, s) for a weight vector: one map pass —
+    * s = Σ_b x_b · w_b against the 64-weight literal; docs whose token
+    * set is empty of features score the bare 0 via the left join.
+    */
+  private def qmScoresOf(labels: DataFrame, feats: DataFrame,
+      w: Array[Long]): DataFrame = {
+    val dots = feats
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * element_at(typedLit(w), col("bucket") + 1)).as("dot"))
+    labels.join(dots, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"), coalesce(col("dot"), lit(0L)).as("s"))
+  }
+
+  private[queries] val qmCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (Array[Long], Long)]()
+
+  private[queries] def qmModel(s: SparkSession, d: String): (Array[Long], Long) =
+    qmCache.getOrElseUpdate((s, d), qmTrainModel(s, d))
+
+  /** The trained quality model as rows — dim 0..63 are the Rocchio
+    * direction over the hashed-ratio features (integer per-mille
+    * lattice), dim 64 is the trained decision threshold. The PRODUCING
+    * query: it deliberately re-runs training (the kmeans_centroids
+    * convention — build cost is measured here, consumers read the
+    * cached artifact). The DuckDB oracle re-derives the entire chain —
+    * battery labels, hashed ratios, floor-div centroids, score pass,
+    * 257-rung ERM — from the raw documents and must land on the
+    * identical 65 integers.
+    */
+  def qualityModelTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w, theta) = qmTrainModel(s, d)
+    qmCache.put((s, d), (w, theta))
+    (w.zipWithIndex.map { case (v, b) => (b, v) } :+ (64, theta))
+      .toSeq.toDF("dim", "value").orderBy(col("dim"))
+  }
+
+  /** Model-based quality scores — the trained complement to
+    * [[qualityFilters]]: per doc, the integer score under the trained
+    * direction and the keep verdict `s > theta`. One map pass against
+    * the broadcast 64-weight model at any corpus size (the scorer a
+    * 100 TB pipeline actually ships — the battery labels only the
+    * training sample; the model scores everything).
+    */
+  def qualityModelScore(s: SparkSession, d: String): DataFrame = {
+    val (w, theta) = qmModel(s, d)
+    qmScoresOf(qmLabels(s, d), qmFeatures(s, d), w)
+      .select(col("doc_id"), col("s").as("score"),
+        (col("s") > theta).as("pred_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Model-vs-battery agreement — the [[langIdAgreement]] evaluation
+    * pair (accuracy + Cohen's kappa, exact integer rationals) on the
+    * trained scorer's confusion against the rule battery it was
+    * trained on: the one-row card that says whether the model learned
+    * the rules or collapsed to the majority class (kappa corrects for
+    * chance agreement under the 88%-kept marginals — the number raw
+    * accuracy hides). DECIMAL(38,0) promotion on the marginal products
+    * (the langIdAgreement posture): n² overflows int64 near ~3e9 docs.
+    */
+  def qualityModelAgreement(s: SparkSession, d: String): DataFrame = {
+    val (w, theta) = qmModel(s, d)
+    val sc = qmScoresOf(qmLabels(s, d), qmFeatures(s, d), w)
+      .select(col("y"), (col("s") > theta).as("pred"))
+    sc.agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1L && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === -1L && !col("pred"), 1L).otherwise(0L)).as("tn"))
+      // src = Σ row_marginal · col_marginal over the two classes
+      .withColumn("src", expr(
+        "CAST(tp + fn AS DECIMAL(38,0)) * (tp + fp)" +
+          " + CAST(tn + fp AS DECIMAL(38,0)) * (tn + fn)"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(10000 * CAST(tp + tn AS DECIMAL(38,0))) div n").as("acc_bp"),
+        // n² = src ⇔ a degenerate one-class marginal on either axis:
+        // kappa is undefined there — report 0 (the fold_strategy_compare
+        // guard posture; DuckDB's // would raise where Spark NULLs)
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n = src THEN 0L
+          |ELSE (1000000 * (CAST(tp + tn AS DECIMAL(38,0)) * n - src))
+          | div (CAST(n AS DECIMAL(38,0)) * n - src) END""".stripMargin)
+          .as("kappa_micro"))
+  }
+
   /** Per-SOURCE dataset card — the table that decides source mixing
     * weights in corpus assembly: document and token volume, exact-dup
     * incidence, and the Gopher-battery keep rate per source. One join of
@@ -1366,6 +1549,9 @@ object Quality {
     "token_kl_drift" -> tokenKlDrift,
     "distinct_ngrams" -> distinctNgrams,
     "quality_filters" -> qualityFilters,
+    "quality_model_train" -> qualityModelTrain,
+    "quality_model_score" -> qualityModelScore,
+    "quality_model_agreement" -> qualityModelAgreement,
     "source_mix_report" -> sourceMixReport,
     "repetition_ngram" -> repetitionNgram,
     "hll_merge" -> hllMerge,
@@ -1410,7 +1596,86 @@ object Quality {
        |        coalesce(sum(c) FILTER (WHERE tok IN ('a', 'the')), 0)::BIGINT AS n_stop
        |      FROM g GROUP BY 1)""".stripMargin
 
+  /** The trained-quality-model chain, single-sourced for its three
+    * oracles: battery labels (±1), hashed per-mille ratios, floor-div
+    * class centroids (w = 0 on a one-class corpus, the LEFT JOIN ON
+    * true spelling so the 64 rows survive a missing class), the score
+    * pass, and the 257-rung threshold ERM — every stage the exact
+    * integer arithmetic the Spark side runs.
+    */
+  private val QmChainCte: String =
+    s"""$QualityBatteryCte,
+       |lab AS (SELECT doc_id, CASE WHEN (n BETWEEN 5 AND 100000)
+       |    AND (10 * sum_len >= 30 * n AND 10 * sum_len <= 100 * n)
+       |    AND (50 * n_stop >= n) AND (5 * maxc < n) AND (10 * n_uniq >= n)
+       |  THEN 1::BIGINT ELSE (-1)::BIGINT END AS y FROM p),
+       |hb AS (SELECT doc_id,
+       |    (list_reduce(list_prepend(5381::BIGINT,
+       |       list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+       |       (a, b) -> (a * 33 + b) % 2147483648) % 64)::INT AS bucket
+       |  FROM t),
+       |tfq AS (SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM hb GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, sum(tf)::BIGINT AS nt FROM tfq GROUP BY 1),
+       |fx AS (SELECT tfq.doc_id, bucket, (1000 * tf // nt)::BIGINT AS x
+       |       FROM tfq JOIN nn USING (doc_id)),
+       |fl AS (SELECT fx.doc_id, fx.bucket, fx.x, lab.y
+       |       FROM fx JOIN lab USING (doc_id)),
+       |cc AS (SELECT y, count(*)::BIGINT AS c FROM lab GROUP BY 1),
+       |ct AS (SELECT y, bucket, sum(x)::BIGINT AS sx FROM fl GROUP BY 1, 2),
+       |wv AS (SELECT b.i - 1 AS bucket,
+       |    (CASE WHEN cp.c IS NULL OR cn.c IS NULL THEN 0
+       |          ELSE coalesce(sp.sx, 0) // cp.c - coalesce(sn.sx, 0) // cn.c
+       |     END)::BIGINT AS w
+       |  FROM range(1, 65) b(i)
+       |  LEFT JOIN (SELECT c FROM cc WHERE y = 1) cp ON true
+       |  LEFT JOIN (SELECT c FROM cc WHERE y = -1) cn ON true
+       |  LEFT JOIN (SELECT bucket, sx FROM ct WHERE y = 1) sp
+       |    ON sp.bucket = b.i - 1
+       |  LEFT JOIN (SELECT bucket, sx FROM ct WHERE y = -1) sn
+       |    ON sn.bucket = b.i - 1),
+       |sc AS (SELECT lab.doc_id, lab.y,
+       |    coalesce(sum(fx.x * wv.w), 0)::BIGINT AS s
+       |  FROM lab LEFT JOIN fx USING (doc_id)
+       |  LEFT JOIN wv ON wv.bucket = fx.bucket
+       |  GROUP BY 1, 2),
+       |mm AS (SELECT min(s) AS smin, max(s) AS smax FROM sc),
+       |grid AS (SELECT (smin - 1 + j.i * (smax - smin + 2) // 256)::BIGINT AS theta
+       |         FROM range(0, 257) j(i) CROSS JOIN mm),
+       |er AS (SELECT theta, sum(CASE WHEN y = 1 AND s <= theta THEN 1
+       |                              WHEN y = -1 AND s > theta THEN 1
+       |                              ELSE 0 END)::BIGINT AS err
+       |       FROM grid CROSS JOIN sc GROUP BY 1),
+       |th AS (SELECT theta FROM er ORDER BY err, theta LIMIT 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "quality_model_train" ->
+      s"""WITH $QmChainCte
+         |SELECT dim, value FROM (
+         |  SELECT bucket::INT AS dim, w::BIGINT AS value FROM wv
+         |  UNION ALL SELECT 64, theta FROM th)
+         |ORDER BY dim""".stripMargin,
+    "quality_model_score" ->
+      s"""WITH $QmChainCte
+         |SELECT sc.doc_id, sc.s AS score, sc.s > th.theta AS pred_kept
+         |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin,
+    "quality_model_agreement" ->
+      s"""WITH $QmChainCte,
+         |cf AS (SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN y = 1 AND s > theta THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN y = -1 AND s > theta THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN y = 1 AND s <= theta THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |    sum(CASE WHEN y = -1 AND s <= theta THEN 1 ELSE 0 END)::BIGINT AS tn
+         |  FROM sc CROSS JOIN th),
+         |k AS (SELECT n, tp, fp, fn, tn,
+         |    ((tp + fn)::HUGEINT * (tp + fp)
+         |     + (tn + fp)::HUGEINT * (tn + fn)) AS src
+         |  FROM cf)
+         |SELECT n, tp, fp, fn, tn,
+         |  (10000 * (tp + tn)::HUGEINT // n)::BIGINT AS acc_bp,
+         |  (CASE WHEN n::HUGEINT * n = src THEN 0
+         |        ELSE (1000000 * ((tp + tn)::HUGEINT * n - src))
+         |             // (n::HUGEINT * n - src) END)::BIGINT AS kappa_micro
+         |FROM k""".stripMargin,
     "ams_f2" ->
       s"""WITH t AS (SELECT unnest($ToksNE) AS tok FROM documents),
          |hp AS (SELECT * FROM (VALUES (0, 5381, 33), (1, 4241, 31),

@@ -813,4 +813,66 @@ class QualitySpec extends SparkSuite {
     // a real sub-linear growth exponent, not a saturated or linear corpus
     assert(beta > 0.5 && beta < 1.0, s"beta $beta")
   }
+
+  test("quality model: train/score/agreement match a plain-Scala recompute and beat the majority class") {
+    // the full chain re-derived sequentially from raw text: battery
+    // labels, hashed per-mille ratios, floor-div class centroids,
+    // scores, 257-rung threshold ERM
+    def h31(tok: String): Long =
+      tok.foldLeft(5381L)((a, c) => (a * 33 + c.toLong) % 2147483648L)
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[ \t\n\r]", -1).filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty)
+    val labels = rows.map { case (id, ts) =>
+      val cnt = ts.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+      val n = ts.length.toLong
+      val (nu, maxc) = (cnt.size.toLong, cnt.values.max)
+      val sl = cnt.map { case (t, c) => t.length * c }.sum
+      val ns = cnt.getOrElse("a", 0L) + cnt.getOrElse("the", 0L)
+      val kept = n >= 5 && n <= 100000 && 10 * sl >= 30 * n && 10 * sl <= 100 * n &&
+        50 * ns >= n && 5 * maxc < n && 10 * nu >= n
+      id -> (if (kept) 1L else -1L)
+    }.toMap
+    val feats = rows.map { case (id, ts) =>
+      val n = ts.length.toLong
+      id -> ts.groupBy(t => (h31(t) % 64).toInt)
+        .map { case (b, g) => b -> 1000L * g.length / n }
+    }.toMap
+    val pos = labels.collect { case (id, 1L) => id }.toSeq
+    val neg = labels.collect { case (id, -1L) => id }.toSeq
+    val w = Array.tabulate(64) { b =>
+      pos.map(feats(_).getOrElse(b, 0L)).sum / pos.length -
+        neg.map(feats(_).getOrElse(b, 0L)).sum / neg.length
+    }
+    val sc = labels.keys.map(id =>
+      id -> feats(id).map { case (b, x) => x * w(b) }.sum).toMap
+    val (smin, smax) = (sc.values.min, sc.values.max)
+    val theta = (0L to 256L).map(j => smin - 1 + j * (smax - smin + 2) / 256)
+      .map(t => (labels.count { case (id, y) =>
+        (y == 1L && sc(id) <= t) || (y == -1L && sc(id) > t) }, t))
+      .min // (err, theta) lexicographic = the argmin tie-break
+      ._2
+    val gotW = graft.queries.Quality.qualityModelTrain(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 64).foreach(b => assert(gotW(b) == w(b), s"w[$b]"))
+    assert(gotW(64) == theta, s"theta: got ${gotW(64)} want $theta")
+    val gotS = graft.queries.Quality.qualityModelScore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(gotS.length == labels.size)
+    gotS.foreach { case (id, score, pred) =>
+      assert(score == sc(id) && pred == (sc(id) > theta), s"doc $id")
+    }
+    val ag = graft.queries.Quality.qualityModelAgreement(spark, sf0001).collect()(0)
+    val (n, tn) = (ag.getLong(0), ag.getLong(4))
+    val errs = labels.count { case (id, y) => (sc(id) > theta) != (y == 1L) }
+    assert(ag.getLong(2) + ag.getLong(3) == errs, "fp+fn is the error count")
+    // the model must beat always-keep (the majority class) and actually
+    // reject something, or the trained scorer demonstrates nothing
+    assert(errs < neg.length, s"errors $errs not below majority ${neg.length}")
+    assert(tn > 0, "model never rejects — degenerate")
+    val kappa = ag.getLong(6)
+    assert(kappa > 0, s"kappa_micro $kappa — majority-class collapse")
+    assert(n == labels.size.toLong)
+  }
 }
