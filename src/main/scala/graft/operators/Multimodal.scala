@@ -1017,4 +1017,211 @@ object Multimodal {
       it.map(codec.videoHash)
     }
   }
+
+  // --- RIFF/AVI video (the second container behind the video seam) ----
+  // The WAV chunk grammar (RIFF lists walked by declared length, never a
+  // fixed layout) carrying uncompressed 8-bit DIB frames: proves the
+  // video seam is format-agnostic the way RIFF/WAVE proved the audio
+  // seam was not BMP-shaped. Grayscale palette DIBs are lossless, so AVI
+  // carries the same exact planted-pixel oracles as the GIF path — and
+  // the same logical content through BOTH containers must decode to the
+  // same frame samples (spec-pinned).
+  // --------------------------------------------------------------------
+
+  /** Uncompressed 8-bit grayscale RIFF/AVI builder: LIST hdrl (avih +
+    * one 'vids'/'DIB ' stream with a BITMAPINFOHEADER + 256-gray
+    * palette) then LIST movi with one '00db' DIB frame chunk per frame
+    * (bottom-up rows, 4-byte padded — biBitCount=8 keeps the gray value
+    * the stored byte, lossless). Frame `f` plants gray(x, y) =
+    * (3x + 31y + 7f + seed) mod 256 — the [[GifFile]] arithmetic, so
+    * the two containers carry identical logical content. The reader
+    * ([[AviCodec]]) never sees these arguments — only the bytes.
+    */
+  object AviFile {
+    def rowBytes(width: Int): Int = (width + 3) / 4 * 4
+
+    def build(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0)
+      val rb = rowBytes(width)
+      val frameBytes = rb * height
+      val strfSize = 40 + 256 * 4            // BITMAPINFOHEADER + palette
+      val strlSize = 4 + (8 + 56) + (8 + strfSize)
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val moviSize = 4 + nFrames * (8 + frameBytes)
+      val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+      val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+        .put("AVI ".getBytes("US-ASCII"))
+      b.put("LIST".getBytes("US-ASCII")).putInt(hdrlSize)
+        .put("hdrl".getBytes("US-ASCII"))
+      b.put("avih".getBytes("US-ASCII")).putInt(56)
+        .putInt(100000)                      // dwMicroSecPerFrame (10 fps)
+        .putInt(frameBytes * 10)             // dwMaxBytesPerSec
+        .putInt(0).putInt(0)                 // padding granularity, flags
+        .putInt(nFrames)                     // dwTotalFrames
+        .putInt(0).putInt(1)                 // initial frames, dwStreams
+        .putInt(frameBytes)                  // suggested buffer
+        .putInt(width).putInt(height)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+      b.put("LIST".getBytes("US-ASCII")).putInt(strlSize)
+        .put("strl".getBytes("US-ASCII"))
+      b.put("strh".getBytes("US-ASCII")).putInt(56)
+        .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0)   // flags, priority, language
+        .putInt(0)                           // initial frames
+        .putInt(1).putInt(10)                // dwScale / dwRate = 10 fps
+        .putInt(0).putInt(nFrames)           // start, dwLength
+        .putInt(frameBytes)                  // suggested buffer
+        .putInt(-1).putInt(0)                // quality, sample size
+        .putShort(0).putShort(0)             // rcFrame left, top
+        .putShort(width.toShort).putShort(height.toShort)
+      b.put("strf".getBytes("US-ASCII")).putInt(strfSize)
+        .putInt(40)                          // biSize
+        .putInt(width).putInt(height)
+        .putShort(1).putShort(8)             // planes, 8-bit
+        .putInt(0)                           // BI_RGB (uncompressed)
+        .putInt(frameBytes)
+        .putInt(0).putInt(0)                 // ppm x/y
+        .putInt(256).putInt(0)               // biClrUsed, biClrImportant
+      var g = 0
+      while (g < 256) {                      // grayscale palette (B,G,R,0)
+        b.put(g.toByte).put(g.toByte).put(g.toByte).put(0.toByte); g += 1
+      }
+      b.put("LIST".getBytes("US-ASCII")).putInt(moviSize)
+        .put("movi".getBytes("US-ASCII"))
+      var f = 0
+      while (f < nFrames) {
+        b.put("00db".getBytes("US-ASCII")).putInt(frameBytes)
+        var y = height - 1                   // DIB rows store bottom-up
+        while (y >= 0) {
+          var x = 0
+          while (x < rb) {
+            b.put(if (x < width)
+              ((3L * x + 31L * y + 7L * f + seed) & 0xFF).toByte
+            else 0.toByte)                   // row pad
+            x += 1
+          }
+          y -= 1
+        }
+        f += 1
+      }
+      b.array()
+    }
+  }
+
+  /** Pure-JVM RIFF/AVI decoder: validates the RIFF/'AVI ' magic and the
+    * declared size, walks LIST chunks by declared length (the WavCodec
+    * grammar — hdrl for geometry/frame count and the 8-bit uncompressed
+    * strf contract, movi for '00db' DIB frames), and checks every frame
+    * chunk against the header geometry. Malformed, truncated, or
+    * non-8-bit streams throw — a decode stage fails loudly, never
+    * fabricates frames (the GifCodec sniff contract).
+    */
+  final class AviCodec extends Serializable {
+    def sniff(bytes: Array[Byte]): Unit = {
+      val ok = bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI "
+      if (!ok) throw new IllegalArgumentException(
+        s"bad RIFF/AVI magic (${bytes.take(12).map(b => f"$b%02x").mkString(" ")})")
+    }
+
+    /** (width, height, nFrames, frame-data offsets). */
+    private def parse(in: MediaIn): (Int, Int, Int, Array[Int]) = {
+      val bytes = in.media
+      sniff(bytes)
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.getInt(4) == bytes.length - 8,
+        s"doc ${in.doc_id}: RIFF size ${bb.getInt(4)} != payload ${bytes.length - 8}")
+      var w = -1; var h = -1; var n = -1
+      var bits = -1; var compression = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = ascii(off, 4)
+          val sz = bb.getInt(off + 4)
+          require(sz >= 0 && off + 8 + sz <= to,
+            s"doc ${in.doc_id}: chunk '$id' size $sz overruns payload at offset $off")
+          id match {
+            case "LIST" =>
+              require(sz >= 4, s"doc ${in.doc_id}: LIST too short at $off")
+              val kind = ascii(off + 8, 4)
+              walk(off + 12, off + 8 + sz, inMovi = kind == "movi")
+            case "avih" =>
+              require(sz >= 56, s"doc ${in.doc_id}: avih too short")
+              n = bb.getInt(off + 8 + 16)
+              w = bb.getInt(off + 8 + 32)
+              h = bb.getInt(off + 8 + 36)
+            case "strf" =>
+              require(sz >= 40, s"doc ${in.doc_id}: strf too short")
+              bits = bb.getShort(off + 8 + 14)
+              compression = bb.getInt(off + 8 + 16)
+            case "00db" if inMovi => frames += off + 8
+            case _ => () // unknown chunk: skip by declared length
+          }
+          off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, bytes.length, inMovi = false)
+      require(w > 0 && h > 0 && n > 0,
+        s"doc ${in.doc_id}: missing/empty avih header ($w x $h, $n frames)")
+      require(bits == 8 && compression == 0,
+        s"doc ${in.doc_id}: unsupported DIB ($bits-bit, compression $compression)")
+      require(frames.length == n,
+        s"doc ${in.doc_id}: header declares $n frames, movi carries ${frames.length}")
+      val fb = AviFile.rowBytes(w) * h
+      frames.foreach { fo =>
+        require(bb.getInt(fo - 4) == fb,
+          s"doc ${in.doc_id}: frame chunk size ${bb.getInt(fo - 4)} != $fb")
+      }
+      (w, h, n, frames.toArray)
+    }
+
+    /** Gray value at (x, y) of frame data starting at `off` (bottom-up
+      * DIB rows, 4-byte row padding).
+      */
+    private def gray(bytes: Array[Byte], off: Int, w: Int, h: Int,
+        x: Int, y: Int): Int =
+      bytes(off + (h - 1 - y) * AviFile.rowBytes(w) + x) & 0xFF
+
+    /** First/middle/last frame samples with the decoded (0,0) gray —
+      * the [[GifCodec.frameSamples]] contract over the AVI container.
+      */
+    def frameSamples(in: MediaIn): Seq[VideoFrameSample] = {
+      val (w, h, n, offs) = parse(in)
+      Seq(1 -> 0, 2 -> (n / 2), 3 -> (n - 1)).map { case (ord, fi) =>
+        VideoFrameSample(in.doc_id, ord, fi, n, gray(in.media, offs(fi), w, h, 0, 0))
+      }
+    }
+  }
+
+  /** AVI payload per doc — the SAME geometry and planted seed as
+    * [[videoPayloads]] (w 4-15, h 4-14, 2-5 frames, seed doc_id*31), so
+    * the GIF and AVI containers carry identical logical content per doc
+    * and their decoded frame samples must be row-identical.
+    */
+  def aviPayloads(spark: SparkSession, docs: DataFrame): Dataset[MediaIn] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), octet_length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val nl = n.toLong
+        MediaIn(id, AviFile.build(
+          4 + (nl % 12).toInt, 4 + ((nl * 31) % 11).toInt,
+          2 + (nl % 4).toInt, id * 31))
+      }
+  }
+
+  /** Frame-sample fan-out over AVI containers — map-only, 3 rows per
+    * video, same 100 TB posture as [[videoFrameSamples]].
+    */
+  def aviFrameSamples(spark: SparkSession, docs: DataFrame): Dataset[VideoFrameSample] = {
+    import spark.implicits._
+    aviPayloads(spark, docs).mapPartitions { it =>
+      val codec = new AviCodec
+      it.flatMap(codec.frameSamples)
+    }
+  }
 }

@@ -308,6 +308,19 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     Multimodal.videoFrameSamples(s, docs(s, d)).toDF()
       .orderBy(col("doc_id"), col("sample_ord"))
 
+  /** [[videoFrames]] through the SECOND video container — RIFF/AVI
+    * with uncompressed 8-bit DIB frames, decoded by the pure-JVM chunk
+    * walker ([[graft.operators.Multimodal.AviCodec]], the WAV RIFF
+    * grammar). Same geometry and planted pixels per doc as the GIF
+    * path, so the two containers must decode to row-identical frame
+    * samples (spec-pinned) and this query carries the same exact
+    * planted-pixel oracle: the video seam is format-agnostic the way
+    * RIFF/WAVE proved the audio seam. Map-only; 3 rows per video.
+    */
+  def videoFramesAvi(s: SparkSession, d: String): DataFrame =
+    Multimodal.aviFrameSamples(s, docs(s, d)).toDF()
+      .orderBy(col("doc_id"), col("sample_ord"))
+
   /** VIDEO dedup census — [[imageDedup]] for the video column: one row
     * per distinct (n_frames, frame-0 aHash, brightness contour)
     * fingerprint with member count and keep-min rep. The contour bits
@@ -687,6 +700,7 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     "image_dedup_incremental" -> imageDedupIncremental,
     "image_neardup" -> imageNearDup,
     "video_frames" -> videoFrames,
+    "video_frames_avi" -> videoFramesAvi,
     "video_dedup" -> videoDedup,
     "video_dedup_incremental" -> videoDedupIncremental,
     "video_neardup" -> videoNearDup,
@@ -789,6 +803,17 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
 
   private[queries] val mediaOracles: Map[String, String] = Map(
     "video_frames" ->
+      """WITH p AS (SELECT doc_id, 2 + n % 4 AS f, doc_id * 31 AS seed
+        |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
+        |s AS (SELECT doc_id, 1::INT AS sample_ord, 0::BIGINT AS fi, f, seed FROM p
+        |  UNION ALL SELECT doc_id, 2::INT, f // 2, f, seed FROM p
+        |  UNION ALL SELECT doc_id, 3::INT, f - 1, f, seed FROM p)
+        |SELECT doc_id, sample_ord, fi::INT AS frame_idx, f::INT AS n_frames,
+        |  ((7 * fi + seed) % 256)::INT AS p00
+        |FROM s ORDER BY doc_id, sample_ord""".stripMargin,
+    // same planted-pixel arithmetic as video_frames: the AVI container
+    // carries identical logical content (geometry + seed) per doc
+    "video_frames_avi" ->
       """WITH p AS (SELECT doc_id, 2 + n % 4 AS f, doc_id * 31 AS seed
         |  FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents)),
         |s AS (SELECT doc_id, 1::INT AS sample_ord, 0::BIGINT AS fi, f, seed FROM p

@@ -1280,6 +1280,57 @@ class PqSpec extends SparkSuite {
       codec.videoHash(MediaIn(3L, good.take(good.length / 2))))
   }
 
+  test("avi codec: DIB frames round-trip losslessly, corrupt streams throw") {
+    import Multimodal.{AviCodec, AviFile, MediaIn}
+    val codec = new AviCodec
+    // full builder geometry range, incl. widths that exercise DIB row
+    // padding (w % 4 != 0) and the h=4 GIF-regression geometry (no
+    // interlace concept in DIB — must be exact everywhere)
+    for (w <- Seq(4, 7, 15); h <- Seq(4, 5, 14); nf <- Seq(2, 5)) {
+      val seed = 31L * (w * 16 + h) + nf
+      val samples = codec.frameSamples(MediaIn(1L, AviFile.build(w, h, nf, seed)))
+      assert(samples.map(s => (s.sample_ord, s.frame_idx, s.n_frames)) ==
+        Seq((1, 0, nf), (2, nf / 2, nf), (3, nf - 1, nf)), s"${w}x$h nf=$nf")
+      samples.foreach { s =>
+        assert(s.p00 == ((7L * s.frame_idx + seed) & 0xFF).toInt,
+          s"${w}x$h nf=$nf frame ${s.frame_idx}")
+      }
+    }
+    val good = AviFile.build(7, 5, 3, 99L)
+    // corrupt magic: both the RIFF fourcc and the AVI form type
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](codec.frameSamples(MediaIn(2L, badMagic)))
+    val badForm = good.clone(); badForm(8) = 'W'.toByte
+    intercept[IllegalArgumentException](codec.frameSamples(MediaIn(3L, badForm)))
+    // truncated stream: the declared RIFF size no longer matches
+    intercept[IllegalArgumentException](
+      codec.frameSamples(MediaIn(4L, good.take(good.length / 2))))
+    // header/movi frame-count mismatch: patch avih dwTotalFrames
+    // (offset 12 RIFF + 12 LIST hdrl + 8 avih header + 16 into avih)
+    val badCount = good.clone(); badCount(12 + 12 + 8 + 16) = 9.toByte
+    val e = intercept[IllegalArgumentException](
+      codec.frameSamples(MediaIn(5L, badCount)))
+    assert(e.getMessage.contains("frames"), e.getMessage)
+    // unsupported bit depth must be rejected, not misread: patch
+    // biBitCount (hdrl: avih 8+56, strl LIST 12, strh 8+56, strf 8 + 14)
+    val badBits = good.clone()
+    val strfBits = 12 + 12 + (8 + 56) + 12 + (8 + 56) + 8 + 14
+    badBits(strfBits) = 24.toByte
+    intercept[IllegalArgumentException](codec.frameSamples(MediaIn(6L, badBits)))
+  }
+
+  test("video seam is container-agnostic: AVI and GIF decode to identical frame samples") {
+    // same geometry + planted seed per doc through two UNRELATED
+    // containers and decoders (JDK ImageIO sequence reader vs pure-JVM
+    // RIFF walker): the decoded frame-sample rows must be identical —
+    // the audio seam's WAV-vs-BMP proof, replayed on video
+    val gif = Pipeline.videoFrames(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val avi = Pipeline.videoFramesAvi(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(gif.nonEmpty && gif.toSeq == avi.toSeq)
+  }
+
   test("video_frames / video_dedup: per-frame decode and census match driver recomputes") {
     val geo = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), octet_length(col("text")).as("n"))
