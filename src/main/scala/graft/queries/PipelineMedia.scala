@@ -578,7 +578,7 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
   // pure waste); single definition keeps the fp semantics from drifting.
   // Takes the document frame (not just the dir) so the incremental gate
   // can fingerprint a doc_id slice through the SAME definition.
-  private[queries] def audioFingerprintOfDocs(s: SparkSession,
+  private[graft] def audioFingerprintOfDocs(s: SparkSession,
       dd: org.apache.spark.sql.DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))

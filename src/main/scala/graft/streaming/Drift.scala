@@ -107,6 +107,62 @@ object Drift {
       .start()
   }
 
+  /** Streaming AUDIO dedup census — the third [[MaintainedCounts]]
+    * instance, completing the modality symmetry (image got the
+    * deployment shape in round 13; the batch gates exist for all
+    * three): key = `n_frames:fp` of the energy-contour fingerprint
+    * ([[graft.queries.Pipeline.audioFingerprintOfDocs]] — the SAME
+    * definition the batch `audio_dedup` census groups, so the streamed
+    * table can never drift from the declared semantics). A batch
+    * decodes only its own WAV payloads (map-only); the merge touches
+    * only the fingerprint buckets the batch lands in.
+    */
+  def streamingAudioFpCounts(spark: SparkSession, sfDir: String,
+      streamDir: String, countsDir: String, ckpt: String): StreamingQuery = {
+    val schema = Tables.documents(spark, sfDir).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = graft.queries.Pipeline.audioFingerprintOfDocs(spark, batch)
+          .select(concat(col("n_frames"), lit(":"), col("fp")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("dc"))
+        MaintainedCounts.applyBatch(spark, delta, batchId, countsDir,
+          numBuckets = NumBuckets)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming VIDEO dedup census — the fourth [[MaintainedCounts]]
+    * instance: key = `n_frames:hex(hash_hi):hex(hash_lo):contour` of
+    * the per-video fingerprint ([[graft.operators.Multimodal
+    * .videoHashes]] — the batch `video_dedup` census key). Same
+    * map-only decode + bucket-local merge posture as the image and
+    * audio gates.
+    */
+  def streamingVideoHashCounts(spark: SparkSession, sfDir: String,
+      streamDir: String, countsDir: String, ckpt: String): StreamingQuery = {
+    val schema = Tables.documents(spark, sfDir).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = graft.operators.Multimodal.videoHashes(spark, batch).toDF()
+          .select(concat(col("n_frames"), lit(":"), hex(col("hash_hi")),
+            lit(":"), hex(col("hash_lo")), lit(":"), col("contour_fp")).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("dc"))
+        MaintainedCounts.applyBatch(spark, delta, batchId, countsDir,
+          numBuckets = NumBuckets)
+        ()
+      }
+      .start()
+  }
+
   /** The drift report of a static baseline vs the maintained incoming
     * counts: full-outer on token (union vocabulary, absent side counts
     * 0), then EXACTLY the batch query's KL math

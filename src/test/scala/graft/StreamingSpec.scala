@@ -323,6 +323,64 @@ class StreamingSpec extends SparkSuite {
       "streamed image-hash census must equal the batch census after full replay")
   }
 
+  test("streaming audio-fp census converges to the batch audio_dedup counts across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-audstream")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val countsDir = base.resolve("counts").toString
+    val ckpt = base.resolve("ck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-audstream-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit =
+      graft.streaming.Drift.streamingAudioFpCounts(spark, sf0001,
+        streamDir.toString, countsDir, ckpt).awaitTermination()
+    stageFlat(docs.filter(col("doc_id") % 2 === 0), "p1.parquet")
+    runOnce()
+    stageFlat(docs.filter(col("doc_id") % 2 === 1), "p2.parquet")
+    runOnce()
+    val got = graft.streaming.MaintainedCounts.readCounts(spark, countsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expect = graft.queries.Pipeline.audioFingerprintOfDocs(spark, docs)
+      .collect().map(r => s"${r.getLong(1)}:${r.getLong(2)}")
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got == expect,
+      "streamed audio-fp census must equal the batch census after full replay")
+  }
+
+  test("streaming video-hash census converges to the batch video_dedup counts across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vidstream")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val countsDir = base.resolve("counts").toString
+    val ckpt = base.resolve("ck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vidstream-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit =
+      graft.streaming.Drift.streamingVideoHashCounts(spark, sf0001,
+        streamDir.toString, countsDir, ckpt).awaitTermination()
+    stageFlat(docs.filter(col("doc_id") % 2 === 0), "p1.parquet")
+    runOnce()
+    stageFlat(docs.filter(col("doc_id") % 2 === 1), "p2.parquet")
+    runOnce()
+    val got = graft.streaming.MaintainedCounts.readCounts(spark, countsDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expect = graft.operators.Multimodal.videoHashes(spark, docs).collect()
+      .groupBy(h => f"${h.n_frames}%d:${h.hash_hi}%X:${h.hash_lo}%X:${h.contour_fp}%d")
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(got == expect,
+      "streamed video-hash census must equal the batch census after full replay")
+  }
+
   test("drift bucket commit is atomic: crash between bucket commits, restart, batch equality") {
     import graft.streaming.Drift
     val base = java.nio.file.Files.createTempDirectory("graft-drift-crash")
