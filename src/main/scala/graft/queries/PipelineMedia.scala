@@ -264,7 +264,22 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     * the LSH giant-bucket pre-shard, candidates ∝ bucket mass, never
     * all-pairs). Output: (id1, id2, hamming) per verified pair.
     */
-  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+  def imageNearDup(s: SparkSession, d: String): DataFrame =
+    imageNearDupPairs(s, d).orderBy(col("id1"), col("id2"))
+
+  /** The image near-dup PAIR artifact, unsorted and cached per
+    * (session, dir) — the ngramPairCache posture: the declared query
+    * adds only the presentation sort, and [[modalityNeardupSummary]]
+    * aggregates the same bounded frame instead of re-running the
+    * decode + band join per read. DfCache-protected from the bench
+    * janitor; bounded by the doc_id < 500 audit domain.
+    */
+  private[queries] val imagePairCache = new graft.DfCache("media.imageNearDupPairs")
+
+  private[queries] def imageNearDupPairs(s: SparkSession, d: String): DataFrame =
+    imagePairCache.getOrElseUpdate((s, d), imageNearDupPairsUncached(s, d).persist())
+
+  private def imageNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
     // persist: the band self-join references this frame on BOTH sides,
     // and without storage each side re-runs the payload decode (the
     // tf_idf lesson — when two branches must see one evaluation, say so
@@ -291,7 +306,6 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .select(col("id1"), col("id2"),
         (expr("bit_count(l1 ^ l2)") + expr("bit_count(h1 ^ h2)")).as("hamming"))
       .filter(col("hamming") <= 3)
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** VIDEO frame-sample fan-out — the `multimodal_frames` shape over a
@@ -399,7 +413,18 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     * the giant-bucket pre-shard, candidates ∝ bucket mass, never
     * all-pairs.
     */
-  def videoNearDup(s: SparkSession, d: String): DataFrame = {
+  def videoNearDup(s: SparkSession, d: String): DataFrame =
+    videoNearDupPairs(s, d).orderBy(col("id1"), col("id2"))
+
+  /** The video near-dup pair artifact — the [[imageNearDupPairs]]
+    * caching posture on the video column.
+    */
+  private[queries] val videoPairCache = new graft.DfCache("media.videoNearDupPairs")
+
+  private[queries] def videoNearDupPairs(s: SparkSession, d: String): DataFrame =
+    videoPairCache.getOrElseUpdate((s, d), videoNearDupPairsUncached(s, d).persist())
+
+  private def videoNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
     // persisted for the same reason as image_neardup: the band self-join
     // reads this frame on both sides and each side would otherwise
     // re-run the GIF decode of every payload.
@@ -428,7 +453,6 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .select(col("id1"), col("id2"), col("n_frames"),
         (expr("bit_count(l1 ^ l2)") + expr("bit_count(h1 ^ h2)")).as("hamming"))
       .filter(col("hamming") <= 3)
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** Near-duplicate AUDIO pairs — the neardup completing the modality
@@ -443,7 +467,18 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     * blocked by n_frames equality. Audit-bounded to doc_id < 500, same
     * corpus-scale posture as the other neardups.
     */
-  def audioNearDup(s: SparkSession, d: String): DataFrame = {
+  def audioNearDup(s: SparkSession, d: String): DataFrame =
+    audioNearDupPairs(s, d).orderBy(col("id1"), col("id2"))
+
+  /** The audio near-dup pair artifact — the [[imageNearDupPairs]]
+    * caching posture on the audio column.
+    */
+  private[queries] val audioPairCache = new graft.DfCache("media.audioNearDupPairs")
+
+  private[queries] def audioNearDupPairs(s: SparkSession, d: String): DataFrame =
+    audioPairCache.getOrElseUpdate((s, d), audioNearDupPairsUncached(s, d).persist())
+
+  private def audioNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
     val h = audioFingerprintOfDocs(s, docs(s, d).filter(col("doc_id") < 500))
       .persist() // both band-join sides; avoids a second WAV decode pass
     val bands = h.select(col("doc_id"), col("n_frames"), col("fp"),
@@ -465,7 +500,6 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
       .select(col("id1"), col("id2"), col("n_frames"),
         expr("bit_count(f1 ^ f2)").as("hamming"))
       .filter(col("hamming") >= 1 && col("hamming") <= 2)
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** VIDEO shot-boundary census — cuts are where consecutive decoded
@@ -647,10 +681,12 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
     * distinct documents involved, over the same bounded audit domain
     * and thresholds as the three declared neardup queries (image
     * Hamming ≤ 3, audio contour Hamming 1–2, video frame-0 Hamming ≤ 3
-    * under the temporal block). Each modality is ONE pass over its
-    * banded pair frame (pairs exploded to ids so the pair count and the
-    * distinct-doc count come from a single aggregate — no 1-row
-    * crosses); three bounded rows at any corpus size.
+    * under the temporal block). Each modality is ONE aggregate over the
+    * same CACHED pair artifact its declared neardup query sorts
+    * ([[imageNearDupPairs]] — the ngramPairCache posture), so the card
+    * never re-runs a decode or band join; pairs exploded to ids so the
+    * pair count and the distinct-doc count come from a single aggregate
+    * (no 1-row crosses); three bounded rows at any corpus size.
     */
   def modalityNeardupSummary(s: SparkSession, d: String): DataFrame = {
     def statsOf(pairs: DataFrame, name: String): DataFrame =
@@ -658,9 +694,9 @@ private[queries] trait PipelineMedia extends PipelineBase { this: Pipeline.type 
         .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
           count_distinct(col("id")).as("n_docs"))
         .select(lit(name).as("modality"), col("n_pairs"), col("n_docs"))
-    statsOf(audioNearDup(s, d), "audio")
-      .union(statsOf(imageNearDup(s, d), "image"))
-      .union(statsOf(videoNearDup(s, d), "video"))
+    statsOf(audioNearDupPairs(s, d), "audio")
+      .union(statsOf(imageNearDupPairs(s, d), "image"))
+      .union(statsOf(videoNearDupPairs(s, d), "video"))
       .orderBy(col("modality"))
   }
 
