@@ -1195,6 +1195,46 @@ object Multimodal {
         VideoFrameSample(in.doc_id, ord, fi, n, gray(in.media, offs(fi), w, h, 0, 0))
       }
     }
+
+    /** Frame-0 aHash + brightness contour — the [[GifCodec.videoHash]]
+      * arithmetic over the AVI container: same grid, same bit packing,
+      * so the same logical content fingerprints identically through
+      * either container (the dedup key survives a container migration —
+      * spec-pinned).
+      */
+    def videoHash(in: MediaIn): VideoHash = {
+      val (w, h, n, offs) = parse(in)
+      val means = new Array[Long](n)
+      var lo = 0L; var hi = 0L
+      var f = 0
+      while (f < n) {
+        val g = new Array[Long](64)
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          g(i) = gray(in.media, offs(f), w, h, (i % 8) * w / 8, (i / 8) * h / 8).toLong
+          sum += g(i); i += 1
+        }
+        means(f) = sum / 64
+        if (f == 0) {
+          i = 0
+          while (i < 64) {
+            if (g(i) > means(0)) {
+              if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+            }
+            i += 1
+          }
+        }
+        f += 1
+      }
+      var cfp = 0L
+      f = 0
+      while (f < n - 1) {
+        if (means(f + 1) > means(f)) cfp |= (1L << f)
+        f += 1
+      }
+      VideoHash(in.doc_id, n, lo, hi, cfp)
+    }
   }
 
   /** AVI payload per doc — the SAME geometry and planted seed as

@@ -250,6 +250,34 @@ object Quality {
           .as("kappa_micro"))
   }
 
+  /** Score-decile CALIBRATION card — the reliability read published
+    * next to a trained scorer before anyone filters on it: docs ranked
+    * by model score (desc, doc_id tie-break) and cut into 10
+    * equal-count deciles by the DISTRIBUTED global rank
+    * ([[graft.operators.AssignIds.byOrder]] — range exchange, never a
+    * SinglePartition window; the decile_lift machinery), then per
+    * decile the battery's observed keep rate in exact bp. A
+    * well-ranked model reads monotone-decreasing keep rates; a flat
+    * column means the score carries no signal at that end. One rank
+    * job + one 10-key aggregate at any corpus size.
+    */
+  def qualityModelCalibration(s: SparkSession, d: String): DataFrame = {
+    val (w, _) = qmModel(s, d)
+    val sc = qmScoresOf(qmLabels(s, d), qmFeatures(s, d), w)
+    val ranked = graft.operators.AssignIds.byOrder(
+      sc, Seq(col("s").desc, col("doc_id")), "rn")
+    val n = broadcast(sc.groupBy().agg(count(lit(1)).as("N")))
+    ranked.crossJoin(n)
+      .selectExpr("y", "s", "CAST((rn - 1) * 10 div N AS INT) AS decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("s")).as("sum_score"))
+      .select(col("decile"), col("n_docs"), col("n_kept"),
+        expr("10000 * n_kept div n_docs").as("kept_bp"), col("sum_score"))
+      .orderBy(col("decile"))
+  }
+
   /** Per-SOURCE dataset card — the table that decides source mixing
     * weights in corpus assembly: document and token volume, exact-dup
     * incidence, and the Gopher-battery keep rate per source. One join of
@@ -1552,6 +1580,7 @@ object Quality {
     "quality_model_train" -> qualityModelTrain,
     "quality_model_score" -> qualityModelScore,
     "quality_model_agreement" -> qualityModelAgreement,
+    "quality_model_calibration" -> qualityModelCalibration,
     "source_mix_report" -> sourceMixReport,
     "repetition_ngram" -> repetitionNgram,
     "hll_merge" -> hllMerge,
@@ -1658,6 +1687,19 @@ object Quality {
       s"""WITH $QmChainCte
          |SELECT sc.doc_id, sc.s AS score, sc.s > th.theta AS pred_kept
          |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin,
+    "quality_model_calibration" ->
+      s"""WITH $QmChainCte,
+         |rk AS (SELECT y, s,
+         |    row_number() OVER (ORDER BY s DESC, doc_id) AS rn,
+         |    count(*) OVER () AS nr
+         |  FROM sc),
+         |dq AS (SELECT ((rn - 1) * 10 // nr)::INT AS decile, y, s FROM rk)
+         |SELECT decile, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  (10000 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) // count(*))::BIGINT
+         |    AS kept_bp,
+         |  sum(s)::BIGINT AS sum_score
+         |FROM dq GROUP BY 1 ORDER BY decile""".stripMargin,
     "quality_model_agreement" ->
       s"""WITH $QmChainCte,
          |cf AS (SELECT count(*)::BIGINT AS n,

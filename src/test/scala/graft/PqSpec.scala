@@ -1329,6 +1329,17 @@ class PqSpec extends SparkSuite {
     val avi = Pipeline.videoFramesAvi(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
     assert(gif.nonEmpty && gif.toSeq == avi.toSeq)
+    // and the dedup FINGERPRINT survives the container migration: the
+    // same logical clip hashes identically through either decoder, so a
+    // corpus re-encoded GIF -> AVI keeps its video_dedup clusters
+    import Multimodal.{AviCodec, AviFile, GifCodec, GifFile, MediaIn}
+    val (gc, ac) = (new GifCodec, new AviCodec)
+    for (w <- Seq(4, 7, 15); h <- Seq(5, 14); nf <- Seq(2, 5)) {
+      val seed = 31L * (w * 16 + h) + nf
+      val hg = gc.videoHash(MediaIn(9L, GifFile.build(w, h, nf, seed)))
+      val ha = ac.videoHash(MediaIn(9L, AviFile.build(w, h, nf, seed)))
+      assert(hg == ha, s"${w}x$h nf=$nf: gif=$hg avi=$ha")
+    }
   }
 
   test("video_frames / video_dedup: per-frame decode and census match driver recomputes") {

@@ -875,4 +875,21 @@ class QualitySpec extends SparkSuite {
     assert(kappa > 0, s"kappa_micro $kappa — majority-class collapse")
     assert(n == labels.size.toLong)
   }
+
+  test("quality_model_calibration: deciles reconcile with the battery and the score actually ranks") {
+    val cal = graft.queries.Quality.qualityModelCalibration(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cal.map(_._1).toSeq == (0 until 10))
+    // equal-count deciles (±1 on non-divisible corpora)
+    val sizes = cal.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"deciles not equal-count: ${sizes.toSeq}")
+    // Σ kept over deciles = the battery's kept census
+    val keptTotal = graft.queries.Quality.qualityFilters(spark, sf0001)
+      .filter(col("kept")).count()
+    assert(cal.map(_._3).sum == keptTotal)
+    // the score must RANK: the top decile's observed keep rate strictly
+    // above the bottom decile's, or the calibration card shows noise
+    assert(cal.head._4 > cal.last._4,
+      s"top decile ${cal.head._4} bp !> bottom ${cal.last._4} bp")
+  }
 }
