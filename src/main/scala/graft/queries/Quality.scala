@@ -130,7 +130,11 @@ object Quality {
     * every stage is a map or a bounded-key aggregate.
     */
   private[queries] def qmTrainModel(s: SparkSession, d: String): (Array[Long], Long) = {
-    val labels = qmLabels(s, d)
+    // persisted: the label frame feeds the feature join, the class
+    // counts, AND the score pass — without storage each consumer
+    // re-derives the whole battery (explode + two aggregates); swept
+    // with the other training temporaries below
+    val labels = qmLabels(s, d).persist()
     val fl = qmFeatures(s, d).join(labels, "doc_id").persist()
     try {
       val cents = fl.groupBy(col("y"), col("bucket"))
@@ -162,7 +166,7 @@ object Quality {
           .collect()(0) // one row: the trained threshold
         (w, best.getLong(0))
       } finally sc.unpersist()
-    } finally fl.unpersist()
+    } finally { fl.unpersist(); labels.unpersist() }
   }
 
   /** Score frame (doc_id, y, s) for a weight vector: one map pass —
