@@ -84,8 +84,12 @@ object Quality {
     * learnable signal is in ratios, not raw counts (a raw-count model
     * mostly learns document length; measured during design).
     */
-  private def qmFeatures(s: SparkSession, d: String): DataFrame = {
-    val tf = docs(s, d)
+  // takes the document frame (not just the dir) so the streaming scorer
+  // can featurize an ingest batch through the SAME definition (the
+  // audioFingerprintOfDocs convention)
+  private[graft] def qmFeaturesOfDocs(s: SparkSession,
+      dd: DataFrame): DataFrame = {
+    val tf = dd
       .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("t"))
       .select(col("doc_id"),
         (graft.functions.TextFns.tokenHash31(col("t")) % 64).cast("int")
@@ -95,6 +99,9 @@ object Quality {
     tf.join(n, "doc_id")
       .select(col("doc_id"), col("bucket"), expr("1000 * tf div n").as("x"))
   }
+
+  private def qmFeatures(s: SparkSession, d: String): DataFrame =
+    qmFeaturesOfDocs(s, docs(s, d))
 
   /** Training labels: the Gopher battery's own kept verdict as ±1 — the
     * standard bootstrap for a production quality scorer (train a cheap
@@ -252,6 +259,46 @@ object Quality {
           |ELSE (1000000 * (CAST(tp + tn AS DECIMAL(38,0)) * n - src))
           | div (CAST(n AS DECIMAL(38,0)) * n - src) END""".stripMargin)
           .as("kappa_micro"))
+  }
+
+  /** Score an arbitrary document frame under a frozen (w, theta) — the
+    * single definition behind the batch query and the streaming ingest
+    * scorer, so the two can never drift. Docs with ≥1 token have ≥1
+    * feature row, so the grouped dot covers the battery domain exactly.
+    */
+  private[graft] def qmScoreDocs(s: SparkSession, dd: DataFrame,
+      w: Array[Long], theta: Long): DataFrame =
+    qmFeaturesOfDocs(s, dd)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * element_at(typedLit(w), col("bucket") + 1)).as("score"))
+      .select(col("doc_id"), col("score"), (col("score") > theta).as("pred_kept"))
+
+  /** STREAMING quality scoring — the deployment shape of
+    * [[qualityModelScore]] (the ivf_ingest posture on the text column:
+    * production trains the scorer rarely and scores every arriving
+    * batch against the FROZEN model): each ingest batch is featurized
+    * and scored map-side against the broadcast 64-weight model and
+    * appended to the scored-output table; the corpus is never
+    * rescanned, and a batch costs O(batch tokens) at any corpus size.
+    * StreamingSpec pins stream-then-read equal to the batch scorer
+    * across a restart.
+    */
+  def streamingQualityScores(spark: SparkSession, sfDir: String,
+      streamDir: String, outDir: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (w, theta) = qmModel(spark, sfDir) // trained once on the base corpus
+    val schema = graft.sources.Tables.documents(spark, sfDir).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        qmScoreDocs(spark, batch, w, theta)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
   }
 
   /** Score-decile CALIBRATION card — the reliability read published

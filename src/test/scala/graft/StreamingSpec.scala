@@ -381,6 +381,36 @@ class StreamingSpec extends SparkSuite {
       "streamed video-hash census must equal the batch census after full replay")
   }
 
+  test("streaming quality scores converge to the batch scorer across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-qmstream")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("scored").toString
+    val ckpt = base.resolve("ck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qmstream-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit =
+      graft.queries.Quality.streamingQualityScores(spark, sf0001,
+        streamDir.toString, outDir, ckpt).awaitTermination()
+    // two ingest batches with a full stop/start between them — scored
+    // against the FROZEN model trained on the base corpus
+    stageFlat(docs.filter(col("doc_id") % 2 === 0), "p1.parquet")
+    runOnce()
+    stageFlat(docs.filter(col("doc_id") % 2 === 1), "p2.parquet")
+    runOnce()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val expect = graft.queries.Quality.qualityModelScore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq,
+      "streamed scores must equal the batch scorer after full replay")
+  }
+
   test("drift bucket commit is atomic: crash between bucket commits, restart, batch equality") {
     import graft.streaming.Drift
     val base = java.nio.file.Files.createTempDirectory("graft-drift-crash")
