@@ -222,10 +222,7 @@ object Quality {
     */
   def qualityModelScore(s: SparkSession, d: String): DataFrame = {
     val (w, theta) = qmModel(s, d)
-    qmScoresOf(qmLabels(s, d), qmFeatures(s, d), w)
-      .select(col("doc_id"), col("s").as("score"),
-        (col("s") > theta).as("pred_kept"))
-      .orderBy(col("doc_id"))
+    qmScoreDocs(s, docs(s, d), w, theta).orderBy(col("doc_id"))
   }
 
   /** Model-vs-battery agreement — the [[langIdAgreement]] evaluation
