@@ -1166,6 +1166,54 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     rows.reduce(_ union _).orderBy(col("ncells"))
   }
 
+  /** Sample-trained vs full-trained coarse quantizer — the measured
+    * card behind the declared 100 TB posture ("the quantizer trains on
+    * a bounded sample"; FAISS's own guidance trains on 30–256 points
+    * per centroid, not the corpus): both quantizers use the SAME
+    * k = √n budget, one trained on the full corpus, one on the
+    * deterministic 1-in-4 stride (vec_id % 4 = 0 — order-free, no RNG),
+    * probed identically at the 3k/8 scan fraction against the same
+    * exact top-20 truth. The two recall rows price exactly what the 4×
+    * cheaper training gives up — the number that justifies
+    * sample-training before anyone ships it. Training cost is the
+    * card's point; the probes are the ivf_size_profile machinery.
+    */
+  def ivfSampleTrain(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count() // bounded: one count job sizes the index
+    val k = graft.operators.Kmeans.ncellsFor(n)
+    val nprobe = math.max(1, 3 * k / 8)
+    val qv = Kmeans.quantized(emb.filter(col("vec_id") === 0))
+      .select(col("v")).collect()(0).getSeq[Long](0).toArray // bounded: 1 row
+    val exact = exactL2Topk(s, d)
+    val rows = Seq(
+      "full" -> emb,
+      "sample" -> emb.filter(col("vec_id") % 4 === 0)
+    ).map { case (name, trainSet) =>
+      val model = Kmeans.train(trainSet, k = k, iters = 2)
+      val probed = model.zipWithIndex.map { case (c, cid) =>
+        var dsum = 0L; var i = 0
+        while (i < c.length) { val dd = qv(i) - c(i); dsum += dd * dd; i += 1 }
+        (dsum, cid)
+      }.sorted.take(nprobe).map(_._2)
+      val ivf = Kmeans.quantized(emb).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Kmeans.nearest(model).getField("cid").as("cid"),
+          graft.functions.SketchExprs.nearestCentroid(col("v"), Array(qv))
+            .getField("dist").as("dist"))
+        .filter(col("cid").isin(probed.toIndexedSeq: _*))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"))
+      exact.join(ivf, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(name).as("train_set"), lit(k).cast("int").as("ncells"),
+          lit(nprobe).cast("int").as("nprobe"), col("n_hit"),
+          expr("10000 * n_hit div 20").as("recall_bp"))
+    }
+    rows.reduce(_ union _).orderBy(col("train_set"))
+  }
+
   /** Contrastive hard-negative mining — the training-pair op behind
     * every embedding-model fine-tune (and the reason ANN indexes sit in
     * training stacks at all): for each anchor, the most-similar vectors
@@ -1756,14 +1804,15 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     * vs the global `ex` truth. Requires `e` (quantized vectors), `q`
     * (query vector) and `ex` (global exact top-20) in scope.
     */
-  private[queries] def kmeansChainK(p: String, limitSql: String): String =
+  private[queries] def kmeansChainK(p: String, limitSql: String,
+      src: String = "e"): String =
     s"""${p}i0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-       |  FROM e ORDER BY vec_id LIMIT $limitSql),
+       |  FROM $src ORDER BY vec_id LIMIT $limitSql),
        |${p}c0 AS (SELECT cid, t.i AS dim, cv[t.i] AS c
        |  FROM ${p}i0 CROSS JOIN range(1, 65) t(i)),
        |${p}d1 AS (SELECT e.vec_id, c.cid,
        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
-       |  FROM e CROSS JOIN ${p}c0 c GROUP BY 1, 2),
+       |  FROM $src e CROSS JOIN ${p}c0 c GROUP BY 1, 2),
        |${p}a1 AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -1775,7 +1824,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
        |  FROM ${p}c0 c0 LEFT JOIN ${p}u1 u1 USING (cid, dim)),
        |${p}d2 AS (SELECT e.vec_id, c.cid,
        |    sum((e.v[c.dim] - c.c) * (e.v[c.dim] - c.c)) AS dist
-       |  FROM e CROSS JOIN ${p}c1 c GROUP BY 1, 2),
+       |  FROM $src e CROSS JOIN ${p}c1 c GROUP BY 1, 2),
        |${p}a2 AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -2001,6 +2050,7 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
     "mmr_rerank" -> mmrRerank,
     "kmeans_profile" -> kmeansProfile,
     "ivf_size_profile" -> ivfSizeProfile,
+    "ivf_sample_train" -> ivfSampleTrain,
     "hard_negatives" -> hardNegatives,
     "embedding_drift" -> embeddingDrift,
     "mmd_drift" -> mmdDrift,
@@ -2445,6 +2495,35 @@ private[queries] trait PipelineAnn extends PipelineBase { this: Pipeline.type =>
          |    greatest(1, (3 * $sqrtK) // 8)::INT AS nprobe,
          |    n_hit::BIGINT, (10000 * n_hit // 20)::BIGINT FROM sqhit)
          |ORDER BY ncells""".stripMargin
+    },
+    // two full unrolled Lloyd chains at the same sqrt(n) k — one from
+    // the full corpus, one from the 1-in-4 stride sample — probed
+    // identically; smp aliases into the chain as the training source
+    "ivf_sample_train" -> {
+      val sqrtK = "(SELECT greatest(2, round(sqrt(count(*))))::INT FROM e)"
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+         |  FROM embeddings),
+         |smp AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id,
+         |      sum((e.v[t.i] - q.v[t.i]) * (e.v[t.i] - q.v[t.i])) AS dist
+         |    FROM e CROSS JOIN q CROSS JOIN range(1, 65) t(i)
+         |    WHERE e.vec_id <> 0 GROUP BY 1)
+         |  ORDER BY dist, vec_id LIMIT 20),
+         |${kmeansChainK("fu", sqrtK)},
+         |${kmeansChainK("sm", sqrtK, "smp")}
+         |SELECT * FROM (
+         |  SELECT 'full' AS train_set, $sqrtK AS ncells,
+         |    greatest(1, (3 * $sqrtK) // 8)::INT AS nprobe,
+         |    n_hit::BIGINT AS n_hit, (10000 * n_hit // 20)::BIGINT AS recall_bp
+         |  FROM fuhit
+         |  UNION ALL
+         |  SELECT 'sample', $sqrtK,
+         |    greatest(1, (3 * $sqrtK) // 8)::INT,
+         |    n_hit::BIGINT, (10000 * n_hit // 20)::BIGINT FROM smhit)
+         |ORDER BY train_set""".stripMargin
     },
     // identical oracle for the inline and materialized-index probes:
     // the layout change must be answer-invariant

@@ -30,6 +30,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "pareto_front" -> "<=32-row bucket-prefix broadcast theta-join",
     "equidepth_histogram" -> "<=16-row bucket boundary broadcast join",
     "decile_lift" -> "<=10-row decile prefix broadcast theta-join",
+    "quality_model_calibration" ->
+      "one-row N scalar broadcast for decile assignment (the decile_lift rank posture)",
     "cumulative_users" -> "bounded day-count prefix broadcast theta-join",
     "trend_7d" -> "bounded day-count value-range broadcast theta-join",
     "overlap_join" -> "range-bucketed interval join; residual theta on bucket",
