@@ -33,6 +33,18 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Avro object-container interchange via the native avro-core
+    * reader/writer ([[AvroSource]] — the spark-avro connector module
+    * is absent from the offline container; the format is served by a
+    * direct scan instead: one task per container, schema resolution
+    * per file, loud failure on corrupt or incompatible containers).
+    */
+  def avro(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    AvroSource.read(spark, dir, schema)
+
+  def writeAvro(df: DataFrame, dir: String): Unit =
+    AvroSource.write(df, dir)
+
   def textLines(spark: SparkSession, path: String): Dataset[String] = {
     import spark.implicits._
     spark.read.textFile(path)
