@@ -297,20 +297,36 @@ object Graph {
   def hitsScores(s: SparkSession, d: String): DataFrame = {
     val sp = edgeTable(s, d).filter(col("src") < PartOffset)
       .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
+    // score tables are node-sized: below the measured PageRank gate they
+    // ride a broadcast each half-round (a localCheckpointed frame carries
+    // no size stats, so AQE never converts these joins on its own —
+    // without the explicit hint every half-round shuffles the full edge
+    // frame); larger graphs fall back to the shuffle join
+    val small = hubSeedAndNodes(s, d)._2 <=
+      graft.operators.PageRank.BroadcastNodeLimit
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var h = sp.select(col("sk")).distinct().withColumn("h", lit(1000000L))
     var a = sp.select(col("pk")).distinct().withColumn("a", lit(1000000L))
     for (_ <- 1 to 3) {
       // localCheckpoint per half-round (the bfs_hops frontier pattern):
       // without it each round's max-collect re-executes the whole prior
       // chain and the final top-20 replays everything again — measured
-      // 14.9 s vs ~1 s at sf0.1
-      val a0 = sp.join(h, "sk").groupBy(col("pk")).agg(sum(col("h")).as("a0"))
+      // 14.9 s vs ~1 s at sf0.1. The round max rides the SAME job as an
+      // observed metric (CollectMetrics is a row no-op) — the query is
+      // job-count-bound (round-16 GraphProfile: ~0.7 s per job on a
+      // quiet host is pure scheduling floor), so a separate max job per
+      // half-round doubled the fixed cost for a 1-row scalar.
+      val obsA = org.apache.spark.sql.Observation()
+      val a0 = sp.join(bc(h), "sk").groupBy(col("pk")).agg(sum(col("h")).as("a0"))
+        .observe(obsA, max(col("a0")).as("mx"))
         .localCheckpoint()
-      val am = a0.agg(max(col("a0"))).collect()(0).getLong(0) // 1-row scalar
+      val am = obsA.get.apply("mx").asInstanceOf[Long] // 1-row scalar, same job
       a = a0.select(col("pk"), expr(s"(a0 * 1000000) div ${am}L").as("a"))
-      val h0 = sp.join(a, "pk").groupBy(col("sk")).agg(sum(col("a")).as("h0"))
+      val obsH = org.apache.spark.sql.Observation()
+      val h0 = sp.join(bc(a), "pk").groupBy(col("sk")).agg(sum(col("a")).as("h0"))
+        .observe(obsH, max(col("h0")).as("mx"))
         .localCheckpoint()
-      val hm = h0.agg(max(col("h0"))).collect()(0).getLong(0) // 1-row scalar
+      val hm = obsH.get.apply("mx").asInstanceOf[Long] // 1-row scalar, same job
       h = h0.select(col("sk"), expr(s"(h0 * 1000000) div ${hm}L").as("h"))
     }
     h.select(lit("hub").as("kind"), col("sk").as("id"), col("h").as("score"))
@@ -594,23 +610,37 @@ object Graph {
       .orderBy(col("k"))
   }
 
-  private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int,
+      broadcastNodes: Boolean = false): DataFrame = {
+    // the surviving-node table is node-sized: under the measured gate
+    // (the PageRank/hits_scores pattern — localCheckpointed frames carry
+    // no stats, so AQE cannot convert these joins itself) both per-round
+    // semi-joins ride a broadcast; big graphs keep the shuffle joins
+    def bc(df: DataFrame): DataFrame = if (broadcastNodes) broadcast(df) else df
+    // the fixpoint count rides each round's checkpoint job as an
+    // observed metric (the hits_scores pattern — these rounds are
+    // job-count-bound, so a separate count job per peel doubled the
+    // scheduling floor for a scalar the aggregate already knows)
+    val obs0 = org.apache.spark.sql.Observation()
     var nodes = edges.select(col("src").as("node")).distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
-    var prevCount = nodes.count()
+    var prevCount = obs0.get.apply("n").asInstanceOf[Long]
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
+      val obs = org.apache.spark.sql.Observation()
       val next = edges
-        .join(nodes.withColumnRenamed("node", "src"), "src")
-        .join(nodes.select(col("node").as("dst")), "dst")
+        .join(bc(nodes.withColumnRenamed("node", "src")), "src")
+        .join(bc(nodes.select(col("node").as("dst"))), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("dcount"))
         .filter(col("dcount") >= k)
         .select(col("src").as("node"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
       // peeling only removes nodes, so an unchanged COUNT is an
       // unchanged SET — the fixpoint; later rounds would be no-ops
-      val nextCount = next.count()
+      val nextCount = obs.get.apply("n").asInstanceOf[Long]
       converged = nextCount == prevCount
       prevCount = nextCount
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(nodes)
@@ -618,8 +648,8 @@ object Graph {
       r += 1
     }
     edges
-      .join(nodes.withColumnRenamed("node", "src"), "src")
-      .join(nodes.select(col("node").as("dst")), "dst")
+      .join(bc(nodes.withColumnRenamed("node", "src")), "src")
+      .join(bc(nodes.select(col("node").as("dst"))), "dst")
       .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("node"), col("core_degree"))
       .orderBy(col("node"))
@@ -645,7 +675,9 @@ object Graph {
     val edges = edgeTable(s, d)
     val k = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       .agg(min(col("dg"))).collect()(0).getLong(0).toInt + 1 // bounded: 1 row
-    kcoreOf(edges, k = k, rounds = 4)
+    kcoreOf(edges, k = k, rounds = 4,
+      broadcastNodes = hubSeedAndNodes(s, d)._2 <=
+        graft.operators.PageRank.BroadcastNodeLimit)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -689,9 +721,17 @@ object Graph {
     var labels = sym.groupBy(col("src"))
       .agg(min(col("dst")).as("lab"))
       .select(col("src").as("node"), col("lab"))
+    // label table is node-sized; co-purchase nodes are a subset of the
+    // bipartite graph's node set, so its warmed count is a conservative
+    // upper bound for the measured broadcast gate (the hits_scores /
+    // PageRank pattern — an explicit hint because the mid-round frames
+    // carry no stats for AQE; big graphs keep the shuffle join)
+    val small = hubSeedAndNodes(s, d)._2 <=
+      graft.operators.PageRank.BroadcastNodeLimit
     for (_ <- 1 to 2) {
+      val lab = labels.select(col("node").as("dst"), col("lab"))
       val votes = sym
-        .join(labels.select(col("node").as("dst"), col("lab")), "dst")
+        .join(if (small) broadcast(lab) else lab, "dst")
         .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("n"))
       labels = graft.plans.TopKPerGroup(votes, Seq("src"),
           Seq(col("n").desc, col("lab").asc), k = 1)

@@ -192,7 +192,7 @@ object Quality {
   private[queries] val qmCache =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), (Array[Long], Long)]()
 
-  private[queries] def qmModel(s: SparkSession, d: String): (Array[Long], Long) =
+  private[graft] def qmModel(s: SparkSession, d: String): (Array[Long], Long) =
     qmCache.getOrElseUpdate((s, d), qmTrainModel(s, d))
 
   /** The trained quality model as rows — dim 0..63 are the Rocchio
@@ -278,8 +278,21 @@ object Quality {
     * appended to the scored-output table; the corpus is never
     * rescanned, and a batch costs O(batch tokens) at any corpus size.
     * StreamingSpec pins stream-then-read equal to the batch scorer
-    * across a restart.
+    * across a restart, and pins the redelivery-idempotence contract.
+    *
+    * Exactly-once sink: each micro-batch lands in its own
+    * `batch_id=<id>/` partition dir with OVERWRITE — a batch retried
+    * after a crash between the parquet write and the checkpoint commit
+    * rewrites the same deterministic path instead of appending a
+    * duplicate (the [[graft.streaming.MaintainedCounts]] batchId-gate
+    * posture, applied to an append-shaped sink). Readers scan the root
+    * and get the batch id as a provenance partition column for free.
     */
+  def qmApplyScoredBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, outDir: String, w: Array[Long], theta: Long): Unit =
+    qmScoreDocs(spark, batch, w, theta)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   def streamingQualityScores(spark: SparkSession, sfDir: String,
       streamDir: String, outDir: String, ckpt: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -290,10 +303,8 @@ object Quality {
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        qmScoreDocs(spark, batch, w, theta)
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        qmApplyScoredBatch(spark, batch, batchId, outDir, w, theta)
       }
       .start()
   }

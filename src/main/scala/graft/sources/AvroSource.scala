@@ -52,6 +52,12 @@ object AvroSource {
   /** Read every `.avro` container under `dir` as a DataFrame with the
     * given flat schema. Corrupt containers and missing fields throw —
     * the codec-seam contract.
+    *
+    * Rows STREAM through the task: the iterator decodes
+    * record-by-record off the open `DataFileStream` and closes both
+    * the reader and the underlying stream on exhaustion (or on the
+    * decode error that kills the task) — a large ingest shard never
+    * materializes in executor memory.
     */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val schemaJson = avroSchemaFor(schema).toString // tasks re-parse (Schema is not serializable-stable)
@@ -65,31 +71,43 @@ object AvroSource {
         // as does a corrupt/truncated container (bad magic, torn block)
         val expected = new Schema.Parser().parse(schemaJson)
         val stream = pds.open()
-        try {
-          val reader = new DataFileStream(stream,
+        val reader =
+          try new DataFileStream(stream,
             new GenericDatumReader[GenericRecord](null, expected))
-          try {
-            val it = new Iterator[Row] {
-              def hasNext: Boolean = reader.hasNext
-              def next(): Row = {
-                val rec = reader.next()
-                Row.fromSeq(names.indices.map { i =>
-                  types(i) match {
-                    case StringType => String.valueOf(rec.get(i))
-                    case _ => rec.get(i)
-                  }
-                })
-              }
+          catch {
+            case e: Exception =>
+              stream.close()
+              throw new IllegalArgumentException(
+                s"$path: corrupt or incompatible Avro container", e)
+          }
+        new Iterator[Row] {
+          private var open = true
+          private def closeAll(): Unit = if (open) {
+            open = false; reader.close(); stream.close()
+          }
+          private def failing[A](body: => A): A =
+            try body catch {
+              case e: Exception =>
+                closeAll()
+                throw new IllegalArgumentException(
+                  s"$path: corrupt or incompatible Avro container", e)
             }
-            // materialize the slice inside the open-stream scope: the
-            // container is one task's input by construction
-            it.toVector
-          } finally reader.close()
-        } catch {
-          case e: IllegalArgumentException => throw e
-          case e: Exception => throw new IllegalArgumentException(
-            s"$path: corrupt or incompatible Avro container", e)
-        } finally stream.close()
+          def hasNext: Boolean = open && {
+            val h = failing(reader.hasNext)
+            if (!h) closeAll()
+            h
+          }
+          def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException(path)
+            val rec = failing(reader.next())
+            Row.fromSeq(names.indices.map { i =>
+              types(i) match {
+                case StringType => String.valueOf(rec.get(i))
+                case _ => rec.get(i)
+              }
+            })
+          }
+        }
       }
     spark.createDataFrame(rows, schema)
   }
@@ -98,15 +116,33 @@ object AvroSource {
     * (`part-<p>.avro`, null codec) — the partitioned TextSink shape.
     * Local-filesystem paths (the fixture/test posture; a cluster
     * deployment points this at shared storage).
+    *
+    * Overwrite semantics: any pre-existing `part-*.avro` under `dir`
+    * is deleted FIRST (driver-side), so a re-run with fewer partitions
+    * cannot leave stale shards that [[read]] would silently include.
+    * Each task writes to a dot-prefixed temp file and atomically
+    * renames into place, so a torn task attempt never leaves a
+    * half-container matching the read glob. Task attempts are not
+    * otherwise coordinated — run this sink with speculation off (the
+    * local-mode default), as two attempts racing the same rename would
+    * both produce complete, identical containers but waste the work.
     */
   def write(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
     val schemaJson = avroSchemaFor(schema).toString
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    val stale = new java.io.File(dir).listFiles()
+    if (stale != null)
+      stale.filter(f => f.getName.startsWith("part-") &&
+          (f.getName.endsWith(".avro") || f.getName.endsWith(".avro.tmp")))
+        .foreach(f => java.nio.file.Files.delete(f.toPath))
     df.rdd.mapPartitionsWithIndex { (p, it) =>
       val avroSchema = new Schema.Parser().parse(schemaJson)
+      val tmp = new java.io.File(dir, f".part-$p%05d.avro.tmp")
+      val dst = new java.io.File(dir, f"part-$p%05d.avro")
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
-      w.create(avroSchema, new java.io.File(dir, f"part-$p%05d.avro"))
+      w.create(avroSchema, tmp)
       try {
         it.foreach { row =>
           val rec = new GenericData.Record(avroSchema)
@@ -114,6 +150,9 @@ object AvroSource {
           w.append(rec)
         }
       } finally w.close()
+      java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Iterator.single(p)
     }.count() // one job runs the sink
     ()

@@ -403,12 +403,36 @@ class StreamingSpec extends SparkSuite {
     runOnce()
     stageFlat(docs.filter(col("doc_id") % 2 === 1), "p2.parquet")
     runOnce()
-    val got = spark.read.parquet(outDir).collect()
+    val got = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("score"), col("pred_kept")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
     val expect = graft.queries.Quality.qualityModelScore(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
     assert(got.toSeq == expect.toSeq,
       "streamed scores must equal the batch scorer after full replay")
+  }
+
+  test("quality-score sink is idempotent: a batch redelivered after a crash between write and checkpoint commit does not duplicate rows") {
+    // the crash window: foreachBatch wrote the parquet, the process died
+    // before the checkpoint committed, the engine redelivers the SAME
+    // batchId on restart. The sink must converge, not append twice.
+    val base = java.nio.file.Files.createTempDirectory("graft-qmredeliver")
+    val outDir = base.resolve("scored").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (w, theta) = graft.queries.Quality.qmModel(spark, sf0001)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    graft.queries.Quality.qmApplyScoredBatch(spark, b0, 0L, outDir, w, theta)
+    graft.queries.Quality.qmApplyScoredBatch(spark, b0, 0L, outDir, w, theta) // redelivery
+    graft.queries.Quality.qmApplyScoredBatch(spark, b1, 1L, outDir, w, theta)
+    val got = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("score"), col("pred_kept")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val expect = graft.queries.Quality.qualityModelScore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.length == expect.length,
+      s"redelivered batch duplicated rows: ${got.length} vs ${expect.length}")
+    assert(got.toSeq == expect.toSeq)
   }
 
   test("drift bucket commit is atomic: crash between bucket commits, restart, batch equality") {
