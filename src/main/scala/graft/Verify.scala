@@ -19,6 +19,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // raw-ingest staging root inside THIS dump dir: the ingest oracles
+    // address the staged JSONL/CSV shards as {OUT}/.raw/... (a DOTDIR: the gate globs {OUT}/* for query results and must not see the staging) so DuckDB
+    // parses the same raw bytes the contracted Spark reader did
+    System.setProperty("graft.raw.dir",
+      Paths.get(outDir).toAbsolutePath.toString + "/.raw")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

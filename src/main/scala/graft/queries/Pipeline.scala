@@ -49,6 +49,10 @@ object Pipeline extends PipelineDedup with PipelineAnn with PipelineMedia {
     kmeansModel(s, d)
     pqModel(s, d)
     pqIndexPath(s, d)
+    // raw-ingest staging shards: the producing dump job's artifact —
+    // the ingest queries measure the contracted READ path
+    graft.sources.RawIngest.stageJsonl(s, d)
+    graft.sources.RawIngest.stageCsv(s, d)
     ()
   }
 
