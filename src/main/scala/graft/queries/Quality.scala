@@ -616,6 +616,75 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity filter — the production LM quality signal
+    * one rung above [[bigramSurprisal]]: per-document perplexity under
+    * an INTERPOLATED trigram model (λ = 0.6/0.3/0.1 over the trigram,
+    * bigram and unigram conditionals, all estimated on the same
+    * trigram-slot event stream so every conditional is well-defined),
+    * then the corpus ranked into head/middle/tail perplexity tertiles
+    * with tail docs dropped — exactly the CCNet bucketing (Wenzek et
+    * al. 2020), which filters on RELATIVE perplexity because an
+    * absolute threshold drifts with domain.
+    *
+    * Integer discipline: one double expression per DISTINCT trigram
+    * (the docSurprisal convention — identical IEEE op order in the
+    * oracle), rounded once to micro-nats; doc sums are exact integer
+    * aggregates and the per-token perplexity is an integer div. The
+    * tertile rank is the distributed [[graft.operators.AssignIds]]
+    * range exchange — never a single-partition window.
+    *
+    * Scale: the LM tables are distinct-trigram-bounded, so the lp
+    * probe is a SHUFFLE join on the trigram key (a 100 TB corpus's
+    * trigram table dwarfs any broadcast budget — deliberately NOT the
+    * bigram table's vocab²-broadcast shape); everything else is hash
+    * aggregates plus the rank exchange. Docs with <3 tokens carry no
+    * trigram slot and are dropped (they go to the length battery, not
+    * the LM).
+    */
+  def perplexityFilter(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("l"))
+      .filter(col("l") >= 3)
+    val tri = t.select(col("doc_id"), explode(zip_with(
+        zip_with(
+          slice(col("ts"), lit(1), col("l") - 2),
+          slice(col("ts"), lit(2), col("l") - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(col("ts"), lit(3), col("l") - 2),
+        (ab, c) => struct(ab.getField("w1").as("w1"),
+          ab.getField("w2").as("w2"), c.as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"),
+        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .persist() // feeds 5 LM aggregates + the probe (the setsim lesson)
+    val c123 = tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+    val c12 = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
+    val c2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val c3 = tri.groupBy(col("w3")).agg(count(lit(1)).as("c3"))
+    val n = tri.agg(count(lit(1)).as("nn"))
+    val lp = c123.join(c12, Seq("w1", "w2")).join(c23, Seq("w2", "w3"))
+      .join(c2, Seq("w2")).join(c3, Seq("w3")).crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(log(
+          lit(0.6) * (col("c123").cast("double") / col("c12")) +
+          lit(0.3) * (col("c23").cast("double") / col("c2")) +
+          lit(0.1) * (col("c3").cast("double") / col("nn"))) * 1000000)
+          .cast("long").as("lp_micro"))
+    val sc = tri.join(lp, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_slots"), (-sum(col("lp_micro"))).as("surprisal_micro"))
+      .selectExpr("doc_id", "n_slots",
+        "surprisal_micro div n_slots AS ppl_micro")
+    val ranked = graft.operators.AssignIds.byOrder(
+      sc, Seq(col("ppl_micro"), col("doc_id")), "rn")
+    val nd = broadcast(sc.groupBy().agg(count(lit(1)).as("nd")))
+    ranked.crossJoin(nd)
+      .selectExpr("doc_id", "n_slots", "ppl_micro",
+        "CASE (rn - 1) * 3 div nd WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket",
+        "(rn - 1) * 3 div nd < 2 AS kept")
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokenizer fertility per language — average learned-BPE subwords per
     * word in exact basis points (the tokenizer-health metric every
     * multilingual pipeline tracks: high fertility = the vocabulary
@@ -1649,6 +1718,7 @@ object Quality {
     "decontaminate_train" -> decontaminateTrain,
     "doc_surprisal" -> docSurprisal,
     "bigram_surprisal" -> bigramSurprisal,
+    "perplexity_filter" -> perplexityFilter,
     "bpe_fertility" -> bpeFertility,
     "corpus_stats" -> corpusStats,
     "positional_index" -> positionalIndex,
@@ -2266,6 +2336,38 @@ object Quality {
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          |  (-sum(lp_micro))::BIGINT AS surprisal_micro
          |FROM b JOIN lp USING (w1, w2) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "perplexity_filter" ->
+      s"""WITH d0 AS (SELECT doc_id, ts, len(ts) AS l
+         |            FROM (SELECT doc_id, $ToksNE AS ts FROM documents)
+         |            WHERE len(ts) >= 3),
+         |tri AS (SELECT doc_id, unnest(ts[1:l-2]) AS w1,
+         |               unnest(ts[2:l-1]) AS w2, unnest(ts[3:l]) AS w3
+         |        FROM d0),
+         |c123 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM tri GROUP BY 1,2,3),
+         |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM tri GROUP BY 1,2),
+         |c23 AS (SELECT w2, w3, count(*)::BIGINT AS c23 FROM tri GROUP BY 1,2),
+         |c2 AS (SELECT w2, count(*)::BIGINT AS c2 FROM tri GROUP BY 1),
+         |c3 AS (SELECT w3, count(*)::BIGINT AS c3 FROM tri GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS nn FROM tri),
+         |lp AS (SELECT w1, w2, w3,
+         |         CAST(round(ln(0.6 * (c123::DOUBLE / c12)
+         |                     + 0.3 * (c23::DOUBLE / c2)
+         |                     + 0.1 * (c3::DOUBLE / nn)) * 1000000) AS BIGINT)
+         |           AS lp_micro
+         |       FROM c123 JOIN c12 USING (w1, w2) JOIN c23 USING (w2, w3)
+         |            JOIN c2 USING (w2) JOIN c3 USING (w3) CROSS JOIN n),
+         |sc AS (SELECT doc_id, count(*)::BIGINT AS n_slots,
+         |         ((-sum(lp_micro)) // count(*))::BIGINT AS ppl_micro
+         |       FROM tri JOIN lp USING (w1, w2, w3) GROUP BY 1),
+         |rk AS (SELECT doc_id, n_slots, ppl_micro,
+         |         row_number() OVER (ORDER BY ppl_micro, doc_id) AS rn,
+         |         count(*) OVER () AS nd
+         |       FROM sc)
+         |SELECT doc_id, n_slots, ppl_micro,
+         |  CASE ((rn - 1) * 3) // nd WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |    ELSE 'tail' END AS bucket,
+         |  ((rn - 1) * 3) // nd < 2 AS kept
+         |FROM rk ORDER BY doc_id""".stripMargin,
     "bpe_fertility" ->
       """WITH w AS (SELECT lang,
         |    unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word FROM documents),

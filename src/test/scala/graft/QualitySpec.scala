@@ -575,6 +575,51 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("perplexity_filter: interpolated trigram micro-nats and CCNet tertiles match a driver recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("[ \t\n\r]").filter(_.nonEmpty)))
+    val tris = docs.map { case (id, ts) =>
+      id -> ts.sliding(3).collect { case Array(a, b, c) => (a, b, c) }.toSeq
+    }.filter(_._2.nonEmpty)
+    val all = tris.flatMap(_._2)
+    val c123 = all.groupBy(identity).view.mapValues(_.size.toLong)
+    val c12 = all.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong)
+    val c23 = all.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong)
+    val c2 = all.groupBy(_._2).view.mapValues(_.size.toLong)
+    val c3 = all.groupBy(_._3).view.mapValues(_.size.toLong)
+    val nn = all.length.toLong
+    val lp = c123.map { case (t, c) =>
+      t -> math.round(math.log(
+        0.6 * (c.toDouble / c12((t._1, t._2))) +
+        0.3 * (c23((t._2, t._3)).toDouble / c2(t._2)) +
+        0.1 * (c3(t._3).toDouble / nn)) * 1000000.0)
+    }.toMap
+    val scored = tris.map { case (id, ss) =>
+      val sur = -ss.map(lp).sum
+      (id, ss.length.toLong, sur / ss.length) }
+    val nd = scored.length.toLong
+    val expect = scored.sortBy(x => (x._3, x._1)).zipWithIndex.map {
+      case ((id, ns, ppl), i) =>
+        val b = i.toLong * 3 / nd
+        id -> ((ns, ppl,
+          Seq("head", "middle", "tail")(b.toInt), b < 2))
+    }.toMap
+    val rows = graft.queries.Quality.perplexityFilter(spark, sf0001).collect()
+    assert(rows.length == expect.size && rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))
+        == expect(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    // tertiles: 2/3 kept, and every kept ppl <= every dropped ppl
+    val kept = rows.filter(_.getBoolean(4)).map(_.getLong(2))
+    val dropped = rows.filterNot(_.getBoolean(4)).map(_.getLong(2))
+    assert(kept.length == (2 * nd / 3 + (if (nd * 2 % 3 > 0) 1 else 0)).toInt ||
+      kept.length == (2L * nd / 3).toInt + (if ((2L * nd) % 3 > 0) 1 else 0))
+    assert(dropped.nonEmpty && kept.max <= dropped.min,
+      "a dropped doc reads lower perplexity than a kept one")
+  }
+
   test("bpe_fertility: per-language totals recompute through the reference encoder") {
     val merges = graft.queries.Quality.bpeMerges(spark, sf0001)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
