@@ -759,6 +759,58 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
       .orderBy(col("span_hash"))
   }
 
+  /** Span-length LADDER over the [[duplicateSpans]] fingerprint
+    * machinery (VERDICT r15 gap #4) — the bounded answer to Lee et
+    * al.'s maximal-shared-span question: for w ∈ {8, 16, 32}, how many
+    * w-token spans recur across documents and how much of the corpus
+    * they COVER (distinct token positions under ≥1 duplicated span,
+    * in exact bp of all token slots). A 32-rung hit implies a maximal
+    * shared run ≥ 32, so the ladder's coverage decay across rungs IS
+    * the maximal-span distribution read at three committed widths —
+    * the Spark-native approximation to the paper's suffix array
+    * (which finds exact maximal spans but needs machinery no shuffle
+    * engine carries; this is the documented trade, SURVEY §2).
+    *
+    * Shape per rung: one positional shingle explode, one fingerprint
+    * hash-groupBy (map-side partial agg — never pairwise), one
+    * semi-join back, one position explode bounded by w × duplicated
+    * occurrences, one distinct. Three rungs = three such passes over
+    * the shared persisted token frame; every stage is bucketed, so
+    * the ladder scales like wordcount at any corpus size.
+    */
+  def duplicateSpanLadder(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+      .select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts")).persist()
+    val tot = broadcast(t.agg(sum(size(col("ts"))).as("total_slots")))
+    val rungs = Seq(8, 16, 32).map { w =>
+      val sp = t.filter(size(col("ts")) >= w)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ts")) - lit(w - 1)),
+          i => struct(i.as("i"),
+            conv(substring(sha2(
+              concat_ws(" ", slice(col("ts"), i, lit(w))), 256), 1, 15), 16, 10)
+              .cast("long").as("h")))).as("sp"))
+        .select(col("doc_id"), col("sp.i").as("i"), col("sp.h").as("h"))
+        .persist() // feeds the fingerprint census AND the coverage probe
+      val dup = sp.groupBy(col("h"))
+        .agg(size(collect_set(col("doc_id"))).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val ndup = broadcast(dup.agg(count(lit(1)).as("n_dup_spans")))
+      val cov = sp.join(dup, "h")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + lit(w - 1))).as("pos"))
+        .distinct()
+      val covAgg = cov.agg(
+        count_distinct(col("doc_id")).as("n_docs_affected"),
+        count(lit(1)).as("covered_slots"))
+      ndup.crossJoin(covAgg).crossJoin(tot)
+        .select(lit(w).cast("long").as("w"), col("n_dup_spans"),
+          col("n_docs_affected"), col("covered_slots"),
+          expr("10000 * covered_slots div total_slots").as("coverage_bp"))
+    }
+    rungs.reduce(_.unionAll(_)).orderBy(col("w"))
+  }
+
   /** The canonical train/valid/test (80/10/10) assignment — ONE
     * definition shared by the gated query and the curation example.
     * Knuth multiplicative hash on doc_id reduced mod 2^31-1 first, so
@@ -1056,6 +1108,7 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
     "dup_rate_by_source" -> dupRateBySource,
     "source_dedup_matrix" -> sourceDedupMatrix,
     "duplicate_spans" -> duplicateSpans,
+    "duplicate_span_ladder" -> duplicateSpanLadder,
     "cdc_chunking" -> cdcChunking,
     "dedup_exact" -> dedupExact,
     "dedup_cluster_sizes" -> dedupClusterSizes,
@@ -1305,6 +1358,30 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
          |  array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS sample_docs
          |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_hash""".stripMargin,
+    "duplicate_span_ladder" -> {
+      def rung(w: Int): String =
+        s"""x$w AS (SELECT doc_id, unnest(range(1, len(ts) - ${w - 2})) AS i, ts
+           |  FROM t WHERE len(ts) >= $w),
+           |s$w AS (SELECT doc_id, i,
+           |    ('0x' || substr(sha256(array_to_string(ts[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h
+           |  FROM x$w),
+           |d$w AS (SELECT h FROM s$w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+           |c$w AS (SELECT DISTINCT doc_id, unnest(range(i, i + $w)) AS pos
+           |  FROM s$w JOIN d$w USING (h)),
+           |r$w AS (SELECT $w::BIGINT AS w,
+           |  (SELECT count(*) FROM d$w)::BIGINT AS n_dup_spans,
+           |  (SELECT count(DISTINCT doc_id) FROM c$w)::BIGINT AS n_docs_affected,
+           |  (SELECT count(*) FROM c$w)::BIGINT AS covered_slots,
+           |  (10000 * (SELECT count(*) FROM c$w)
+           |     // (SELECT total_slots FROM tot))::BIGINT AS coverage_bp)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $ToksNE AS ts FROM documents),
+         |tot AS (SELECT sum(len(ts))::BIGINT AS total_slots FROM t),
+         |${rung(8)},
+         |${rung(16)},
+         |${rung(32)}
+         |SELECT * FROM r8 UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32
+         |ORDER BY w""".stripMargin
+    },
     // band-collision twins: DuckDB recomputes the candidate joins from
     // the dumped minhash_bands artifact (which itself stays rows-only —
     // the xxhash64 band hash is not DuckDB-expressible, the joins over it

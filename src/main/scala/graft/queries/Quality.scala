@@ -225,6 +225,52 @@ object Quality {
     qmScoreDocs(s, docs(s, d), w, theta).orderBy(col("doc_id"))
   }
 
+  /** The trained scorer's ROC card (VERDICT r15 item #8): TPR/FPR in
+    * exact bp at every DISTINCT threshold of the same 257-rung grid the
+    * ERM sweep trained on — the model-eval read published beside
+    * calibration and agreement, closing the evaluation loop (pick an
+    * operating point by eye, not by re-running a sweep). Positives =
+    * the battery's kept verdict; predicted-kept = score > theta (the
+    * [[qmScoreDocs]] decision rule). One broadcast cross of the ≤257-row
+    * grid against the scored frame + one grouped aggregate; the grid
+    * bounds come from a 1-row min/max collect (the kmeans scalar
+    * posture). The oracle recomputes from this run's own
+    * quality_model_score and quality_filters dumps ({OUT} — scores and
+    * labels are already gated there; the ROC adds only arithmetic).
+    * Monotonicity (TP and FP non-increasing in theta) is spec-pinned.
+    */
+  def qualityModelRoc(s: SparkSession, d: String): DataFrame = {
+    val (w, theta0) = qmModel(s, d)
+    // inner join of labels and scored docs — the exact frame the {OUT}
+    // oracle joins, so the domains agree by construction
+    val sc = qmLabels(s, d)
+      .join(qmScoreDocs(s, docs(s, d), w, theta0)
+        .select(col("doc_id"), col("score").as("s")), "doc_id")
+      .persist()
+    val mm = sc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"))
+      .collect()(0) // 1 row
+    val (smin, smax) = (mm.getLong(0), mm.getLong(1))
+    val span = smax - smin + 2
+    val grid = s.range(0, QmGrid + 1)
+      .select(expr(s"$smin - 1 + id * $span div $QmGrid").as("theta"))
+      .distinct()
+    val pn = broadcast(sc.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("n")))
+    sc.crossJoin(broadcast(grid))
+      .groupBy(col("theta"))
+      .agg(
+        sum(when(col("y") === 1L && col("s") > col("theta"), 1L)
+          .otherwise(0L)).as("n_tp"),
+        sum(when(col("y") === -1L && col("s") > col("theta"), 1L)
+          .otherwise(0L)).as("n_fp"))
+      .crossJoin(pn)
+      .select(col("theta"), col("n_tp"), col("n_fp"),
+        expr("10000 * n_tp div greatest(p, 1L)").as("tpr_bp"),
+        expr("10000 * n_fp div greatest(n, 1L)").as("fpr_bp"))
+      .orderBy(col("theta"))
+  }
+
   /** Model-vs-battery agreement — the [[langIdAgreement]] evaluation
     * pair (accuracy + Cohen's kappa, exact integer rationals) on the
     * trained scorer's confusion against the rule battery it was
@@ -1709,6 +1755,7 @@ object Quality {
     "quality_model_score" -> qualityModelScore,
     "quality_model_agreement" -> qualityModelAgreement,
     "quality_model_calibration" -> qualityModelCalibration,
+    "quality_model_roc" -> qualityModelRoc,
     "source_mix_report" -> sourceMixReport,
     "repetition_ngram" -> repetitionNgram,
     "hll_merge" -> hllMerge,
@@ -1816,6 +1863,26 @@ object Quality {
       s"""WITH $QmChainCte
          |SELECT sc.doc_id, sc.s AS score, sc.s > th.theta AS pred_kept
          |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin,
+    "quality_model_roc" ->
+      """WITH sc AS (SELECT q.doc_id,
+        |    CASE WHEN f.kept THEN 1 ELSE -1 END AS y, q.score AS s
+        |  FROM read_parquet('{OUT}/quality_model_score/*.parquet') q
+        |  JOIN read_parquet('{OUT}/quality_filters/*.parquet') f USING (doc_id)),
+        |mm AS (SELECT min(s) AS smin, max(s) AS smax FROM sc),
+        |grid AS (SELECT DISTINCT
+        |    smin - 1 + (t.i * (smax - smin + 2)) // 256 AS theta
+        |  FROM mm, range(0, 257) t(i)),
+        |pn AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN y = -1 THEN 1 ELSE 0 END)::BIGINT AS n FROM sc)
+        |SELECT theta::BIGINT AS theta,
+        |  sum(CASE WHEN y = 1 AND s > theta THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+        |  sum(CASE WHEN y = -1 AND s > theta THEN 1 ELSE 0 END)::BIGINT AS n_fp,
+        |  (10000 * sum(CASE WHEN y = 1 AND s > theta THEN 1 ELSE 0 END)
+        |     // greatest(any_value(p), 1))::BIGINT AS tpr_bp,
+        |  (10000 * sum(CASE WHEN y = -1 AND s > theta THEN 1 ELSE 0 END)
+        |     // greatest(any_value(n), 1))::BIGINT AS fpr_bp
+        |FROM sc CROSS JOIN grid CROSS JOIN pn
+        |GROUP BY theta ORDER BY theta""".stripMargin,
     "quality_model_calibration" ->
       s"""WITH $QmChainCte,
          |rk AS (SELECT y, s,

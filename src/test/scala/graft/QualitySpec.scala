@@ -575,6 +575,25 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("quality_model_roc: TP/FP monotone non-increasing in theta with pinned endpoints") {
+    val rows = graft.queries.Quality.qualityModelRoc(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length > 2)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "theta not sorted")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3,
+        s"TP/FP must be non-increasing in theta: $a -> $b")
+    }
+    // grid spans [smin-1, smax+1]: the lowest rung admits everything
+    // (TPR = FPR = 10000 bp), the highest admits nothing
+    assert(rows.head._4 == 10000L && rows.head._5 == 10000L, rows.head.toString)
+    assert(rows.last._2 == 0L && rows.last._3 == 0L, rows.last.toString)
+    // the ROC really discriminates on this corpus: some rung separates
+    // the classes (TPR > FPR strictly)
+    assert(rows.exists(r => r._4 > r._5),
+      "no operating point with TPR > FPR — the card carries no signal")
+  }
+
   test("perplexity_filter: interpolated trigram micro-nats and CCNet tertiles match a driver recompute") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
