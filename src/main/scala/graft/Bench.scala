@@ -118,13 +118,34 @@ object Bench {
         if (!protectedIds.contains(id)) rdd.unpersist(blocking = false)
       }
     }
+    // Queries whose optimized plan LOSES joins under a bare count()
+    // (Catalyst join elimination: outer join on a unique key with no
+    // right-side column referenced preserves row count) — timing those
+    // via count() measures less than any real consumer pays (the
+    // quality_model_score lesson, r15 commit 8f6eb92). These consume
+    // via toRdd.count(), which executes the query's OWN physical plan
+    // (every output column materialized into the UnsafeRow) without a
+    // driver collect. Audited list — regenerate with
+    // tools/CountPruneAudit after adding queries.
+    val materializeFully: Set[String] = Set(
+      "boilerplate_ngrams", "boilerplate_scrub", "column_profile",
+      "contamination_check", "decontaminate_train", "dedup_semantic",
+      "distinct_ngrams", "dsir_weights", "dup_rate_by_source", "gap_fill",
+      "ivf_ingest", "outer_join", "quality_model_agreement", "rich_club",
+      "right_outer_join", "semdedup_threshold_curve", "snm_recall",
+      "source_mix_report", "triangle_count", "vocab_coverage")
     def pass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // sweep in finally: a FAILING query must also release its persisted
       // temporaries, or they tax every subsequent query's memory/GC —
       // exactly the cross-query contamination the janitor exists to stop.
       // The clock is read INSIDE the try so the sweep stays untimed.
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        val df = fn(spark, sfDir)
+        if (materializeFully(name)) df.queryExecution.toRdd.count()
+        else df.count()
+        (System.nanoTime() - t0) / 1e9
+      }
       catch {
         case t: Throwable =>
           // one stderr line per failure: a -1.0 in the JSON with no
