@@ -40,10 +40,40 @@ object Ingest {
     RawIngest.rejectCensus(
       RawIngest.jsonlWithRejects(s, RawIngest.stageJsonl(s, d)))
 
+  /** CSV twin of [[ingestJsonlCensus]] — the same alerting card on the
+    * other raw format (corrupt-line behavior spec-gated on planted
+    * garbage in RawIngestSpec).
+    */
+  def ingestCsvCensus(s: SparkSession, d: String): DataFrame =
+    RawIngest.rejectCensus(
+      RawIngest.csvWithRejects(s, RawIngest.stageCsv(s, d)))
+
+  /** Ingest CONTRACT-DRIFT card — the data-quality check a production
+    * ingest runs right after parsing (parse success ≠ content health):
+    * per source, row count, rows whose carried `n_chars` disagrees with
+    * the actual text length, and rows with any NULL contract field.
+    * Runs on the RAW-PARSED frame (the contracted JSONL reader), not
+    * the curated parquet — that is the point: the check gates what just
+    * arrived. One aggregate over the parse; at 100 TB it rides the
+    * ingest scan for free.
+    */
+  def ingestContractCheck(s: SparkSession, d: String): DataFrame =
+    RawIngest.jsonl(s, RawIngest.stageJsonl(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_chars_drift"),
+        sum(when(col("doc_id").isNull || col("text").isNull ||
+          col("lang").isNull || col("n_chars").isNull, 1L).otherwise(0L))
+          .as("n_null_fields"))
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_jsonl" -> ingestJsonl,
     "ingest_csv" -> ingestCsv,
     "ingest_jsonl_census" -> ingestJsonlCensus,
+    "ingest_csv_census" -> ingestCsvCensus,
+    "ingest_contract_check" -> ingestContractCheck,
   )
 
   private val DocCols =
@@ -65,5 +95,18 @@ object Ingest {
         |  count(doc_id)::BIGINT AS n_with_id
         |FROM read_json('{OUT}/.raw/jsonl/*.json',
         |  format='newline_delimited')""".stripMargin,
+    "ingest_csv_census" ->
+      s"""SELECT count(*)::BIGINT AS n_accepted, 0::BIGINT AS n_rejected,
+         |  count(doc_id)::BIGINT AS n_with_id
+         |FROM read_csv('{OUT}/.raw/csv/*.csv', header=false, $DocCols)""".stripMargin,
+    "ingest_contract_check" ->
+      s"""SELECT source, count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_chars_drift,
+         |  sum(CASE WHEN doc_id IS NULL OR text IS NULL OR lang IS NULL
+         |    OR n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fields
+         |FROM read_json('{OUT}/.raw/jsonl/*.json',
+         |  format='newline_delimited', $DocCols)
+         |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

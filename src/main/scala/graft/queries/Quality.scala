@@ -687,7 +687,23 @@ object Quality {
     * trigram slot and are dropped (they go to the length battery, not
     * the LM).
     */
-  def perplexityFilter(s: SparkSession, d: String): DataFrame = {
+  def perplexityFilter(s: SparkSession, d: String): DataFrame =
+    // the PRODUCER deliberately bypasses the cache (the
+    // quality_model_train convention: build cost is measured here;
+    // consumers read the cached artifact)
+    perplexityScoredUncached(s, d).orderBy(col("doc_id"))
+
+  /** Per-doc perplexity scores + tertile verdicts, cached per
+    * (session, dir) — the artifact [[perplexityBySource]] aggregates
+    * without re-running the trigram chain (the ngramPairCache posture:
+    * the producing query measures the build; consumers read storage).
+    */
+  private val pplCache = new graft.DfCache("quality.pplScores")
+
+  private def perplexityScored(s: SparkSession, d: String): DataFrame =
+    pplCache.getOrElseUpdate((s, d), perplexityScoredUncached(s, d).persist())
+
+  private def perplexityScoredUncached(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d).select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).as("l"))
       .filter(col("l") >= 3)
@@ -728,8 +744,29 @@ object Quality {
       .selectExpr("doc_id", "n_slots", "ppl_micro",
         "CASE (rn - 1) * 3 div nd WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket",
         "(rn - 1) * 3 div nd < 2 AS kept")
-      .orderBy(col("doc_id"))
   }
+
+  /** Perplexity-by-source card — the source-mix signal CCNet-style
+    * filtering actually feeds back into corpus assembly: per source,
+    * doc count, exact mean per-token perplexity (integer div of the
+    * micro-nat sum) and the share of docs in the dropped tail (bp).
+    * One 10-ish-key aggregate over the cached per-doc artifact
+    * ([[perplexityScored]]); the oracle recomputes from this run's own
+    * perplexity_filter dump joined to documents — scores are already
+    * gated there, this card adds only arithmetic.
+    */
+  def perplexityBySource(s: SparkSession, d: String): DataFrame =
+    perplexityScored(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ppl_micro")).as("sum_ppl_micro"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .select(col("source"), col("n_docs"),
+        expr("sum_ppl_micro div n_docs").as("mean_ppl_micro"),
+        col("n_dropped"),
+        expr("10000 * n_dropped div n_docs").as("dropped_bp"))
+      .orderBy(col("source"))
 
   /** Tokenizer fertility per language — average learned-BPE subwords per
     * word in exact basis points (the tokenizer-health metric every
@@ -1385,11 +1422,14 @@ object Quality {
     val t = docs(s, d)
       .select(col("doc_id"), col("source"), Dedup.tokensNE(col("text")).as("ts"))
       .filter(size(col("ts")) >= 5)
+    // persisted: g feeds both the ≥3-docs census and the per-source
+    // probe — two full explodes otherwise (the boilerplateScrub note)
     val g = t.select(col("doc_id"), col("source"),
       explode(transform(sequence(lit(1), size(col("ts")) - 4),
         i => concat_ws(" ", element_at(col("ts"), i),
           element_at(col("ts"), i + 1), element_at(col("ts"), i + 2),
           element_at(col("ts"), i + 3), element_at(col("ts"), i + 4)))).as("g"))
+      .persist()
     val boiler = g.select(col("g"), col("doc_id")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 3)
@@ -1421,13 +1461,21 @@ object Quality {
     * struct, the bounded-group contract).
     */
   def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    // persisted: t feeds the gram explode, the positional re-tokenize
+    // AND the final accounting join; g feeds the boilerplate census AND
+    // the coverage probe — without storage each consumer re-runs the
+    // whole tokenize/explode (the tf_idf lesson; measured after the
+    // r16 consumption correction exposed the true cost). Swept by the
+    // bench janitor like every query-local temporary.
     val t = docs(s, d).select(col("doc_id"), Dedup.tokensNE(col("text")).as("ts"))
+      .persist()
     val g = t.filter(size(col("ts")) >= 5)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ts")) - 4),
         i => struct(i.as("i"), concat_ws(" ", element_at(col("ts"), i),
           element_at(col("ts"), i + 1), element_at(col("ts"), i + 2),
           element_at(col("ts"), i + 3), element_at(col("ts"), i + 4)).as("g")))).as("sg"))
       .select(col("doc_id"), col("sg.i").as("i"), col("sg.g").as("g"))
+      .persist()
     val boiler = g.select(col("g"), col("doc_id")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 3).select(col("g"))
@@ -1766,6 +1814,7 @@ object Quality {
     "doc_surprisal" -> docSurprisal,
     "bigram_surprisal" -> bigramSurprisal,
     "perplexity_filter" -> perplexityFilter,
+    "perplexity_by_source" -> perplexityBySource,
     "bpe_fertility" -> bpeFertility,
     "corpus_stats" -> corpusStats,
     "positional_index" -> positionalIndex,
@@ -2403,6 +2452,17 @@ object Quality {
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          |  (-sum(lp_micro))::BIGINT AS surprisal_micro
          |FROM b JOIN lp USING (w1, w2) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "perplexity_by_source" ->
+      """WITH p AS (SELECT doc_id, ppl_micro, kept
+        |  FROM read_parquet('{OUT}/perplexity_filter/*.parquet')),
+        |j AS (SELECT d.source, p.ppl_micro, p.kept
+        |  FROM p JOIN documents d USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  (sum(ppl_micro) // count(*))::BIGINT AS mean_ppl_micro,
+        |  sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+        |  (10000 * sum(CASE WHEN kept THEN 0 ELSE 1 END) // count(*))::BIGINT
+        |    AS dropped_bp
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "perplexity_filter" ->
       s"""WITH d0 AS (SELECT doc_id, ts, len(ts) AS l
          |            FROM (SELECT doc_id, $ToksNE AS ts FROM documents)

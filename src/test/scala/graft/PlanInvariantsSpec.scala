@@ -141,6 +141,13 @@ class PlanInvariantsSpec extends SparkSuite {
     "lang_id_agreement" ->
       "one-row marginal-product scalar broadcast onto the one-row agreement",
     "mutual_knn" -> "bounded exact pair twin (vec_id<1000 both sides)",
+    "perplexity_filter" -> "one-row doc-count scalar broadcast onto the rank",
+    "perplexity_by_source" ->
+      "reads the cached per-doc scores (one-row count cross inside the build)",
+    "quality_model_roc" ->
+      "bounded <=257-row threshold-grid broadcast + one-row P/N scalar cross",
+    "duplicate_span_ladder" ->
+      "three one-row rung-count x coverage x total scalar crosses",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
