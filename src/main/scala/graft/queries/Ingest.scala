@@ -68,6 +68,52 @@ object Ingest {
           .as("n_null_fields"))
       .orderBy(col("source"))
 
+  /** One micro-batch of the streaming ingest, idempotent under
+    * redelivery: accepted rows and reject forensics each land in their
+    * own `batch_id=<id>/` partition dir with OVERWRITE (the
+    * streamingQualityScores exactly-once shape) — a batch retried after
+    * a crash between the write and the checkpoint commit rewrites the
+    * same deterministic paths. StreamingSpec pins the redelivery case.
+    */
+  def applyIngestBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    batch.filter(col("_corrupt").isNull)
+      .select(cols: _*)
+      .write.mode("overwrite").parquet(s"$outDir/accepted/batch_id=$batchId")
+    batch.filter(col("_corrupt").isNotNull)
+      .select(col("_corrupt"), col("doc_id")) // doc_id rides along: a
+      // corrupt-column-only scan is disallowed (always NULL here)
+      .write.mode("overwrite").parquet(s"$outDir/rejects/batch_id=$batchId")
+  }
+
+  /** STREAMING raw-JSONL ingest — the deployment shape of
+    * [[ingestJsonl]] (production tails a landing directory; each
+    * arriving shard parses under the frozen contract): PERMISSIVE
+    * parse, accepted rows to the documents-shaped table, corrupt lines
+    * preserved verbatim for forensics, both idempotent per batchId. A
+    * batch costs O(batch bytes) at any corpus size — the corpus is
+    * never rescanned. StreamingSpec pins stream-then-read equal to the
+    * batch contracted parse across a restart, the reject forensics,
+    * and redelivery idempotence.
+    */
+  def streamingJsonlIngest(spark: SparkSession, streamDir: String,
+      outDir: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    spark.readStream
+      .schema(RawIngest.DocSchema.add(StructField("_corrupt", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(streamDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIngestBatch(batch, batchId, outDir)
+      }
+      .start()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_jsonl" -> ingestJsonl,
     "ingest_csv" -> ingestCsv,

@@ -412,6 +412,48 @@ class StreamingSpec extends SparkSuite {
       "streamed scores must equal the batch scorer after full replay")
   }
 
+  test("streaming jsonl ingest converges to the batch contracted parse across a restart, preserves rejects, and survives redelivery") {
+    import graft.sources.RawIngest
+    val base = java.nio.file.Files.createTempDirectory("graft-jsonl-stream")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("ingested").toString
+    val ckpt = base.resolve("ck").toString
+    def runOnce(): Unit =
+      graft.queries.Ingest.streamingJsonlIngest(spark,
+        streamDir.toString, outDir, ckpt).awaitTermination()
+    def stage(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(streamDir.resolve(name),
+        rows.mkString("", "\n", "\n"))
+    def doc(id: Long): String =
+      s"""{"doc_id": $id, "text": "tok$id a b", "lang": "en", "source": "s${id % 3}", "n_chars": 9}"""
+    // batch 1: clean shard; full stop/start; batch 2: shard with 2
+    // corrupt lines interleaved
+    stage("p1.json", (0L until 10L).map(doc))
+    runOnce()
+    stage("p2.json",
+      (10L until 15L).map(doc) ++ Seq("{torn", "not json") ++ (15L until 20L).map(doc))
+    runOnce()
+    val got = spark.read.parquet(s"$outDir/accepted")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    // the batch FAILFAST reader must DIE on this landing dir (it holds
+    // torn lines) — the stream's job is to survive what the gate kills
+    intercept[Exception](RawIngest.jsonl(spark, streamDir.toString).collect())
+    val expectAcc = RawIngest.jsonlWithRejects(spark, streamDir.toString)
+      .filter(col("_corrupt").isNull)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(got == expectAcc, s"streamed ingest drifted: ${got.length} vs ${expectAcc.length}")
+    val rejects = spark.read.parquet(s"$outDir/rejects")
+      .select(col("_corrupt")).collect().map(_.getString(0)).sorted.toSeq
+    assert(rejects == Seq("{torn", "not json").sorted, rejects.toString)
+    // redelivery: re-apply batch 1's content under its batchId — no dups
+    val b1 = RawIngest.jsonlWithRejects(spark, streamDir.resolve("p1.json").toString)
+    graft.queries.Ingest.applyIngestBatch(b1, 0L, outDir)
+    val again = spark.read.parquet(s"$outDir/accepted").count()
+    assert(again == got.length, s"redelivered batch duplicated rows: $again vs ${got.length}")
+  }
+
   test("quality-score sink is idempotent: a batch redelivered after a crash between write and checkpoint commit does not duplicate rows") {
     // the crash window: foreachBatch wrote the parquet, the process died
     // before the checkpoint committed, the engine redelivers the SAME
