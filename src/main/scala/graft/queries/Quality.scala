@@ -768,6 +768,37 @@ object Quality {
         expr("10000 * n_dropped div n_docs").as("dropped_bp"))
       .orderBy(col("source"))
 
+  /** Temperature-scaled source sampling weights — the data-MIXING knob
+    * every multilingual/multi-source training run tunes (GPT-3 §2.2,
+    * XLM-R: sample source s with p ∝ tokens_s^(1/T); T=1 is natural
+    * proportions, higher T flattens toward uniform so small sources are
+    * up-sampled): for T ∈ {1, 2, 4}, each source's exact token count
+    * and its sampling weight in micro-units. The one double is
+    * pow(tokens, 1/T), rounded ONCE to integer micros per (source, T);
+    * normalization is then an integer div against the integer rung sum
+    * (a raw double Σ over sources would be aggregation-order-dependent
+    * — the docSurprisal discipline applied to the mixing table). One
+    * token aggregate + a 3-rung broadcast cross + one bounded window-
+    * free sum join; source count is tiny at any corpus size.
+    */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("source"), size(Dedup.tokensNE(col("text"))).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val rungs = s.range(0, 3)
+      .select(expr("CAST(1 << id AS BIGINT)").as("t")) // T = 1, 2, 4
+    val p = toks.crossJoin(broadcast(rungs))
+      .select(col("source"), col("t"), col("n_tokens"),
+        round(pow(col("n_tokens").cast("double"),
+          lit(1.0) / col("t").cast("double")) * 1000000)
+          .cast("long").as("p_micro"))
+    val tot = p.groupBy(col("t")).agg(sum(col("p_micro")).as("tot"))
+    p.join(broadcast(tot), Seq("t"))
+      .select(col("source"), col("t"), col("n_tokens"),
+        expr("1000000 * p_micro div tot").as("weight_micro"))
+      .orderBy(col("source"), col("t"))
+  }
+
   /** Tokenizer fertility per language — average learned-BPE subwords per
     * word in exact basis points (the tokenizer-health metric every
     * multilingual pipeline tracks: high fertility = the vocabulary
@@ -1815,6 +1846,7 @@ object Quality {
     "bigram_surprisal" -> bigramSurprisal,
     "perplexity_filter" -> perplexityFilter,
     "perplexity_by_source" -> perplexityBySource,
+    "mixture_weights" -> mixtureWeights,
     "bpe_fertility" -> bpeFertility,
     "corpus_stats" -> corpusStats,
     "positional_index" -> positionalIndex,
@@ -2452,6 +2484,19 @@ object Quality {
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          |  (-sum(lp_micro))::BIGINT AS surprisal_micro
          |FROM b JOIN lp USING (w1, w2) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "mixture_weights" ->
+      s"""WITH toks AS (SELECT source, sum(len($ToksNE))::BIGINT AS n_tokens
+         |              FROM documents GROUP BY source),
+         |rungs AS (SELECT unnest([1, 2, 4])::BIGINT AS t),
+         |p AS (SELECT source, t, n_tokens,
+         |        CAST(round(pow(n_tokens::DOUBLE, 1.0 / t::DOUBLE) * 1000000)
+         |          AS BIGINT) AS p_micro
+         |      FROM toks CROSS JOIN rungs),
+         |tot AS (SELECT t, sum(p_micro)::BIGINT AS tot FROM p GROUP BY t)
+         |SELECT source, t, n_tokens,
+         |  (1000000 * p_micro // tot)::BIGINT AS weight_micro
+         |FROM p JOIN tot USING (t)
+         |ORDER BY source, t""".stripMargin,
     "perplexity_by_source" ->
       """WITH p AS (SELECT doc_id, ppl_micro, kept
         |  FROM read_parquet('{OUT}/perplexity_filter/*.parquet')),

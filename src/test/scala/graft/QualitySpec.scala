@@ -575,6 +575,38 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("mixture_weights: micro weights match a plain-Scala recompute and flatten toward uniform as T grows") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("[ \t\n\r]").count(_.nonEmpty).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = Seq(1L, 2L, 4L).flatMap { t =>
+      val p = toks.view.mapValues(n =>
+        math.round(math.pow(n.toDouble, 1.0 / t.toDouble) * 1000000.0)).toMap
+      val tot = p.values.sum
+      p.map { case (src, pm) => (src, t) -> (toks(src), 1000000L * pm / tot) }
+    }.toMap
+    val rows = graft.queries.Quality.mixtureWeights(spark, sf0001).collect()
+    assert(rows.length == expect.size && rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(2), r.getLong(3)) == expect((r.getString(0), r.getLong(1))),
+        s"${r.getString(0)} T=${r.getLong(1)}")
+    }
+    // flattening: at higher T the weight spread strictly shrinks, and
+    // the smallest source's weight is non-decreasing in T
+    def spread(t: Long) = {
+      val ws = rows.filter(_.getLong(1) == t).map(_.getLong(3))
+      ws.max - ws.min
+    }
+    assert(spread(1) > spread(2) && spread(2) > spread(4),
+      s"spreads: ${spread(1)}, ${spread(2)}, ${spread(4)}")
+    val smallest = toks.minBy(_._2)._1
+    val sw = Seq(1L, 2L, 4L).map(t => rows.find(r =>
+      r.getString(0) == smallest && r.getLong(1) == t).get.getLong(3))
+    assert(sw == sw.sorted, s"smallest source must up-sample with T: $sw")
+  }
+
   test("quality_model_roc: TP/FP monotone non-increasing in theta with pinned endpoints") {
     val rows = graft.queries.Quality.qualityModelRoc(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
