@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Relational.queries ++ graft.queries.Analytics.queries ++
       graft.queries.Curation.queries ++ graft.queries.Journey.queries ++
       graft.queries.Quality.queries ++ graft.queries.Graph.queries ++
-      graft.queries.Insights.queries ++ graft.queries.Ingest.queries
+      graft.queries.Insights.queries ++ graft.queries.Ingest.queries ++
+      graft.queries.Web.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Relational.oracleSql ++ graft.queries.Analytics.oracleSql ++
       graft.queries.Curation.oracleSql ++ graft.queries.Journey.oracleSql ++
       graft.queries.Quality.oracleSql ++ graft.queries.Graph.oracleSql ++
-      graft.queries.Insights.oracleSql ++ graft.queries.Ingest.oracleSql
+      graft.queries.Insights.oracleSql ++ graft.queries.Ingest.oracleSql ++
+      graft.queries.Web.oracleSql
 }

@@ -166,10 +166,39 @@ object Bpe {
     total
   }
 
+  /** Whole-text subword count with BYTE FALLBACK — the GPT-2/tiktoken
+    * posture for scripts the learned vocabulary never saw: alpha runs
+    * are charged their learned-BPE segment count exactly as
+    * [[countText]] (byte == char for ASCII letters, so alpha results
+    * are IDENTICAL by construction — BpeSpec pins it); every other
+    * piece is charged its UTF-8 BYTE length instead of a flat 1. A CJK
+    * character costs 3, a Cyrillic letter 2, an em dash 3 — the honest
+    * sequence-length currency for multilingual text, where the flat-1
+    * charge undercounts exactly the languages fertility tracking cares
+    * about.
+    */
+  def countTextBytes(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Long = {
+    val m = pattern.matcher(text.toString)
+    var total = 0L
+    while (m.find()) {
+      val piece = m.group()
+      val c = piece.charAt(0)
+      total += (if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+        countWord(piece, ranks)
+      else piece.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+    }
+    total
+  }
+
   /** Column API for [[BpeCountExpr]]. */
   def countSubwords(text: Column, merges: Array[String]): Column =
     org.apache.spark.sql.graft.Bridge.column(
       BpeCountExpr(org.apache.spark.sql.graft.Bridge.expression(text), merges))
+
+  /** Column API for [[BpeCountBytesExpr]] (byte-fallback currency). */
+  def countSubwordsBytes(text: Column, merges: Array[String]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BpeCountBytesExpr(org.apache.spark.sql.graft.Bridge.expression(text), merges))
 }
 
 /** `n_subwords(text)` under a learned merge table — codegen'd so the
@@ -202,5 +231,36 @@ case class BpeCountExpr(child: Expression, merges: Array[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** `n_subwords_bytes(text)` — [[BpeCountExpr]]'s byte-fallback sibling
+  * (non-alpha pieces charge UTF-8 byte length, see
+  * [[Bpe.countTextBytes]]); same codegen shape, one shared JVM
+  * implementation for interpreted and generated paths.
+  */
+case class BpeCountBytesExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_count_bytes needs a string input, got ${child.dataType.catalogString}")
+  }
+
+  @transient private lazy val ranks = Bpe.ranksOf(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.countTextBytes(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Bpe.countTextBytes($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountBytesExpr =
     copy(child = newChild)
 }

@@ -121,16 +121,32 @@ object Curation {
   /** Seed of the declared training epoch; a new epoch = a new seed. */
   private val ShuffleSeed = 42L
 
-  /** Seeded deterministic shuffle key — a Lehmer/MINSTD scatter
-    * ((doc_id + seed) * 48271 mod 2^31-1) chosen over xxhash64 because
-    * BOTH engines compute it identically in plain BIGINT arithmetic (the
-    * oracle discipline; a Spark-private hash would leave the ORDER
-    * unpinnable). No overflow until doc_id ~1.9e14 even under ANSI.
-    * Collisions across doc_ids are possible (mod 2^31-1), so every
-    * consumer totals the order with a doc_id tie-break.
+  /** Seed of training epoch `e`: the historical 42 at epoch 0, stepped
+    * by a large odd constant per epoch — each epoch is a DIFFERENT
+    * deterministic permutation of the same corpus (multi-epoch training
+    * must not replay one order, but every run of a given epoch must
+    * reproduce it exactly). Plain BIGINT arithmetic both engines share.
     */
-  private def shuffleKey: org.apache.spark.sql.Column =
-    (col("doc_id") + lit(ShuffleSeed)) * lit(48271L) % lit(2147483647L)
+  private def epochSeed(epoch: Int): Long = ShuffleSeed + 1000003L * epoch
+
+  /** Seeded deterministic shuffle key — a DOUBLE Lehmer/MINSTD scatter
+    * (((doc_id + seed) * 48271 mod 2^31-1) * 48271 mod 2^31-1) chosen
+    * over xxhash64 because BOTH engines compute it identically in plain
+    * BIGINT arithmetic (the oracle discipline; a Spark-private hash
+    * would leave the ORDER unpinnable). TWO steps, not one: a single
+    * Lehmer step only re-orders on wraparound, so for small doc_ids it
+    * is rank-preserving — the "shuffle" was the identity and a new seed
+    * was the SAME permutation (caught round 17 by the epoch-distinctness
+    * spec); the first step lands every key deep in the ring, the second
+    * wraps. Max intermediate (2^31-2) * 48271 ≈ 1.0e14 — no BIGINT
+    * overflow. Collisions across doc_ids are possible (mod 2^31-1), so
+    * every consumer totals the order with a doc_id tie-break.
+    */
+  private def shuffleKey: org.apache.spark.sql.Column = shuffleKeyAt(0)
+
+  private def shuffleKeyAt(epoch: Int): org.apache.spark.sql.Column =
+    ((col("doc_id") + lit(epochSeed(epoch))) * lit(48271L) % lit(2147483647L)) *
+      lit(48271L) % lit(2147483647L)
 
   /** The deterministic corpus shuffle between curation and packing — the
     * standard pretraining step every data-order ablation depends on:
@@ -140,9 +156,18 @@ object Curation {
     * a single-partition window; a 100 TB corpus shuffles in one range
     * exchange.
     */
-  def trainingOrder(s: SparkSession, d: String): DataFrame = {
+  def trainingOrder(s: SparkSession, d: String): DataFrame =
+    trainingOrderAt(s, d, 0)
+
+  /** Epoch-parameterized [[trainingOrder]] — the multi-epoch feed:
+    * epoch e's order is the [[shuffleKeyAt]] permutation under
+    * [[epochSeed]](e). CurationSpec pins that epochs are complete
+    * permutations of the same corpus AND provably distinct from each
+    * other; the `training_order_epoch2` twin hash-gates epoch 2.
+    */
+  def trainingOrderAt(s: SparkSession, d: String, epoch: Int): DataFrame = {
     val keyed = docs(s, d).select(col("doc_id"), col("n_chars"))
-      .withColumn("shuffle_key", shuffleKey)
+      .withColumn("shuffle_key", shuffleKeyAt(epoch))
     graft.operators.AssignIds.byOrder(
         keyed, Seq(col("shuffle_key"), col("doc_id")), "seq_id")
       .select(col("seq_id"), col("doc_id"), col("shuffle_key"), col("n_chars"))
@@ -157,11 +182,19 @@ object Curation {
     * order and its consumer cannot drift). min/max_doc profile window
     * membership — under a shuffled order there is no "first" doc.
     */
-  def trainingChunks(s: SparkSession, d: String): DataFrame = {
+  def trainingChunks(s: SparkSession, d: String): DataFrame =
+    trainingChunksAt(s, d, 0)
+
+  /** Epoch-parameterized [[trainingChunks]]: the chunk pass over epoch
+    * e's permutation — each epoch cuts DIFFERENT windows through the
+    * same corpus (the window contents change because the concatenation
+    * order does). `training_chunks_epoch2` hash-gates epoch 2.
+    */
+  def trainingChunksAt(s: SparkSession, d: String, epoch: Int): DataFrame = {
     val W = 4096L
     val dd = docs(s, d).filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars"))
-      .withColumn("sk", shuffleKey)
+      .withColumn("sk", shuffleKeyAt(epoch))
     graft.operators.PrefixSum.exclusive(
         dd, Seq(col("sk"), col("doc_id")), col("n_chars"), "off")
       .select(col("doc_id"), col("n_chars"), col("off"),
@@ -755,7 +788,9 @@ object Curation {
     "chunk_windows" -> chunkWindows,
     "chunk_overlap" -> chunkOverlap,
     "training_order" -> trainingOrder,
+    "training_order_epoch2" -> ((s, d) => trainingOrderAt(s, d, 2)),
     "training_chunks" -> trainingChunks,
+    "training_chunks_epoch2" -> ((s, d) => trainingChunksAt(s, d, 2)),
     "pii_scrub" -> piiScrub,
     "stratified_sample" -> stratifiedSample,
     "bm25" -> bm25,
@@ -960,14 +995,41 @@ object Curation {
         |FROM f WHERE chars_in > 0 GROUP BY window_id ORDER BY window_id""".stripMargin,
     "training_order" ->
       """WITH k AS (SELECT doc_id, n_chars,
-        |    ((doc_id + 42) * 48271) % 2147483647 AS shuffle_key
+        |    (((doc_id + 42) * 48271) % 2147483647) * 48271 % 2147483647
+        |      AS shuffle_key
         |  FROM documents)
         |SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS seq_id,
         |  doc_id, shuffle_key::BIGINT AS shuffle_key, n_chars
         |FROM k ORDER BY seq_id""".stripMargin,
+    // epoch 2 seed = 42 + 2 * 1000003 (see epochSeed)
+    "training_order_epoch2" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    (((doc_id + 2000048) * 48271) % 2147483647) * 48271 % 2147483647
+        |      AS shuffle_key
+        |  FROM documents)
+        |SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS seq_id,
+        |  doc_id, shuffle_key::BIGINT AS shuffle_key, n_chars
+        |FROM k ORDER BY seq_id""".stripMargin,
+    "training_chunks_epoch2" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    (((doc_id + 2000048) * 48271) % 2147483647) * 48271 % 2147483647
+        |      AS sk
+        |  FROM documents WHERE n_chars > 0),
+        |d AS (SELECT doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM k),
+        |e AS (SELECT doc_id, n_chars, off,
+        |    unnest(generate_series(off // 4096, (off + n_chars - 1) // 4096))::BIGINT AS window_id
+        |  FROM d)
+        |SELECT window_id, count(*)::BIGINT AS n_docs,
+        |  sum(least(window_id * 4096 + 4096, off + n_chars)
+        |      - greatest(window_id * 4096, off))::BIGINT AS n_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM e GROUP BY window_id ORDER BY window_id""".stripMargin,
     "training_chunks" ->
       """WITH k AS (SELECT doc_id, n_chars,
-        |    ((doc_id + 42) * 48271) % 2147483647 AS sk
+        |    (((doc_id + 42) * 48271) % 2147483647) * 48271 % 2147483647 AS sk
         |  FROM documents WHERE n_chars > 0),
         |d AS (SELECT doc_id, n_chars,
         |    coalesce(sum(n_chars) OVER (ORDER BY sk, doc_id

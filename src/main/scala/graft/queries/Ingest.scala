@@ -26,6 +26,29 @@ object Ingest {
     RawIngest.jsonl(s, RawIngest.stageJsonl(s, d))
       .select(cols: _*).orderBy(col("doc_id"))
 
+  /** GZIP-compressed JSONL round-trip — the crawl-dump arrival shape
+    * (VERDICT r16 gap #1): staged `part-*.json.gz` shards → the same
+    * contracted FAILFAST reader (Hadoop resolves the codec from the
+    * extension; the contract is identical to the uncompressed path).
+    * Scale posture: gzip is NOT splittable — one task per shard, so
+    * parallelism rides the producer's shard size (see
+    * [[graft.sources.RawIngest.stageJsonlGz]]); DuckDB reads the same
+    * gzipped bytes natively for the oracle.
+    */
+  def ingestJsonlGz(s: SparkSession, d: String): DataFrame =
+    RawIngest.jsonl(s, RawIngest.stageJsonlGz(s, d))
+      .select(cols: _*).orderBy(col("doc_id"))
+
+  /** The recompression rung: gzip JSONL → zstd parquet → read back —
+    * the one-time pass that converts crawl-arrival shards into the
+    * splittable, column-prunable layout every downstream query should
+    * read (see SCALE.md round-17). The oracle reads the SAME zstd
+    * parquet bytes natively.
+    */
+  def ingestRecompress(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(RawIngest.stageRecompressed(s, d))
+      .select(cols: _*).orderBy(col("doc_id"))
+
   /** CSV round-trip: staged RFC-4180 shards → contracted reader. */
   def ingestCsv(s: SparkSession, d: String): DataFrame =
     RawIngest.csv(s, RawIngest.stageCsv(s, d))
@@ -116,6 +139,8 @@ object Ingest {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_jsonl" -> ingestJsonl,
+    "ingest_jsonl_gz" -> ingestJsonlGz,
+    "ingest_recompress" -> ingestRecompress,
     "ingest_csv" -> ingestCsv,
     "ingest_jsonl_census" -> ingestJsonlCensus,
     "ingest_csv_census" -> ingestCsvCensus,
@@ -132,6 +157,15 @@ object Ingest {
          |FROM read_json('{OUT}/.raw/jsonl/*.json',
          |  format='newline_delimited', $DocCols)
          |ORDER BY doc_id""".stripMargin,
+    "ingest_jsonl_gz" ->
+      s"""SELECT doc_id, text, lang, source, n_chars
+         |FROM read_json('{OUT}/.raw/jsonl_gz/*.json.gz',
+         |  format='newline_delimited', compression='gzip', $DocCols)
+         |ORDER BY doc_id""".stripMargin,
+    "ingest_recompress" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM read_parquet('{OUT}/.raw/recompressed/*.parquet')
+        |ORDER BY doc_id""".stripMargin,
     "ingest_csv" ->
       s"""SELECT doc_id, text, lang, source, n_chars
          |FROM read_csv('{OUT}/.raw/csv/*.csv', header=false, $DocCols)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.operators.Dedup
 import graft.streaming.Sessions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1022,6 +1022,82 @@ object Quality {
       .orderBy(col("word"))
   }
 
+  // --- byte-fallback token currency --------------------------------------
+
+  /** Deterministic multilingual augmentation: the fixture corpus is pure
+    * ASCII, so the byte-fallback currency would be vacuously equal to
+    * the char currency on it. Both engines append the SAME non-ASCII
+    * suffix per doc_id from the same parquet bytes — CJK (3 B/char),
+    * Cyrillic (2 B/char), typographic punctuation (2–3 B), kana
+    * (3 B/char), and one rung left UNCHANGED so the old-currency
+    * equality stays pinned inside the same query. No suffix contains an
+    * `[A-Za-z]` char, so every alpha run in the augmented corpus is
+    * already in the [[bpeWordTokens]] encoder dump — the oracle's
+    * LEFT JOIN stays total. BMP-only on purpose: Java regex and RE2
+    * agree that a negated char class consumes one code POINT there.
+    */
+  private def mlText: Column = concat(col("text"),
+    when(col("doc_id") % 5 === 0, lit(" 数据处理与分析"))
+      .when(col("doc_id") % 5 === 1, lit(" привет мир"))
+      .when(col("doc_id") % 5 === 2, lit(" — © ® €"))
+      .when(col("doc_id") % 5 === 3, lit(" こんにちは"))
+      .otherwise(lit("")))
+
+  /** The DuckDB twin of [[mlText]]. */
+  private val MlTextSql =
+    """text || CASE doc_id % 5
+      |  WHEN 0 THEN ' 数据处理与分析'
+      |  WHEN 1 THEN ' привет мир'
+      |  WHEN 2 THEN ' — © ® €'
+      |  WHEN 3 THEN ' こんにちは'
+      |  ELSE '' END""".stripMargin
+
+  /** [[tokenCountBpe]] re-read in the BYTE-FALLBACK currency over the
+    * multilingual-augmented corpus: alpha runs charge learned-BPE
+    * segments (unchanged — ASCII letters are 1 byte), every other piece
+    * charges its UTF-8 byte length (the GPT-2 posture for scripts the
+    * vocabulary never saw). Carries the old flat-1 currency alongside
+    * so the undercount is visible per doc. Map-only codegen'd pass; the
+    * oracle recomputes both currencies from the same augmented text
+    * joined against the bpe_word_tokens dump, with `strlen` as the
+    * byte charge.
+    */
+  def tokenCountBpeBytes(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    docs(s, d).select(col("doc_id"), mlText.as("text2"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text2"),
+          lit(graft.functions.Bpe.PreTokenRe), lit(0))).cast("long")
+          .as("n_pieces"),
+        graft.functions.Bpe.countSubwords(col("text2"), merges)
+          .as("n_subwords"),
+        graft.functions.Bpe.countSubwordsBytes(col("text2"), merges)
+          .as("n_subwords_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[bpeFertility]] in the byte currency over ALL pre-token pieces of
+    * the augmented corpus (not just alpha runs): per language, total
+    * pieces, total byte-currency subwords, and fertility in exact bp —
+    * the multilingual-health reading the flat-1 charge was blind to
+    * (a kana-heavy language now reads ~3× the fertility of ASCII).
+    * One map-only pass + one aggregate.
+    */
+  def bpeFertilityBytes(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    docs(s, d).select(col("lang"), mlText.as("text2"))
+      .select(col("lang"),
+        size(regexp_extract_all(col("text2"),
+          lit(graft.functions.Bpe.PreTokenRe), lit(0))).cast("long")
+          .as("p"),
+        graft.functions.Bpe.countSubwordsBytes(col("text2"), merges).as("b"))
+      .groupBy(col("lang"))
+      .agg(sum(col("p")).as("n_pieces"), sum(col("b")).as("n_subwords_bytes"))
+      .selectExpr("lang", "n_pieces", "n_subwords_bytes",
+        "n_subwords_bytes * 10000 div n_pieces AS fertility_bp")
+      .orderBy(col("lang"))
+  }
+
   // --- corpus-law diagnostics -------------------------------------------
 
   /** Zipf's-law fit of the corpus rank-frequency curve: OLS slope and
@@ -1854,6 +1930,8 @@ object Quality {
     "bigram_lm_topk" -> bigramLmTopk,
     "typo_pairs" -> typoPairs,
     "token_count_bpe" -> tokenCountBpe,
+    "token_count_bpe_bytes" -> tokenCountBpeBytes,
+    "bpe_fertility_bytes" -> bpeFertilityBytes,
     "bpe_word_tokens" -> bpeWordTokens,
     "zipf_fit" -> zipfFit,
     "heaps_law" -> heapsLaw,
@@ -2603,5 +2681,39 @@ object Quality {
          |  FROM documents)
          |SELECT p.doc_id, p.n_pieces, n.n_tok AS n_subwords
          |FROM p JOIN bpe_n n USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // both byte-currency twins recompute from the multilingual-augmented
+    // text joined against the bpe_word_tokens dump; strlen = UTF-8 bytes
+    "token_count_bpe_bytes" ->
+      s"""WITH a AS (SELECT doc_id, $MlTextSql AS text2 FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(text2,
+         |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS tok FROM a),
+         |w AS (SELECT word, n_tokens
+         |      FROM read_parquet('{OUT}/bpe_word_tokens/*.parquet')),
+         |c AS (SELECT u.doc_id, count(*)::BIGINT AS n_pieces,
+         |    sum(CASE WHEN regexp_full_match(u.tok, '[A-Za-z]+')
+         |        THEN w.n_tokens ELSE 1 END)::BIGINT AS n_subwords,
+         |    sum(CASE WHEN regexp_full_match(u.tok, '[A-Za-z]+')
+         |        THEN w.n_tokens ELSE strlen(u.tok) END)::BIGINT
+         |      AS n_subwords_bytes
+         |  FROM u LEFT JOIN w ON u.tok = w.word GROUP BY u.doc_id)
+         |SELECT d.doc_id, coalesce(c.n_pieces, 0)::BIGINT AS n_pieces,
+         |  coalesce(c.n_subwords, 0)::BIGINT AS n_subwords,
+         |  coalesce(c.n_subwords_bytes, 0)::BIGINT AS n_subwords_bytes
+         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "bpe_fertility_bytes" ->
+      s"""WITH a AS (SELECT lang, $MlTextSql AS text2 FROM documents),
+         |u AS (SELECT lang, unnest(regexp_extract_all(text2,
+         |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r]')) AS tok FROM a),
+         |w AS (SELECT word, n_tokens
+         |      FROM read_parquet('{OUT}/bpe_word_tokens/*.parquet')),
+         |g AS (SELECT lang, count(*)::BIGINT AS n_pieces,
+         |    sum(CASE WHEN regexp_full_match(u.tok, '[A-Za-z]+')
+         |        THEN w.n_tokens ELSE strlen(u.tok) END)::BIGINT
+         |      AS n_subwords_bytes
+         |  FROM u LEFT JOIN w ON u.tok = w.word GROUP BY lang)
+         |SELECT lang, n_pieces, n_subwords_bytes,
+         |  (n_subwords_bytes * 10000 // n_pieces)::BIGINT AS fertility_bp
+         |FROM g ORDER BY lang""".stripMargin,
   )
 }

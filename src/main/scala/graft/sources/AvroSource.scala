@@ -57,7 +57,9 @@ object AvroSource {
     * record-by-record off the open `DataFileStream` and closes both
     * the reader and the underlying stream on exhaustion (or on the
     * decode error that kills the task) — a large ingest shard never
-    * materializes in executor memory.
+    * materializes in executor memory. A task-completion listener
+    * closes them too, so partial consumption (limit/take, a
+    * downstream exception, a task kill) cannot leak the file handle.
     */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val schemaJson = avroSchemaFor(schema).toString // tasks re-parse (Schema is not serializable-stable)
@@ -80,11 +82,16 @@ object AvroSource {
               throw new IllegalArgumentException(
                 s"$path: corrupt or incompatible Avro container", e)
           }
+        var open = true
+        def closeAll(): Unit = if (open) {
+          open = false; reader.close(); stream.close()
+        }
+        // A task that stops consuming EARLY (limit/take, a downstream
+        // failure, a kill) never exhausts the iterator — the completion
+        // listener is what releases the handle on those paths.
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
         new Iterator[Row] {
-          private var open = true
-          private def closeAll(): Unit = if (open) {
-            open = false; reader.close(); stream.close()
-          }
           private def failing[A](body: => A): A =
             try body catch {
               case e: Exception =>
@@ -134,9 +141,13 @@ object AvroSource {
     java.nio.file.Files.createDirectories(root)
     val stale = new java.io.File(dir).listFiles()
     if (stale != null)
-      stale.filter(f => f.getName.startsWith("part-") &&
-          (f.getName.endsWith(".avro") || f.getName.endsWith(".avro.tmp")))
-        .foreach(f => java.nio.file.Files.delete(f.toPath))
+      stale.filter { f =>
+        // temp shards are dot-prefixed (".part-NNNNN.avro.tmp") — strip
+        // the dot so crashed-run leftovers are swept too
+        val n = f.getName.stripPrefix(".")
+        n.startsWith("part-") &&
+          (n.endsWith(".avro") || n.endsWith(".avro.tmp"))
+      }.foreach(f => java.nio.file.Files.delete(f.toPath))
     df.rdd.mapPartitionsWithIndex { (p, it) =>
       val avroSchema = new Schema.Parser().parse(schemaJson)
       val tmp = new java.io.File(dir, f".part-$p%05d.avro.tmp")

@@ -122,4 +122,32 @@ class BpeSpec extends SparkSuite {
         BpeRef.countText(t, merges))
     }
   }
+
+  test("byte fallback: alpha-run results unchanged, multibyte charged per byte") {
+    val merges = graft.queries.Quality.bpeMerges(spark, sf0001)
+    val ranks = Bpe.ranksOf(merges)
+    def bytes(t: String) = Bpe.countTextBytes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t), ranks)
+    def chars(t: String) = Bpe.countText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t), ranks)
+    // (1) the declared invariant: on pure-ASCII text the two currencies
+    // are IDENTICAL — every fixture doc, not a sample
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0)).foreach { t =>
+        assert(bytes(t) == chars(t), s"ASCII drift on: ${t.take(60)}")
+      }
+    // (2) pinned multibyte charges: CJK 3 B/char, Cyrillic 2 B/char,
+    // em dash 3 B, euro 3 B, copyright 2 B; ASCII digit/punct still 1
+    assert(bytes("数据") == 6L)
+    assert(bytes("мир") == 6L)
+    assert(bytes("—") == 3L && bytes("€") == 3L && bytes("©") == 2L)
+    assert(bytes("7") == 1L && bytes(";") == 1L)
+    // (3) mixed: alpha run charged its BPE count, accents fall back
+    val caf = Bpe.countWord("caf", ranks)
+    assert(bytes("café") == caf + 2L, s"café: ${bytes("café")} vs $caf+2")
+    // (4) a document-shaped mix agrees with piece-wise arithmetic
+    val mixed = "the data 数据 ok"
+    val alpha = Seq("the", "data", "ok").map(Bpe.countWord(_, ranks)).sum
+    assert(bytes(mixed) == alpha + 6L, s"mixed: ${bytes(mixed)}")
+  }
 }

@@ -328,8 +328,11 @@ class CurationSpec extends SparkSuite {
     val docIds = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(ord.map(_._2).toSet == docIds && ord.length == docIds.size)
-    // the epoch permutation must SCATTER, not echo doc_id order
-    assert(ord.count { case (seq, id) => seq == id } < ord.length / 10,
+    // the epoch permutation must SCATTER, not echo doc_id order (the
+    // honest 0-based comparison: seq_id is 1-based — the round-17 fix;
+    // a single Lehmer step was rank-preserving here and slipped past
+    // the old seq == id form, which could never be true anyway)
+    assert(ord.count { case (seq, id) => seq - 1 == id } < ord.length / 10,
       "shuffle left most docs at their original position")
     // two evaluations agree bit-for-bit (reproducibility is the point)
     val again = Curation.trainingOrder(spark, sf0001)
@@ -342,6 +345,31 @@ class CurationSpec extends SparkSuite {
       .filter(col("n_chars") > 0).agg(sum("n_chars")).collect()(0).getLong(0)
     assert(rows.map(_._2).sum == totalChars)
     rows.init.foreach { w => assert(w._2 == 4096L, s"window ${w._1} not full") }
+  }
+
+  test("training_order epochs: complete permutations, provably distinct, reproducible") {
+    def orderAt(e: Int) = Curation.trainingOrderAt(spark, sf0001, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e0 = orderAt(0); val e1 = orderAt(1); val e2 = orderAt(2)
+    val docIds = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // every epoch is a complete 1..n permutation of the SAME corpus
+    Seq(e0, e1, e2).foreach { e =>
+      assert(e.map(_._1).toSeq == (1L to e.length.toLong))
+      assert(e.map(_._2).toSet == docIds)
+    }
+    // epoch 0 is the historical declared order (seed 42, unchanged)
+    val legacy = Curation.trainingOrder(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e0.sameElements(legacy), "epoch 0 drifted from training_order")
+    // epochs are DISTINCT permutations: most docs move between epochs
+    def agree(a: Array[(Long, Long)], b: Array[(Long, Long)]) =
+      a.zip(b).count { case ((s1, d1), (s2, d2)) => d1 == d2 }
+    assert(agree(e0, e1) < e0.length / 10, s"epoch 0/1 overlap ${agree(e0, e1)}")
+    assert(agree(e0, e2) < e0.length / 10, s"epoch 0/2 overlap ${agree(e0, e2)}")
+    assert(agree(e1, e2) < e0.length / 10, s"epoch 1/2 overlap ${agree(e1, e2)}")
+    // each epoch reproduces bit-for-bit on re-evaluation
+    assert(orderAt(2).sameElements(e2))
   }
 
   test("chunk_overlap: stride-2048 windows double-cover all chars past the first stride") {

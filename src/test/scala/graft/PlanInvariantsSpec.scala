@@ -148,6 +148,9 @@ class PlanInvariantsSpec extends SparkSuite {
       "bounded <=257-row threshold-grid broadcast + one-row P/N scalar cross",
     "duplicate_span_ladder" ->
       "three one-row rung-count x coverage x total scalar crosses",
+    "mixture_weights" ->
+      "bounded 3-row temperature-rung broadcast + one-row per-rung total broadcast",
+    "domain_census" -> "one-row corpus-total scalar broadcast",
   )
 
   test("no declared query plans an unbounded cartesian stage") {

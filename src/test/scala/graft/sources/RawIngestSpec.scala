@@ -22,6 +22,41 @@ class RawIngestSpec extends SparkSuite {
     assert(cv == expect, "CSV round-trip drifted from the parquet table")
   }
 
+  test("gzip JSONL round-trips exactly and reads one task per shard") {
+    val expect = docsSorted(Tables.documents(spark, sf0001))
+    val dir = RawIngest.stageJsonlGz(spark, sf0001)
+    val gz = RawIngest.jsonl(spark, dir)
+    assert(docsSorted(gz) == expect,
+      "gzip JSONL round-trip drifted from the parquet table")
+    // the scale-honesty pin: gzip is not splittable, so the scan's
+    // task count equals the shard count no matter how small
+    // maxPartitionBytes is — parallelism rides the producer's shard
+    // size, which is exactly what the RawIngest scaladoc promises
+    val shards = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".json.gz"))
+    assert(shards > 0, s"no .json.gz shards staged under $dir")
+    val tasks = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      val parts = RawIngest.jsonl(spark, dir).rdd.getNumPartitions
+      assert(parts == shards,
+        s"expected one task per gzip shard ($shards), planner chose $parts")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", tasks)
+  }
+
+  test("recompression rung: gz jsonl -> zstd parquet round-trips exactly") {
+    val expect = docsSorted(Tables.documents(spark, sf0001))
+    val dir = RawIngest.stageRecompressed(spark, sf0001)
+    val back = docsSorted(spark.read.parquet(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")))
+    assert(back == expect, "recompressed parquet drifted from the table")
+    // the layout really is zstd parquet (codec is part of the shard name)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.exists(n => n.contains("zstd") && n.endsWith(".parquet")),
+      s"no zstd parquet shard in: ${names.mkString(", ")}")
+  }
+
   test("csv quoting survives embedded delimiters, quotes, and newlines") {
     import spark.implicits._
     val nasty = Seq(
