@@ -42,10 +42,11 @@ object Quality {
     qualityFlags(s, d).orderBy(col("doc_id"))
 
   /** [[qualityFilters]] without the presentation sort — the per-doc flag
-    * frame consumers join against ([[sourceMixReport]]); a global sort
-    * below a join would be wasted work Catalyst cannot always remove.
+    * frame consumers join against ([[sourceMixReport]], and the cross-
+    * family [[Safety]] curation funnel); a global sort below a join
+    * would be wasted work Catalyst cannot always remove.
     */
-  private def qualityFlags(s: SparkSession, d: String): DataFrame = {
+  private[queries] def qualityFlags(s: SparkSession, d: String): DataFrame = {
     val g = docs(s, d)
       .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -1948,11 +1949,11 @@ object Quality {
   private val ToksNE = Shared.ToksNE
 
   /** The Gopher-battery per-doc CTE block (t, g, p), single-sourced so
-    * the quality_filters and source_mix_report oracles can never drift
-    * from each other (the Spark side shares [[qualityFlags]] the same
-    * way).
+    * the quality_filters and source_mix_report oracles (and [[Safety]]'s
+    * curation-funnel oracle) can never drift from each other (the Spark
+    * side shares [[qualityFlags]] the same way).
     */
-  private val QualityBatteryCte =
+  private[queries] val QualityBatteryCte =
     s"""t AS (SELECT doc_id, unnest($ToksNE) AS tok FROM documents),
        |g AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
        |p AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_uniq,
