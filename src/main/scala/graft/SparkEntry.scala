@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Curation.queries ++ graft.queries.Journey.queries ++
       graft.queries.Quality.queries ++ graft.queries.Graph.queries ++
       graft.queries.Insights.queries ++ graft.queries.Ingest.queries ++
-      graft.queries.Web.queries ++ graft.queries.Safety.queries
+      graft.queries.Web.queries ++ graft.queries.Safety.queries ++
+      graft.queries.Preference.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Curation.oracleSql ++ graft.queries.Journey.oracleSql ++
       graft.queries.Quality.oracleSql ++ graft.queries.Graph.oracleSql ++
       graft.queries.Insights.oracleSql ++ graft.queries.Ingest.oracleSql ++
-      graft.queries.Web.oracleSql ++ graft.queries.Safety.oracleSql
+      graft.queries.Web.oracleSql ++ graft.queries.Safety.oracleSql ++
+      graft.queries.Preference.oracleSql
 }
