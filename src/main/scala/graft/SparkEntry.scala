@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Quality.queries ++ graft.queries.Graph.queries ++
       graft.queries.Insights.queries ++ graft.queries.Ingest.queries ++
       graft.queries.Web.queries ++ graft.queries.Safety.queries ++
-      graft.queries.Preference.queries
+      graft.queries.Preference.queries ++ graft.queries.Dialogue.queries ++
+      graft.queries.Eval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Quality.oracleSql ++ graft.queries.Graph.oracleSql ++
       graft.queries.Insights.oracleSql ++ graft.queries.Ingest.oracleSql ++
       graft.queries.Web.oracleSql ++ graft.queries.Safety.oracleSql ++
-      graft.queries.Preference.oracleSql
+      graft.queries.Preference.oracleSql ++ graft.queries.Dialogue.oracleSql ++
+      graft.queries.Eval.oracleSql
 }
