@@ -254,6 +254,69 @@ object Safety {
       }.toDF("stage", "n_surviving", "drop_bp").orderBy(col("stage"))
   }
 
+  // --- streaming counterpart -------------------------------------------
+
+  /** Streaming blocklist census — the safety gate as a continuously
+    * maintained table: each micro-batch computes its own per-source
+    * verdict deltas (map-only, the SAME [[badAugCol]]/token-filter
+    * definition as the batch census, so the stream can never drift from
+    * the declared semantics) and merges them into a
+    * [[graft.streaming.MaintainedCounts]] table with the metric encoded
+    * in the key (`source|docs`, `source|flagged`, `source|hits`). Rides
+    * the versioned-bucket commit protocol unchanged: crash-safe,
+    * replay-idempotent, per-batch I/O bounded by the batch's source
+    * footprint. StreamingSpec pins stream-then-read equal to
+    * [[badwordsCensus]] across a restart.
+    */
+  def streamingBadwordsCounts(s: SparkSession, sfDir: String,
+      streamDir: String, countsDir: String,
+      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = Tables.documents(s, sfDir).schema
+    s.readStream.schema(schema).parquet(streamDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.select(col("source"), badAugCol.as("aug"))
+          .select(col("source"),
+            size(filter(Dedup.tokensNE(col("aug")),
+              t => t.isin(Badwords: _*))).cast("long").as("n_hits"))
+          .select(explode(array(
+            struct(concat(col("source"), lit("|docs")).as("k"),
+              lit(1L).as("dc")),
+            struct(concat(col("source"), lit("|flagged")).as("k"),
+              when(col("n_hits") > 0, 1L).otherwise(0L).as("dc")),
+            struct(concat(col("source"), lit("|hits")).as("k"),
+              col("n_hits").as("dc")))).as("e"))
+          .select(col("e.k").as("k"), col("e.dc").as("dc"))
+          .groupBy(col("k")).agg(sum(col("dc")).as("dc"))
+        graft.streaming.MaintainedCounts.applyBatch(s, delta, batchId,
+          countsDir, numBuckets = graft.streaming.Drift.NumBuckets)
+        ()
+      }
+      .start()
+  }
+
+  /** Reconstitute the [[badwordsCensus]] frame from the maintained
+    * table: split the metric out of the key and pivot the three counts
+    * back into columns (flag rate recomputed exactly as the batch
+    * census does).
+    */
+  def badwordsCensusFromCounts(s: SparkSession, countsDir: String): DataFrame =
+    graft.streaming.MaintainedCounts.readCounts(s, countsDir)
+      .select(substring_index(col("k"), "|", 1).as("source"),
+        substring_index(col("k"), "|", -1).as("metric"), col("c"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("metric") === "docs", col("c")).otherwise(0L))
+          .as("n_docs"),
+        sum(when(col("metric") === "flagged", col("c")).otherwise(0L))
+          .as("n_flagged"),
+        sum(when(col("metric") === "hits", col("c")).otherwise(0L))
+          .as("n_hits_total"))
+      .withColumn("flag_bp", expr("10000 * n_flagged div n_docs"))
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "badwords_filter" -> badwordsFilter,
     "badwords_census" -> badwordsCensus,

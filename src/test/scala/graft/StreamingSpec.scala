@@ -993,4 +993,36 @@ class StreamingSpec extends SparkSuite {
       s"stream/batch mismatch: ${got.toSet -- batch.toSet} | ${batch.toSet -- got.toSet}")
     spark.sql("DROP TABLE IF EXISTS stream_enrich")
   }
+
+  test("streaming badwords census converges to the batch safety gate across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bwstream")
+    val streamDir = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val countsDir = base.resolve("counts").toString
+    val ckpt = base.resolve("ck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bwstream-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, streamDir.resolve(name))
+    }
+    def runOnce(): Unit =
+      graft.queries.Safety.streamingBadwordsCounts(spark, sf0001,
+        streamDir.toString, countsDir, ckpt).awaitTermination()
+    // two ingest batches with a full stop/start between them
+    stageFlat(docs.filter(col("doc_id") % 2 === 0), "p1.parquet")
+    runOnce()
+    stageFlat(docs.filter(col("doc_id") % 2 === 1), "p2.parquet")
+    runOnce()
+    val got = graft.queries.Safety
+      .badwordsCensusFromCounts(spark, countsDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val expect = SparkEntry.queries("badwords_census")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == expect.toSeq,
+      "streamed safety census must equal the batch census after full replay")
+  }
 }
