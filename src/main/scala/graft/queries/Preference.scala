@@ -18,20 +18,24 @@ import org.apache.spark.sql.functions._
   * The fixture has no comparison table, so — the [[Web]]/[[Safety]]
   * house pattern — the comparisons are constructed IN-EXPRESSION from
   * `documents` with deterministic arithmetic both engines replicate
-  * bit-for-bit: doc 2k vs doc 2k+1 is one comparison between players
+  * bit-for-bit: comparison j is doc j vs doc j+1 (every doc is
+  * compared against both neighbors — one equi-join), between players
   * (= sources); each side's score is a per-source strength
   * (400 × (suffix mod 5)) plus per-doc pseudo-noise
   * ((doc_id × 1103515245 + 12345) mod 1000), so adjacent strength
   * classes upset ~18% of the time, distant ones (gap ≥ 1200) never —
   * a realistic mixed outcome graph. Because the fixture assigns
-  * source = doc_id mod 20, the matchup graph is the 20-cycle of
-  * consecutive sources — SPARSE, the regime BT exists for (ratings
-  * propagate by transitivity, not direct play; an arena's matchmaking
-  * graph is just as thin). On a cycle only the extreme strength
-  * classes occupy structurally distinct positions (class 0 loses both
-  * neighbors, class 4 beats both), so the spec pins extreme-class
-  * separation plus the bit-exact solve, not full class monotonicity.
-  * A wins ties (score_a >= score_b),
+  * source = doc_id mod 20, the matchup graph is exactly the CONNECTED
+  * 20-cycle of consecutive sources — SPARSE, the regime BT exists for
+  * (ratings propagate by transitivity, not direct play; an arena's
+  * matchmaking graph is just as thin). [An earlier draft paired only
+  * (even, odd) docs, which silently degenerates to 10 disjoint
+  * 2-player components — ratings unidentified ACROSS components;
+  * PreferenceSpec now pins the matchup graph connected.] On a cycle
+  * only the extreme strength classes occupy structurally distinct
+  * positions (class 0 loses both neighbors, class 4 beats both), so
+  * the spec pins extreme-class separation plus the bit-exact solve,
+  * not full class monotonicity. A wins ties (score_a >= score_b),
   * by declaration. Raters: rater 1 reads the rule; rater 2 flips every
   * 9th pair, rater 3 every 4th — so kappa, unanimity, and majority
   * overturns (both flips: pair_id mod 36) are all known in closed form
@@ -76,15 +80,15 @@ object Preference {
     * verdict (`a_wins`, the score rule; A wins ties by declaration).
     */
   private def pairsOf(s: SparkSession, d: String): DataFrame = {
-    val a = docs(s, d).filter(col("doc_id") % 2 === 0)
-      .select(expr("doc_id div 2").as("pair_id"),
+    val a = docs(s, d)
+      .select(col("doc_id").as("pair_id"),
         col("source").as("player_a"),
         scoreCol(col("doc_id"), col("source")).as("score_a"))
-    val b = docs(s, d).filter(col("doc_id") % 2 === 1)
-      .select(expr("(doc_id - 1) div 2").as("pair_id"),
+    val b = docs(s, d)
+      .select((col("doc_id") - 1).as("pair_id"),
         col("source").as("player_b"),
         scoreCol(col("doc_id"), col("source")).as("score_b"))
-    a.join(b, "pair_id")
+    a.join(b, "pair_id") // inner: the last doc anchors no pair
       .withColumn("a_wins", col("score_a") >= col("score_b"))
   }
 
@@ -92,12 +96,11 @@ object Preference {
     * player_b, score_a, score_b, a_wins)`.
     */
   private val PairsCte =
-    s"""pr AS (SELECT a.doc_id // 2 AS pair_id,
+    s"""pr AS (SELECT a.doc_id AS pair_id,
        |         a.source AS player_a, b.source AS player_b,
        |         ${scoreSql("a")} AS score_a,
        |         ${scoreSql("b")} AS score_b
-       |       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-       |       WHERE a.doc_id % 2 = 0),
+       |       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
        |pw AS (SELECT pair_id, player_a, player_b, score_a, score_b,
        |         score_a >= score_b AS a_wins
        |       FROM pr)""".stripMargin
@@ -149,6 +152,18 @@ object Preference {
     */
   def bradleyTerry(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val (players, p, wins, games, _) = solved(s, d)
+    players.toSeq.map(i => (i, p(i), wins(i), games(i)))
+      .toDF("player", "rating_micros", "wins", "games")
+      .orderBy(col("player"))
+  }
+
+  /** The collected matrix + MM solve shared by [[bradleyTerry]] and
+    * [[btCalibration]]: (sorted players, ratings, wins, games, edges).
+    */
+  private def solved(s: SparkSession, d: String): (Array[String],
+      Map[String, Long], Map[String, Long], Map[String, Long],
+      Array[(String, String, Long, Long)]) = {
     val m = edges(s, d).collect() // bounded: <= k*(k-1) rows, k = 20 sources
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val players = m.map(_._1).distinct.sorted
@@ -156,7 +171,7 @@ object Preference {
     val games = m.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val adj = m.groupBy(_._1).view
       .mapValues(_.map(e => (e._2, e._3)).toSeq).toMap
-    val K = players.size * 1000000L
+    val K = players.length * 1000000L
     var p = players.map(_ -> 1000000L).toMap
     for (_ <- 1 to 25) {
       val raw = players.map { i =>
@@ -168,9 +183,29 @@ object Preference {
       val tot = raw.values.sum
       p = raw.map { case (i, v) => i -> math.max(1000L, v * K / tot) }
     }
-    players.toSeq.map(i => (i, p(i), wins(i), games(i)))
-      .toDF("player", "rating_micros", "wins", "games")
-      .orderBy(col("player"))
+    (players, p, wins, games, m)
+  }
+
+  /** Bradley–Terry model-fit card — the recall-of-the-ratings: per
+    * ordered matchup, the model's predicted win rate
+    * (10⁴·p_i/(p_i+p_j), floored bp) against the observed one, with
+    * the absolute error — the house rule that every fitted artifact
+    * publishes its own quality signal next to itself. Driver-side on
+    * the same bounded matrix as the solve; the oracle re-runs the
+    * unrolled MM chain and joins ratings back onto the matchup frame.
+    * On the cycle graph the near-deterministic class-boundary matchups
+    * must calibrate tightly while the noisy within-class ones carry
+    * the residual (spec-pinned in aggregate).
+    */
+  def btCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, p, _, _, m) = solved(s, d)
+    m.toSeq.map { case (i, j, n, wi) =>
+      val predBp = 10000L * p(i) / (p(i) + p(j))
+      val obsBp = 10000L * wi / n
+      (i, j, n, obsBp, predBp, math.abs(predBp - obsBp))
+    }.toDF("player", "opponent", "n", "obs_bp", "pred_bp", "err_bp")
+      .orderBy(col("player"), col("opponent"))
   }
 
   /** One unrolled MM iteration: x`k` (raw update) + r`k` (normalized).
@@ -238,6 +273,7 @@ object Preference {
     "preference_winrate" -> preferenceWinrate,
     "win_matrix" -> winMatrix,
     "bradley_terry" -> bradleyTerry,
+    "bt_calibration" -> btCalibration,
     "preference_kappa" -> preferenceKappa,
     "preference_majority" -> preferenceMajority,
   )
@@ -288,6 +324,28 @@ object Preference {
          |SELECT wt.player, r25.p::BIGINT AS rating_micros, wt.wins, wt.games
          |FROM wt JOIN r25 ON r25.player = wt.player
          |ORDER BY wt.player""".stripMargin,
+    "bt_calibration" ->
+      s"""WITH $PairsCte,
+         |e AS (SELECT player_a AS i, player_b AS j,
+         |        CASE WHEN a_wins THEN 1 ELSE 0 END AS w FROM pw
+         |      UNION ALL
+         |      SELECT player_b, player_a,
+         |        CASE WHEN a_wins THEN 0 ELSE 1 END FROM pw),
+         |g AS MATERIALIZED (SELECT i, j, count(*)::BIGINT AS n,
+         |        sum(w)::BIGINT AS wi
+         |      FROM e GROUP BY 1, 2),
+         |wt AS MATERIALIZED (SELECT i AS player, sum(wi)::BIGINT AS wins,
+         |         sum(n)::BIGINT AS games
+         |       FROM g GROUP BY 1),
+         |r0 AS (SELECT player, 1000000::BIGINT AS p FROM wt),
+         |${(1 to 25).map(iterSql).mkString(",\n")}
+         |SELECT g.i AS player, g.j AS opponent, g.n,
+         |  (10000 * g.wi // g.n)::BIGINT AS obs_bp,
+         |  (10000 * ri.p // (ri.p + rj.p))::BIGINT AS pred_bp,
+         |  abs((10000 * ri.p // (ri.p + rj.p))
+         |    - (10000 * g.wi // g.n))::BIGINT AS err_bp
+         |FROM g JOIN r25 ri ON ri.player = g.i JOIN r25 rj ON rj.player = g.j
+         |ORDER BY player, opponent""".stripMargin,
     "preference_kappa" ->
       s"""WITH $PairsCte,
          |r AS (SELECT a_wins AS r1, a_wins <> (pair_id % 9 = 0) AS r2
