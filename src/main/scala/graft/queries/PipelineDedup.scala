@@ -796,13 +796,27 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
         .agg(size(collect_set(col("doc_id"))).as("nd"))
         .filter(col("nd") >= 2).select(col("h"))
       val ndup = broadcast(dup.agg(count(lit(1)).as("n_dup_spans")))
-      val cov = sp.join(dup, "h")
-        .select(col("doc_id"),
-          explode(sequence(col("i"), col("i") + lit(w - 1))).as("pos"))
-        .distinct()
-      val covAgg = cov.agg(
-        count_distinct(col("doc_id")).as("n_docs_affected"),
-        count(lit(1)).as("covered_slots"))
+      // r17 optimization: coverage = per-doc INTERVAL UNION of the
+      // duplicated-span start offsets, not a position explode + corpus-
+      // wide distinct. All rung-w intervals share one width, so with a
+      // doc's distinct starts sorted (one row per (doc, i) by
+      // construction), each start's unique coverage is
+      // min(w, next_start − start) and the last start contributes w —
+      // the sum IS the distinct covered-slot count. One doc-keyed
+      // shuffle of the duplicated HITS replaces w× exploded position
+      // rows shuffled twice (distinct + the old count_distinct
+      // aggregate); the window is doc-bounded, never corpus-wide.
+      val wSpec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("i"))
+      val covPerDoc = sp.join(dup, "h")
+        .select(col("doc_id"), col("i"))
+        .withColumn("nx", lead(col("i"), 1).over(wSpec))
+        .select(col("doc_id"), when(col("nx").isNull, lit(w))
+          .otherwise(least(lit(w), col("nx") - col("i"))).as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("cov"))
+      val covAgg = covPerDoc.agg(
+        count(lit(1)).as("n_docs_affected"),
+        coalesce(sum(col("cov")), lit(0L)).as("covered_slots"))
       ndup.crossJoin(covAgg).crossJoin(tot)
         .select(lit(w).cast("long").as("w"), col("n_dup_spans"),
           col("n_docs_affected"), col("covered_slots"),

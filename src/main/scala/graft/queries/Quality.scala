@@ -718,13 +718,24 @@ object Quality {
           ab.getField("w2").as("w2"), c.as("w3")))).as("tg"))
       .select(col("doc_id"), col("tg.w1").as("w1"),
         col("tg.w2").as("w2"), col("tg.w3").as("w3"))
-      .persist() // feeds 5 LM aggregates + the probe (the setsim lesson)
-    val c123 = tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
-    val c12 = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
-    val c2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
-    val c3 = tri.groupBy(col("w3")).agg(count(lit(1)).as("c3"))
-    val n = tri.agg(count(lit(1)).as("nn"))
+      .persist() // feeds the c123 aggregate + the probe (the setsim lesson)
+    // Every LM marginal is a re-aggregation of c123 itself (c12 = Σ_w3,
+    // c23 = Σ_w1, c2 = Σ_{w1,w3}, c3 = Σ_{w1,w2}, n = Σ all) — counts
+    // identical by definition, so the slot stream is shuffled ONCE for
+    // the LM build instead of five times (r17 optimization: 6 full
+    // shuffles of the exploded trigram frame → 2, the probe being the
+    // other). c123 is deliberately NOT persisted: the five consumers
+    // share its (w1,w2,w3) exchange via ReusedExchange inside the one
+    // plan, which keeps the branches parallel — an explicit persist
+    // serialized them behind the cache materialization and measured
+    // SLOWER (6.2 vs 3.3 s isolated, OPTIMIZATION_r17.md).
+    val c123 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val c12 = c123.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
+    val c23 = c123.groupBy(col("w2"), col("w3")).agg(sum(col("c123")).as("c23"))
+    val c2 = c123.groupBy(col("w2")).agg(sum(col("c123")).as("c2"))
+    val c3 = c123.groupBy(col("w3")).agg(sum(col("c123")).as("c3"))
+    val n = c123.agg(sum(col("c123")).as("nn"))
     val lp = c123.join(c12, Seq("w1", "w2")).join(c23, Seq("w2", "w3"))
       .join(c2, Seq("w2")).join(c3, Seq("w3")).crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("w3"),
@@ -1542,10 +1553,18 @@ object Quality {
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 3)
       .select(col("g"))
-    g.join(boiler.withColumn("is_b", lit(1L)), Seq("g"), "left")
+    // r17 optimization: the probe joins the ≥3-doc set against the
+    // (gram, source) OCCURRENCE COUNTS, not the raw position stream —
+    // per-source sums are identical (n_pos = Σ np, boiler positions =
+    // Σ np over boilerplate grams), but the join input shrinks from
+    // every 5-gram position to the distinct (g, source) pairs and the
+    // position-level frame is shuffled once (the pre-aggregate) with
+    // map-side partial aggregation instead of raw into the join.
+    val gs = g.groupBy(col("g"), col("source")).agg(count(lit(1)).as("np"))
+    gs.join(boiler.withColumn("is_b", lit(1L)), Seq("g"), "left")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_pos"),
-        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler_pos"),
+      .agg(sum(col("np")).as("n_pos"),
+        sum(when(col("is_b").isNotNull, col("np")).otherwise(0L)).as("n_boiler_pos"),
         countDistinct(when(col("is_b").isNotNull, col("g"))).as("n_boiler_grams"))
       .select(col("source"), col("n_pos"), col("n_boiler_pos"),
         expr("10000 * n_boiler_pos div n_pos").as("boiler_bp"),
@@ -1587,21 +1606,30 @@ object Quality {
     val boiler = g.select(col("g"), col("doc_id")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 3).select(col("g"))
+    // r17 optimization: the scrub itself is per-doc array work against
+    // the doc's own covered-position set — the token stream is NEVER
+    // shuffled. The old shape exploded every token into rows, exploded
+    // every covered position into rows, corpus-wide-distinct'd them,
+    // anti-joined on (doc_id, p) and re-assembled each doc with a
+    // collect_list + array_sort: three token-level shuffles plus a
+    // per-doc sort, all to compute something each doc can answer
+    // locally once it knows its duplicated-span start offsets (≤ len
+    // per doc — the bounded-group contract; per-token membership
+    // tests are O(covered) over a ≤doc-length array). Only the start
+    // offsets of duplicated grams move: one groupBy(doc_id) of the
+    // census join's hits.
     val covered = g.join(boiler, Seq("g"))
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("p"))
-      .distinct()
-    val toks = t.select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-          e => e.getField("tok")), " ").as("clean_text"))
-    t.select(col("doc_id"), size(col("ts")).cast("long").as("n_toks"))
-      .join(kept, Seq("doc_id"), "left")
+      .agg(array_sort(array_distinct(flatten(collect_list(
+        sequence(col("i"), col("i") + 4))))).as("cps"))
+    t.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_toks"),
+        coalesce(col("cps"), typedLit(Array.empty[Int])).as("cps"),
+        col("ts"))
       .select(col("doc_id"), col("n_toks"),
-        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("cps")).cast("long").as("n_removed"),
+        array_join(filter(col("ts"),
+          (tok, i) => !array_contains(col("cps"), i + 1)), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
