@@ -37,15 +37,21 @@ object AssignIds {
   private[graft] def layout(df: DataFrame, order: Seq[Column]): DataFrame =
     df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
 
-  /** REQUIRES a deterministic input plan: zipWithIndex runs an extra
-    * count job and re-evaluates `df`, so a non-deterministic upstream
-    * (sample, rand) could disagree between the two jobs and yield
-    * duplicate/skipped ids. Persist or localCheckpoint such inputs
-    * before calling.
+  /** The laid-out frame is persisted INSIDE the operator (r18):
+    * zipWithIndex runs an extra count job and then the main pass, so an
+    * unpersisted input paid the range exchange + in-partition sort (and
+    * the whole upstream plan) TWICE — every consumer did, layout_prune
+    * three times over. The cache also upgrades the old caveat ("a
+    * non-deterministic upstream could disagree between the two jobs and
+    * yield duplicate/skipped ids") from a caller obligation into a
+    * structural guarantee: both jobs read one materialization. The
+    * temporary is released by the bench janitor / session teardown,
+    * the PrefixSum precedent.
     */
   def byOrder(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = layout(df, order)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
     val withId = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1L))

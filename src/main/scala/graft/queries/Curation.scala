@@ -756,12 +756,17 @@ object Curation {
           .as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
-    val rawC = tf.groupBy(col("bucket")).agg(sum(col("tf")).as("c_r"))
-    val tgtC = tf.filter(col("lang") === "en")
-      .groupBy(col("bucket")).agg(sum(col("tf")).as("c_t"))
-    // 64-row smoothed model; totals ride along on the same bounded rows
-    val model = rawC.join(tgtC, Seq("bucket"), "left")
-      .na.fill(0L, Seq("c_t"))
+      // r18 persisted: the feature cube feeds the model aggregate AND
+      // the scoring probe — without storage the corpus token explode +
+      // hash ran once per consumer (three evaluations)
+      .persist()
+    // r18: raw and target counts fold in ONE pass over the cube (a
+    // conditional sum replaces the second aggregate + left join; a
+    // bucket with no target rows sums the empty branch to 0, exactly
+    // the old join's fill)
+    val model = tf.groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("c_r"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("c_t"))
     val totals = model.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
     val lr = model.crossJoin(broadcast(totals))
       .select(col("bucket"),

@@ -146,25 +146,47 @@ object Graph {
     val (seed, nNodes) = hubSeedAndNodes(s, d)
     var dist = degreeTable(s, d).filter(col("src") === seed)
       .select(col("src").as("node"), lit(0L).as("hop"))
-    // each round references dist TWICE (frontier join + union), so the
-    // un-truncated plan doubles per round — 2^4 re-evaluations by round
-    // four (measured 8.9 s; the connectedComponents lesson). The
-    // node-sized distance table eager-localCheckpoints every round and
-    // the previous round's blocks are released; below the measured
-    // PageRank broadcast gate it also rides a broadcast into the
-    // frontier join, so the cached edge list never re-shuffles.
+    // r18: two changes to the round mechanics.
+    // (1) The edge list is augmented with a zero-increment SELF-LOOP
+    //     per node (the bipartite graph has no real self-loops, so
+    //     src = dst is unambiguous), turning the round's
+    //     min(dist(v), min_{u→v} dist(u)+1) into a single min-aggregate
+    //     over ONE join — the old union shape referenced dist twice per
+    //     round (frontier join + union arm), which is the
+    //     connectedComponents plan-doubling hazard the checkpoint
+    //     existed to contain. (A fully-fused no-checkpoint chain was
+    //     also tried: AQE runs every stage as its own job, so fusing
+    //     returns no job floor — the eager per-round checkpoint stays.)
+    // (2) CONVERGENCE EARLY-EXIT: BFS discovery is final on first touch
+    //     (round i discovers exactly the true hop-i frontier), so once
+    //     the reached count stops growing — or covers every node of the
+    //     graph (the cached nNodes scalar) — the remaining declared
+    //     rounds are provably the identity and never launch. The count
+    //     rides each checkpoint job as an observed metric (the
+    //     hits_scores pattern: no extra job for the scalar).
+    val edges2 = edges.union(
+      degreeTable(s, d).select(col("src"), col("src").as("dst")))
     val small = nNodes <= graft.operators.PageRank.BroadcastNodeLimit
     var prev: Option[DataFrame] = None
-    for (_ <- 1 to 4) {
+    var prevCount = 1L // the seed row
+    var r = 0
+    var converged = false
+    while (r < 4 && !converged) {
       val distSrc = dist.withColumnRenamed("node", "src")
-      val nxt = edges.join(if (small) broadcast(distSrc) else distSrc, "src")
-        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
-      val updated = dist.union(nxt)
+      val obs = org.apache.spark.sql.Observation()
+      val updated = edges2.join(if (small) broadcast(distSrc) else distSrc, "src")
+        .select(col("dst").as("node"),
+          (col("hop") + when(col("dst") === col("src"), 0L).otherwise(1L)).as("hop"))
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
+      val c = obs.get.apply("n").asInstanceOf[Long]
+      converged = c == prevCount || c == nNodes
+      prevCount = c
       prev.foreach(org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
       prev = Some(updated)
       dist = updated
+      r += 1
     }
     dist.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes")).orderBy(col("hop"))
   }
@@ -295,6 +317,7 @@ object Graph {
     * Output: top-20 hubs + top-20 authorities.
     */
   def hitsScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val sp = edgeTable(s, d).filter(col("src") < PartOffset)
       .select(col("src").as("sk"), (col("dst") - PartOffset).as("pk"))
     // score tables are node-sized: below the measured PageRank gate they
@@ -305,29 +328,52 @@ object Graph {
     val small = hubSeedAndNodes(s, d)._2 <=
       graft.operators.PageRank.BroadcastNodeLimit
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    var h = sp.select(col("sk")).distinct().withColumn("h", lit(1000000L))
-    var a = sp.select(col("pk")).distinct().withColumn("a", lit(1000000L))
+    // r18: the edge stream is laid out ONCE per aggregation key and
+    // persisted (query-local, janitor-swept): a-rounds aggregate by pk,
+    // h-rounds by sk, and under the gate the score probe is a broadcast
+    // join (which preserves the cached layout), so each half-round
+    // collapses to scan + BHJ + partition-local aggregate — one stage —
+    // instead of paying a fresh map + exchange + reduce per half-round
+    // (guide §2.4, the PageRank dst-partitioned-edges trick applied to
+    // the mutual recursion). Six aggregate exchanges become two builds.
+    val spPk = sp.repartition(col("pk")).persist()
+    val spSk = sp.repartition(col("sk")).persist()
+    // init score tables read the degree artifact's key column split at
+    // the part offset (every supplier and part appears as a src of the
+    // symmetrized edge table) — the two init distinct jobs disappear
+    var h = degreeTable(s, d).filter(col("src") < PartOffset)
+      .select(col("src").as("sk")).withColumn("h", lit(1000000L))
+    var a = degreeTable(s, d).filter(col("src") >= PartOffset)
+      .select((col("src") - PartOffset).as("pk")).withColumn("a", lit(1000000L))
     for (_ <- 1 to 3) {
-      // localCheckpoint per half-round (the bfs_hops frontier pattern):
-      // without it each round's max-collect re-executes the whole prior
-      // chain and the final top-20 replays everything again — measured
-      // 14.9 s vs ~1 s at sf0.1. The round max rides the SAME job as an
-      // observed metric (CollectMetrics is a row no-op) — the query is
-      // job-count-bound (round-16 GraphProfile: ~0.7 s per job on a
-      // quiet host is pure scheduling floor), so a separate max job per
-      // half-round doubled the fixed cost for a 1-row scalar.
+      // localCheckpoint per half-round: without it each round's
+      // max-collect re-executes the whole prior chain and the final
+      // top-20 replays everything again — measured 14.9 s vs ~1 s at
+      // sf0.1. The round max rides the SAME job as an observed metric
+      // (CollectMetrics is a row no-op) — the query is job-count-bound
+      // (round-16 GraphProfile: ~0.7 s per job on a quiet host is pure
+      // scheduling floor), so a separate max job per half-round doubled
+      // the fixed cost for a 1-row scalar.
+      // r18: normalization divides by a 1-row broadcast COLUMN instead
+      // of interpolating the collected max as a literal — the per-round
+      // plans become textually identical, so whole-stage codegen
+      // compiles each half-round's stage once and every later round
+      // hits the generated-code cache (a fresh janino compile per
+      // half-round was pure fixed cost).
       val obsA = org.apache.spark.sql.Observation()
-      val a0 = sp.join(bc(h), "sk").groupBy(col("pk")).agg(sum(col("h")).as("a0"))
+      val a0 = spPk.join(bc(h), "sk").groupBy(col("pk")).agg(sum(col("h")).as("a0"))
         .observe(obsA, max(col("a0")).as("mx"))
         .localCheckpoint()
       val am = obsA.get.apply("mx").asInstanceOf[Long] // 1-row scalar, same job
-      a = a0.select(col("pk"), expr(s"(a0 * 1000000) div ${am}L").as("a"))
+      a = a0.crossJoin(broadcast(Seq(am).toDF("am")))
+        .select(col("pk"), expr("(a0 * 1000000) div am").as("a"))
       val obsH = org.apache.spark.sql.Observation()
-      val h0 = sp.join(bc(a), "pk").groupBy(col("sk")).agg(sum(col("a")).as("h0"))
+      val h0 = spSk.join(bc(a), "pk").groupBy(col("sk")).agg(sum(col("a")).as("h0"))
         .observe(obsH, max(col("h0")).as("mx"))
         .localCheckpoint()
       val hm = obsH.get.apply("mx").asInstanceOf[Long] // 1-row scalar, same job
-      h = h0.select(col("sk"), expr(s"(h0 * 1000000) div ${hm}L").as("h"))
+      h = h0.crossJoin(broadcast(Seq(hm).toDF("hm")))
+        .select(col("sk"), expr("(h0 * 1000000) div hm").as("h"))
     }
     h.select(lit("hub").as("kind"), col("sk").as("id"), col("h").as("score"))
       .orderBy(col("score").desc, col("id")).limit(20)
@@ -611,39 +657,48 @@ object Graph {
   }
 
   private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int,
-      broadcastNodes: Boolean = false): DataFrame = {
+      broadcastNodes: Boolean = false,
+      nodes0: Option[DataFrame] = None,
+      nNodes0: Option[Long] = None): DataFrame = {
     // the surviving-node table is node-sized: under the measured gate
-    // (the PageRank/hits_scores pattern — localCheckpointed frames carry
-    // no stats, so AQE cannot convert these joins itself) both per-round
-    // semi-joins ride a broadcast; big graphs keep the shuffle joins
+    // (the PageRank/hits_scores pattern) both per-round semi-joins ride
+    // a broadcast; big graphs keep the shuffle joins
     def bc(df: DataFrame): DataFrame = if (broadcastNodes) broadcast(df) else df
-    // the fixpoint count rides each round's checkpoint job as an
-    // observed metric (the hits_scores pattern — these rounds are
-    // job-count-bound, so a separate count job per peel doubled the
-    // scheduling floor for a scalar the aggregate already knows)
-    val obs0 = org.apache.spark.sql.Observation()
-    var nodes = edges.select(col("src").as("node")).distinct()
-      .observe(obs0, count(lit(1)).as("n"))
-      .localCheckpoint()
-    var prevCount = obs0.get.apply("n").asInstanceOf[Long]
+    // r18: each peel round is HALF the old round's work — the src-side
+    // membership probe is REDUNDANT inside the loop. Peeling is
+    // monotone (N_{i+1} ⊆ N_i), so a node peeled at round j has
+    // deg_{N_i}(v) ≤ deg_{N_{j-1}}(v) < k at every later round — its
+    // surviving-neighbor count can never re-pass the threshold. Hence
+    // N_{i+1} = {v : |{u ∈ N_i : (v,u) ∈ E}| ≥ k} exactly, and a round
+    // is ONE broadcast probe + one count-aggregate instead of two
+    // probes (the fully-fused no-checkpoint variant was also tried and
+    // measured WORSE — AQE runs every stage as its own job, so fusing
+    // buys no job-floor back and the dual-reference form re-evaluates
+    // 2^rounds times, 13 s vs 3.2 s; the per-round eager checkpoint
+    // with the convergence early-exit remains the cheapest schedule).
+    // The fixpoint count rides each round's checkpoint job as an
+    // observed metric; an unchanged COUNT is an unchanged SET (peeling
+    // only removes), so converged rounds never launch.
+    var nodes = nodes0.getOrElse(edges.select(col("src").as("node")).distinct())
+    // -1 = unknown: the first round never reads it (counts are >= 0)
+    var prevCount = nNodes0.getOrElse(-1L)
+    var prevCkpt: Option[DataFrame] = None
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
       val obs = org.apache.spark.sql.Observation()
       val next = edges
-        .join(bc(nodes.withColumnRenamed("node", "src")), "src")
         .join(bc(nodes.select(col("node").as("dst"))), "dst")
         .groupBy(col("src")).agg(count(lit(1)).as("dcount"))
         .filter(col("dcount") >= k)
         .select(col("src").as("node"))
         .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      // peeling only removes nodes, so an unchanged COUNT is an
-      // unchanged SET — the fixpoint; later rounds would be no-ops
       val nextCount = obs.get.apply("n").asInstanceOf[Long]
       converged = nextCount == prevCount
       prevCount = nextCount
-      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(nodes)
+      prevCkpt.foreach(org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+      prevCkpt = Some(next)
       nodes = next
       r += 1
     }
@@ -673,11 +728,18 @@ object Graph {
     */
   def kcore(s: SparkSession, d: String): DataFrame = {
     val edges = edgeTable(s, d)
-    val k = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    // r18: k reads the persisted degree artifact (the identical
+    // edges.groupBy(src).count aggregate, extracted once like the edge
+    // list itself) instead of re-running the degree shuffle, and the
+    // round-0 node set IS the degree table's key column — the init
+    // distinct job disappears too.
+    val k = degreeTable(s, d)
       .agg(min(col("dg"))).collect()(0).getLong(0).toInt + 1 // bounded: 1 row
     kcoreOf(edges, k = k, rounds = 4,
       broadcastNodes = hubSeedAndNodes(s, d)._2 <=
-        graft.operators.PageRank.BroadcastNodeLimit)
+        graft.operators.PageRank.BroadcastNodeLimit,
+      nodes0 = Some(degreeTable(s, d).select(col("src").as("node"))),
+      nNodes0 = Some(hubSeedAndNodes(s, d)._2))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -711,8 +773,21 @@ object Graph {
     */
   def communitiesLpa(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
+    // r18: the symmetrized edge list is laid out by src ONCE and
+    // persisted (query-local, janitor-swept). Every round's vote
+    // aggregate groups on (src, lab) and the argmax clusters on src —
+    // both satisfied by hash(src) (partitioning on a subset of the
+    // grouping keys is a valid clustering) — and under the broadcast
+    // gate the label probe joins map-side, preserving the layout. So
+    // after this one exchange, round 1's min-aggregate and rounds 2-3's
+    // vote + TopKPerGroup argmax are all exchange-free (guide §2.4:
+    // operations keyed the same way share one exchange; previously the
+    // vote stream shuffled twice per round). Above the gate the label
+    // join shuffles and the rounds degrade to the old shape.
     val sym = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .persist()
     // Round 1 collapses algebraically: with self-labels on a DISTINCT
     // edge list every vote count is exactly 1, so the (count desc, label
     // asc) winner is simply the minimum neighbor id — one aggregate

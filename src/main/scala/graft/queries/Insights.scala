@@ -57,9 +57,19 @@ object Insights {
       .select(col("p.id1").as("u"), col("p.id2").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_uv"))
       .filter(col("n_uv") >= 2)
-    val item = lp.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    // r18: the top-100 cut moves BEFORE the support joins — membership
+    // is decided by (n_uv, u, v) alone, so joining supports onto the
+    // 100 surviving rows instead of every qualifying pair is
+    // result-identical (the final ORDER BY restores presentation
+    // order). The old shape broadcast the full qualifying-pair set and
+    // ran both support probes over it; now the pair stream ends at a
+    // TakeOrdered(100) and the item table (persisted — it used to be
+    // aggregated once per join side) joins 100 rows.
+    val item = lp.groupBy(col("pk")).agg(count(lit(1)).as("n_item")).persist()
     val n = broadcast(lp.agg(countDistinct(col("ok")).as("N")))
     pairs
+      .orderBy(col("n_uv").desc, col("u"), col("v"))
+      .limit(100)
       .join(item.select(col("pk").as("u"), col("n_item").as("n_u")), "u")
       .join(item.select(col("pk").as("v"), col("n_item").as("n_v")), "v")
       .crossJoin(n)
@@ -69,7 +79,6 @@ object Insights {
         "n_uv * 10000 div n_v AS conf_vu_bp",
         "n_uv * N * 1000000 div (n_u * n_v) AS lift_ppm")
       .orderBy(col("n_uv").desc, col("u"), col("v"))
-      .limit(100)
   }
 
   /** Hourly OHLC bars per event type — the time-series downsampling

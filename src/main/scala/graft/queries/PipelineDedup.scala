@@ -233,7 +233,11 @@ private[queries] trait PipelineDedup extends PipelineBase { this: Pipeline.type 
     val pass2 = toks.select(col("doc_id"),
       concat_ws(" ", reverse(slice(col("ts"), -4, 4))).as("k"))
     val cand = candPairs(pass1).union(candPairs(pass2)).distinct()
-    val sets = Dedup.shingleHashSets(docs(s, d))
+    // r18 persisted: the shingle-set table feeds BOTH verify probes —
+    // without storage the tokenize+shingle+hash pipeline ran twice (the
+    // setsim_join lesson applied to this family's own build; the query
+    // still pays its one build, per the producer convention)
+    val sets = Dedup.shingleHashSets(docs(s, d)).persist()
     cand
       .join(sets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")

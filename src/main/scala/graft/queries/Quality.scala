@@ -46,10 +46,20 @@ object Quality {
     * family [[Safety]] curation funnel); a global sort below a join
     * would be wasted work Catalyst cannot always remove.
     */
-  private[queries] def qualityFlags(s: SparkSession, d: String): DataFrame = {
-    val g = docs(s, d)
-      .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("tok"))
+  private[queries] def qualityFlags(s: SparkSession, d: String): DataFrame =
+    flagsOfCounts(tokenCounts(docs(s, d)))
+
+  /** The (doc_id, tok, c) per-document token-count aggregate both the
+    * rule battery AND the hashed-ratio featurizer derive from — exposed
+    * so [[qmTrainModel]] can compute it once (r18: training previously
+    * ran the corpus token explode + first shuffle twice, once per
+    * consumer).
+    */
+  private def tokenCounts(dd: DataFrame): DataFrame =
+    dd.select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+
+  private def flagsOfCounts(g: DataFrame): DataFrame = {
     val p = g.groupBy(col("doc_id")).agg(
       sum(col("c")).as("n"),
       count(lit(1)).as("n_uniq"),
@@ -89,30 +99,27 @@ object Quality {
   // can featurize an ingest batch through the SAME definition (the
   // audioFingerprintOfDocs convention)
   private[graft] def qmFeaturesOfDocs(s: SparkSession,
-      dd: DataFrame): DataFrame = {
-    val tf = dd
-      .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("t"))
+      dd: DataFrame): DataFrame = qmFeaturesOfCounts(tokenCounts(dd))
+
+  /** The featurizer over the shared [[tokenCounts]] grain: per-bucket
+    * term frequency recovered exactly as Σ c over the bucket's tokens
+    * (identical to counting raw occurrences — marginals-from-the-cube).
+    */
+  private def qmFeaturesOfCounts(g: DataFrame): DataFrame = {
+    val tf = g
       .select(col("doc_id"),
-        (graft.functions.TextFns.tokenHash31(col("t")) % 64).cast("int")
-          .as("bucket"))
-      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+        (graft.functions.TextFns.tokenHash31(col("tok")) % 64).cast("int")
+          .as("bucket"), col("c"))
+      .groupBy(col("doc_id"), col("bucket")).agg(sum(col("c")).as("tf"))
     val n = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n"))
     tf.join(n, "doc_id")
       .select(col("doc_id"), col("bucket"), expr("1000 * tf div n").as("x"))
   }
 
-  private def qmFeatures(s: SparkSession, d: String): DataFrame =
-    qmFeaturesOfDocs(s, docs(s, d))
-
-  /** Training labels: the Gopher battery's own kept verdict as ±1 — the
-    * standard bootstrap for a production quality scorer (train a cheap
-    * model on rule labels, apply it where the rules are too slow or
-    * too brittle; GPT-3/CCNet train theirs against a reference corpus,
-    * same shape).
-    */
-  private def qmLabels(s: SparkSession, d: String): DataFrame =
-    qualityFlags(s, d).select(col("doc_id"),
-      when(col("kept"), 1L).otherwise(-1L).as("y"))
+  // (training labels — the Gopher battery's own kept verdict as ±1, the
+  // standard bootstrap for a production quality scorer — are folded
+  // inline from flagsOfCounts over the shared tokenCounts build; see
+  // qmTrainModel / qmScoredFrame)
 
   /** Train the quality scorer: a nearest-class-centroid (Rocchio)
     * direction over the hashed-ratio features plus an empirically
@@ -138,18 +145,30 @@ object Quality {
     * every stage is a map or a bounded-key aggregate.
     */
   private[queries] def qmTrainModel(s: SparkSession, d: String): (Array[Long], Long) = {
-    // persisted: the label frame feeds the feature join, the class
-    // counts, AND the score pass — without storage each consumer
-    // re-derives the whole battery (explode + two aggregates); swept
-    // with the other training temporaries below
-    val labels = qmLabels(s, d).persist()
-    val fl = qmFeatures(s, d).join(labels, "doc_id").persist()
+    // r18: labels and features both fold the SAME (doc_id, tok, c)
+    // aggregate ([[tokenCounts]], persisted) — the old shape ran the
+    // corpus token explode + its shuffle twice, once per consumer
+    // (guide §2.3/§2.4). The label frame stays persisted too: it feeds
+    // the feature join, the class counts AND the score pass. All
+    // training temporaries are swept below / by the bench janitor.
+    val g = tokenCounts(docs(s, d)).persist()
+    val labels = flagsOfCounts(g).select(col("doc_id"),
+      when(col("kept"), 1L).otherwise(-1L).as("y")).persist()
+    val fl = qmFeaturesOfCounts(g).join(labels, "doc_id").persist()
     try {
-      val cents = fl.groupBy(col("y"), col("bucket"))
-        .agg(sum(col("x")).as("sx")).collect() // bounded: ≤ 2 × 64 rows
+      // r18: class centroids and class counts ride ONE collect (they
+      // were two driver jobs for two bounded aggregates over already-
+      // persisted frames — the job floor, not the data, was the cost);
+      // the count rows carry bucket = -1 as the discriminant.
+      val trained = fl.groupBy(col("y"), col("bucket"))
+        .agg(sum(col("x")).as("v"))
+        .unionByName(labels.groupBy(col("y"))
+          .agg(count(lit(1)).as("v")).select(col("y"), lit(-1).as("bucket"), col("v")))
+        .collect() // bounded: ≤ 2 × 64 + 2 rows
+      val cents = trained.filter(_.getInt(1) >= 0)
         .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-      val cnts = labels.groupBy(col("y")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cnts = trained.filter(_.getInt(1) < 0)
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
       val (nPos, nNeg) = (cnts.getOrElse(1L, 0L), cnts.getOrElse(-1L, 0L))
       // single-class corpus → zero direction (scores all 0, theta from
       // the degenerate grid): the model abstains rather than divides
@@ -159,12 +178,15 @@ object Quality {
       }
       val sc = qmScoresOf(labels, fl.drop("y"), w).persist()
       try {
-        val mm = sc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"))
-          .collect()(0) // one row
-        val (smin, smax) = (mm.getLong(0), mm.getLong(1))
-        val span = smax - smin + 2
-        val grid = s.range(0, QmGrid + 1)
-          .select(expr(s"$smin - 1 + id * $span div $QmGrid").as("theta"))
+        // r18: the 257-rung grid is derived IN-PLAN from a broadcast
+        // 1-row min/max aggregate of the persisted score frame — the
+        // same theta lattice (smin − 1 + id·span div 256, span =
+        // smax − smin + 2), but smin/smax never visit the driver and
+        // the whole ERM sweep is ONE job instead of two.
+        val grid = sc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"))
+          .select(explode(sequence(lit(0L), lit(QmGrid))).as("id"),
+            col("smin"), col("smax"))
+          .select(expr(s"smin - 1 + id * (smax - smin + 2) div $QmGrid").as("theta"))
         val best = sc.crossJoin(broadcast(grid))
           .groupBy(col("theta"))
           .agg(sum(when(col("y") === 1L && col("s") <= col("theta"), 1L)
@@ -174,7 +196,7 @@ object Quality {
           .collect()(0) // one row: the trained threshold
         (w, best.getLong(0))
       } finally sc.unpersist()
-    } finally { fl.unpersist(); labels.unpersist() }
+    } finally { fl.unpersist(); labels.unpersist(); g.unpersist() }
   }
 
   /** Score frame (doc_id, y, s) for a weight vector: one map pass —
@@ -243,17 +265,22 @@ object Quality {
   def qualityModelRoc(s: SparkSession, d: String): DataFrame = {
     val (w, theta0) = qmModel(s, d)
     // inner join of labels and scored docs — the exact frame the {OUT}
-    // oracle joins, so the domains agree by construction
-    val sc = qmLabels(s, d)
-      .join(qmScoreDocs(s, docs(s, d), w, theta0)
+    // oracle joins, so the domains agree by construction; labels and
+    // scores fold ONE shared tokenCounts build (r18 — previously two
+    // full token explodes)
+    val g = tokenCounts(docs(s, d)).persist()
+    val sc = flagsOfCounts(g)
+      .select(col("doc_id"), when(col("kept"), 1L).otherwise(-1L).as("y"))
+      .join(qmScoreCounts(g, w, theta0)
         .select(col("doc_id"), col("score").as("s")), "doc_id")
       .persist()
-    val mm = sc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"))
-      .collect()(0) // 1 row
-    val (smin, smax) = (mm.getLong(0), mm.getLong(1))
-    val span = smax - smin + 2
-    val grid = s.range(0, QmGrid + 1)
-      .select(expr(s"$smin - 1 + id * $span div $QmGrid").as("theta"))
+    // r18: the grid derives IN-PLAN from a broadcast 1-row min/max of
+    // the persisted score frame (the qmTrainModel pattern) — same theta
+    // lattice, one driver job fewer
+    val grid = sc.agg(min(col("s")).as("smin"), max(col("s")).as("smax"))
+      .select(explode(sequence(lit(0L), lit(QmGrid))).as("id"),
+        col("smin"), col("smax"))
+      .select(expr(s"smin - 1 + id * (smax - smin + 2) div $QmGrid").as("theta"))
       .distinct()
     val pn = broadcast(sc.agg(
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
@@ -283,7 +310,7 @@ object Quality {
     */
   def qualityModelAgreement(s: SparkSession, d: String): DataFrame = {
     val (w, theta) = qmModel(s, d)
-    val sc = qmScoresOf(qmLabels(s, d), qmFeatures(s, d), w)
+    val sc = qmScoredFrame(s, d, w)
       .select(col("y"), (col("s") > theta).as("pred"))
     sc.agg(count(lit(1)).as("n"),
         sum(when(col("y") === 1L && col("pred"), 1L).otherwise(0L)).as("tp"),
@@ -312,10 +339,27 @@ object Quality {
     */
   private[graft] def qmScoreDocs(s: SparkSession, dd: DataFrame,
       w: Array[Long], theta: Long): DataFrame =
-    qmFeaturesOfDocs(s, dd)
+    qmScoreCounts(tokenCounts(dd), w, theta)
+
+  private def qmScoreCounts(g: DataFrame,
+      w: Array[Long], theta: Long): DataFrame =
+    qmFeaturesOfCounts(g)
       .groupBy(col("doc_id"))
       .agg(sum(col("x") * element_at(typedLit(w), col("bucket") + 1)).as("score"))
       .select(col("doc_id"), col("score"), (col("score") > theta).as("pred_kept"))
+
+  /** The evaluation frame (doc_id, y, s) under a frozen direction, with
+    * labels and features folded from ONE shared [[tokenCounts]] build
+    * (r18: the eval queries each ran the corpus token explode twice —
+    * once inside the battery labels, once inside the featurizer).
+    */
+  private def qmScoredFrame(s: SparkSession, d: String,
+      w: Array[Long]): DataFrame = {
+    val g = tokenCounts(docs(s, d)).persist()
+    val labels = flagsOfCounts(g).select(col("doc_id"),
+      when(col("kept"), 1L).otherwise(-1L).as("y"))
+    qmScoresOf(labels, qmFeaturesOfCounts(g), w)
+  }
 
   /** STREAMING quality scoring — the deployment shape of
     * [[qualityModelScore]] (the ivf_ingest posture on the text column:
@@ -369,7 +413,11 @@ object Quality {
     */
   def qualityModelCalibration(s: SparkSession, d: String): DataFrame = {
     val (w, _) = qmModel(s, d)
-    val sc = qmScoresOf(qmLabels(s, d), qmFeatures(s, d), w)
+    // persisted (r18): AssignIds' RDD seam evaluates its input twice
+    // (zipWithIndex count + main pass) and the N scalar is a third
+    // consumer — without storage the whole label+feature+score chain
+    // ran three times (the perplexity_filter lesson).
+    val sc = qmScoredFrame(s, d, w).persist()
     val ranked = graft.operators.AssignIds.byOrder(
       sc, Seq(col("s").desc, col("doc_id")), "rn")
     val n = broadcast(sc.groupBy().agg(count(lit(1)).as("N")))
@@ -744,11 +792,19 @@ object Quality {
           lit(0.3) * (col("c23").cast("double") / col("c2")) +
           lit(0.1) * (col("c3").cast("double") / col("nn"))) * 1000000)
           .cast("long").as("lp_micro"))
+    // r18: persisted — the scored frame is doc-sized but its subtree is
+    // the query's most expensive stage (the trigram probe join + the
+    // 5-way LM join tree), and it has THREE evaluations without storage:
+    // AssignIds' zipWithIndex count job, the RDD-seam main pass (an RDD
+    // boundary shares no exchanges across jobs), and the nd scalar.
+    // Guide §5 persist-when-reused; isolated A/B at sf0.1: 4.85 s
+    // (full-bench baseline) -> ~1.2 s.
     val sc = tri.join(lp, Seq("w1", "w2", "w3"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_slots"), (-sum(col("lp_micro"))).as("surprisal_micro"))
       .selectExpr("doc_id", "n_slots",
         "surprisal_micro div n_slots AS ppl_micro")
+      .persist()
     val ranked = graft.operators.AssignIds.byOrder(
       sc, Seq(col("ppl_micro"), col("doc_id")), "rn")
     val nd = broadcast(sc.groupBy().agg(count(lit(1)).as("nd")))
@@ -1428,14 +1484,33 @@ object Quality {
     * all-corpus shuffle beyond the (doc_id, lang)-keyed count.
     */
   def langIdNgram(s: SparkSession, d: String): DataFrame = {
-    val prof = ngramProfile(s, d).select(col("lang").as("cand_lang"), col("tri"))
-    val docTris = docs(s, d)
-      .select(col("doc_id"), explode(Dedup.tokensNE(col("text"))).as("w"))
+    // r18: ONE trigram explode feeds both the model and the scoring
+    // probe. The old shape ran the full corpus explode twice (once
+    // inside ngramProfile's (lang, tri) counts, once for the per-doc
+    // probe) and pushed the raw position stream into the profile join;
+    // now the positions collapse to the (doc_id, lang, tri) grain with
+    // map-side partial aggregation first (guide §2.3 aggregate-before-
+    // shuffle), the profile counts re-aggregate that cube (Σ over
+    // doc_id — counts identical by definition), and the probe joins
+    // distinct doc-trigram rows, with occurrence counts recovered as
+    // Σ c. The persisted base is a query-local temporary (swept by the
+    // bench janitor).
+    val tris = docs(s, d)
+      .select(col("doc_id"), col("lang"), explode(Dedup.tokensNE(col("text"))).as("w"))
       .filter(length(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, length(w) - 2), i -> substring(w, i, 3))")).as("tri"))
-    val scores = docTris.join(broadcast(prof), "tri")
-      .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("score"))
+      .groupBy(col("doc_id"), col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+      .persist()
+    // same (lang, tri) counts and the same (c desc, tri asc) top-5 as
+    // [[ngramProfile]] — the classifier's model cannot drift from the
+    // published profile because both are the identical aggregate
+    val prof = graft.plans.TopKPerGroup(
+        tris.groupBy(col("lang"), col("tri")).agg(sum(col("c")).as("c")),
+        Seq("lang"), Seq(col("c").desc, col("tri").asc), k = 5)
+      .select(col("lang").as("cand_lang"), col("tri"))
+    val scores = tris.join(broadcast(prof), "tri")
+      .groupBy(col("doc_id"), col("cand_lang")).agg(sum(col("c")).as("score"))
     val langs = docs(s, d).select(col("lang").as("cand_lang")).distinct()
     val full = docs(s, d).select(col("doc_id"), col("lang"))
       .crossJoin(broadcast(langs))
@@ -1628,8 +1703,20 @@ object Quality {
         col("ts"))
       .select(col("doc_id"), col("n_toks"),
         size(col("cps")).cast("long").as("n_removed"),
-        array_join(filter(col("ts"),
-          (tok, i) => !array_contains(col("cps"), i + 1)), " ").as("clean_text"))
+        // r18 (the r17 verdict's residual): surviving positions via ONE
+        // hash-based array_except(sequence(1, n), cps) — O(n + |covered|)
+        // per doc — instead of the per-token array_contains scan, which
+        // was O(n × |covered|) on a heavily-duplicated long doc.
+        // array_except preserves left-operand order and sequence(1, n)
+        // is duplicate-free, so the surviving positions (and therefore
+        // the joined token text) are byte-identical.
+        // (empty-doc guard: sequence(1, 0) is a DESCENDING [1, 0] in
+        // Spark, whose positions would not index ts — the CASE keeps
+        // the old filter()'s empty-array behaviour)
+        when(size(col("ts")) === 0, lit("")).otherwise(
+          array_join(transform(
+            array_except(sequence(lit(1), size(col("ts"))), col("cps")),
+            p => element_at(col("ts"), p)), " ")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1765,8 +1852,18 @@ object Quality {
         explode(transform(sequence(lit(1), size(col("ts")) - 7),
           i => concat_ws(" ", (0 to 7).map(k =>
             element_at(col("ts"), i + k)): _*))).as("g"))
-    val first = g.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
-    g.join(first, Seq("g"))
+    // r18: first-occurrence as a gram-partitioned window MIN instead of
+    // a self-join against a separate min-aggregate. The old shape
+    // evaluated the 8-gram explode TWICE (the aggregate side and the
+    // join side — no common-subtree reuse across join inputs) and
+    // shuffled three times (groupBy g, join g, groupBy doc); the window
+    // computes fd on the one g-keyed exchange the first occurrence
+    // fundamentally needs, so the explode runs once and the query is
+    // two exchanges total (guide §2.4 — share one exchange between
+    // operations keyed the same way). min-over-partition == the joined
+    // min-aggregate row-for-row.
+    val w = Window.partitionBy(col("g"))
+    g.withColumn("fd", min(col("doc_id")).over(w))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
@@ -1866,9 +1963,17 @@ object Quality {
     val toks = docs(s, d).select(explode(Dedup.tokensNE(col("text"))).as("t"))
     def buckets(t: org.apache.spark.sql.Column) =
       posexplode(array(CmsHashes.map { case (s0, m) => h(t, s0, m) }: _*))
-    val cells = toks.select(buckets(col("t")).as(Seq("row_id", "bucket")))
-      .groupBy(col("row_id"), col("bucket")).agg(count(lit(1)).as("c"))
-    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("c_exact"))
+    // r18: the grid is built from the exact per-token counts, not the
+    // raw occurrence stream — cell (j, b) = Σ c_exact over tokens
+    // hashing to b under h_j, identical to counting occurrences
+    // directly (marginals-from-the-cube, guide §2.3). The d×w hashes
+    // (an interpreted aggregate-over-characters HOF each) now run once
+    // per DISTINCT token instead of once per occurrence, the corpus is
+    // exploded once instead of twice, and the exact aggregate is shared
+    // by both consumers via the cache (query-local, janitor-swept).
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("c_exact")).persist()
+    val cells = exact.select(col("c_exact"), buckets(col("t")).as(Seq("row_id", "bucket")))
+      .groupBy(col("row_id"), col("bucket")).agg(sum(col("c_exact")).as("c"))
     exact.select(col("t"), col("c_exact"),
         buckets(col("t")).as(Seq("row_id", "bucket")))
       .join(broadcast(cells), Seq("row_id", "bucket"))

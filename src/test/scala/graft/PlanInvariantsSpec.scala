@@ -151,6 +151,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "mixture_weights" ->
       "bounded 3-row temperature-rung broadcast + one-row per-rung total broadcast",
     "domain_census" -> "one-row corpus-total scalar broadcast",
+    "hits_scores" ->
+      "one-row round-max normalization scalar cross per half-round (plan-stable form)",
   )
 
   test("no declared query plans an unbounded cartesian stage") {
