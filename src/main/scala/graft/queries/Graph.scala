@@ -336,8 +336,20 @@ object Graph {
     // instead of paying a fresh map + exchange + reduce per half-round
     // (guide §2.4, the PageRank dst-partitioned-edges trick applied to
     // the mutual recursion). Six aggregate exchanges become two builds.
-    val spPk = sp.repartition(col("pk")).persist()
-    val spSk = sp.repartition(col("sk")).persist()
+    // explicit partition count (configured shuffle parallelism — stays
+    // scale-adaptive): a count-less repartition is AQE-coalescible, so
+    // the cached layout's partitioning would be unknown at planning
+    // time and every half-round's aggregate would re-exchange (the
+    // communities_lpa lesson, same round)
+    // declared-partitioning checkpoints (Bridge): persist/plain
+    // checkpoint both report UNKNOWN partitioning under AQE at planning
+    // time, so every half-round's aggregate re-exchanged anyway (the
+    // communities_lpa lesson, same round)
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val spPk = org.apache.spark.sql.graft.Bridge.localCheckpointHashPartitioned(
+      sp.repartition(nPart, col("pk")), nPart, "pk")
+    val spSk = org.apache.spark.sql.graft.Bridge.localCheckpointHashPartitioned(
+      sp.repartition(nPart, col("sk")), nPart, "sk")
     // init score tables read the degree artifact's key column split at
     // the part offset (every supplier and part appears as a src of the
     // symmetrized edge table) — the two init distinct jobs disappear
@@ -784,10 +796,25 @@ object Graph {
     // operations keyed the same way share one exchange; previously the
     // vote stream shuffled twice per round). Above the gate the label
     // join shuffles and the rounds degrade to the old shape.
-    val sym = e.select(col("u").as("src"), col("v").as("dst"))
-      .union(e.select(col("v").as("src"), col("u").as("dst")))
-      .repartition(col("src"))
-      .persist()
+    // explicit partition count (the configured shuffle parallelism, so
+    // it stays scale-adaptive): a count-less repartition is
+    // AQE-coalescible, which leaves the cached scan's partitioning
+    // UNKNOWN at planning time and EnsureRequirements re-inserts the
+    // very exchanges this layout exists to remove (measured in the
+    // first r18 cut's plan)
+    // declared-partitioning checkpoint, not persist/plain checkpoint:
+    // both report UNKNOWN partitioning under AQE at planning time, so
+    // EnsureRequirements re-inserted the very vote exchanges this
+    // layout removes (measured in the first r18 cut); the Bridge helper
+    // re-declares hashpartitioning(src, N) on the checkpointed blocks —
+    // exactly the REPARTITION_BY_NUM layout just paid for. Blocks are
+    // released by the bench janitor / session teardown.
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val sym = org.apache.spark.sql.graft.Bridge.localCheckpointHashPartitioned(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(nPart, col("src")),
+      nPart, "src")
     // Round 1 collapses algebraically: with self-labels on a DISTINCT
     // edge list every vote count is exactly 1, so the (count desc, label
     // asc) winner is simply the minimum neighbor id — one aggregate

@@ -72,6 +72,40 @@ object Bridge {
     out.toSeq
   }
 
+  /** Eager localCheckpoint that DECLARES the checkpointed RDD's hash
+    * partitioning on the resulting plan (r18). `Dataset.localCheckpoint`
+    * under AQE wraps the physical plan in an unfinalized
+    * `AdaptiveSparkPlan`, so the produced `LogicalRDD` reports
+    * `UnknownPartitioning` — and every downstream aggregate keyed on
+    * the layout columns re-inserts the exchange the caller just paid
+    * for. This helper re-wraps the checkpointed RDD with the
+    * partitioning the caller established.
+    *
+    * CONTRACT: the input MUST have just been laid out by
+    * `repartition(numPartitions, cols…)` on exactly `colNames` (a
+    * `REPARTITION_BY_NUM` shuffle, which AQE may not coalesce) — the
+    * declaration is trusted, and declaring a layout the blocks do not
+    * actually have silently mis-groups downstream aggregates.
+    * BridgePartitioningSpec pins result-equality and the no-exchange
+    * plan shape.
+    */
+  def localCheckpointHashPartitioned(df: org.apache.spark.sql.DataFrame,
+      numPartitions: Int, colNames: String*): org.apache.spark.sql.DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = colNames.map(n => l.output.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(s"no column '$n' in ${l.output}")))
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(attrs, numPartitions)
+        ofRows(df.sparkSession, new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, part, l.outputOrdering, l.isStreaming, l.stream)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None))
+      case _ => ck // unexpected plan shape: fall back to the plain checkpoint
+    }
+  }
+
   /** Release the block-storage backing of a `localCheckpoint()`ed
     * Dataset. `Dataset.unpersist` only clears SQL-cache entries; a local
     * checkpoint lives as persisted RDD blocks inside the plan's
