@@ -164,8 +164,17 @@ object Graph {
     //     rounds are provably the identity and never launch. The count
     //     rides each checkpoint job as an observed metric (the
     //     hits_scores pattern: no extra job for the scalar).
-    val edges2 = edges.union(
-      degreeTable(s, d).select(col("src"), col("src").as("dst")))
+    // declared dst layout (the hits_scores/communities_lpa trick, same
+    // round): each round joins the broadcast frontier on src and
+    // aggregates by dst — with the augmented edge list checkpointed
+    // partitioned by dst, the min-aggregate inherits the layout through
+    // the broadcast join and every round is a single stage instead of
+    // map + exchange + reduce.
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val edges2 = org.apache.spark.sql.graft.Bridge.localCheckpointHashPartitioned(
+      edges.union(degreeTable(s, d).select(col("src"), col("src").as("dst")))
+        .repartition(nPart, col("dst")),
+      nPart, "dst")
     val small = nNodes <= graft.operators.PageRank.BroadcastNodeLimit
     var prev: Option[DataFrame] = None
     var prevCount = 1L // the seed row
